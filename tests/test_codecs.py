@@ -1,0 +1,102 @@
+"""Round-trip and selection tests for the codec layer.
+
+The bit-identical decode(encode(x)) == x gate generalizes the reference's
+Rle construction round-trips (reference tests/test_hypothesis.py) to every
+codec and to auto-selection.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tokrle.codecs.core import CODECS, decode, encode
+from tokrle.select import auto_encode, estimate_sizes, profile_chunk, select_codec
+
+RNG = np.random.default_rng(42)
+
+CORPORA = {
+    "zipf_tokens": RNG.zipf(1.3, size=20000).astype(np.int32) % 50000,
+    "small_vocab": RNG.integers(0, 100, size=20000).astype(np.int32),
+    "runs_heavy": np.repeat(RNG.integers(0, 50, size=200), RNG.integers(1, 400, size=200)).astype(np.int32),
+    "constant": np.full(10000, 7, dtype=np.int32),
+    "negative": RNG.integers(-1000, 1000, size=5000).astype(np.int32),
+    "wide_int64": RNG.integers(-2**40, 2**40, size=5000).astype(np.int64),
+    "empty": np.empty(0, dtype=np.int32),
+    "single": np.array([123456], dtype=np.int32),
+    "two_values": RNG.choice([17, 9000000], size=10000).astype(np.int32),
+}
+
+
+@pytest.mark.parametrize("codec", list(CODECS))
+@pytest.mark.parametrize("name", list(CORPORA))
+def test_roundtrip_bit_identical(codec, name):
+    x = CORPORA[name]
+    if codec == "bitpack" and len(x) and x.min() < 0:
+        pytest.skip("bitpack is non-negative only")
+    payload = encode(codec, x)
+    out = decode(codec, payload, len(x), x.dtype)
+    assert out.dtype == x.dtype
+    assert np.array_equal(out, x)
+
+
+@pytest.mark.parametrize("name", list(CORPORA))
+def test_auto_encode_roundtrip_and_never_expands(name):
+    x = CORPORA[name]
+    codec, payload, prof = auto_encode(x)
+    out = decode(codec, payload, len(x), x.dtype)
+    assert np.array_equal(out, x)
+    if len(x):
+        assert len(payload) <= prof.raw_bytes + 32
+
+
+def test_selector_picks_sensible_codecs():
+    assert select_codec(profile_chunk(CORPORA["runs_heavy"])) == "rle"
+    # constant chunk: FOR at width 0 is 9 bytes — smaller than rle's header
+    assert select_codec(profile_chunk(CORPORA["constant"])) == "for"
+    # small vocab, no runs -> dict or bitpack (both ~7 bits/val); must beat plain
+    p = profile_chunk(CORPORA["small_vocab"])
+    est = estimate_sizes(p)
+    assert est[select_codec(p)] < est["plain"] / 4
+    # negative values -> for beats plain
+    p = profile_chunk(CORPORA["negative"])
+    assert select_codec(p) in ("for", "dict")
+
+
+def test_estimates_close_to_actual():
+    for name in ("zipf_tokens", "small_vocab", "runs_heavy", "two_values"):
+        x = CORPORA[name]
+        p = profile_chunk(x)
+        est = estimate_sizes(p)
+        for codec, e in est.items():
+            actual = len(encode(codec, x))
+            assert actual <= e * 1.2 + 64, (name, codec, actual, e)
+
+
+@settings(max_examples=100)
+@given(st.lists(st.integers(min_value=-2**31, max_value=2**31 - 1),
+                min_size=0, max_size=300))
+def test_hypothesis_roundtrip_all_codecs(vals):
+    x = np.array(vals, dtype=np.int32)
+    for codec in CODECS:
+        if codec == "bitpack" and len(x) and x.min() < 0:
+            continue
+        out = decode(codec, encode(codec, x), len(x), x.dtype)
+        assert np.array_equal(out, x), codec
+
+
+def test_float64_plain_roundtrip():
+    x = np.array([1.5, np.nan, -0.0, np.inf], dtype=np.float64)
+    out = decode("plain", encode("plain", x), len(x), x.dtype)
+    assert np.array_equal(out.view(np.uint64), x.view(np.uint64))
+
+
+def test_compression_beats_reference_representation():
+    """Our auto-selected codec must beat the reference's (runs int64 +
+    values float64 = 16 bytes/run) representation on run-heavy data, and
+    beat raw int32 on everything compressible."""
+    x = CORPORA["runs_heavy"]
+    codec, payload, prof = auto_encode(x)
+    ref_bytes = prof.n_runs * 16  # pyrle rle.py:146-147 representation
+    assert len(payload) < ref_bytes
+    assert len(payload) < prof.raw_bytes / 4
