@@ -1,0 +1,120 @@
+"""End-to-end Ray Data pipeline tests: tokenize -> encode -> write -> read
+-> decode -> per-row bit-identity, plus resume semantics."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def token_ds(ray_session):
+    from tokrle.sources.tokens import documents_to_tokens
+
+    return documents_to_tokens(SF)
+
+
+def _tokens_by_doc(df):
+    return {d: np.asarray(t) for d, t in zip(df["doc_id"], df["tokens"])}
+
+
+def test_tokenizer_matches_duckdb(ray_session, token_ds):
+    import duckdb
+
+    df = token_ds.to_pandas()
+    con = duckdb.connect()
+    oracle = con.sql(f"""
+        select cast(doc_id as varchar) doc_id,
+               list(ascii(w) * 32 + length(w) order by i) tokens
+        from (select doc_id, unnest(string_split(text, ' ')) w,
+                     generate_subscripts(string_split(text, ' '), 1) i
+              from '{SF}/documents.parquet')
+        group by doc_id
+    """).df()
+    got = _tokens_by_doc(df)
+    want = _tokens_by_doc(oracle)
+    assert set(got) == set(want)
+    for d in want:
+        assert np.array_equal(got[d], want[d]), d
+
+
+def test_encode_decode_roundtrip_bit_identical(ray_session, token_ds):
+    from tokrle.pipelines.encode import decode_tokens, encode_tokens
+
+    enc = encode_tokens(token_ds, batch_size=64)
+    dec = decode_tokens(enc).to_pandas()
+    src = token_ds.to_pandas()
+    got = _tokens_by_doc(dec)
+    want = _tokens_by_doc(src)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d].dtype == np.int32
+        assert np.array_equal(got[d], want[d]), d
+
+
+def test_encoded_chunks_have_lineage_and_compress(ray_session, token_ds):
+    from tokrle.pipelines.encode import encode_tokens
+
+    enc = encode_tokens(token_ds, batch_size=128).to_pandas()
+    assert (enc["encoded_bytes"] <= enc["raw_bytes"]).all()
+    assert enc["codec"].isin(["plain", "rle", "dict", "bitpack", "for", "fsst"]).all()
+    assert enc["chunk_id"].is_unique
+    # total compression must beat raw int32
+    assert enc["encoded_bytes"].sum() < 0.8 * enc["raw_bytes"].sum()
+    # row offsets cover every doc
+    assert enc["n_docs"].sum() == 500
+
+
+def test_roundtrip_check_streaming(ray_session, token_ds):
+    from tokrle.pipelines.encode import (decode_tokens, encode_tokens,
+                                         roundtrip_check)
+
+    dec = decode_tokens(encode_tokens(token_ds, batch_size=64))
+    res = roundtrip_check(token_ds, dec)
+    assert res["source"] == res["decoded"]
+    assert res["source"]["n_docs"] == 500
+
+
+def test_corpus_encode_resume(ray_session, tmp_path):
+    """Killed-run resume: second invocation skips completed units."""
+    import pyarrow.parquet as pq
+
+    from tokrle.pipelines.corpus import encode_corpus
+    from tokrle.sources.tokens import documents_to_tokens
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    df = documents_to_tokens(SF).to_pandas()
+    pq.write_table(pa.Table.from_pandas(df.iloc[:250]), f"{in_dir}/a.parquet")
+    pq.write_table(pa.Table.from_pandas(df.iloc[250:]), f"{in_dir}/b.parquet")
+
+    r1 = encode_corpus(in_dir, out_dir, batch_size=64)
+    assert r1["units_total"] == 2 and r1["units_skipped"] == 0
+    assert r1["n_tokens"] > 0
+    r2 = encode_corpus(in_dir, out_dir, batch_size=64)
+    assert r2["units_skipped"] == 2 and r2["n_tokens"] == 0
+    # decoded output matches source bit-identically
+    import ray.data
+
+    from tokrle.pipelines.encode import decode_tokens
+
+    enc = ray.data.read_parquet(out_dir)
+    dec = decode_tokens(enc).to_pandas()
+    got = _tokens_by_doc(dec)
+    want = _tokens_by_doc(df)
+    assert set(got) == set(want)
+    for d in want:
+        assert np.array_equal(got[d], want[d])
+
+
+def test_synth_tokens_deterministic_any_partitioning(ray_session):
+    from tokrle.sources.tokens import synth_tokens
+
+    a = synth_tokens(50, override_num_blocks=2).to_pandas().sort_values("doc_id")
+    b = synth_tokens(50, override_num_blocks=7).to_pandas().sort_values("doc_id")
+    for x, y in zip(a["tokens"], b["tokens"]):
+        assert np.array_equal(np.asarray(x), np.asarray(y))

