@@ -1,44 +1,187 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+`entry()` runs the flagship encode pipeline; `queries()` exposes one
+callable per implemented operator/pipeline from SURVEY.md §2 (+ the
+training-data ops); `oracle_sql()` gives the DuckDB equivalent for every
+SQL-expressible query, with matching column names and BIGINT casts.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in tokrle) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import partial
 from typing import Any
+
+SF1 = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: tokenize sf0.001 documents -> per-chunk codec auto-selected
+    encode -> encoded-chunk Dataset (payload + lineage columns)."""
+    from tokrle.pipelines.encode import encode_tokens
+    from tokrle.sources.tokens import documents_to_tokens
+
+    ds = documents_to_tokens(SF1)
+    return encode_tokens(ds, batch_size=256)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from tokrle.pipelines import queries as Q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    d: dict[str, Callable[[str], Any]] = {
+        # flagship encode/decode round-trip, per-source aggregates
+        "encode_roundtrip_stats": Q.encode_roundtrip_stats,
+        # keyed RLE (RleDict-equivalent) pipelines: coverage + run-merge ops
+        "coverage_total": Q.coverage_total,
+        "coverage_add": Q.coverage_add,
+        "coverage_mul": Q.coverage_mul,
+        "coverage_slice": Q.coverage_slice,
+        # training-data ops
+        "text_quality": Q.text_quality,
+        "dedup_exact": Q.dedup_exact,
+        "unique_token_seqs": Q.unique_token_seqs,
+        "ann_top1": Q.ann_top1,
+        "dedup_minhash": Q.dedup_minhash,   # rows-only (no SQL analog)
+        "lang_id": Q.lang_id,               # rows-only (heuristic model)
+        "simhash_signatures": Q.simhash_signatures,  # rows-only
+    }
+    for codec in ("plain", "rle", "dict", "bitpack", "for", "fsst"):
+        d[f"codec_roundtrip_{codec}"] = partial(Q.codec_roundtrip, codec=codec)
+    return d
+
+
+_CODEC_ROUNDTRIP_SQL = """
+SELECT cast(count(*) AS bigint)      AS n,
+       cast(sum(l_suppkey) AS bigint) AS sum_v,
+       cast(min(l_suppkey) AS bigint) AS min_v,
+       cast(max(l_suppkey) AS bigint) AS max_v
+FROM lineitem
+"""
+
+# deterministic intervals from events (mirrors queries._event_intervals)
+_IVL = """
+SELECT event_type, event_id,
+       user_id % 1000                  AS s,
+       user_id % 1000 + 1 + event_id % 97 AS e
+FROM events
+"""
+
+_COV_AGG = """
+WITH ivl AS ({ivl}),
+pos AS (
+    SELECT event_type, unnest(generate_series(s, e - 1)) AS p
+    FROM ivl
+),
+cov AS (
+    SELECT event_type, p, count(*) AS c
+    FROM pos GROUP BY event_type, p
+)
+SELECT i.event_type,
+       cast(sum(i.e - i.s) AS bigint) AS total,
+       cast((SELECT max(c) FROM cov WHERE cov.event_type = i.event_type)
+            AS bigint) AS max_cov,
+       cast(max(i.e) AS bigint) AS vec_length
+FROM ivl i
+GROUP BY i.event_type
+ORDER BY i.event_type
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["encode_roundtrip_stats"] = """
+        SELECT source,
+               cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
+               cast(count(*) AS bigint)               AS n_tokens,
+               cast(sum(ascii(w) * 32 + length(w)) AS bigint) AS sum_tokens
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY source ORDER BY source
     """
-    return {}
+
+    for codec in ("plain", "rle", "dict", "bitpack", "for", "fsst"):
+        sql[f"codec_roundtrip_{codec}"] = _CODEC_ROUNDTRIP_SQL
+
+    sql["coverage_total"] = _COV_AGG.format(ivl=_IVL)
+    sql["coverage_add"] = _COV_AGG.format(ivl=_IVL)  # a+b == all intervals
+
+    sql["coverage_mul"] = f"""
+        WITH ivl AS ({_IVL}),
+        pos AS (SELECT event_type, event_id,
+                       unnest(generate_series(s, e - 1)) AS p FROM ivl),
+        cov_a AS (SELECT event_type, p, count(*) AS c FROM pos
+                  WHERE event_id % 2 = 0 GROUP BY event_type, p),
+        cov_b AS (SELECT event_type, p, count(*) AS c FROM pos
+                  WHERE event_id % 2 = 1 GROUP BY event_type, p),
+        prod AS (SELECT a.event_type, a.p, a.c * b.c AS cc
+                 FROM cov_a a JOIN cov_b b
+                 ON a.event_type = b.event_type AND a.p = b.p)
+        SELECT i.event_type,
+               cast(coalesce((SELECT sum(cc) FROM prod
+                              WHERE prod.event_type = i.event_type), 0)
+                    AS bigint) AS total,
+               cast(coalesce((SELECT max(cc) FROM prod
+                              WHERE prod.event_type = i.event_type), 0)
+                    AS bigint) AS max_cov,
+               cast(max(i.e) AS bigint) AS vec_length
+        FROM ivl i GROUP BY i.event_type ORDER BY i.event_type
+    """
+
+    sql["coverage_slice"] = f"""
+        WITH ivl AS ({_IVL})
+        SELECT event_type,
+               cast(sum(greatest(0, least(e, 300) - greatest(s, 100)))
+                    AS bigint) AS total,
+               cast(greatest(0, least(max(e), 300) - 100) AS bigint)
+                    AS vec_length
+        FROM ivl GROUP BY event_type ORDER BY event_type
+    """
+
+    sql["text_quality"] = """
+        SELECT source,
+               cast(count(*) AS bigint) AS n_docs,
+               cast(sum(len(string_split(text, ' '))) AS bigint) AS sum_words,
+               cast(sum(length(replace(text, ' ', ''))) AS bigint) AS sum_alpha,
+               cast(sum(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the', 'a', 'of', 'and', 'to')))) AS bigint)
+                    AS sum_stop
+        FROM documents GROUP BY source ORDER BY source
+    """
+
+    sql["dedup_exact"] = """
+        SELECT d.source, cast(count(*) AS bigint) AS n_docs
+        FROM (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) s
+        JOIN documents d USING (doc_id)
+        GROUP BY d.source ORDER BY d.source
+    """
+
+    sql["unique_token_seqs"] = """
+        SELECT source, cast(count(DISTINCT toks) AS bigint) AS n_unique
+        FROM (SELECT doc_id, any_value(source) AS source,
+                     list(ascii(w) * 32 + length(w) ORDER BY i) AS toks
+              FROM (SELECT doc_id, source,
+                           unnest(string_split(text, ' ')) AS w,
+                           generate_subscripts(string_split(text, ' '), 1) AS i
+                    FROM documents)
+              GROUP BY doc_id)
+        GROUP BY source ORDER BY source
+    """
+
+    sql["ann_top1"] = """
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 5)
+        SELECT q_id, vec_id FROM (
+            SELECT q.q_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY list_cosine_similarity(c.embedding, q.qe)
+                           DESC, c.vec_id) AS rn
+            FROM q CROSS JOIN embeddings c
+            WHERE c.vec_id <> q.q_id)
+        WHERE rn = 1 ORDER BY q_id
+    """
+    return sql

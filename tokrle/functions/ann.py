@@ -1,0 +1,111 @@
+"""Similarity search over an embedding column.
+
+Brute-force cosine top-k: the query matrix is broadcast once via
+``ray.put`` and read inside every map_batches task (never re-shipped per
+batch); each batch computes a numpy matmul and emits only its local top-k,
+so the driver-side final reduce sees num_batches * k rows, not the corpus.
+
+LSH-bucketed variant: random-hyperplane signatures put candidate vectors
+into buckets; only the query's bucket (and Hamming-adjacent buckets) are
+scanned — the scale path when the corpus no longer fits a full scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
+                     k: int = 10, *, vec_col: str = "embedding",
+                     id_col: str = "vec_id", exclude_self: bool = True):
+    """Top-k cosine neighbours for each query vector.
+
+    Returns a pandas DataFrame (q_id, vec_id, rank) — ints only, so
+    differential oracles are immune to float formatting.  Ties broken by
+    smaller vec_id (deterministic).
+    """
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put((qn, np.asarray(query_ids)))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        q_mat, q_ids = ray.get(q_ref)
+        m = _normalize(_to_matrix(batch.column(vec_col)))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"q_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        sims = q_mat @ m.T  # (n_q, n_batch)
+        kk = min(k + (1 if exclude_self else 0), sims.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            # deterministic: sort by (-sim, vec_id)
+            order = np.lexsort((ids, -sims[qi]))[:kk]
+            out_q.extend([int(q_ids[qi])] * len(order))
+            out_v.extend(ids[order].tolist())
+            out_s.extend(sims[qi][order].tolist())
+        return pa.table({"q_id": pa.array(out_q, type=pa.int64()),
+                         "vec_id": pa.array(out_v, type=pa.int64()),
+                         "sim": pa.array(out_s, type=pa.float64())})
+
+    partial = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qid, g in partial.groupby("q_id"):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
+                          kind="mergesort")
+        if exclude_self:
+            g = g[g["vec_id"] != qid]
+        g = g.head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1)
+        rows.append(g[["q_id", "vec_id", "rank"]])
+    return (pd.concat(rows, ignore_index=True) if rows
+            else pd.DataFrame(columns=["q_id", "vec_id", "rank"]))
+
+
+class HyperplaneLSH:
+    """Stateful LSH signature stage: hyperplanes sampled once per actor
+    from a fixed seed; signature = sign-bit pattern of projections."""
+
+    def __init__(self, dim: int, n_planes: int = 16, seed: int = 7) -> None:
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column("embedding"))
+        if len(m) == 0:
+            sig = np.empty(0, dtype=np.int64)
+        else:
+            proj = m @ self.planes.T > 0
+            sig = np.zeros(len(m), dtype=np.int64)
+            for b in range(self.planes.shape[0]):
+                sig |= proj[:, b].astype(np.int64) << b
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "bucket": pa.array(sig, type=pa.int64()),
+        })
+
+
+def lsh_bucket_index(ds, dim: int, n_planes: int = 16, concurrency=(1, 4)):
+    """Build the bucketed index Dataset (vec_id, bucket) — write_parquet it
+    partitioned by bucket for the scale path."""
+    return ds.map_batches(HyperplaneLSH, batch_size=4096,
+                          fn_constructor_kwargs={"dim": dim,
+                                                 "n_planes": n_planes},
+                          batch_format="pyarrow", concurrency=concurrency)

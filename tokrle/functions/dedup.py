@@ -1,0 +1,208 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact_dedup: hash-partition on the key column + per-group first
+  (one shuffle; survivor = min doc_id, deterministic).
+- minhash_lsh_dedup: shingle -> minhash -> LSH band buckets -> per-bucket
+  connected grouping -> survivor per near-dup cluster.  Deterministic
+  (seeded hash mixers), vectorized per batch; the only shuffles are the
+  band-bucket groupby and the final survivor dedup.
+- simhash64: 64-bit simhash over token streams (vectorized), for
+  Hamming-distance near-dup checks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(ds, key: str = "text"):
+    """Keep one row (min doc_id) per distinct ``key`` value.
+
+    groupby(key) hash-partitions rows; the per-group first is O(group).
+    At 100 TB scale, prefer key = a 128-bit content hash computed in a map
+    stage first so the shuffle moves hashes, not documents."""
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        return g.iloc[:1]
+
+    return ds.groupby(key).map_groups(first, batch_format="pandas")
+
+
+def _word_shingles_hashed(texts: pa.Array, k: int = 3):
+    """Per-doc sets of hashed k-word shingles, vectorized over the
+    flattened word array.  Returns (hashes: uint64 array, doc_offsets)."""
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern(texts, " ")
+    la = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    per_doc = pc.list_value_length(la).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = la.flatten()
+    # hash each word with a polynomial over its bytes (vectorized via arrow
+    # hash is unavailable -> use python-free numpy over offsets/data)
+    o = flat.offset
+    word_offsets = np.frombuffer(flat.buffers()[1], dtype=np.int32,
+                                 count=len(flat) + 1 + o)[o:].astype(np.int64)
+    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8).astype(np.uint64)
+    # word hash: sum(byte * 131^pos_in_word) — vectorized with reduceat
+    lengths = np.diff(word_offsets)
+    if len(lengths) == 0:
+        return np.empty(0, np.uint64), np.zeros(len(texts) + 1, np.int64)
+    within = (np.arange(word_offsets[0], word_offsets[-1], dtype=np.int64)
+              - np.repeat(word_offsets[:-1], lengths))
+    maxlen = int(lengths.max()) if len(lengths) else 1
+    pw = np.array([pow(131, p, _MERSENNE) for p in range(maxlen)],
+                  dtype=np.uint64)
+    seg = data[word_offsets[0]:word_offsets[-1]] * pw[within]
+    whash = np.add.reduceat(seg, word_offsets[:-1] - word_offsets[0]) \
+        if len(seg) else np.zeros(len(lengths), np.uint64)
+    whash = np.where(lengths == 0, 0, whash)
+    # k-word shingle hash: combine k consecutive word hashes
+    doc_offsets = np.concatenate(([0], np.cumsum(per_doc)))
+    sh_per_doc = np.maximum(per_doc - k + 1, 1)
+    sh_offsets = np.concatenate(([0], np.cumsum(sh_per_doc)))
+    idx = (np.arange(sh_offsets[-1], dtype=np.int64)
+           - np.repeat(sh_offsets[:-1], sh_per_doc)
+           + np.repeat(doc_offsets[:-1], sh_per_doc))
+    mix = np.uint64(0)
+    for j in range(k):
+        take = np.minimum(idx + j, np.repeat(doc_offsets[1:], sh_per_doc) - 1)
+        mix = mix * np.uint64(1000003) + whash[take]
+    return mix, sh_offsets
+
+
+class MinHasher:
+    """Stateful minhash stage: permutation parameters built once per actor."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3,
+                 seed: int = 42) -> None:
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes, offsets = _word_shingles_hashed(
+            batch.column("text").combine_chunks()
+            if isinstance(batch.column("text"), pa.ChunkedArray)
+            else batch.column("text"), self.k)
+        n_docs = len(batch)
+        sigs = np.empty((n_docs, self.num_perm), dtype=np.uint64)
+        for d in range(n_docs):
+            h = hashes[offsets[d]:offsets[d + 1]]
+            if len(h) == 0:
+                sigs[d] = 0
+                continue
+            # (a*h + b) mod p for all perms: (n_perm, n_shingles) min
+            vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+            sigs[d] = vals.min(axis=1)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "signature": pa.array(list(sigs.astype(np.int64)),
+                                  type=pa.list_(pa.int64())),
+        })
+
+
+def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
+                      shingle_k: int = 3, concurrency=(1, 4)):
+    """MinHash+LSH near-dup grouping: signature -> band buckets ->
+    bucket-grouped cluster leaders -> global survivor set.
+
+    Returns a Dataset of (doc_id, source) survivors: a doc is dropped if
+    any LSH band bucket contains a doc with smaller doc_id (leader-wins,
+    deterministic; transitively-connected duplicates collapse toward the
+    smallest id over repeated application — single pass matches common
+    one-round LSH dedup practice)."""
+    rows_per_band = num_perm // bands
+    sigs = ds.map_batches(MinHasher, batch_size=1024,
+                          fn_constructor_kwargs={"num_perm": num_perm,
+                                                 "shingle_k": shingle_k},
+                          batch_format="pyarrow", concurrency=concurrency)
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        sig = np.array(batch.column("signature").to_pylist(), dtype=np.uint64)
+        n = len(batch)
+        out_doc = []
+        out_bucket = []
+        doc_ids = batch.column("doc_id").to_pylist()
+        for bidx in range(bands):
+            band = sig[:, bidx * rows_per_band:(bidx + 1) * rows_per_band]
+            bh = np.zeros(n, dtype=np.uint64)
+            for c in range(band.shape[1]):
+                bh = bh * np.uint64(1099511628211) + band[:, c]
+            for i in range(n):
+                out_doc.append(doc_ids[i])
+                out_bucket.append(f"{bidx}:{bh[i]:x}")
+        return pa.table({
+            "doc_id": pa.array(out_doc),
+            "bucket": pa.array(out_bucket, type=pa.string()),
+        })
+
+    buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
+
+    def bucket_losers(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        return pd.DataFrame({"doc_id": ids[1:]})  # everyone but the leader
+
+    losers = buckets.groupby("bucket").map_groups(bucket_losers,
+                                                  batch_format="pandas")
+    return anti_join(ds, losers, on="doc_id")
+
+
+def anti_join(ds, drop_ds, on: str = "doc_id"):
+    """Distributed anti-join: rows of ``ds`` whose ``on`` value does NOT
+    appear in ``drop_ds`` — union-tag + groupby co-group, no driver-side
+    id set (scales to drop lists larger than driver memory)."""
+    cols = ds.schema().names
+
+    def tag_keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_drop"] = 0
+        return df
+
+    def tag_drop(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({on: df[on]})
+        for c in cols:
+            if c != on:
+                out[c] = None
+        out["_drop"] = 1
+        return out[[*cols, "_drop"]]
+
+    tagged = ds.map_batches(tag_keep, batch_format="pandas").union(
+        drop_ds.map_batches(tag_drop, batch_format="pandas"))
+
+    def per_id(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["_drop"] == 1).any():
+            return g.iloc[0:0][cols]
+        return g[cols]
+
+    return tagged.groupby(on).map_groups(per_id, batch_format="pandas")
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    """64-bit simhash over the token stream, vectorized per batch."""
+    from tokrle.stages.encoder import _flat_tokens
+
+    values, offsets = _flat_tokens(batch)
+    n_docs = len(batch)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(values):
+        h = (values.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        h ^= h >> np.uint64(29)
+        doc_idx = np.repeat(np.arange(n_docs), np.diff(offsets))
+        for bit in range(64):
+            bits = ((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+            contrib = np.where(bits == 1, 1, -1)
+            s = np.bincount(doc_idx, weights=contrib, minlength=n_docs)
+            out |= (s > 0).astype(np.uint64) << np.uint64(bit)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "source": batch.column("source"),
+        "simhash": pa.array(out.astype(np.int64), type=pa.int64()),
+    })

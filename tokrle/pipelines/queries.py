@@ -1,0 +1,293 @@
+"""Driver-facing query pipelines with DuckDB-oracle equivalents.
+
+Each function takes ``sf_dir`` and returns a small pandas DataFrame whose
+column names/types match the oracle SQL in __ray_entry__.py exactly (the
+driver hash-compares values after sorting columns by name).
+
+Ray is initialised by the caller; nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tokrle.codecs.core import decode as codec_decode
+from tokrle.codecs.core import encode as codec_encode
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# flagship: tokenize -> encode -> decode -> aggregate
+# ---------------------------------------------------------------------------
+
+def encode_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-source aggregates computed from DECODED tokens — proves the full
+    encode/decode cycle preserves every row, checked against a SQL oracle
+    that recomputes the tokens straight from the text."""
+    from tokrle.pipelines.encode import decode_tokens, encode_tokens
+    from tokrle.sources.tokens import documents_to_tokens
+
+    ds = documents_to_tokens(sf_dir)
+    dec = decode_tokens(encode_tokens(ds, batch_size=256))
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        from tokrle.stages.encoder import _flat_tokens
+
+        values, offsets = _flat_tokens(batch)
+        if len(values):
+            sums = np.add.reduceat(values.astype(np.int64),
+                                   np.minimum(offsets[:-1], len(values) - 1))
+            sums = np.where(np.diff(offsets) == 0, 0, sums)
+        else:
+            sums = np.zeros(len(batch), dtype=np.int64)
+        return pa.table({
+            "source": batch.column("source"),
+            "n_tok": batch.column("n_tok").cast(pa.int64()),
+            "tok_sum": pa.array(sums, type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = dec.map_batches(per_doc, batch_format="pyarrow") \
+        .groupby("source") \
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_tok", alias_name="n_tokens"),
+                   Sum("tok_sum", alias_name="sum_tokens"))
+    df = agg.to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df["n_tokens"] = df["n_tokens"].astype("int64")
+    df["sum_tokens"] = df["sum_tokens"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# per-codec round-trip through Ray over lineitem ints
+# ---------------------------------------------------------------------------
+
+def codec_roundtrip(sf_dir: str, codec: str) -> pd.DataFrame:
+    """Encode l_suppkey with one forced codec per batch, decode, aggregate
+    — validates the codec end-to-end through Ray against a trivial SQL
+    aggregate over the untouched column."""
+    ds = _read(sf_dir, "lineitem", columns=["l_suppkey"])
+
+    def enc_dec(batch: pa.Table) -> pa.Table:
+        x = np.ascontiguousarray(
+            batch.column("l_suppkey").to_numpy(zero_copy_only=False))
+        payload = codec_encode(codec, x)
+        out = codec_decode(codec, payload, len(x), x.dtype)
+        assert np.array_equal(out, x)
+        return pa.table({
+            "n": pa.array([len(out)], type=pa.int64()),
+            "sum_v": pa.array([int(out.sum())], type=pa.int64()),
+            "min_v": pa.array([int(out.min()) if len(out) else 0],
+                              type=pa.int64()),
+            "max_v": pa.array([int(out.max()) if len(out) else 0],
+                              type=pa.int64()),
+        })
+
+    parts = ds.map_batches(enc_dec, batch_size=8192,
+                           batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "n": [int(parts["n"].sum())],
+        "sum_v": [int(parts["sum_v"].sum())],
+        "min_v": [int(parts["min_v"].min())],
+        "max_v": [int(parts["max_v"].max())],
+    })
+
+
+# ---------------------------------------------------------------------------
+# coverage (keyed RLE) pipelines over events-derived intervals
+# ---------------------------------------------------------------------------
+
+def _event_intervals(sf_dir: str, parity: int | None = None):
+    """Deterministic intervals from events: start = user_id % 1000,
+    end = start + 1 + event_id % 97; optional event_id parity filter."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        start = uid % 1000
+        end = start + 1 + eid % 97
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "event_id": batch.column("event_id"),
+            "start": pa.array(start, type=pa.int64()),
+            "end": pa.array(end, type=pa.int64()),
+        })
+        return t
+
+    ds = ds.map_batches(mk, batch_format="pyarrow")
+    if parity is not None:
+        import pyarrow.compute as pc
+
+        ds = ds.map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t.column("event_id"), 1), p)),
+            batch_format="pyarrow")
+    return ds
+
+
+def _agg_to_df(rle_ds) -> pd.DataFrame:
+    from tokrle.pipelines.rle_table import aggregate_keyed
+
+    df = aggregate_keyed(rle_ds).to_pandas()
+    out = pd.DataFrame({
+        "event_type": df["key"],
+        "total": df["total"].round().astype("int64"),
+        "max_cov": df["max_value"].round().astype("int64"),
+        "vec_length": df["length"].astype("int64"),
+    })
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def coverage_total(sf_dir: str) -> pd.DataFrame:
+    from tokrle.pipelines.rle_table import coverage_by_key
+
+    rle = coverage_by_key(_event_intervals(sf_dir), "event_type", "start", "end")
+    return _agg_to_df(rle)
+
+
+def coverage_add(sf_dir: str) -> pd.DataFrame:
+    from tokrle.pipelines.rle_table import binop_keyed, coverage_by_key
+
+    a = coverage_by_key(_event_intervals(sf_dir, 0), "event_type", "start", "end")
+    b = coverage_by_key(_event_intervals(sf_dir, 1), "event_type", "start", "end")
+    return _agg_to_df(binop_keyed(a, b, "add"))
+
+
+def coverage_mul(sf_dir: str) -> pd.DataFrame:
+    from tokrle.pipelines.rle_table import binop_keyed, coverage_by_key
+
+    a = coverage_by_key(_event_intervals(sf_dir, 0), "event_type", "start", "end")
+    b = coverage_by_key(_event_intervals(sf_dir, 1), "event_type", "start", "end")
+    return _agg_to_df(binop_keyed(a, b, "mul"))
+
+
+def coverage_slice(sf_dir: str) -> pd.DataFrame:
+    from tokrle.pipelines.rle_table import coverage_by_key, slice_keyed
+
+    rle = coverage_by_key(_event_intervals(sf_dir), "event_type", "start", "end")
+    sliced = slice_keyed(rle, 100, 300)
+    df = _agg_to_df(sliced)
+    return df[["event_type", "total", "vec_length"]]
+
+
+# ---------------------------------------------------------------------------
+# training-data ops
+# ---------------------------------------------------------------------------
+
+def text_quality(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Sum
+
+    from tokrle.functions.text import text_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "lang", "text"])
+    stats = ds.map_batches(text_stats, batch_format="pyarrow")
+    agg = stats.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_words", alias_name="sum_words"),
+        Sum("n_alpha", alias_name="sum_alpha"),
+        Sum("n_stop", alias_name="sum_stop"))
+    df = agg.to_pandas()
+    for c in ("n_docs", "sum_words", "sum_alpha", "sum_stop"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
+def dedup_exact(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count
+
+    from tokrle.functions.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    survivors = exact_dedup(ds, key="text")
+    df = survivors.groupby("source").aggregate(Count(alias_name="n_docs")) \
+        .to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
+def unique_token_seqs(sf_dir: str) -> pd.DataFrame:
+    """Distinct token sequences per source via 61-bit rolling-hash
+    fingerprints (collision-free on this corpus; oracle counts distinct
+    token lists directly)."""
+    from tokrle.functions.text import fingerprint_batch
+    from tokrle.sources.tokens import documents_to_tokens
+
+    ds = documents_to_tokens(sf_dir)
+    fps = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+    def nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "n_unique": [g["fingerprint"].nunique()]})
+
+    df = fps.groupby("source").map_groups(nunique, batch_format="pandas") \
+        .to_pandas()
+    df["n_unique"] = df["n_unique"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
+def ann_top1(sf_dir: str) -> pd.DataFrame:
+    from tokrle.functions.ann import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = ds.filter(lambda r: r["vec_id"] < 5).to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].map(np.asarray).to_list())
+    out = brute_force_topk(ds, queries, qdf["vec_id"].to_numpy(), k=1)
+    out = out[["q_id", "vec_id"]].astype("int64")
+    return out.sort_values("q_id").reset_index(drop=True)
+
+
+def dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    """Near-dup survivors per source (no SQL oracle — LSH is not
+    SQL-expressible; rows-only check)."""
+    from ray.data.aggregate import Count
+
+    from tokrle.functions.dedup import minhash_lsh_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    survivors = minhash_lsh_dedup(ds)
+    df = survivors.groupby("source").aggregate(Count(alias_name="n_docs")) \
+        .to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
+def lang_id(sf_dir: str) -> pd.DataFrame:
+    """Predicted language counts (heuristic; rows-only check)."""
+    from tokrle.functions.text import LangId
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "lang", "text"])
+    pred = ds.map_batches(LangId, batch_size=512, batch_format="pandas",
+                          concurrency=(1, 2))
+    df = pred.to_pandas().groupby("pred_lang", as_index=False).size() \
+        .rename(columns={"size": "n_docs"})
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df.sort_values("pred_lang").reset_index(drop=True)
+
+
+def simhash_signatures(sf_dir: str) -> pd.DataFrame:
+    """Distinct simhash count per source (rows-only check)."""
+    from tokrle.functions.dedup import simhash_batch
+    from tokrle.sources.tokens import documents_to_tokens
+
+    ds = documents_to_tokens(sf_dir)
+    sh = ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "n_unique": [g["simhash"].nunique()]})
+
+    df = sh.groupby("source").map_groups(nunique, batch_format="pandas") \
+        .to_pandas()
+    df["n_unique"] = df["n_unique"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)

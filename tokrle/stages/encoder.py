@@ -81,6 +81,8 @@ class TokenEncoder:
             "source": pa.array([source], type=pa.string()),
             "doc_id": pa.array([doc_ids.to_pylist()],
                                type=pa.list_(pa.string())),
+            "doc_source": pa.array([sources.to_pylist()],
+                                   type=pa.list_(pa.string())),
             "row_offsets": pa.array([offsets.tolist()],
                                     type=pa.list_(pa.int64())),
             "codec": pa.array([codec], type=pa.string()),
@@ -102,8 +104,7 @@ def decode_chunks(batch: pa.Table) -> pa.Table:
     out_doc_ids: list[pa.Array] = []
     out_offsets: list[np.ndarray] = []
     out_values: list[np.ndarray] = []
-    out_sources: list[str] = []
-    n_rows_per_chunk: list[int] = []
+    out_sources: list[pa.Array] = []
     for i in range(len(batch)):
         codec = batch.column("codec")[i].as_py()
         payload = batch.column("payload")[i].as_py()
@@ -114,10 +115,7 @@ def decode_chunks(batch: pa.Table) -> pa.Table:
         out_values.append(values)
         out_offsets.append(offsets)
         out_doc_ids.append(batch.column("doc_id")[i].values)
-        src = batch.column("source")[i].as_py()
-        n = len(offsets) - 1
-        out_sources.append(src)
-        n_rows_per_chunk.append(n)
+        out_sources.append(batch.column("doc_source")[i].values)
     if not out_values:
         return pa.table({
             "doc_id": pa.array([], type=pa.string()),
@@ -138,9 +136,7 @@ def decode_chunks(batch: pa.Table) -> pa.Table:
         pa.array(flat, type=pa.int32()))
     doc_id = pa.concat_arrays([a.cast(pa.string()) for a in out_doc_ids])
     n_tok = np.diff(offsets_all).astype(np.int32)
-    source = pa.array(
-        [s for s, n in zip(out_sources, n_rows_per_chunk) for _ in range(n)],
-        type=pa.string())
+    source = pa.concat_arrays([a.cast(pa.string()) for a in out_sources])
     return pa.table({
         "doc_id": doc_id,
         "tokens": tok_list,
