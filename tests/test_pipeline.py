@@ -92,10 +92,10 @@ def test_corpus_encode_resume(ray_session, tmp_path):
     pq.write_table(pa.Table.from_pandas(df.iloc[:250]), f"{in_dir}/a.parquet")
     pq.write_table(pa.Table.from_pandas(df.iloc[250:]), f"{in_dir}/b.parquet")
 
-    r1 = encode_corpus(in_dir, out_dir, batch_size=64)
+    r1 = encode_corpus(in_dir, out_dir, batch_size=64, group_files=1)
     assert r1["units_total"] == 2 and r1["units_skipped"] == 0
     assert r1["n_tokens"] > 0
-    r2 = encode_corpus(in_dir, out_dir, batch_size=64)
+    r2 = encode_corpus(in_dir, out_dir, batch_size=64, group_files=1)
     assert r2["units_skipped"] == 2 and r2["n_tokens"] == 0
     # decoded output matches source bit-identically
     import ray.data

@@ -1,49 +1,67 @@
 """Corpus-level resumable encode: directory of token Parquet -> encoded
-Parquet + lineage, restartable at input-file granularity.
+Parquet + lineage, restartable at partition granularity.
 
-Each input file group is one resume unit: read -> encode -> write to
-``out_dir/unit=<hash>/`` -> atomically publish a manifest row with the
-unit's lineage metrics.  A killed run re-lists the inputs, filters
-completed units via the manifest, and continues; finished partitions are
-never re-read.  Unit groups run through ONE streaming Dataset pipeline
-each, so within a unit Ray Data still pipelines read/encode/write with
-backpressure.
+Resume unit = a GROUP of input files (default 32): each group runs as ONE
+streaming Dataset pipeline (read -> encode -> write -> manifest publish),
+so actor-pool spin-up and pipeline startup amortize over the group while a
+killed run loses at most one group's work.  Groups are deterministic
+(sorted file list, fixed group size), so re-runs resume exactly.
+
+The reference has no fault tolerance at all (a failed ray.get kills the
+job, ref pyrle/rledict.py:173); this plus Ray Data's task retries is the
+scale-out replacement.
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 import time
 
 from tokrle.pipelines.encode import DEFAULT_BATCH_SIZE, encode_tokens
-from tokrle.state.manifest import Manifest, _unit_id
+from tokrle.state.manifest import Manifest
+
+GROUP_FILES = 32
 
 
 def list_units(in_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(in_dir, "*.parquet")))
 
 
+def _group_id(paths: list[str]) -> str:
+    h = hashlib.blake2b(digest_size=10)
+    for p in paths:
+        h.update(p.encode())
+    return h.hexdigest()
+
+
 def encode_corpus(in_dir: str, out_dir: str, *,
                   batch_size: int = DEFAULT_BATCH_SIZE,
-                  concurrency=None, by_source: bool = False) -> dict:
+                  concurrency=None, by_source: bool = False,
+                  group_files: int = GROUP_FILES) -> dict:
     """Encode every token Parquet file under ``in_dir`` into ``out_dir``,
-    skipping units already recorded in the manifest. Returns run metrics."""
+    skipping groups already recorded in the manifest. Returns run metrics."""
     import ray.data
 
     manifest = Manifest(out_dir)
     units = list_units(in_dir)
-    pending = manifest.pending(units)
-    skipped = len(units) - len(pending)
-    run = {"units_total": len(units), "units_skipped": skipped,
+    groups = [units[i:i + group_files]
+              for i in range(0, len(units), group_files)]
+    done = manifest.completed_units()
+    run = {"units_total": len(groups), "units_skipped": 0,
            "n_tokens": 0, "raw_bytes": 0, "encoded_bytes": 0, "seconds": 0.0}
-    for unit in pending:
+    for grp in groups:
+        gid = _group_id(grp)
+        if gid in done:
+            run["units_skipped"] += 1
+            continue
         t0 = time.perf_counter()
         ds = ray.data.read_parquet(
-            unit, columns=["doc_id", "tokens", "n_tok", "source"])
+            grp, columns=["doc_id", "tokens", "n_tok", "source"])
         enc = encode_tokens(ds, batch_size=batch_size,
                             concurrency=concurrency, by_source=by_source)
-        unit_out = os.path.join(out_dir, f"unit={_unit_id(unit)}")
+        unit_out = os.path.join(out_dir, f"group={gid}")
         enc.write_parquet(unit_out)
         # lineage aggregate from the 3 small metric columns of what was just
         # written (column-pruned read; avoids pinning payloads in the store)
@@ -52,13 +70,14 @@ def encode_corpus(in_dir: str, out_dir: str, *,
         ).sum(["n_tokens", "raw_bytes", "encoded_bytes"])
         dt = time.perf_counter() - t0
         metrics = {
-            "path": unit,
+            "n_files": len(grp),
+            "first_file": grp[0],
             "n_tokens": int(agg["sum(n_tokens)"] or 0),
             "raw_bytes": int(agg["sum(raw_bytes)"] or 0),
             "encoded_bytes": int(agg["sum(encoded_bytes)"] or 0),
             "seconds": dt,
         }
-        manifest.mark_done(unit, metrics)
+        manifest.mark_done(gid, metrics)
         for k in ("n_tokens", "raw_bytes", "encoded_bytes"):
             run[k] += metrics[k]
         run["seconds"] += dt

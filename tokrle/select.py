@@ -32,6 +32,7 @@ class ChunkProfile:
     vmax: int
     n_runs: int
     max_run: int
+    runs_exact: bool          # False when run stats are sampled estimates
     cardinality: int          # exact when cheap, else sample lower bound
     cardinality_exact: bool
     fsst_hit_ratio: float     # estimated fraction of 16-bit words covered by table
@@ -41,22 +42,54 @@ class ChunkProfile:
         return self.n * self.itemsize
 
 
+def _run_density_sampled(x: np.ndarray, windows: int = 16,
+                         window_len: int = 512) -> float:
+    """Fraction of adjacent pairs that differ, estimated from a few
+    contiguous windows (adjacency-preserving sample)."""
+    n = len(x)
+    cnt = 0
+    tot = 0
+    for s in np.linspace(0, n - window_len, windows).astype(np.int64):
+        w = x[s:s + window_len]
+        cnt += int(np.count_nonzero(w[1:] != w[:-1]))
+        tot += len(w) - 1
+    return (cnt + 1) / max(tot, 1)
+
+
 def profile_chunk(x: np.ndarray) -> ChunkProfile:
+    """O(n) with small constants: two reduction passes (min/max) always;
+    the expensive exact run/cardinality scans run only when a cheap
+    adjacency-preserving sample says the respective codec could win."""
     n = len(x)
     if n == 0:
-        return ChunkProfile(0, x.dtype.itemsize, 0, 0, 0, 0, 0, True, 0.0)
+        return ChunkProfile(0, x.dtype.itemsize, 0, 0, 0, 0, True, 0, True, 0.0)
     vmin = int(x.min())
     vmax = int(x.max())
-    boundary = np.empty(n, dtype=bool)
-    boundary[0] = True
-    np.not_equal(x[:-1], x[1:], out=boundary[1:])
-    starts = np.flatnonzero(boundary)
-    run_lengths = np.diff(starts, append=n)
-    n_runs = len(starts)
-    max_run = int(run_lengths.max())
-    # cardinality: O(n) bincount when the value span is small, else sample
     span = vmax - vmin
-    if span < (1 << 20):
+    # runs: sample first; exact scan only for runs-friendly chunks
+    if n <= (1 << 15):
+        neq = x[1:] != x[:-1]
+        n_runs = 1 + int(np.count_nonzero(neq))
+        density = n_runs / n
+    else:
+        density = _run_density_sampled(x)
+        n_runs = max(1, int(density * n))
+    runs_exact = True
+    if density <= 0.5 and n > (1 << 15):
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        np.not_equal(x[:-1], x[1:], out=boundary[1:])
+        starts = np.flatnonzero(boundary)
+        n_runs = len(starts)
+        max_run = int(np.diff(starts, append=n).max())
+    elif n <= (1 << 15):
+        starts = np.flatnonzero(np.concatenate(([True], neq)))
+        max_run = int(np.diff(starts, append=n).max()) if len(starts) else n
+    else:
+        max_run = 1       # high-entropy: rle cannot win; skip the exact scan
+        runs_exact = False
+    # cardinality: O(n) bincount when the value span is small, else sample
+    if 0 <= span < (1 << 20) and span < 8 * n:
         card = int(np.count_nonzero(np.bincount((x - vmin).astype(np.int64),
                                                 minlength=span + 1)))
         card_exact = True
@@ -64,11 +97,11 @@ def profile_chunk(x: np.ndarray) -> ChunkProfile:
         sample = x[:: max(1, n // _SAMPLE)]
         card = len(np.unique(sample))
         card_exact = False
-    # fsst: estimated top-254 16-bit-word coverage from a sample
-    raw = np.frombuffer(x.tobytes(), dtype=np.uint8)
-    if len(raw) % 2:
-        raw = raw[:-1]
-    words = raw.view(np.uint16)
+    # fsst: estimated top-254 16-bit-word coverage from a strided sample of
+    # the value buffer viewed as uint16 words (zero-copy view, no tobytes)
+    words = x.view(np.uint16) if x.dtype.itemsize % 2 == 0 else \
+        np.frombuffer(x.tobytes()[:len(x) * x.dtype.itemsize // 2 * 2],
+                      dtype=np.uint16)
     ws = words[:: max(1, len(words) // _SAMPLE)]
     if len(ws):
         _, counts = np.unique(ws, return_counts=True)
@@ -77,7 +110,7 @@ def profile_chunk(x: np.ndarray) -> ChunkProfile:
     else:
         hit_ratio = 0.0
     return ChunkProfile(n, x.dtype.itemsize, vmin, vmax, n_runs, max_run,
-                        card, card_exact, hit_ratio)
+                        runs_exact, card, card_exact, hit_ratio)
 
 
 def estimate_sizes(p: ChunkProfile) -> dict[str, float]:
@@ -92,8 +125,10 @@ def estimate_sizes(p: ChunkProfile) -> dict[str, float]:
     est["for"] = 9 + p.n * span_w / 8
     code_w = bit_width(max(p.cardinality - 1, 0))
     est["dict"] = 18 + p.cardinality * span_w / 8 + p.n * code_w / 8
-    run_w = bit_width(max(p.max_run - 1, 0))
-    est["rle"] = 14 + p.n_runs * (run_w + span_w) / 8
+    if p.runs_exact:
+        run_w = bit_width(max(p.max_run - 1, 0))
+        est["rle"] = 14 + p.n_runs * (run_w + span_w) / 8
+    # sampled run stats (high-entropy chunk): rle cannot win, skip it
     nwords = p.raw_bytes // 2
     est["fsst"] = (10 + 2 * FsstLite.MAX_SYMBOLS + nwords / 8
                    + nwords * (p.fsst_hit_ratio + 2 * (1 - p.fsst_hit_ratio)))
