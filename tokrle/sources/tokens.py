@@ -101,7 +101,7 @@ def _synth_doc_tokens(doc_index: np.ndarray, vocab: int, mean_len: int,
     return flat, np.asarray(offsets, dtype=np.int32), rng_lens
 
 
-def synth_tokens(n_docs: int, *, vocab: int = 50257, mean_len: int = 512,
+def synth_tokens(n_docs: int, *, vocab: int = 32000, mean_len: int = 512,
                  n_sources: int = 20, override_num_blocks: int | None = None):
     """Deterministic synthetic token corpus as a Ray Dataset (for benches).
 
