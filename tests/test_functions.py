@@ -1,0 +1,179 @@
+"""Tests for training-data operators: dedup variants, ANN, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "source", "text"])
+
+
+def test_exact_dedup_matches_pandas(ray_session, docs_ds):
+    from tokrle.functions.dedup import exact_dedup
+
+    got = exact_dedup(docs_ds, key="text").to_pandas()
+    df = docs_ds.to_pandas()
+    want = df.sort_values("doc_id").drop_duplicates("text", keep="first")
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_minhash_identical_docs_collapse(ray_session):
+    import ray.data
+
+    base = pd.DataFrame({
+        "doc_id": np.arange(40),
+        "source": ["s"] * 40,
+        "text": (["alpha beta gamma delta epsilon zeta eta theta"] * 20
+                 + [f"unique text number {i} with words {i*7} {i*13} etc"
+                    for i in range(20)]),
+    })
+    from tokrle.functions.dedup import minhash_lsh_dedup
+
+    survivors = minhash_lsh_dedup(ray.data.from_pandas(base)).to_pandas()
+    # 20 identical docs collapse to 1 leader; unique docs mostly survive
+    assert 0 in survivors["doc_id"].tolist()
+    assert not set(range(1, 20)) & set(survivors["doc_id"])
+    assert len(survivors) >= 15
+
+
+def test_ngram_jaccard_finds_identical(ray_session):
+    import ray.data
+
+    base = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "source": ["s"] * 3,
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "the quick brown fox jumps over the lazy dog",
+                 "completely different words entirely here now folks"],
+    })
+    from tokrle.functions.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(ray.data.from_pandas(base),
+                                threshold=0.9).to_pandas()
+    assert len(pairs) == 1
+    assert {pairs["doc_a"][0], pairs["doc_b"][0]} == {1, 2}
+    assert pairs["jaccard"][0] == 1.0
+
+
+def test_embedding_near_dups(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    base_vecs = rng.standard_normal((20, 16))
+    vecs = np.concatenate([base_vecs, base_vecs[:3] * 1.001])  # 3 near-dups
+    df = pd.DataFrame({"vec_id": np.arange(len(vecs)),
+                       "embedding": list(vecs.astype(np.float32))})
+    from tokrle.functions.dedup import embedding_near_dups
+
+    pairs = embedding_near_dups(ray.data.from_pandas(df),
+                                threshold=0.999).to_pandas()
+    found = {frozenset((a, b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert {frozenset((i, 20 + i)) for i in range(3)} <= found
+
+
+def test_brute_force_vs_lsh_topk(ray_session):
+    import ray.data
+
+    from tokrle.functions.ann import brute_force_topk, lsh_topk
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    df = ds.to_pandas().sort_values("vec_id").head(3)
+    queries = np.stack(df["embedding"].map(np.asarray).to_list())
+    qids = df["vec_id"].to_numpy()
+    exact = brute_force_topk(ds, queries, qids, k=5)
+    approx = lsh_topk(ds, queries, qids, k=5, n_planes=4)
+    # exact: 5 neighbours per query, ranked
+    assert len(exact) == 15
+    assert set(exact["rank"]) == {1, 2, 3, 4, 5}
+    # lsh recall vs exact should be substantial on 4 planes with 1-mismatch probing
+    e = {(q, v) for q, v in zip(exact["q_id"], exact["vec_id"])}
+    a = {(q, v) for q, v in zip(approx["q_id"], approx["vec_id"])}
+    assert len(e & a) / len(e) >= 0.4
+
+
+def test_simhash_hamming_similarity(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from tokrle.functions.dedup import simhash_batch
+
+    toks = np.arange(300, dtype=np.int32)
+    toks2 = toks.copy()
+    toks2[:5] += 1  # tiny perturbation
+    rand = (np.arange(300, dtype=np.int32) * 7919) % 50000
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "source": pa.array(["s"] * 3),
+        "tokens": pa.array([toks.tolist(), toks2.tolist(), rand.tolist()],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([300, 300, 300], type=pa.int32()),
+    })
+    out = simhash_batch(t).to_pandas()
+    h = dict(zip(out["doc_id"], out["simhash"]))
+    d_ab = bin(h["a"] ^ h["b"]).count("1")
+    d_ac = bin(h["a"] ^ h["c"]).count("1")
+    assert d_ab < d_ac  # similar docs closer in Hamming space
+
+
+def test_multimodal_image_pipeline(ray_session):
+    from tokrle.functions.multimodal import (image_feature_pipeline,
+                                             synth_media_table)
+
+    media = synth_media_table(20)
+    feats = image_feature_pipeline(media, out_size=8).to_pandas()
+    assert len(feats) == 20
+    assert all(len(f) == 8 for f in feats["features"])
+    # deterministic: same table regenerated gives same features
+    feats2 = image_feature_pipeline(synth_media_table(20), out_size=8).to_pandas()
+    a = np.stack(feats.sort_values("item_id")["features"].map(np.asarray))
+    b = np.stack(feats2.sort_values("item_id")["features"].map(np.asarray))
+    assert np.allclose(a, b)
+
+
+def test_multimodal_real_decoder_gated(ray_session):
+    from tokrle.functions.multimodal import real_decode_image
+
+    with pytest.raises(NotImplementedError):
+        real_decode_image(b"xx", 4, 4)
+
+
+def test_audio_frame_sampler(ray_session):
+    import pyarrow as pa
+
+    from tokrle.functions.multimodal import AudioFrameSampler
+
+    pcm = (np.sin(np.linspace(0, 100, 5000)) * 10000).astype(np.int16)
+    t = pa.table({
+        "item_id": pa.array(["a1"]),
+        "media": pa.array([pcm.tobytes()], type=pa.binary()),
+    })
+    out = AudioFrameSampler(window=512, n_windows=3)(t).to_pandas()
+    assert len(out) == 3
+    assert (out["rms"] > 0).all()
+
+
+def test_lang_id_stateful_stage(ray_session):
+    import ray.data
+
+    from tokrle.functions.text import LangId
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "source": ["s", "s"],
+        "lang": ["en", "es"],
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "el rapido zorro marron salta sobre el perro"],
+    })
+    out = ray.data.from_pandas(df).map_batches(
+        LangId, batch_format="pandas", concurrency=1).to_pandas()
+    assert out.loc[out["doc_id"] == 1, "pred_lang"].iloc[0] == "en"
+    assert out.loc[out["doc_id"] == 2, "pred_lang"].iloc[0] == "es"

@@ -19,9 +19,15 @@ import pyarrow as pa
 
 def _to_matrix(col) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    n = len(arr)
-    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    if isinstance(arr, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(arr)
+        return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    # Ray tensor extension array (from_pandas of ndarray column) or similar
+    m = np.asarray(arr.to_numpy(zero_copy_only=False))
+    if m.dtype == object:
+        m = np.stack(m) if len(m) else m.reshape(0, 0)
+    return m.astype(np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -109,3 +115,59 @@ def lsh_bucket_index(ds, dim: int, n_planes: int = 16, concurrency=(1, 4)):
                           fn_constructor_kwargs={"dim": dim,
                                                  "n_planes": n_planes},
                           batch_format="pyarrow", concurrency=concurrency)
+
+
+def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+             *, n_planes: int = 8, seed: int = 7, vec_col: str = "embedding",
+             id_col: str = "vec_id"):
+    """Approximate top-k: scan only candidate vectors whose LSH bucket
+    matches a query's bucket in >= 1 plane-sign (Hamming-adjacent probing
+    via per-plane bucket keys) — the scale path when a full scan is too
+    expensive.  Recall < 1.0 by construction; the bench reports recall
+    against brute_force_topk."""
+    import pandas as pd
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    dim = qn.shape[1]
+    planes = rng.standard_normal((n_planes, dim))
+    qsig = (qn @ planes.T > 0)
+    q_ref = ray.put((qn, np.asarray(query_ids), planes, qsig))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        q_mat, q_ids, pl, qs = ray.get(q_ref)
+        m = _normalize(_to_matrix(batch.column(vec_col)))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"q_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        csig = m @ pl.T > 0
+        out_q, out_v, out_s = [], [], []
+        for qi in range(q_mat.shape[0]):
+            # candidates: vectors agreeing with the query on >= n-1 planes
+            agree = (csig == qs[qi]).sum(axis=1)
+            cand = np.flatnonzero(agree >= pl.shape[0] - 1)
+            if len(cand) == 0:
+                continue
+            sims = m[cand] @ q_mat[qi]
+            kk = min(k + 1, len(cand))
+            order = np.lexsort((ids[cand], -sims))[:kk]
+            out_q.extend([int(q_ids[qi])] * kk)
+            out_v.extend(ids[cand][order].tolist())
+            out_s.extend(sims[order].tolist())
+        return pa.table({"q_id": pa.array(out_q, type=pa.int64()),
+                         "vec_id": pa.array(out_v, type=pa.int64()),
+                         "sim": pa.array(out_s, type=pa.float64())})
+
+    partial = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qid, g in partial.groupby("q_id"):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
+                          kind="mergesort")
+        g = g[g["vec_id"] != qid].head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1)
+        rows.append(g[["q_id", "vec_id", "rank"]])
+    return (pd.concat(rows, ignore_index=True) if rows
+            else pd.DataFrame(columns=["q_id", "vec_id", "rank"]))

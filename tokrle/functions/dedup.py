@@ -206,3 +206,96 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
         "source": batch.column("source"),
         "simhash": pa.array(out.astype(np.int64), type=pa.int64()),
     })
+
+
+def ngram_jaccard_pairs(ds, *, shingle_k: int = 3, threshold: float = 0.5,
+                        max_group: int = 512):
+    """Candidate near-dup pairs with exact n-gram Jaccard similarity.
+
+    Scale shape: a cheap blocking key (doc length bucket + first shingle
+    hash band) groups candidates, then the exact Jaccard is computed only
+    within groups — no O(n^2) across the corpus.  Returns
+    (doc_a, doc_b, jaccard) rows with jaccard >= threshold.
+    """
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        hashes, offsets = _word_shingles_hashed(text, shingle_k)
+        doc_ids = batch.column("doc_id").to_pylist()
+        rows_doc, rows_block, rows_sh = [], [], []
+        for d, did in enumerate(doc_ids):
+            h = np.unique(hashes[offsets[d]:offsets[d + 1]])
+            block = f"{len(h) // 8}:{int(h.min() % 64) if len(h) else 0}"
+            rows_doc.append(did)
+            rows_block.append(block)
+            rows_sh.append(h.astype(np.int64).tolist())
+        return pa.table({
+            "doc_id": pa.array(rows_doc),
+            "block": pa.array(rows_block, type=pa.string()),
+            "shingles": pa.array(rows_sh, type=pa.list_(pa.int64())),
+        })
+
+    blocked = ds.map_batches(shingle_sets, batch_format="pyarrow")
+
+    def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort").head(max_group)
+        out = []
+        sets = [set(s) for s in g["shingles"]]
+        ids = g["doc_id"].tolist()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                jac = inter / union if union else 0.0
+                if jac >= threshold:
+                    out.append((ids[i], ids[j], jac))
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
+
+    return blocked.groupby("block").map_groups(pairs_in_block,
+                                               batch_format="pandas")
+
+
+def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 8,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        max_group: int = 1024, seed: int = 13):
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH blocking +
+    exact within-bucket cosine (vectorized matmul per bucket)."""
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        from tokrle.functions.ann import _to_matrix
+
+        m = _to_matrix(batch.column(vec_col))
+        n = len(m)
+        if n:
+            rng = np.random.default_rng(seed)
+            planes = rng.standard_normal((n_planes, m.shape[1]))
+            proj = m @ planes.T > 0
+            sig = np.zeros(n, dtype=np.int64)
+            for b in range(n_planes):
+                sig |= proj[:, b].astype(np.int64) << b
+        else:
+            sig = np.zeros(0, dtype=np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "bucket": pa.array(sig, type=pa.int64()),
+            vec_col: batch.column(vec_col),
+        })
+
+    buckets = ds.map_batches(sig_stage, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").head(max_group)
+        m = np.stack(g[vec_col].map(np.asarray).to_list()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        m = m / norms
+        sims = m @ m.T
+        ids = g[id_col].to_numpy()
+        ii, jj = np.where(np.triu(sims, 1) >= threshold)
+        return pd.DataFrame({
+            "id_a": ids[ii], "id_b": ids[jj],
+            "cosine": sims[ii, jj],
+        })
+
+    return buckets.groupby("bucket").map_groups(pairs, batch_format="pandas")

@@ -1,0 +1,143 @@
+"""Multimodal (image/audio/video) stages: opaque ``binary`` payload columns
+with typed metadata, processed by actor-pool map_batches stages.
+
+The container has no image/audio libraries, so the *decode step* is a
+deterministic fake (clearly marked, swappable for PIL/ffmpeg via the
+``decoder=`` hook); everything around it — schema, batch sizing, actor
+signature, output layout — is real and tested.
+
+Schema convention for a media table:
+    item_id: string, media: binary, media_type: string ("image"|"audio"|...),
+    width/height or sample_rate: int32 metadata columns.
+
+Large binary payloads need SMALL batch sizes (a 1 MB image at
+batch_size=4096 would make 4 GB batches): these stages default to
+batch_size 32-64 and should keep ``DataContext.target_max_block_size`` at
+its default so blocks split on payload size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """DETERMINISTIC STAND-IN for an image decoder (no PIL/libjpeg in this
+    container).  Expands the payload bytes into an (h, w, 3) uint8 array by
+    tiling — replace with a real decoder via the ``decoder=`` hook."""
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    need = width * height * 3
+    if len(raw) == 0:
+        return np.zeros((height, width, 3), dtype=np.uint8)
+    reps = int(np.ceil(need / len(raw)))
+    return np.tile(raw, reps)[:need].reshape(height, width, 3)
+
+
+def real_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """The production decode hook.  Raises until an image library exists in
+    the runtime (by design — see module docstring)."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires PIL; this container has no image "
+            "libraries — use fake_decode_image for plumbing tests") from exc
+    raise NotImplementedError("wire PIL decode here when available")
+
+
+class ImageFeatures:
+    """Actor stage: decode -> resize (stride subsample) -> channel-stat
+    feature vector.  Setup (decoder choice, resize plan) happens once per
+    actor; __call__ is per batch."""
+
+    def __init__(self, out_size: int = 32, decoder=fake_decode_image) -> None:
+        self.out_size = out_size
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for i in range(len(batch)):
+            payload = batch.column("media")[i].as_py()
+            w = batch.column("width")[i].as_py()
+            h = batch.column("height")[i].as_py()
+            img = self.decoder(payload, w, h)
+            # resize by integer stride sampling (vectorized)
+            sy = max(1, img.shape[0] // self.out_size)
+            sx = max(1, img.shape[1] // self.out_size)
+            small = img[::sy, ::sx][:self.out_size, :self.out_size]
+            feats.append(np.concatenate([
+                small.mean(axis=(0, 1)), small.std(axis=(0, 1)),
+                [small.min(), small.max()]]).astype(np.float32))
+        mat = np.stack(feats) if feats else np.zeros((0, 8), dtype=np.float32)
+        flat = pa.array(mat.ravel(), type=pa.float32())
+        offs = pa.array(np.arange(len(feats) + 1, dtype=np.int32) * mat.shape[1]
+                        if feats else [0], type=pa.int32())
+        return pa.table({
+            "item_id": batch.column("item_id"),
+            "features": pa.ListArray.from_arrays(offs, flat),
+        })
+
+
+class AudioFrameSampler:
+    """Actor stage: sample fixed-length windows from an audio byte payload
+    (int16 PCM convention).  Deterministic window positions."""
+
+    def __init__(self, window: int = 1024, n_windows: int = 4) -> None:
+        self.window = window
+        self.n_windows = n_windows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_win, out_rms = [], [], []
+        for i in range(len(batch)):
+            payload = batch.column("media")[i].as_py()
+            pcm = np.frombuffer(payload, dtype=np.int16)
+            if len(pcm) < self.window:
+                pcm = np.pad(pcm, (0, self.window - len(pcm)))
+            starts = np.linspace(0, len(pcm) - self.window,
+                                 self.n_windows).astype(np.int64)
+            for w, s in enumerate(starts):
+                seg = pcm[s:s + self.window].astype(np.float64)
+                out_id.append(batch.column("item_id")[i].as_py())
+                out_win.append(w)
+                out_rms.append(float(np.sqrt(np.mean(seg * seg))))
+        return pa.table({
+            "item_id": pa.array(out_id, type=pa.string()),
+            "window": pa.array(out_win, type=pa.int32()),
+            "rms": pa.array(out_rms, type=pa.float64()),
+        })
+
+
+def synth_media_table(n: int, *, kind: str = "image", seed: int = 11):
+    """Deterministic fake media table for plumbing tests/benches."""
+    import ray.data
+
+    def make(batch: dict) -> pa.Table:
+        idx = batch["id"].astype(np.int64)
+        ids, blobs, widths, heights = [], [], [], []
+        for i in idx:
+            rng = np.random.default_rng(seed * 1_000_003 + int(i))
+            w = int(rng.integers(16, 64))
+            h = int(rng.integers(16, 64))
+            blobs.append(rng.integers(0, 256, size=w * h // 2,
+                                      dtype=np.int64).astype(np.uint8).tobytes())
+            ids.append(f"item{int(i)}")
+            widths.append(w)
+            heights.append(h)
+        return pa.table({
+            "item_id": pa.array(ids, type=pa.string()),
+            "media": pa.array(blobs, type=pa.binary()),
+            "media_type": pa.array([kind] * len(ids), type=pa.string()),
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
+        })
+
+    return ray.data.range(n).map_batches(make, batch_format="numpy")
+
+
+def image_feature_pipeline(media_ds, *, out_size: int = 32,
+                           concurrency=(1, 4), batch_size: int = 32):
+    """The real Ray plumbing: small batches (large payloads), actor pool."""
+    return media_ds.map_batches(
+        ImageFeatures, batch_size=batch_size, batch_format="pyarrow",
+        fn_constructor_kwargs={"out_size": out_size}, concurrency=concurrency)

@@ -81,6 +81,31 @@ class RleDict:
         return iter(self.items())
 
     def __getitem__(self, key):
+        if isinstance(key, pd.DataFrame):
+            # batched range lookup per key ("range join"), concat with key
+            # columns re-attached (ref pyrle/rledict.py:228-302 +
+            # pyrle/src/getitem.pyx:201-325)
+            frames = []
+            for chrom, sub in key.groupby("Chromosome", sort=False):
+                targets = ([k for k in self.rles
+                            if isinstance(k, tuple) and k[0] == chrom]
+                           if self.stranded else
+                           ([chrom] if chrom in self.rles else []))
+                for t in targets:
+                    r = self.rles[t]
+                    ids, qs, qe, runs, vals = K.rle_getitems(
+                        r.runs, r.values,
+                        sub.Start.to_numpy(dtype=np.int64),
+                        sub.End.to_numpy(dtype=np.int64))
+                    df = pd.DataFrame({"Chromosome": chrom, "Start": qs,
+                                       "End": qe, "ID": ids, "Run": runs,
+                                       "Value": vals})
+                    if isinstance(t, tuple):
+                        df["Strand"] = t[1]
+                    frames.append(df)
+            return (pd.concat(frames, ignore_index=True) if frames
+                    else pd.DataFrame(columns=["Chromosome", "Start", "End",
+                                               "ID", "Run", "Value"]))
         if isinstance(key, (str, tuple)) and key in self.rles:
             return self.rles[key]
         if isinstance(key, str):
