@@ -47,6 +47,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": Q.dedup_minhash,   # rows-only (no SQL analog)
         "lang_id": Q.lang_id,               # rows-only (heuristic model)
         "simhash_signatures": Q.simhash_signatures,  # rows-only
+        "ngram_dup_pairs": Q.ngram_dup_pairs,        # rows-only (blocked)
+        "embedding_dups": Q.embedding_dups,          # rows-only (LSH-blocked)
+        "lsh_ann_top1": Q.lsh_ann_top1,              # rows-only (approximate)
+        "multimodal_image_features": Q.multimodal_image_features,  # rows-only
     }
     for codec in ("plain", "rle", "dict", "bitpack", "for", "fsst"):
         d[f"codec_roundtrip_{codec}"] = partial(Q.codec_roundtrip, codec=codec)

@@ -49,7 +49,7 @@ def prepare_corpus(sf_dir: str) -> str:
 
     n_docs = REPEAT * pq.ParquetFile(
         f"{sf_dir}/documents.parquet").metadata.num_rows
-    in_dir = os.path.join(WORK, f"synth_{n_docs}")
+    in_dir = os.path.join(WORK, f"synth_v2_{n_docs}")  # bump on generator change
     if os.path.isdir(in_dir) and any(
             f.endswith(".parquet") for f in os.listdir(in_dir)):
         return in_dir

@@ -291,3 +291,56 @@ def simhash_signatures(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     df["n_unique"] = df["n_unique"].astype("int64")
     return df.sort_values("source").reset_index(drop=True)
+
+
+def ngram_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact n-gram Jaccard pairs >= 0.8 within blocking groups
+    (rows-only check: blocking-based candidate generation has no SQL analog)."""
+    from tokrle.functions.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    pairs = ngram_jaccard_pairs(ds, threshold=0.8).to_pandas()
+    out = pairs[["doc_a", "doc_b"]].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def embedding_dups(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-blocked; rows-only check)."""
+    from tokrle.functions.dedup import embedding_near_dups
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = embedding_near_dups(ds, threshold=0.9).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64")})
+    out = pairs[["id_a", "id_b"]].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def lsh_ann_top1(sf_dir: str) -> pd.DataFrame:
+    """Approximate ANN top-1 via hyperplane-LSH candidate pruning
+    (rows-only: approximate by construction)."""
+    from tokrle.functions.ann import lsh_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = ds.filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].map(np.asarray).to_list())
+    out = lsh_topk(ds, queries, qdf["vec_id"].to_numpy(), k=1, n_planes=4)
+    return out[["q_id", "vec_id"]].astype("int64") \
+        .sort_values("q_id").reset_index(drop=True)
+
+
+def multimodal_image_features(sf_dir: str) -> pd.DataFrame:
+    """Image feature-extraction plumbing over a deterministic synthetic
+    media table (decode is a deterministic stand-in — no image libs in the
+    container; rows-only check)."""
+    from tokrle.functions.multimodal import (image_feature_pipeline,
+                                             synth_media_table)
+
+    media = synth_media_table(64)
+    feats = image_feature_pipeline(media, out_size=8).to_pandas()
+    out = pd.DataFrame({
+        "item_id": feats["item_id"],
+        "feat_sum": [int(np.asarray(f).sum()) for f in feats["features"]],
+    })
+    return out.sort_values("item_id").reset_index(drop=True)

@@ -88,13 +88,36 @@ def documents_to_tokens(sf_dir: str, *, repeat: int = 1):
 def _synth_doc_tokens(doc_index: np.ndarray, vocab: int, mean_len: int,
                       n_sources: int):
     """Deterministic per-doc token generation (counter-based: each doc's RNG
-    is seeded by its global index, so output is partitioning-invariant)."""
+    is seeded by its global index, so output is partitioning-invariant).
+
+    Sources cycle through four value regimes (per FIXTURES.md F1) so codec
+    auto-selection and the by-source skew stage have real work:
+      regime 0 long_runs    — few values, geometric runs (RLE wins)
+      regime 1 low_card     — <=256 distinct ids (dict / 8-bit pack wins)
+      regime 2 narrow_range — small window at a large offset (FOR wins)
+      regime 3 zipf         — high-cardinality Zipf (bitpack/FSST territory)
+    """
     out_tokens = []
     offsets = [0]
     rng_lens = ((doc_index * 2654435761) % (2 * mean_len)) + 1  # 1..2*mean
     for idx, n in zip(doc_index, rng_lens):
         rng = np.random.default_rng(int(idx))
-        toks = (rng.zipf(1.3, int(n)).astype(np.int64) % vocab).astype(np.int32)
+        regime = (int(idx) % n_sources) % 4
+        n = int(n)
+        if regime == 0:
+            vals = rng.integers(0, 16, size=max(n // 32, 1))
+            reps = rng.geometric(1 / 32, size=len(vals))
+            toks = np.repeat(vals, reps)[:n].astype(np.int32)
+            if len(toks) < n:
+                toks = np.pad(toks, (0, n - len(toks)),
+                              constant_values=int(vals[0]))
+        elif regime == 1:
+            toks = rng.integers(0, 256, size=n).astype(np.int32)
+        elif regime == 2:
+            toks = (1_000_000 + (rng.zipf(1.4, n).astype(np.int64) % 2048)) \
+                .astype(np.int32)
+        else:
+            toks = (rng.zipf(1.3, n).astype(np.int64) % vocab).astype(np.int32)
         out_tokens.append(toks)
         offsets.append(offsets[-1] + len(toks))
     flat = np.concatenate(out_tokens) if out_tokens else np.empty(0, np.int32)
