@@ -1,0 +1,98 @@
+"""CLI entry point — the unit a cluster run submits via ``ray job submit``:
+
+    ray job submit --working-dir . -- python -m tokrle.cli encode \
+        --in-dir /data/tokens --out-dir /data/encoded [--by-source]
+
+    python -m tokrle.cli decode --in-dir /data/encoded --out-dir /data/tokens2
+    python -m tokrle.cli verify --tokens /data/tokens --encoded /data/encoded
+
+In a cluster, ``ray.init(address="auto")`` attaches to the running cluster;
+standalone it starts a local one.  This is the only module that owns a Ray
+session besides bench.py and the test fixture.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_up(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+            kwargs["address"] = "local"
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tokrle")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode", help="token parquet dir -> encoded dir")
+    enc.add_argument("--in-dir", required=True)
+    enc.add_argument("--out-dir", required=True)
+    enc.add_argument("--batch-size", type=int, default=2048)
+    enc.add_argument("--by-source", action="store_true",
+                     help="sort+repartition by source before encoding")
+    enc.add_argument("--group-files", type=int, default=32,
+                     help="resume-unit size in input files")
+    enc.add_argument("--num-cpus", type=int, default=None)
+
+    dec = sub.add_parser("decode", help="encoded dir -> token parquet dir")
+    dec.add_argument("--in-dir", required=True)
+    dec.add_argument("--out-dir", required=True)
+    dec.add_argument("--num-cpus", type=int, default=None)
+
+    ver = sub.add_parser("verify", help="streaming roundtrip checksum")
+    ver.add_argument("--tokens", required=True)
+    ver.add_argument("--encoded", required=True)
+    ver.add_argument("--num-cpus", type=int, default=None)
+
+    args = ap.parse_args(argv)
+    _ray_up(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "encode":
+            from tokrle.pipelines.corpus import encode_corpus
+
+            run = encode_corpus(args.in_dir, args.out_dir,
+                                batch_size=args.batch_size,
+                                by_source=args.by_source,
+                                group_files=args.group_files)
+            print(json.dumps(run))
+        elif args.cmd == "decode":
+            import ray.data
+
+            from tokrle.pipelines.encode import decode_tokens
+
+            enc_ds = ray.data.read_parquet(args.in_dir)
+            decode_tokens(enc_ds).write_parquet(args.out_dir)
+            print(json.dumps({"status": "ok", "out": args.out_dir}))
+        elif args.cmd == "verify":
+            import ray.data
+
+            from tokrle.pipelines.encode import decode_tokens, roundtrip_check
+
+            src = ray.data.read_parquet(args.tokens)
+            dec = decode_tokens(ray.data.read_parquet(args.encoded))
+            res = roundtrip_check(src, dec)
+            match = res["source"] == res["decoded"]
+            print(json.dumps({"match": match, **res}))
+            return 0 if match else 1
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
