@@ -158,6 +158,31 @@ def encode_only() -> None:
     ray.shutdown()
 
 
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def _cpu_control(levels) -> dict:
+    """Pure-ALU scaling control: shows what the host itself can scale,
+    isolating engine efficiency from host memory-bandwidth throttling."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    n = 20_000_000
+    out = {}
+    for w in levels:
+        tasks = w * 4
+        t0 = time.perf_counter()
+        with ProcessPoolExecutor(w) as ex:
+            list(ex.map(_burn, [n] * tasks))
+        out[w] = tasks * n / (time.perf_counter() - t0)
+    lo, hi = levels
+    return {"cpu_control_efficiency":
+            round((out[hi] / out[lo]) / (hi / lo), 3)}
+
+
 def scaling() -> None:
     """Same job at two parallelism levels in fresh processes.
 
@@ -175,11 +200,11 @@ def scaling() -> None:
     # GRAFT_SCALING_LEVELS="8,32" on roomier hosts.
     levels = tuple(int(v) for v in os.environ.get(
         "GRAFT_SCALING_LEVELS", "2,8").split(","))
-    # best of two fresh sessions per level (bursty host steal), each
+    # best of three fresh sessions per level (bursty host steal), each
     # reporting its second in-session pass (steady state)
     for cpus in levels:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
                        GRAFT_SF_DIR=SF_DIR, GRAFT_REPEAT=rep,
                        GRAFT_PASSES="2")
@@ -207,6 +232,7 @@ def scaling() -> None:
         "speedup": round(t_hi / t_lo, 2) if t_lo else 0,
         "queries": {f"encode_{lo}cpu": round(results[lo]["seconds"], 3),
                     f"encode_{hi}cpu": round(results[hi]["seconds"], 3)},
+        **_cpu_control(levels),
     }))
 
 

@@ -57,8 +57,13 @@ def encode_corpus(in_dir: str, out_dir: str, *,
             run["units_skipped"] += 1
             continue
         t0 = time.perf_counter()
+        # one block per input file: avoids the SplitBlocks stage, so blocks
+        # stay file-sized (~tens of MB) and far fewer objects cross the
+        # store; the encode stage slices blocks into batch_size chunks
+        # internally either way
         ds = ray.data.read_parquet(
-            grp, columns=["doc_id", "tokens", "n_tok", "source"])
+            grp, columns=["doc_id", "tokens", "n_tok", "source"],
+            override_num_blocks=len(grp))
         enc = encode_tokens(ds, batch_size=batch_size,
                             concurrency=concurrency, by_source=by_source)
         unit_out = os.path.join(out_dir, f"group={gid}")

@@ -41,19 +41,44 @@ def rebalance_by_source(ds, num_blocks: int | None = None):
     return ds
 
 
+_TASK_ENCODER: TokenEncoder | None = None
+
+
+def _encode_batch(batch):
+    """Stateless-task wrapper: the encoder instance is cached in the worker
+    process's module state, so setup still happens once per worker while the
+    stage stays a TASK stage — which lets Ray Data fuse read->encode->write
+    into single tasks (an actor stage cannot fuse with the read, forcing
+    every input byte through the object store)."""
+    global _TASK_ENCODER
+    if _TASK_ENCODER is None:
+        _TASK_ENCODER = TokenEncoder()
+    return _TASK_ENCODER(batch)
+
+
 def encode_tokens(ds, *, batch_size: int = DEFAULT_BATCH_SIZE,
                   concurrency=None, by_source: bool = False,
-                  num_blocks: int | None = None):
-    """Token-table Dataset -> encoded-chunk Dataset (lazy)."""
+                  num_blocks: int | None = None, use_actors: bool = False):
+    """Token-table Dataset -> encoded-chunk Dataset (lazy).
+
+    Default is a fused task stage (see _encode_batch).  ``use_actors=True``
+    switches to an explicit actor pool — the right call when the encoder
+    grows genuinely heavy per-actor state (trained FSST tables, shared
+    dictionaries); pass ``concurrency=(min, max)`` to size it.
+    """
     if by_source:
         ds = rebalance_by_source(ds, num_blocks)
-    if concurrency is None:
-        # autoscaling actor pool sized to the node; callable-class stages
-        # require an actor pool in Ray Data
+    if not use_actors:
+        kwargs = {}
+        if isinstance(concurrency, int):
+            kwargs["concurrency"] = concurrency
+        return ds.map_batches(_encode_batch, batch_size=batch_size,
+                              batch_format="pyarrow", **kwargs)
+    if concurrency is None or isinstance(concurrency, int):
         import ray
 
         n = max(1, int(ray.cluster_resources().get("CPU", 8)))
-        concurrency = (1, n)
+        concurrency = (1, concurrency if isinstance(concurrency, int) else n)
     return ds.map_batches(TokenEncoder, batch_size=batch_size,
                           batch_format="pyarrow", concurrency=concurrency)
 
