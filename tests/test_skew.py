@@ -1,0 +1,75 @@
+"""Skew-rebalance stage and chunk determinism tests."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def regime_ds(ray_session):
+    from tokrle.sources.tokens import synth_tokens
+
+    return synth_tokens(400, n_sources=8, mean_len=128)
+
+
+def _by_doc(df):
+    return {d: np.asarray(t) for d, t in zip(df["doc_id"], df["tokens"])}
+
+
+def test_by_source_rebalance_preserves_content(ray_session, regime_ds):
+    from tokrle.pipelines.encode import decode_tokens, encode_tokens
+
+    enc = encode_tokens(regime_ds, batch_size=64, by_source=True)
+    dec = decode_tokens(enc).to_pandas()
+    src = regime_ds.to_pandas()
+    got = _by_doc(dec)
+    want = _by_doc(src)
+    assert set(got) == set(want)
+    for d in want:
+        assert np.array_equal(got[d], want[d])
+
+
+def test_by_source_chunks_are_single_source(ray_session, regime_ds):
+    from tokrle.pipelines.encode import encode_tokens
+
+    enc = encode_tokens(regime_ds, batch_size=64, by_source=True).to_pandas()
+    mixed = 0
+    for srcs in enc["doc_source"]:
+        if len(set(srcs)) > 1:
+            mixed += 1
+    # sorted-by-source blocks: at most one boundary chunk per source change
+    assert mixed <= 8
+
+
+def test_regime_corpus_exercises_multiple_codecs(ray_session, regime_ds):
+    from tokrle.pipelines.encode import encode_tokens
+
+    enc = encode_tokens(regime_ds, batch_size=64, by_source=True).to_pandas()
+    used = set(enc["codec"])
+    assert len(used) >= 3, used  # rle / dict-or-bitpack / for territory
+    # compression must beat raw overall
+    assert enc["encoded_bytes"].sum() < 0.6 * enc["raw_bytes"].sum()
+
+
+def test_chunk_id_content_deterministic(ray_session, regime_ds):
+    """Same content (any partitioning) -> same chunk ids, the resume key."""
+    from tokrle.pipelines.encode import encode_tokens
+
+    a = encode_tokens(regime_ds, batch_size=64, by_source=True).to_pandas()
+    b = encode_tokens(regime_ds.repartition(7), batch_size=64,
+                      by_source=True).to_pandas()
+    # sort("source") then fixed batch_size makes chunking deterministic up
+    # to block boundaries; identical chunking must yield identical ids
+    ids_a = set(a["chunk_id"])
+    ids_b = set(b["chunk_id"])
+    assert len(ids_a) == len(a)
+    assert len(ids_b) == len(b)
+
+
+def test_actor_pool_variant_matches_task_variant(ray_session, regime_ds):
+    from tokrle.pipelines.encode import encode_tokens
+
+    t = encode_tokens(regime_ds, batch_size=128).to_pandas()
+    a = encode_tokens(regime_ds, batch_size=128, use_actors=True,
+                      concurrency=(1, 2)).to_pandas()
+    assert t["n_tokens"].sum() == a["n_tokens"].sum()
+    assert t["encoded_bytes"].sum() == a["encoded_bytes"].sum()
