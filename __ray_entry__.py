@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_add": Q.coverage_add,
         "coverage_mul": Q.coverage_mul,
         "coverage_slice": Q.coverage_slice,
+        "coverage_ge": Q.coverage_ge,
         # training-data ops
         "text_quality": Q.text_quality,
         "dedup_exact": Q.dedup_exact,
@@ -133,6 +134,36 @@ def oracle_sql() -> dict[str, str]:
                     AS bigint) AS max_cov,
                cast(max(i.e) AS bigint) AS vec_length
         FROM ivl i GROUP BY i.event_type ORDER BY i.event_type
+    """
+
+    sql["coverage_ge"] = f"""
+        WITH ivl AS ({_IVL}),
+        -- compare pads to max(len_even, len_odd), the reference's
+        -- _make_rles_equal_length semantics — not the global interval max
+        bounds AS (SELECT event_type,
+                          greatest(
+                            coalesce(max(CASE WHEN event_id % 2 = 0 THEN e END), 0),
+                            coalesce(max(CASE WHEN event_id % 2 = 1 THEN e END), 0)
+                          ) AS hi
+                   FROM ivl GROUP BY event_type),
+        pos AS (SELECT event_type, unnest(generate_series(0, hi - 1)) AS p
+                FROM bounds),
+        ca AS (SELECT event_type, p2 AS p, count(*) AS c
+               FROM (SELECT event_type, unnest(generate_series(s, e - 1)) AS p2
+                     FROM ivl WHERE event_id % 2 = 0)
+               GROUP BY event_type, p2),
+        cb AS (SELECT event_type, p2 AS p, count(*) AS c
+               FROM (SELECT event_type, unnest(generate_series(s, e - 1)) AS p2
+                     FROM ivl WHERE event_id % 2 = 1)
+               GROUP BY event_type, p2)
+        SELECT pos.event_type,
+               cast(sum(CASE WHEN coalesce(ca.c, 0) >= coalesce(cb.c, 0)
+                        THEN 1 ELSE 0 END) AS bigint) AS n_ge,
+               cast(max(pos.p) + 1 AS bigint) AS vec_length
+        FROM pos
+        LEFT JOIN ca ON ca.event_type = pos.event_type AND ca.p = pos.p
+        LEFT JOIN cb ON cb.event_type = pos.event_type AND cb.p = pos.p
+        GROUP BY pos.event_type ORDER BY pos.event_type
     """
 
     sql["coverage_slice"] = f"""

@@ -180,6 +180,19 @@ def coverage_slice(sf_dir: str) -> pd.DataFrame:
     return df[["event_type", "total", "vec_length"]]
 
 
+def coverage_ge(sf_dir: str) -> pd.DataFrame:
+    """Positionwise cov_even >= cov_odd as an RLE comparison (the reference
+    implements comparisons as subtract+threshold+defragment); total ==
+    number of positions where the comparison holds."""
+    from tokrle.pipelines.rle_table import binop_keyed, coverage_by_key
+
+    a = coverage_by_key(_event_intervals(sf_dir, 0), "event_type", "start", "end")
+    b = coverage_by_key(_event_intervals(sf_dir, 1), "event_type", "start", "end")
+    df = _agg_to_df(binop_keyed(a, b, "ge"))
+    return df[["event_type", "total", "vec_length"]].rename(
+        columns={"total": "n_ge"})
+
+
 # ---------------------------------------------------------------------------
 # training-data ops
 # ---------------------------------------------------------------------------

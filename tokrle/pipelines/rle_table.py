@@ -54,8 +54,12 @@ def binop_keyed(ds_a, ds_b, op: str):
     Implemented as union-tag + groupby(key).map_groups (a co-group): one
     shuffle, no driver-side key bookkeeping.
     """
-    kernel = {"add": K.rle_add, "sub": K.rle_sub,
-              "mul": K.rle_mul, "div": K.rle_div}[op]
+    kernels = {"add": K.rle_add, "sub": K.rle_sub,
+               "mul": K.rle_mul, "div": K.rle_div}
+    if op in kernels:
+        kernel = kernels[op]
+    else:  # comparison ops: eq/ne/ge/gt/le/lt (ref pyrle/rle.py:248-466)
+        kernel = lambda r1, v1, r2, v2, _op=op: K.rle_compare(r1, v1, r2, v2, _op)
 
     def tag(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
