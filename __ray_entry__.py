@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_mul": Q.coverage_mul,
         "coverage_slice": Q.coverage_slice,
         "coverage_ge": Q.coverage_ge,
+        "regex_token_counts": Q.regex_token_counts,
+        "session_stats": Q.session_stats_q,
         # training-data ops
         "text_quality": Q.text_quality,
         "dedup_exact": Q.dedup_exact,
@@ -174,6 +176,37 @@ def oracle_sql() -> dict[str, str]:
                cast(greatest(0, least(max(e), 300) - 100) AS bigint)
                     AS vec_length
         FROM ivl GROUP BY event_type ORDER BY event_type
+    """
+
+    sql["regex_token_counts"] = """
+        SELECT source,
+               cast(count(*) AS bigint) AS n_docs,
+               cast(sum(len(regexp_extract_all(text,
+                    '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS bigint) AS n_tokens
+        FROM documents GROUP BY source ORDER BY source
+    """
+
+    sql["session_stats"] = """
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM ordered
+        ), agg AS (
+            SELECT user_id, sid, count(*) AS n,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS dur
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT cast(count(*) AS bigint) AS n_sessions,
+               cast(sum(n) AS bigint) AS n_events,
+               cast(max(n) AS bigint) AS max_session_events,
+               cast(sum(dur) AS bigint) AS sum_duration_us
+        FROM agg
     """
 
     sql["text_quality"] = """

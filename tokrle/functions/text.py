@@ -107,3 +107,22 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
         "source": batch.column("source"),
         "fingerprint": pa.array(sums.astype(np.int64), type=pa.int64()),
     })
+
+
+class RegexTokenCounter:
+    """BPE-ish regex token counting (stateful stage: pattern compiled once
+    per actor/worker).  Pattern kept RE2-compatible so the DuckDB oracle can
+    recount with regexp_extract_all."""
+
+    PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+    def __init__(self) -> None:
+        import re
+
+        self.pat = re.compile(self.PATTERN)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["n_regex_tokens"] = batch["text"].map(
+            lambda t: len(self.pat.findall(t)))
+        return batch[["doc_id", "source", "n_regex_tokens"]]

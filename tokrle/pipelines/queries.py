@@ -357,3 +357,35 @@ def multimodal_image_features(sf_dir: str) -> pd.DataFrame:
         "feat_sum": [int(np.asarray(f).sum()) for f in feats["features"]],
     })
     return out.sort_values("item_id").reset_index(drop=True)
+
+
+def regex_token_counts(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish regex token counting per source (compiled-regex actor stage)."""
+    from ray.data.aggregate import Count, Sum
+
+    from tokrle.functions.text import RegexTokenCounter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    counts = ds.map_batches(RegexTokenCounter, batch_size=1024,
+                            batch_format="pandas", concurrency=(1, 2))
+    df = counts.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_regex_tokens", alias_name="n_tokens")).to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df["n_tokens"] = df["n_tokens"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
+def session_stats_q(sf_dir: str) -> pd.DataFrame:
+    """Session-window aggregate over events (30-min gap sessionization)."""
+    from tokrle.functions.windows import session_stats
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    st = session_stats(ds, gap_seconds=1800).to_pandas()
+    out = pd.DataFrame({
+        "n_sessions": [int(len(st))],
+        "n_events": [int(st["n_events"].sum())],
+        "max_session_events": [int(st["n_events"].max())],
+        "sum_duration_us": [int(st["duration_us"].sum())],
+    })
+    return out
