@@ -68,18 +68,28 @@ def encode_corpus(in_dir: str, out_dir: str, *,
                             concurrency=concurrency, by_source=by_source)
         unit_out = os.path.join(out_dir, f"group={gid}")
         enc.write_parquet(unit_out)
-        # lineage aggregate from the 3 small metric columns of what was just
-        # written (column-pruned read; avoids pinning payloads in the store)
-        agg = ray.data.read_parquet(
-            unit_out, columns=["n_tokens", "raw_bytes", "encoded_bytes"]
-        ).sum(["n_tokens", "raw_bytes", "encoded_bytes"])
+        # lineage aggregate over the 3 small metric columns of what was just
+        # written — a column-pruned local scan (duckdb), touching only those
+        # columns' pages, never the payloads
+        try:
+            import duckdb
+
+            row = duckdb.sql(
+                "SELECT sum(n_tokens), sum(raw_bytes), sum(encoded_bytes) "
+                f"FROM '{unit_out}/*.parquet'").fetchone()
+        except ImportError:
+            agg = ray.data.read_parquet(
+                unit_out, columns=["n_tokens", "raw_bytes", "encoded_bytes"]
+            ).sum(["n_tokens", "raw_bytes", "encoded_bytes"])
+            row = (agg["sum(n_tokens)"], agg["sum(raw_bytes)"],
+                   agg["sum(encoded_bytes)"])
         dt = time.perf_counter() - t0
         metrics = {
             "n_files": len(grp),
             "first_file": grp[0],
-            "n_tokens": int(agg["sum(n_tokens)"] or 0),
-            "raw_bytes": int(agg["sum(raw_bytes)"] or 0),
-            "encoded_bytes": int(agg["sum(encoded_bytes)"] or 0),
+            "n_tokens": int(row[0] or 0),
+            "raw_bytes": int(row[1] or 0),
+            "encoded_bytes": int(row[2] or 0),
             "seconds": dt,
         }
         manifest.mark_done(gid, metrics)
