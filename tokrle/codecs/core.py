@@ -104,7 +104,22 @@ class Dictionary(Codec):
     def encode(self, x):
         if len(x) == 0:
             return struct.pack("<IBqB", 0, 0, 0, 0) + struct.pack("<I", 0)
-        uniq, inv = np.unique(x, return_inverse=True)
+        vmin = int(x.min())
+        vmax = int(x.max())
+        span = vmax - vmin
+        if 0 <= span < (1 << 20) and span < 8 * len(x):
+            # O(n + span) unique+codes via a presence table instead of the
+            # O(n log n) sort inside np.unique
+            shifted = (x.astype(np.int64) - vmin)
+            present = np.zeros(span + 1, dtype=bool)
+            present[shifted] = True
+            uniq_idx = np.flatnonzero(present)
+            code_of = np.zeros(span + 1, dtype=np.uint32)
+            code_of[uniq_idx] = np.arange(len(uniq_idx), dtype=np.uint32)
+            uniq = (uniq_idx + vmin).astype(x.dtype)
+            inv = code_of[shifted]
+        else:
+            uniq, inv = np.unique(x, return_inverse=True)
         k = len(uniq)
         ref = int(uniq[0])
         dict_deltas = _span_to_unsigned(uniq, ref)
