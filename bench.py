@@ -200,27 +200,34 @@ def scaling() -> None:
     # GRAFT_SCALING_LEVELS="8,32" on roomier hosts.
     levels = tuple(int(v) for v in os.environ.get(
         "GRAFT_SCALING_LEVELS", "2,8").split(","))
-    # best of three fresh sessions per level (bursty host steal), each
-    # reporting its second in-session pass (steady state)
-    for cpus in levels:
-        best = None
-        for _ in range(3):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
-                       GRAFT_SF_DIR=SF_DIR, GRAFT_REPEAT=rep,
-                       GRAFT_PASSES="2")
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--encode-only"],
-                env=env, capture_output=True, text=True, cwd=os.path.dirname(
-                    os.path.abspath(__file__)))
-            line = proc.stdout.strip().splitlines()[-1]
-            r = json.loads(line)
-            if best is None or r["tokens_per_sec"] > best["tokens_per_sec"]:
-                best = r
-        results[cpus] = best
     lo, hi = levels
-    t_lo = results[lo]["tokens_per_sec"]
-    t_hi = results[hi]["tokens_per_sec"]
-    eff = (t_hi / t_lo) / (hi / lo) if t_lo else 0.0
+    # the sandbox host has minutes-long steal episodes, so lo/hi runs are
+    # INTERLEAVED as back-to-back pairs (same host conditions within a
+    # pair) and the reported efficiency is the median pair efficiency;
+    # each run reports its second in-session pass (steady state)
+    pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
+
+    def one(cpus: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                   GRAFT_SF_DIR=SF_DIR, GRAFT_REPEAT=rep,
+                   GRAFT_PASSES="2")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--encode-only"],
+            env=env, capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.abspath(__file__)))
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    effs = []
+    for _ in range(pairs):
+        r_lo = one(lo)
+        r_hi = one(hi)
+        effs.append(((r_hi["tokens_per_sec"] / r_lo["tokens_per_sec"])
+                     / (hi / lo), r_lo, r_hi))
+    effs.sort(key=lambda t: t[0])
+    eff, best_lo, best_hi = effs[len(effs) // 2]
+    results = {lo: best_lo, hi: best_hi}
+    t_lo = best_lo["tokens_per_sec"]
+    t_hi = best_hi["tokens_per_sec"]
     print(json.dumps({
         "metric": f"encode throughput scaling (num_cpus {lo} vs {hi}, "
                   "fresh sessions, steady-state pass)",
