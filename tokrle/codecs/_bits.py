@@ -32,9 +32,8 @@ def pack_uints(x: np.ndarray, width: int) -> bytes:
         return b""
     if width in _ALIGNED:
         return np.ascontiguousarray(x.astype(_ALIGNED[width])).tobytes()
-    stage = np.uint32 if width < 32 else np.uint64
-    sw = 32 if width < 32 else 64
-    raw = np.ascontiguousarray(x.astype(stage)).view(np.uint8)
+    sw = next(w for w in (8, 16, 32, 64) if w > width)
+    raw = np.ascontiguousarray(x.astype(_ALIGNED[sw])).view(np.uint8)
     bits = np.unpackbits(raw, bitorder="little").reshape(n, sw)[:, :width]
     return np.packbits(np.ascontiguousarray(bits).ravel(),
                        bitorder="little").tobytes()
@@ -47,12 +46,11 @@ def unpack_uints(buf: bytes, n: int, width: int) -> np.ndarray:
     if width in _ALIGNED:
         return np.frombuffer(buf, dtype=_ALIGNED[width],
                              count=n).astype(np.uint64)
-    sw = 32 if width < 32 else 64
-    stage = np.uint32 if width < 32 else np.uint64
+    sw = next(w for w in (8, 16, 32, 64) if w > width)
     raw = np.frombuffer(buf, dtype=np.uint8)
     bits = np.unpackbits(raw, count=n * width,
                          bitorder="little").reshape(n, width)
     full = np.zeros((n, sw), dtype=np.uint8)
     full[:, :width] = bits
     return np.packbits(full.ravel(),
-                       bitorder="little").view(stage).astype(np.uint64)
+                       bitorder="little").view(_ALIGNED[sw]).astype(np.uint64)
