@@ -228,6 +228,7 @@ def scaling() -> None:
     results = {lo: best_lo, hi: best_hi}
     t_lo = best_lo["tokens_per_sec"]
     t_hi = best_hi["tokens_per_sec"]
+    ctl = _cpu_control(levels)
     print(json.dumps({
         "metric": f"encode throughput scaling (num_cpus {lo} vs {hi}, "
                   "fresh sessions, steady-state pass)",
@@ -239,7 +240,12 @@ def scaling() -> None:
         "speedup": round(t_hi / t_lo, 2) if t_lo else 0,
         "queries": {f"encode_{lo}cpu": round(results[lo]["seconds"], 3),
                     f"encode_{hi}cpu": round(results[hi]["seconds"], 3)},
-        **_cpu_control(levels),
+        **ctl,
+        # engine efficiency normalized by what the host itself delivered
+        # for pure-ALU work in the same window (isolates host steal /
+        # shared-memory throttling from engine behavior)
+        "efficiency_vs_cpu_control": round(
+            eff / max(ctl["cpu_control_efficiency"], 1e-9), 3),
     }))
 
 

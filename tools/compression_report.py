@@ -16,7 +16,7 @@ import duckdb
 
 
 def report(out_dir: str) -> dict:
-    glob = f"{out_dir}/*/*.parquet" if "group=" not in out_dir \
+    glob = f"{out_dir}/group=*/*.parquet" if "group=" not in out_dir \
         else f"{out_dir}/*.parquet"
     base = duckdb.sql(f"""
         SELECT sum(n_tokens) AS n_tokens,
