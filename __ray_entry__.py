@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_ge": Q.coverage_ge,
         "regex_token_counts": Q.regex_token_counts,
         "session_stats": Q.session_stats_q,
+        "events_tumbling": Q.events_tumbling,
+        "token_heavy_hitters": Q.token_heavy_hitters,
         # training-data ops
         "text_quality": Q.text_quality,
         "dedup_exact": Q.dedup_exact,
@@ -207,6 +209,24 @@ def oracle_sql() -> dict[str, str]:
                cast(max(n) AS bigint) AS max_session_events,
                cast(sum(dur) AS bigint) AS sum_duration_us
         FROM agg
+    """
+
+    sql["events_tumbling"] = """
+        SELECT event_type,
+               cast(epoch_us(ts) // 3600000000 AS bigint) AS window_id,
+               cast(count(*) AS bigint) AS n_events,
+               cast(min(event_id) AS bigint) AS min_eid,
+               cast(max(event_id) AS bigint) AS max_eid
+        FROM events GROUP BY event_type, window_id
+        ORDER BY event_type, window_id
+    """
+
+    sql["token_heavy_hitters"] = """
+        SELECT cast(tok AS bigint) AS token, cast(count(*) AS bigint) AS n
+        FROM (SELECT ascii(w) * 32 + length(w) AS tok
+              FROM (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents))
+        GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
     """
 
     sql["text_quality"] = """

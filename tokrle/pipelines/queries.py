@@ -389,3 +389,65 @@ def session_stats_q(sf_dir: str) -> pd.DataFrame:
         "sum_duration_us": [int(st["duration_us"].sum())],
     })
     return out
+
+
+def events_tumbling(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window aggregate per event_type (windowed aggregate
+    as map_batches window-assignment + grouped agg)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = ts // (3600 * 1_000_000)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "window_id": pa.array(win, type=pa.int64()),
+            "event_id": batch.column("event_id"),
+        })
+
+    agg = ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby(["event_type", "window_id"]) \
+        .aggregate(Count(alias_name="n_events"),
+                   Min("event_id", alias_name="min_eid"),
+                   Max("event_id", alias_name="max_eid"))
+    df = agg.to_pandas()
+    for c in ("window_id", "n_events", "min_eid", "max_eid"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["event_type", "window_id"]).reset_index(drop=True)
+
+
+def token_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Top-20 tokens by frequency: per-batch bincount PARTIALS (combiner
+    inside map_batches) -> small groupby sum -> top-k.  The pre-aggregation
+    pattern: the shuffle moves per-batch (token, count) partials, never the
+    token stream."""
+    from ray.data.aggregate import Sum
+
+    from tokrle.sources.tokens import documents_to_tokens
+
+    ds = documents_to_tokens(sf_dir)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        from tokrle.stages.encoder import _flat_tokens
+
+        values, _ = _flat_tokens(batch)
+        if len(values) == 0:
+            return pa.table({"token": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        vmin = int(values.min())
+        counts = np.bincount((values.astype(np.int64) - vmin))
+        toks = np.flatnonzero(counts)
+        return pa.table({
+            "token": pa.array(toks + vmin, type=pa.int64()),
+            "cnt": pa.array(counts[toks], type=pa.int64()),
+        })
+
+    agg = ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("cnt", alias_name="n"))
+    df = agg.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    df = df.sort_values(["n", "token"], ascending=[False, True],
+                        kind="mergesort").head(20)
+    return df.reset_index(drop=True)
