@@ -43,9 +43,15 @@ def tokenize_batch(batch: pa.Table) -> pa.Table:
     o = flat.offset
     word_offsets = np.frombuffer(flat.buffers()[1], dtype=np.int32,
                                  count=len(flat) + 1 + o)[o:]
-    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8) \
+        if flat.buffers()[2] is not None else np.zeros(0, dtype=np.uint8)
     lengths = np.diff(word_offsets).astype(np.int32)
-    first = data[word_offsets[:-1]].astype(np.int32)
+    # empty words (e.g. empty text) take first-byte 0 — matches DuckDB's
+    # ascii('') == 0, so token('') == 0 on both sides
+    safe = np.minimum(word_offsets[:-1], max(len(data) - 1, 0))
+    first = (data[safe].astype(np.int32) if len(data)
+             else np.zeros(len(lengths), dtype=np.int32))
+    first = np.where(lengths > 0, first, 0)
     tokens = first * 32 + lengths
     tok_list = pa.ListArray.from_arrays(pa.array(doc_offsets, type=pa.int32()),
                                         pa.array(tokens, type=pa.int32()))
