@@ -83,7 +83,7 @@ def encode_tokens(ds, *, batch_size: int = DEFAULT_BATCH_SIZE,
                           batch_format="pyarrow", concurrency=concurrency)
 
 
-def decode_tokens(encoded_ds, *, batch_size: int = 32):
+def decode_tokens(encoded_ds, *, batch_size: int = 4):
     """Encoded-chunk Dataset -> token-table Dataset (stateless inverse)."""
     return encoded_ds.map_batches(decode_chunks, batch_size=batch_size,
                                   batch_format="pyarrow")
