@@ -1,9 +1,10 @@
 """The flagship pipeline: token table -> encoded chunk table (+ reverse).
 
 Idiomatic Ray Data throughout: ``read_parquet`` -> optional skew rebalance ->
-``map_batches(TokenEncoder)`` (actor pool) -> ``write_parquet`` with
-per-partition lineage; decode is the stateless inverse.  Checkpoint/resume
-operates at input-file granularity via the manifest in tokrle.state.
+``map_batches`` encode (fused task stage by default, actor pool opt-in) ->
+``write_parquet`` with per-partition lineage; decode is the stateless
+inverse.  Checkpoint/resume operates at input-file-group granularity via
+the manifest in tokrle.state.
 
 Replaces the reference's driver-held dict-of-Rles + manual ray.remote
 fan-out (ref pyrle/rledict.py:21-34,155-176; pyrle/methods.py:80-120) with
