@@ -210,20 +210,42 @@ def test_coverage_vs_dense(intervals):
 
 @given(rle_pair(), st.integers(-30, 30), st.booleans())
 def test_shift_vs_dense(a, dist, preserve):
+    """Reference convention (pyrle/rle.py:1000-1095): positive dist = right
+    shift (prepend fill), negative = left shift (drop front)."""
     r, v = a
     dense = np.repeat(v, r)
     n = len(dense)
     sr, sv = K.rle_shift(r, v, dist, preserve_length=preserve, fill=0.0)
     got = np.repeat(sv, sr)
     if dist >= 0:
-        expected = dense[dist:]
+        expected = np.concatenate([np.zeros(dist), dense])
         if preserve:
-            expected = np.pad(expected, (0, min(dist, n)))
+            expected = expected[:n]
     else:
         d = min(-dist, n)
-        expected = np.concatenate([np.zeros(d), dense[: n - d] if preserve else dense])
-    # canonicalization may fold; compare decoded
+        expected = dense[d:]
+        if preserve:
+            expected = np.pad(expected, (0, d))
     assert np.allclose(got, expected)
+
+
+def test_shift_matches_reference_doctests():
+    """The reference's own shift doctests (pyrle/rle.py:1028-1058)."""
+    from tokrle.rle import Rle
+
+    r = Rle(np.array([3, 2, 1]), np.array([1.0, -1.0, 2.0]))
+    out = r.shift(2, preserve_length=False, fill=np.nan)
+    assert np.array_equal(out.runs, [2, 3, 2, 1])
+    assert np.allclose(out.values, [np.nan, 1, -1, 2], equal_nan=True)
+    out = r.shift(2)
+    assert np.array_equal(out.runs, [2, 3, 1])
+    assert np.allclose(out.values, [0, 1, -1])
+    out = r.shift(-2, fill=np.nan)
+    assert np.array_equal(out.runs, [1, 2, 1, 2])
+    assert np.allclose(out.values, [1, -1, 2, np.nan], equal_nan=True)
+    out = r.shift(-4, preserve_length=False)
+    assert np.array_equal(out.runs, [1, 1])
+    assert np.allclose(out.values, [-1, 2])
 
 
 def test_mean_std_reference_formulas():

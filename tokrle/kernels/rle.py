@@ -376,27 +376,28 @@ def rle_shift(runs, values, dist: int, preserve_length: bool = True,
               fill: float = 0.0):
     """Shift the logical vector by ``dist`` (ref pyrle/rle.py:1000-1095).
 
-    Positive dist shifts left (drops the first ``dist`` positions, appends
-    fill when preserving length); negative shifts right (prepends a fill
-    run, truncating the tail when preserving length).
+    Reference convention: positive ``dist`` shifts RIGHT (prepends a fill
+    run, truncating the tail to the original length when preserving);
+    negative shifts LEFT (drops the first ``-dist`` positions, appending a
+    fill run when preserving).  Documented divergence: the reference raises
+    on left-shifts past the end with preserve_length (pyrle/rle.py:1089
+    indexes an empty array); here the result is a pure fill vector.
     """
     runs = np.asarray(runs, dtype=np.int64)
     values = np.asarray(values, dtype=np.float64)
     length = int(runs.sum())
     if dist == 0 or length == 0:
         return runs.copy(), values.copy()
-    if dist > 0:
-        r, v = rle_slice(runs, values, dist, length)
+    if dist > 0:  # right shift: prepend fill run
+        r = np.concatenate(([dist], runs))
+        v = np.concatenate(([fill], values))
         if preserve_length:
-            pad = min(dist, length)
-            r = np.append(r, pad)
-            v = np.append(v, fill)
+            r, v = rle_slice(r, v, 0, length)
         return canonicalize(r, v)
-    d = -dist
+    d = -dist  # left shift: consume the front
+    r, v = rle_slice(runs, values, d, length)
     if preserve_length:
-        r, v = rle_slice(runs, values, 0, max(length - d, 0))
-    else:
-        r, v = runs.copy(), values.copy()
-    r = np.concatenate(([min(d, length)], r))
-    v = np.concatenate(([fill], v))
+        pad = min(d, length)
+        r = np.append(r, pad)
+        v = np.append(v, fill)
     return canonicalize(r, v)
