@@ -251,8 +251,12 @@ def unique_token_seqs(sf_dir: str) -> pd.DataFrame:
 def ann_top1(sf_dir: str) -> pd.DataFrame:
     from tokrle.functions.ann import brute_force_topk
 
+    import pyarrow.compute as pc
+
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qdf = ds.filter(lambda r: r["vec_id"] < 5).to_pandas()
+    qdf = ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("vec_id"), 5)),
+        batch_format="pyarrow").to_pandas()
     qdf = qdf.sort_values("vec_id")
     queries = np.stack(qdf["embedding"].map(np.asarray).to_list())
     out = brute_force_topk(ds, queries, qdf["vec_id"].to_numpy(), k=1)
@@ -335,8 +339,12 @@ def lsh_ann_top1(sf_dir: str) -> pd.DataFrame:
     (rows-only: approximate by construction)."""
     from tokrle.functions.ann import lsh_topk
 
+    import pyarrow.compute as pc
+
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qdf = ds.filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+    qdf = ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("vec_id"), 5)),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id")
     queries = np.stack(qdf["embedding"].map(np.asarray).to_list())
     out = lsh_topk(ds, queries, qdf["vec_id"].to_numpy(), k=1, n_planes=4)
     return out[["q_id", "vec_id"]].astype("int64") \
