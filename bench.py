@@ -5,9 +5,11 @@ with ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32) and prints ONE JSON
 line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
 "sf", "num_cpus", plus tokens/sec + compression figures}.
 
---scaling: runs the headline encode twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
-and the scaling efficiency (sandbox stand-in for N- vs 4N-node clusters).
+--scaling: runs the headline encode at two parallelism levels (default
+num_cpus=2 vs 8 = N vs 4N) in fresh processes on the same input, as
+interleaved pairs, and reports both throughputs, the median pair scaling
+efficiency, and a pure-ALU CPU control (sandbox stand-in for N- vs 4N-node
+clusters; see BASELINE.md for the host analysis).
 
 --encode-only: internal child mode used by --scaling.
 """
@@ -42,8 +44,8 @@ def ray_up(num_cpus: int):
 def prepare_corpus(sf_dir: str) -> str:
     """Materialize the headline token table once (deterministic; untimed).
 
-    Deterministic Zipf token corpus (vocab ~50k, mean 512 tokens/doc),
-    sized 8 docs per documents.parquet row — ~20M tokens at sf0.1.
+    Deterministic regime-mixed token corpus (4 codec regimes across 20
+    sources, mean 512 tokens/doc), REPEAT docs per documents.parquet row.
     """
     import pyarrow.parquet as pq
 
@@ -186,13 +188,13 @@ def _cpu_control(levels) -> dict:
 def scaling() -> None:
     """Same job at two parallelism levels in fresh processes.
 
-    Uses a larger corpus (GRAFT_SCALING_REPEAT, default 128 -> ~330M tokens
-    at sf0.1) so per-actor startup amortizes and the measurement reflects
+    Uses a larger corpus (GRAFT_SCALING_REPEAT, default 256 -> ~656M tokens
+    at sf0.1) so session spin-up amortizes and the measurement reflects
     steady-state streaming throughput, as it would on a long-running
     multi-node job."""
     results = {}
     rep = os.environ.get("GRAFT_SCALING_REPEAT",
-                         str(max(REPEAT, 128)))
+                         str(max(REPEAT, 256)))
     # levels: N and 4N CPUs.  Default 2 vs 8: this sandbox's page-fault /
     # object-store path saturates around 8 concurrent heavy processes
     # (measured: parallel first-touch throughput peaks at ~8 procs), so
