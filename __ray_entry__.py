@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dup_pairs": Q.ngram_dup_pairs,        # rows-only (blocked)
         "embedding_dups": Q.embedding_dups,          # rows-only (LSH-blocked)
         "lsh_ann_top1": Q.lsh_ann_top1,              # rows-only (approximate)
+        "ivf_ann_top1": Q.ivf_ann_top1,              # rows-only (approximate)
         "multimodal_image_features": Q.multimodal_image_features,  # rows-only
     }
     for codec in ("plain", "rle", "dict", "bitpack", "for", "fsst"):

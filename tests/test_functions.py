@@ -177,3 +177,20 @@ def test_lang_id_stateful_stage(ray_session):
         LangId, batch_format="pandas", concurrency=1).to_pandas()
     assert out.loc[out["doc_id"] == 1, "pred_lang"].iloc[0] == "en"
     assert out.loc[out["doc_id"] == 2, "pred_lang"].iloc[0] == "es"
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data
+
+    from tokrle.functions.ann import brute_force_topk, ivf_topk
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    df = ds.to_pandas().sort_values("vec_id").head(3)
+    queries = np.stack(df["embedding"].map(np.asarray).to_list())
+    qids = df["vec_id"].to_numpy()
+    exact = brute_force_topk(ds, queries, qids, k=5)
+    approx = ivf_topk(ds, queries, qids, k=5, n_lists=8, nprobe=3)
+    e = {(q, v) for q, v in zip(exact["q_id"], exact["vec_id"])}
+    a = {(q, v) for q, v in zip(approx["q_id"], approx["vec_id"])}
+    assert len(e & a) / len(e) >= 0.5

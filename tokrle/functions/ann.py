@@ -171,3 +171,95 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
         rows.append(g[["q_id", "vec_id", "rank"]])
     return (pd.concat(rows, ignore_index=True) if rows
             else pd.DataFrame(columns=["q_id", "vec_id", "rank"]))
+
+
+class IVFIndex:
+    """IVF (inverted-file) ANN: deterministic kmeans-lite centroids trained
+    once per actor from a seeded sample; assignment = nearest centroid.
+
+    Scale path: `build`: one pass assigns every vector to a list (groupby
+    centroid -> write partitioned parquet); `query`: scan only the nprobe
+    nearest lists.  Brute-force within probed lists stays a numpy matmul.
+    """
+
+    def __init__(self, sample: np.ndarray, n_lists: int = 16,
+                 iters: int = 8, seed: int = 23) -> None:
+        rng = np.random.default_rng(seed)
+        sample = _normalize(np.asarray(sample, dtype=np.float64))
+        k = min(n_lists, len(sample))
+        centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+        for _ in range(iters):  # spherical kmeans on the sample
+            assign = np.argmax(sample @ centroids.T, axis=1)
+            for c in range(k):
+                m = sample[assign == c]
+                if len(m):
+                    v = m.sum(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        centroids[c] = v / n
+        self.centroids = centroids
+
+    def assign_stage(self):
+        centroids = self.centroids
+
+        def fn(batch: pa.Table) -> pa.Table:
+            m = _normalize(_to_matrix(batch.column("embedding")))
+            lists = (np.argmax(m @ centroids.T, axis=1)
+                     if len(m) else np.zeros(0, dtype=np.int64))
+            return pa.table({
+                "vec_id": batch.column("vec_id"),
+                "list_id": pa.array(lists.astype(np.int64), type=pa.int64()),
+                "embedding": batch.column("embedding"),
+            })
+
+        return fn
+
+
+def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+             *, n_lists: int = 16, nprobe: int = 4, sample_size: int = 2048,
+             seed: int = 23):
+    """IVF approximate top-k: train centroids on a driver-side sample
+    (bounded), assign + filter to the nprobe closest lists per query, exact
+    cosine within probed lists."""
+    import pandas as pd
+    import ray
+
+    sample_df = ds.limit(sample_size).to_pandas()
+    sample = np.stack(sample_df["embedding"].map(np.asarray).to_list())
+    index = IVFIndex(sample, n_lists=n_lists, seed=seed)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qn @ index.centroids.T), axis=1)[:, :nprobe]
+    q_ref = ray.put((qn, np.asarray(query_ids), probe))
+    assigned = ds.map_batches(index.assign_stage(), batch_format="pyarrow")
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        q_mat, q_ids, probe_lists = ray.get(q_ref)
+        m = _normalize(_to_matrix(batch.column("embedding")))
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        lists = batch.column("list_id").to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(q_mat.shape[0]):
+            cand = np.flatnonzero(np.isin(lists, probe_lists[qi]))
+            if len(cand) == 0:
+                continue
+            sims = m[cand] @ q_mat[qi]
+            kk = min(k + 1, len(cand))
+            order = np.lexsort((ids[cand], -sims))[:kk]
+            out_q.extend([int(q_ids[qi])] * kk)
+            out_v.extend(ids[cand][order].tolist())
+            out_s.extend(sims[order].tolist())
+        return pa.table({"q_id": pa.array(out_q, type=pa.int64()),
+                         "vec_id": pa.array(out_v, type=pa.int64()),
+                         "sim": pa.array(out_s, type=pa.float64())})
+
+    partial = assigned.map_batches(per_batch, batch_format="pyarrow") \
+        .to_pandas()
+    rows = []
+    for qid, g in partial.groupby("q_id"):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
+                          kind="mergesort")
+        g = g[g["vec_id"] != qid].head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1)
+        rows.append(g[["q_id", "vec_id", "rank"]])
+    return (pd.concat(rows, ignore_index=True) if rows
+            else pd.DataFrame(columns=["q_id", "vec_id", "rank"]))

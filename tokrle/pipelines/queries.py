@@ -459,3 +459,20 @@ def token_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     df = df.sort_values(["n", "token"], ascending=[False, True],
                         kind="mergesort").head(20)
     return df.reset_index(drop=True)
+
+
+def ivf_ann_top1(sf_dir: str) -> pd.DataFrame:
+    """IVF (inverted-file) approximate ANN top-1 (rows-only: approximate)."""
+    import pyarrow.compute as pc
+
+    from tokrle.functions.ann import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("vec_id"), 5)),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].map(np.asarray).to_list())
+    out = ivf_topk(ds, queries, qdf["vec_id"].to_numpy(), k=1,
+                   n_lists=8, nprobe=3)
+    return out[["q_id", "vec_id"]].astype("int64") \
+        .sort_values("q_id").reset_index(drop=True)
