@@ -1,4 +1,10 @@
 import pytest
+from hypothesis import settings
+
+# deterministic example generation: the correctness gate should be
+# reproducible run to run (exploration happens in dev, not in the gate)
+settings.register_profile("gate", derandomize=True, deadline=None)
+settings.load_profile("gate")
 
 
 @pytest.fixture(scope="session")
