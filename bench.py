@@ -111,7 +111,9 @@ def main() -> None:
     in_dir = prepare_corpus(SF_DIR)
     timings: dict[str, float] = {}
 
-    enc = bench_encode(in_dir, num_cpus=NUM_CPUS)
+    # two passes: report the steady-state (warm workers/arenas) second
+    # pass, which is what a long-running job sustains
+    enc = bench_encode(in_dir, num_cpus=NUM_CPUS, passes=2)
     timings["encode"] = round(enc["seconds"], 3)
     dec = bench_decode(enc["out_dir"])
     timings["decode"] = round(dec["seconds"], 3)
