@@ -118,6 +118,18 @@ def main() -> None:
     dec = bench_decode(enc["out_dir"])
     timings["decode"] = round(dec["seconds"], 3)
 
+    # skew-rebalanced variant: one sort("source") shuffle, regime-pure
+    # chunks, better codec fit (see BASELINE.md)
+    from tokrle.pipelines.corpus import encode_corpus
+
+    bys_out = os.path.join(WORK, "encoded_bysource")
+    shutil.rmtree(bys_out, ignore_errors=True)
+    t0 = time.perf_counter()
+    bys = encode_corpus(in_dir, bys_out, batch_size=2048, by_source=True)
+    timings["encode_bysource"] = round(time.perf_counter() - t0, 3)
+    bys_ratio = (bys["raw_bytes"] / bys["encoded_bytes"]
+                 if bys["encoded_bytes"] else 0.0)
+
     for name, fn in [("coverage_total", Q.coverage_total),
                      ("coverage_add", Q.coverage_add),
                      ("dedup_exact", Q.dedup_exact),
@@ -140,6 +152,7 @@ def main() -> None:
         "decode_tokens_per_sec": round(enc["n_tokens"] / dec["seconds"])
         if dec["seconds"] else 0,
         "compression_ratio": round(enc["compression_ratio"], 3),
+        "compression_ratio_bysource": round(bys_ratio, 3),
     }
     print(json.dumps(out))
     import ray
