@@ -131,3 +131,35 @@ def test_getitem_unstranded_key_on_stranded_dict():
                   ("chr1", "-"): Rle([3], [2.0])})
     sub = rd["chr1"]
     assert isinstance(sub, RleDict) and len(sub) == 2
+
+
+def test_binop_keyed_matches_rledict(ray_session):
+    """The distributed keyed RLE table ops must equal the in-memory RleDict
+    ops on the same intervals (cross-layer consistency)."""
+    import ray.data
+
+    from tokrle.pipelines.rle_table import binop_keyed, coverage_by_key
+
+    rng = np.random.RandomState(11)
+    n = 60
+    df = pd.DataFrame({
+        "key": rng.choice(["a", "b", "c"], size=n),
+        "start": rng.randint(0, 200, size=n),
+    })
+    df["end"] = df["start"] + rng.randint(1, 40, size=n)
+    da = df.iloc[::2].reset_index(drop=True)
+    db = df.iloc[1::2].reset_index(drop=True)
+
+    a = coverage_by_key(ray.data.from_pandas(da), "key", "start", "end")
+    b = coverage_by_key(ray.data.from_pandas(db), "key", "start", "end")
+    got = binop_keyed(a, b, "add").to_pandas().set_index("key")
+
+    ra = RleDict(da.rename(columns={"key": "Chromosome", "start": "Start",
+                                    "end": "End"}))
+    rb = RleDict(db.rename(columns={"key": "Chromosome", "start": "Start",
+                                    "end": "End"}))
+    want = ra + rb
+    assert set(got.index) == set(k for k, _ in want.items())
+    for k, rle in want.items():
+        assert np.array_equal(np.asarray(got.loc[k, "runs"]), rle.runs), k
+        assert np.allclose(np.asarray(got.loc[k, "values"]), rle.values), k
