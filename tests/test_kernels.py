@@ -267,3 +267,31 @@ def test_scalar_ops_touch_only_values():
     assert np.array_equal(out.values, np.array([2.0, 8.0]))
     out = r / 2
     assert np.array_equal(out.values, np.array([0.5, 2.0]))
+
+
+def test_binop_large_runs_no_dense_materialization():
+    """Runs up to 1e7 (the reference hypothesis domain,
+    tests/hypothesis_helper.py:12,28): the boundary-union kernel stays
+    O(#runs); verify via point lookups instead of dense vectors."""
+    rng = np.random.default_rng(99)
+    r1 = rng.integers(1, 10_000_000, size=200).astype(np.int64)
+    v1 = rng.integers(-1_000_000, 1_000_000, size=200).astype(np.float64)
+    r2 = rng.integers(1, 10_000_000, size=300).astype(np.int64)
+    v2 = rng.integers(-1_000_000, 1_000_000, size=300).astype(np.float64)
+    rr, vv = K.rle_add(r1, v1, r2, v2)
+    n1, n2 = int(r1.sum()), int(r2.sum())
+    assert int(rr.sum()) == max(n1, n2)
+    locs = rng.integers(0, max(n1, n2), size=1000)
+    got = K.rle_getlocs(rr, vv, locs)
+    a = K.rle_getlocs(r1, v1, locs)
+    b = K.rle_getlocs(r2, v2, locs)
+    # getlocs returns 0 past the end — exactly the zero-pad semantics
+    assert np.allclose(got, a + b)
+
+    # division with the same magnitudes: IEEE special cases only where the
+    # divisor is zero (none here since values exclude 0 -> add 0 run check)
+    rr, vv = K.rle_mul(r1, v1, r2, v2)
+    got = K.rle_getlocs(rr, vv, locs)
+    mask = (locs < n1) & (locs < n2)
+    assert np.allclose(got[mask], (a * b)[mask])
+    assert np.allclose(got[~mask], 0.0)
