@@ -118,3 +118,28 @@ def test_synth_tokens_deterministic_any_partitioning(ray_session):
     b = synth_tokens(50, override_num_blocks=7).to_pandas().sort_values("doc_id")
     for x, y in zip(a["tokens"], b["tokens"]):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_ray_free_consumer_api(ray_session, token_ds, tmp_path):
+    """Encoded output must be readable WITHOUT Ray (pure pyarrow consumer)."""
+    import pyarrow.parquet as pq
+
+    from tokrle.pipelines.corpus import encode_corpus
+    from tokrle.sources.encoded import iter_decoded, lineage_summary
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    df = token_ds.to_pandas()
+    pq.write_table(pa.Table.from_pandas(df), f"{in_dir}/a.parquet")
+    out_dir = str(tmp_path / "enc")
+    encode_corpus(in_dir, out_dir, batch_size=128)
+
+    want = {d: np.asarray(t, dtype=np.int32)
+            for d, t in zip(df["doc_id"], df["tokens"])}
+    got = dict(iter_decoded(out_dir))
+    assert set(got) == set(want)
+    for d in want:
+        assert np.array_equal(got[d], want[d])
+    summ = lineage_summary(out_dir)
+    assert summ["n_tokens"] == int(df["n_tok"].sum())
+    assert summ["encoded_bytes"] < summ["raw_bytes"]
