@@ -143,3 +143,34 @@ def test_ray_free_consumer_api(ray_session, token_ds, tmp_path):
     summ = lineage_summary(out_dir)
     assert summ["n_tokens"] == int(df["n_tok"].sum())
     assert summ["encoded_bytes"] < summ["raw_bytes"]
+
+
+def test_crashed_group_leaves_no_duplicates(ray_session, token_ds, tmp_path):
+    """A group that wrote files but died before publishing its manifest row
+    must be fully redone without duplicating chunks."""
+    import pyarrow.parquet as pq
+
+    from tokrle.pipelines.corpus import _group_id, encode_corpus, list_units
+    from tokrle.state.manifest import Manifest
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    df = token_ds.to_pandas()
+    pq.write_table(pa.Table.from_pandas(df), f"{in_dir}/a.parquet")
+
+    # simulate the crash: stale partial output, no manifest row
+    gid = _group_id(list_units(in_dir))
+    stale = os.path.join(out_dir, f"group={gid}")
+    os.makedirs(stale)
+    pq.write_table(pa.Table.from_pandas(df.iloc[:1]).rename(
+        columns={"doc_id": "stale"}), f"{stale}/leftover.parquet")
+
+    encode_corpus(in_dir, out_dir, batch_size=128)
+    assert not os.path.exists(f"{stale}/leftover.parquet")
+
+    from tokrle.sources.encoded import iter_decoded
+
+    got = list(iter_decoded(out_dir))
+    assert len(got) == len(df)  # no duplicated docs
+    assert Manifest(out_dir).completed_units() == {gid}

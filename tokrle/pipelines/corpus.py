@@ -106,6 +106,13 @@ def encode_corpus(in_dir: str, out_dir: str, *,
             enc = encode_tokens(ds, batch_size=batch_size,
                                 concurrency=concurrency, by_source=by_source)
         unit_out = os.path.join(out_dir, f"group={gid}")
+        # a previous CRASHED attempt may have left partial files (its
+        # manifest row was never published); clear them or the re-run would
+        # append duplicate chunks
+        if os.path.isdir(unit_out):
+            import shutil
+
+            shutil.rmtree(unit_out)
         enc.write_parquet(unit_out)
         # lineage aggregate over the 3 small metric columns of what was just
         # written — a column-pruned local scan (duckdb), touching only those
