@@ -163,8 +163,8 @@ def test_crashed_group_leaves_no_duplicates(ray_session, token_ds, tmp_path):
     gid = _group_id(list_units(in_dir))
     stale = os.path.join(out_dir, f"group={gid}")
     os.makedirs(stale)
-    pq.write_table(pa.Table.from_pandas(df.iloc[:1]).rename(
-        columns={"doc_id": "stale"}), f"{stale}/leftover.parquet")
+    pq.write_table(pa.Table.from_pandas(df.iloc[:1]),
+                   f"{stale}/leftover.parquet")
 
     encode_corpus(in_dir, out_dir, batch_size=128)
     assert not os.path.exists(f"{stale}/leftover.parquet")
