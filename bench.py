@@ -130,6 +130,15 @@ def main() -> None:
     bys_ratio = (bys["raw_bytes"] / bys["encoded_bytes"]
                  if bys["encoded_bytes"] else 0.0)
 
+    # shuffle-free variant: per-batch local source grouping
+    lg_out = os.path.join(WORK, "encoded_localgroup")
+    shutil.rmtree(lg_out, ignore_errors=True)
+    t0 = time.perf_counter()
+    lg = encode_corpus(in_dir, lg_out, batch_size=8192, by_source="local")
+    timings["encode_localgroup"] = round(time.perf_counter() - t0, 3)
+    lg_ratio = (lg["raw_bytes"] / lg["encoded_bytes"]
+                if lg["encoded_bytes"] else 0.0)
+
     for name, fn in [("coverage_total", Q.coverage_total),
                      ("coverage_add", Q.coverage_add),
                      ("dedup_exact", Q.dedup_exact),
@@ -153,6 +162,7 @@ def main() -> None:
         if dec["seconds"] else 0,
         "compression_ratio": round(enc["compression_ratio"], 3),
         "compression_ratio_bysource": round(bys_ratio, 3),
+        "compression_ratio_localgroup": round(lg_ratio, 3),
     }
     print(json.dumps(out))
     import ray

@@ -73,3 +73,19 @@ def test_actor_pool_variant_matches_task_variant(ray_session, regime_ds):
                       concurrency=(1, 2)).to_pandas()
     assert t["n_tokens"].sum() == a["n_tokens"].sum()
     assert t["encoded_bytes"].sum() == a["encoded_bytes"].sum()
+
+
+def test_local_grouping_matches_sort_compression(ray_session, regime_ds):
+    """Per-batch local source grouping must achieve (nearly) the sorted
+    pipeline's compression without any shuffle."""
+    from tokrle.pipelines.encode import encode_tokens
+
+    srt = encode_tokens(regime_ds, batch_size=256, by_source=True).to_pandas()
+    loc = encode_tokens(regime_ds, batch_size=1024,
+                        by_source="local").to_pandas()
+    assert loc["n_tokens"].sum() == srt["n_tokens"].sum()
+    ratio_sort = srt["raw_bytes"].sum() / srt["encoded_bytes"].sum()
+    ratio_local = loc["raw_bytes"].sum() / loc["encoded_bytes"].sum()
+    assert ratio_local >= 0.9 * ratio_sort
+    # chunks are single-source
+    assert all(len(set(s)) == 1 for s in loc["doc_source"] if len(s))

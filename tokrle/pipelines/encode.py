@@ -42,19 +42,20 @@ def rebalance_by_source(ds, num_blocks: int | None = None):
     return ds
 
 
-_TASK_ENCODER: TokenEncoder | None = None
+_TASK_ENCODERS: dict[bool, TokenEncoder] = {}
 
 
-def _encode_batch(batch):
+def _encode_batch(batch, local_group: bool = False):
     """Stateless-task wrapper: the encoder instance is cached in the worker
     process's module state, so setup still happens once per worker while the
     stage stays a TASK stage — which lets Ray Data fuse read->encode->write
     into single tasks (an actor stage cannot fuse with the read, forcing
     every input byte through the object store)."""
-    global _TASK_ENCODER
-    if _TASK_ENCODER is None:
-        _TASK_ENCODER = TokenEncoder()
-    return _TASK_ENCODER(batch)
+    enc = _TASK_ENCODERS.get(local_group)
+    if enc is None:
+        enc = _TASK_ENCODERS[local_group] = TokenEncoder(
+            local_group=local_group)
+    return enc(batch)
 
 
 def encode_tokens(ds, *, batch_size: int = DEFAULT_BATCH_SIZE,
@@ -66,14 +67,24 @@ def encode_tokens(ds, *, batch_size: int = DEFAULT_BATCH_SIZE,
     switches to an explicit actor pool — the right call when the encoder
     grows genuinely heavy per-actor state (trained FSST tables, shared
     dictionaries); pass ``concurrency=(min, max)`` to size it.
+
+    ``by_source``: ``"sort"``/True = the global sort("source") shuffle
+    (chunks near-perfectly source-pure); ``"local"`` = per-batch source
+    grouping inside the encoder — no shuffle at all, smaller chunks, most
+    of the codec-fit benefit (see BASELINE.md).
     """
-    if by_source:
+    local_group = by_source == "local"
+    if by_source and not local_group:
         ds = rebalance_by_source(ds, num_blocks)
     if not use_actors:
+        import functools
+
         kwargs = {}
         if isinstance(concurrency, int):
             kwargs["concurrency"] = concurrency
-        return ds.map_batches(_encode_batch, batch_size=batch_size,
+        fn = (functools.partial(_encode_batch, local_group=True)
+              if local_group else _encode_batch)
+        return ds.map_batches(fn, batch_size=batch_size,
                               batch_format="pyarrow", **kwargs)
     if concurrency is None or isinstance(concurrency, int):
         import ray
@@ -81,7 +92,8 @@ def encode_tokens(ds, *, batch_size: int = DEFAULT_BATCH_SIZE,
         n = max(1, int(ray.cluster_resources().get("CPU", 8)))
         concurrency = (1, concurrency if isinstance(concurrency, int) else n)
     return ds.map_batches(TokenEncoder, batch_size=batch_size,
-                          batch_format="pyarrow", concurrency=concurrency)
+                          batch_format="pyarrow", concurrency=concurrency,
+                          fn_constructor_kwargs={"local_group": local_group})
 
 
 def decode_tokens(encoded_ds, *, batch_size: int = 4):

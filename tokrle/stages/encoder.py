@@ -51,9 +51,16 @@ def _flat_tokens(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 class TokenEncoder:
-    """Stateful encoder stage (actor pool): profile -> select -> encode."""
+    """Stateful encoder stage (actor pool): profile -> select -> encode.
 
-    def __init__(self) -> None:
+    ``local_group=True`` sorts each batch by source and emits one chunk per
+    (batch, source) — chunk purity for codec fit WITHOUT the global
+    sort("source") shuffle.  Chunks get smaller (batch_tokens / sources in
+    the batch), so use a larger batch_size with it.
+    """
+
+    def __init__(self, local_group: bool = False) -> None:
+        self.local_group = local_group
         # once-per-actor setup: one small dummy encode primes numpy ufunc
         # dispatch and the malloc arena's small size-classes; the first real
         # batch still pays first-touch faults on its large buffers, but that
@@ -63,6 +70,21 @@ class TokenEncoder:
         auto_encode(dummy)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.local_group and len(batch):
+            src = batch.column("source").to_pandas().to_numpy()
+            if len(np.unique(src)) > 1:
+                order = np.argsort(src, kind="stable")
+                batch = batch.take(order)
+                src = src[order]
+                bounds = np.concatenate(
+                    ([0], np.flatnonzero(src[1:] != src[:-1]) + 1,
+                     [len(src)]))
+                parts = [self._encode_one(batch.slice(s, e - s))
+                         for s, e in zip(bounds[:-1], bounds[1:])]
+                return pa.concat_tables(parts)
+        return self._encode_one(batch)
+
+    def _encode_one(self, batch: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
         values, offsets = _flat_tokens(batch)
         codec, payload, prof = auto_encode(values)
