@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     d: dict[str, Callable[[str], Any]] = {
         # flagship encode/decode round-trip, per-source aggregates
         "encode_roundtrip_stats": Q.encode_roundtrip_stats,
+        "encode_roundtrip_stats_localgroup": Q.encode_roundtrip_stats_localgroup,
         # keyed RLE (RleDict-equivalent) pipelines: coverage + run-merge ops
         "coverage_total": Q.coverage_total,
         "coverage_add": Q.coverage_add,
@@ -112,6 +113,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         GROUP BY source ORDER BY source
     """
+
+    sql["encode_roundtrip_stats_localgroup"] = sql["encode_roundtrip_stats"]
 
     for codec in ("plain", "rle", "dict", "bitpack", "for", "fsst"):
         sql[f"codec_roundtrip_{codec}"] = _CODEC_ROUNDTRIP_SQL

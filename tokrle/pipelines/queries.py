@@ -36,7 +36,10 @@ def encode_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
 
     ds = documents_to_tokens(sf_dir)
     dec = decode_tokens(encode_tokens(ds, batch_size=256))
+    return _per_source_token_stats(dec)
 
+
+def _per_source_token_stats(dec) -> pd.DataFrame:
     def per_doc(batch: pa.Table) -> pa.Table:
         from tokrle.stages.encoder import _flat_tokens
 
@@ -65,6 +68,17 @@ def encode_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
     df["n_tokens"] = df["n_tokens"].astype("int64")
     df["sum_tokens"] = df["sum_tokens"].astype("int64")
     return df.sort_values("source").reset_index(drop=True)
+
+
+def encode_roundtrip_stats_localgroup(sf_dir: str) -> pd.DataFrame:
+    """Same as encode_roundtrip_stats but through the shuffle-free local
+    source-grouping path — same SQL oracle (aggregates are order-free)."""
+    from tokrle.pipelines.encode import decode_tokens, encode_tokens
+    from tokrle.sources.tokens import documents_to_tokens
+
+    ds = documents_to_tokens(sf_dir)
+    dec = decode_tokens(encode_tokens(ds, batch_size=256, by_source="local"))
+    return _per_source_token_stats(dec)
 
 
 # ---------------------------------------------------------------------------
