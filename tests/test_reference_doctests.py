@@ -97,3 +97,27 @@ def test_ufunc_doctest():
     # pyrle/rle.py:214-238
     r = Rle([1, 2, 3, 4], [1, 4, 9, 16])
     check(np.sqrt(r), [1, 2, 3, 4], [1.0, 2.0, 3.0, 4.0])
+
+
+def test_rledict_reflected_scalar():
+    # pyrle/rledict.py:320-327: scalar - rd and scalar / rd, per key
+    from tokrle.rledict import RleDict
+
+    rd = RleDict({"chr1": Rle([1, 2], [0.5, 1.0]),
+                  "chr2": Rle([3], [2.0])})
+    sub = 1 - rd
+    check(sub["chr1"], [1, 2], [0.5, 0.0])
+    check(sub["chr2"], [3], [-1.0])
+    div = 1 / rd
+    check(div["chr1"], [1, 2], [2.0, 1.0])
+    check(div["chr2"], [3], [0.5])
+
+
+def test_getlocs_public_api():
+    # pyrle/rle.py:336-340: list of positions -> values at sorted positions
+    r = Rle([3, 2, 4], [1.0, 5.0, 2.0])
+    # logical vector: 1 1 1 5 5 2 2 2 2
+    assert r.getlocs([0, 4, 8]).tolist() == [1.0, 5.0, 2.0]
+    # unsorted input is sorted first (reference semantics)
+    assert r.getlocs([8, 0, 4]).tolist() == [1.0, 5.0, 2.0]
+    assert r[[1, 3]].tolist() == [1.0, 5.0]

@@ -57,10 +57,12 @@ def _word_shingles_hashed(texts: pa.Array, k: int = 3):
     maxlen = int(lengths.max()) if len(lengths) else 1
     pw = np.array([pow(131, p, _MERSENNE) for p in range(maxlen)],
                   dtype=np.uint64)
+    from tokrle.kernels.segments import segment_sums
+
     seg = data[word_offsets[0]:word_offsets[-1]] * pw[within]
-    whash = np.add.reduceat(seg, word_offsets[:-1] - word_offsets[0]) \
-        if len(seg) else np.zeros(len(lengths), np.uint64)
-    whash = np.where(lengths == 0, 0, whash)
+    # cumsum-diff, not reduceat: a trailing empty word (text ending with a
+    # space) makes the last offset == len(seg), which reduceat rejects
+    whash = segment_sums(seg, word_offsets - word_offsets[0])
     # k-word shingle hash: combine k consecutive word hashes
     doc_offsets = np.concatenate(([0], np.cumsum(per_doc)))
     sh_per_doc = np.maximum(per_doc - k + 1, 1)

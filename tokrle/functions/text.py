@@ -26,15 +26,15 @@ def text_stats(batch: pa.Table) -> pa.Table:
     n_chars = pc.utf8_length(text).cast(pa.int64())
     no_space = pc.replace_substring(text, " ", "")
     n_alpha = pc.utf8_length(no_space).cast(pa.int64())
+    from tokrle.kernels.segments import segment_sums
+
     flat = words.combine_chunks().flatten() if isinstance(words, pa.ChunkedArray) \
         else words.flatten()
     is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS))
     per_doc = pc.list_value_length(words).to_numpy(zero_copy_only=False)
-    offsets = np.concatenate(([0], np.cumsum(per_doc)))[:-1]
+    offsets = np.concatenate(([0], np.cumsum(per_doc, dtype=np.int64)))
     stop_np = is_stop.to_numpy(zero_copy_only=False).astype(np.int64)
-    n_stop = (np.add.reduceat(stop_np, np.minimum(offsets, max(len(stop_np) - 1, 0)))
-              if len(stop_np) else np.zeros(len(batch), dtype=np.int64))
-    n_stop = np.where(per_doc == 0, 0, n_stop)
+    n_stop = segment_sums(stop_np, offsets)
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "source": batch.column("source"),
@@ -88,6 +88,8 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     (order-sensitive), vectorized: fp = sum(tokens * 31^pos mod 2^61-1)."""
     from tokrle.stages.encoder import _flat_tokens
 
+    from tokrle.kernels.segments import segment_sums
+
     values, offsets = _flat_tokens(batch)
     MOD = (1 << 61) - 1
     if len(values):
@@ -97,9 +99,7 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             [pow(31, int(p), MOD) for p in range(int(within.max()) + 1)],
             dtype=np.uint64) if len(within) else np.empty(0, np.uint64)
         weighted = (values.astype(np.uint64) % MOD) * pw[within] % MOD
-        sums = np.add.reduceat(weighted,
-                               np.minimum(offsets[:-1], len(values) - 1))
-        sums = np.where(np.diff(offsets) == 0, 0, sums) % MOD
+        sums = segment_sums(weighted, offsets) % MOD
     else:
         sums = np.zeros(len(batch), dtype=np.uint64)
     return pa.table({

@@ -112,6 +112,7 @@ def roundtrip_check(src_ds, decoded_ds) -> dict:
     """
 
     def doc_checksums(batch: pa.Table) -> pa.Table:
+        from tokrle.kernels.segments import segment_sums
         from tokrle.stages.encoder import _flat_tokens
 
         values, offsets = _flat_tokens(batch)
@@ -122,10 +123,7 @@ def roundtrip_check(src_ds, decoded_ds) -> dict:
             within = pos - np.repeat(starts.astype(np.uint64),
                                      np.diff(offsets).astype(np.int64))
             weighted = values.astype(np.uint64) * (within + 1)
-            # reduceat needs in-range indices; empty docs are zeroed after
-            sums = np.add.reduceat(weighted,
-                                   np.minimum(starts, len(values) - 1))
-            sums = np.where(np.diff(offsets) == 0, 0, sums)
+            sums = segment_sums(weighted, offsets)
             # fold per DOC (batching-invariant), sum raw per batch; the
             # global int64 sum may wrap at extreme scale but wraps
             # identically on both sides, so equality evidence holds

@@ -41,15 +41,11 @@ def encode_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
 
 def _per_source_token_stats(dec) -> pd.DataFrame:
     def per_doc(batch: pa.Table) -> pa.Table:
+        from tokrle.kernels.segments import segment_sums
         from tokrle.stages.encoder import _flat_tokens
 
         values, offsets = _flat_tokens(batch)
-        if len(values):
-            sums = np.add.reduceat(values.astype(np.int64),
-                                   np.minimum(offsets[:-1], len(values) - 1))
-            sums = np.where(np.diff(offsets) == 0, 0, sums)
-        else:
-            sums = np.zeros(len(batch), dtype=np.int64)
+        sums = segment_sums(values, offsets, dtype=np.int64)
         return pa.table({
             "source": batch.column("source"),
             "n_tok": batch.column("n_tok").cast(pa.int64()),

@@ -76,6 +76,14 @@ def binop_keyed(ds_a, ds_b, op: str):
             rows = g[g["side"] == s]
             if len(rows) == 0:
                 return None
+            # a keyed RLE table holds exactly one Rle per (key, side);
+            # duplicate rows mean a malformed upstream union — fail loudly
+            # instead of silently using only the first row
+            if len(rows) != 1:
+                raise ValueError(
+                    f"binop_keyed: {len(rows)} rows for key "
+                    f"{g['key'].iloc[0]!r} side {s}; keyed RLE tables must "
+                    "have one row per key")
             return (np.asarray(rows["runs"].iloc[0], dtype=np.int64),
                     np.asarray(rows["values"].iloc[0], dtype=np.float64))
 

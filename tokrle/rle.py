@@ -207,7 +207,17 @@ class Rle:
         return float(np.sqrt(np.sum(self.values - mean) ** 2 / (self.length - 1)))
 
     # -- random access (ref pyrle/rle.py:278-340) ---------------------------
+    def getlocs(self, locs) -> np.ndarray:
+        """Values at the given positions of the logical vector.  Positions
+        are sorted first, exactly like the reference's list dispatch
+        (ref pyrle/rle.py:337-340: ``np.sort`` then ``getlocs``)."""
+        locs = np.sort(np.asarray(locs, dtype=np.int64))
+        return K.rle_getlocs(self.runs, self.values, locs)
+
     def __getitem__(self, key):
+        if isinstance(key, (list, np.ndarray)) and not isinstance(key, str):
+            # list of positions -> values (ref pyrle/rle.py:336-340)
+            return self.getlocs(key)
         if isinstance(key, int):
             return float(K.rle_getlocs(self.runs, self.values, np.array([key]))[0])
         if isinstance(key, slice):

@@ -179,6 +179,18 @@ class RleDict:
     def __truediv__(self, other):
         return self._binary(other, "div")
 
+    def __rsub__(self, other):
+        """scalar - rledict, per key (ref pyrle/rledict.py:320-322)."""
+        if isinstance(other, Number):
+            return RleDict({k: other - v for k, v in self.rles.items()})
+        return NotImplemented
+
+    def __rtruediv__(self, other):
+        """scalar / rledict, per key (ref pyrle/rledict.py:323-327)."""
+        if isinstance(other, Number):
+            return RleDict({k: other / v for k, v in self.rles.items()})
+        return NotImplemented
+
     add = __add__
     sub = __sub__
     mul = __mul__

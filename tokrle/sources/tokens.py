@@ -25,8 +25,12 @@ TOKEN_SQL_EXPR = "ascii(w) * 32 + length(w)"
 def tokenize_batch(batch: pa.Table) -> pa.Table:
     """documents rows -> token-table rows, fully vectorized over Arrow buffers.
 
-    token(word) = ascii(first byte) * 32 + len(word): computed straight off
-    the flattened word array's offsets/data buffers with NumPy — no Python
+    token(word) = codepoint(first char) * 32 + char_len(word): exactly
+    DuckDB's ``ascii(w) * 32 + length(w)`` for ANY UTF-8 input — the first
+    code point is decoded from the UTF-8 lead-byte pattern and the length
+    counts characters (non-continuation bytes), not bytes, so the SQL
+    contract holds on multilingual corpora too.  All straight off the
+    flattened word array's offsets/data buffers with NumPy — no Python
     per-row loop.
     """
     import pyarrow.compute as pc
@@ -39,20 +43,45 @@ def tokenize_batch(batch: pa.Table) -> pa.Table:
     doc_offsets = np.concatenate(([0], np.cumsum(per_doc))).astype(np.int64)
     flat = la.flatten()  # StringArray of all words, doc order preserved
     flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
-    # word lengths + first bytes straight off the string array's buffers
+    # word lengths + first code points straight off the string array's buffers
     o = flat.offset
     word_offsets = np.frombuffer(flat.buffers()[1], dtype=np.int32,
-                                 count=len(flat) + 1 + o)[o:]
+                                 count=len(flat) + 1 + o)[o:].astype(np.int64)
     data = np.frombuffer(flat.buffers()[2], dtype=np.uint8) \
         if flat.buffers()[2] is not None else np.zeros(0, dtype=np.uint8)
-    lengths = np.diff(word_offsets).astype(np.int32)
-    # empty words (e.g. empty text) take first-byte 0 — matches DuckDB's
-    # ascii('') == 0, so token('') == 0 on both sides
-    safe = np.minimum(word_offsets[:-1], max(len(data) - 1, 0))
-    first = (data[safe].astype(np.int32) if len(data)
-             else np.zeros(len(lengths), dtype=np.int32))
-    first = np.where(lengths > 0, first, 0)
-    tokens = first * 32 + lengths
+    byte_lengths = np.diff(word_offsets)
+    # character length = count of non-continuation bytes per word
+    # (one cumsum pass over the text buffer; == byte length for pure ASCII)
+    from tokrle.kernels.segments import segment_sums
+
+    # segment_sums only takes offset differences, so the absolute string
+    # offsets into the shared data buffer are used directly
+    non_cont = ((data & 0xC0) != 0x80).astype(np.int32)
+    lengths = segment_sums(non_cont, word_offsets)
+    # first code point decoded from the UTF-8 lead byte (+ up to 3
+    # continuation bytes, gathered with clamped indices — out-of-range
+    # gathers only happen for invalid UTF-8, which Arrow never produces).
+    # Empty words take 0 — matches DuckDB's ascii('') == 0.
+    nd = len(data)
+    if nd and len(byte_lengths):
+        safe = np.minimum(word_offsets[:-1], nd - 1)
+        b0 = data[safe].astype(np.int32)
+
+        def cont(k: int) -> np.ndarray:
+            return data[np.minimum(safe + k, nd - 1)].astype(np.int32) & 0x3F
+
+        c1, c2, c3 = cont(1), cont(2), cont(3)
+        first = np.where(
+            b0 < 0x80, b0,
+            np.where(b0 < 0xE0, ((b0 & 0x1F) << 6) | c1,
+                     np.where(b0 < 0xF0,
+                              ((b0 & 0x0F) << 12) | (c1 << 6) | c2,
+                              ((b0 & 0x07) << 18) | (c1 << 12)
+                              | (c2 << 6) | c3)))
+        first = np.where(byte_lengths > 0, first, 0)
+    else:
+        first = np.zeros(len(byte_lengths), dtype=np.int32)
+    tokens = (first * 32 + lengths).astype(np.int32)
     tok_list = pa.ListArray.from_arrays(pa.array(doc_offsets, type=pa.int32()),
                                         pa.array(tokens, type=pa.int32()))
     n_tok = np.diff(doc_offsets).astype(np.int32)

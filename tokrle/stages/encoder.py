@@ -131,6 +131,25 @@ class TokenEncoder:
         })
 
 
+def _merge_row_offsets(offset_arrays: list[np.ndarray]) -> np.ndarray:
+    """Rebase per-chunk row-offset arrays (each len n_docs+1, starting at 0)
+    into one int64 offset array over the concatenated flat buffer.
+
+    Handles zero-doc chunks anywhere in the batch (their offset array is
+    just ``[0]``) and keeps a running int64 base so batches whose flat
+    token total exceeds 2^31 do not overflow.
+    """
+    merged = [np.zeros(1, dtype=np.int64)]
+    base = np.int64(0)
+    for off in offset_arrays:
+        off = np.asarray(off, dtype=np.int64)
+        if len(off) > 1:
+            merged.append(off[1:] + base)
+        if len(off):
+            base = base + off[-1]
+    return np.concatenate(merged)
+
+
 def decode_chunks(batch: pa.Table) -> pa.Table:
     """Encoded chunk rows -> token-table rows (stateless inverse stage)."""
     out_doc_ids: list[pa.Array] = []
@@ -156,16 +175,18 @@ def decode_chunks(batch: pa.Table) -> pa.Table:
             "source": pa.array([], type=pa.string()),
         })
     flat = np.concatenate(out_values)
-    base = 0
-    merged = [out_offsets[0]]
-    for off in out_offsets[1:]:
-        base = merged[-1][-1]
-        merged.append(off[1:] + base)
-    offsets_all = np.concatenate(
-        [merged[0]] + [m for m in merged[1:]]).astype(np.int64)
-    tok_list = pa.ListArray.from_arrays(
-        pa.array(offsets_all, type=pa.int32()),
-        pa.array(flat, type=pa.int32()))
+    offsets_all = _merge_row_offsets(out_offsets)
+    if offsets_all[-1] <= np.iinfo(np.int32).max:
+        # normal path: schema-stable list<int32> (matches the input table)
+        tok_list = pa.ListArray.from_arrays(
+            pa.array(offsets_all, type=pa.int32()),
+            pa.array(flat, type=pa.int32()))
+    else:
+        # >2^31 flat tokens in one decode batch: large_list keeps the
+        # offsets 64-bit instead of silently wrapping
+        tok_list = pa.LargeListArray.from_arrays(
+            pa.array(offsets_all, type=pa.int64()),
+            pa.array(flat, type=pa.int32()))
     doc_id = pa.concat_arrays([a.cast(pa.string()) for a in out_doc_ids])
     n_tok = np.diff(offsets_all).astype(np.int32)
     source = pa.concat_arrays([a.cast(pa.string()) for a in out_sources])
