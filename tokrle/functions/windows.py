@@ -13,6 +13,12 @@ import numpy as np
 import pandas as pd
 
 
+def _session_index(ts_us: np.ndarray, gap_seconds: int) -> np.ndarray:
+    """Per-event session index for one user's time-sorted events."""
+    gaps = np.diff(ts_us, prepend=ts_us[0] if len(ts_us) else 0)
+    return np.cumsum(gaps > gap_seconds * 1_000_000)
+
+
 def sessionize(ds, *, gap_seconds: int = 1800, user_col: str = "user_id",
                ts_col: str = "ts"):
     """Assign session ids per user: a new session starts when the gap from
@@ -22,11 +28,10 @@ def sessionize(ds, *, gap_seconds: int = 1800, user_col: str = "user_id",
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col, kind="mergesort").copy()
         ts = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        gaps = np.diff(ts, prepend=ts[0] if len(ts) else 0)
-        new_session = gaps > gap_seconds * 1_000_000
-        k = np.cumsum(new_session)
+        k = _session_index(ts, gap_seconds)
         g["session_idx"] = k
-        g["session_id"] = [f"{u}:{i}" for u, i in zip(g[user_col], k)]
+        g["session_id"] = (g[user_col].astype(str).to_numpy()
+                           + np.char.add(":", k.astype(str)))
         return g
 
     return ds.groupby(user_col).map_groups(per_user, batch_format="pandas")
@@ -34,24 +39,29 @@ def sessionize(ds, *, gap_seconds: int = 1800, user_col: str = "user_id",
 
 def session_stats(ds, *, gap_seconds: int = 1800, user_col: str = "user_id",
                   ts_col: str = "ts"):
-    """Per-session aggregates: n_events, duration_us, sum(value)."""
+    """Per-session aggregates: n_events, duration_us.
+
+    Fully vectorized inside each user group: session boundaries come from
+    the gap mask, counts from boundary differences, and durations from the
+    first/last timestamp per contiguous (time-sorted) session segment —
+    no per-session Python loop.
+    """
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col, kind="mergesort")
         ts = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        gaps = np.diff(ts, prepend=ts[0] if len(ts) else 0)
-        k = np.cumsum(gaps > gap_seconds * 1_000_000)
-        val = g["value"].to_numpy(dtype=np.float64)
-        rows = []
-        for s in np.unique(k):
-            m = k == s
-            rows.append({
-                "user_id": g[user_col].iloc[0],
-                "session_idx": int(s),
-                "n_events": int(m.sum()),
-                "duration_us": int(ts[m].max() - ts[m].min()),
-            })
-        return pd.DataFrame(rows, columns=["user_id", "session_idx",
-                                           "n_events", "duration_us"])
+        if len(ts) == 0:
+            return pd.DataFrame(columns=["user_id", "session_idx",
+                                         "n_events", "duration_us"])
+        k = _session_index(ts, gap_seconds)
+        # sessions are contiguous segments of the sorted array
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(k)) + 1))
+        ends = np.concatenate((starts[1:], [len(ts)]))
+        return pd.DataFrame({
+            "user_id": np.repeat(g[user_col].iloc[0], len(starts)),
+            "session_idx": k[starts].astype(np.int64),
+            "n_events": (ends - starts).astype(np.int64),
+            "duration_us": ts[ends - 1] - ts[starts],
+        })
 
     return ds.groupby(user_col).map_groups(per_user, batch_format="pandas")

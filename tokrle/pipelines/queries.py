@@ -207,6 +207,21 @@ def coverage_ge(sf_dir: str) -> pd.DataFrame:
 # training-data ops
 # ---------------------------------------------------------------------------
 
+def _distinct_count_per_source(ds, value_col: str, alias: str) -> pd.DataFrame:
+    """count(DISTINCT value_col) per source as a TWO-LEVEL groupby:
+    groupby(source, value) dedupes (hash-partitioned, bounded groups), then
+    groupby(source) counts the survivors.  Never holds one whole source's
+    rows in a single group (the skewed-key failure of per-source
+    map_groups + pandas nunique)."""
+    from ray.data.aggregate import Count
+
+    distinct = ds.groupby(["source", value_col]).aggregate(
+        Count(alias_name="_c"))
+    df = distinct.groupby("source").aggregate(Count(alias_name=alias)) \
+        .to_pandas()
+    df[alias] = df[alias].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
 def text_quality(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count, Sum
 
@@ -247,15 +262,8 @@ def unique_token_seqs(sf_dir: str) -> pd.DataFrame:
 
     ds = documents_to_tokens(sf_dir)
     fps = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
-
-    def nunique(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"source": [g["source"].iloc[0]],
-                             "n_unique": [g["fingerprint"].nunique()]})
-
-    df = fps.groupby("source").map_groups(nunique, batch_format="pandas") \
-        .to_pandas()
-    df["n_unique"] = df["n_unique"].astype("int64")
-    return df.sort_values("source").reset_index(drop=True)
+    df = _distinct_count_per_source(fps, "fingerprint", "n_unique")
+    return df
 
 
 def ann_top1(sf_dir: str) -> pd.DataFrame:
@@ -293,11 +301,15 @@ def lang_id(sf_dir: str) -> pd.DataFrame:
     """Predicted language counts (heuristic; rows-only check)."""
     from tokrle.functions.text import LangId
 
+    from ray.data.aggregate import Count
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "lang", "text"])
     pred = ds.map_batches(LangId, batch_size=512, batch_format="pandas",
                           concurrency=(1, 2))
-    df = pred.to_pandas().groupby("pred_lang", as_index=False).size() \
-        .rename(columns={"size": "n_docs"})
+    # distributed count per predicted language: only ~n_langs rows ever
+    # reach the driver (never one row per document)
+    df = pred.groupby("pred_lang").aggregate(Count(alias_name="n_docs")) \
+        .to_pandas()
     df["n_docs"] = df["n_docs"].astype("int64")
     return df.sort_values("pred_lang").reset_index(drop=True)
 
@@ -309,15 +321,7 @@ def simhash_signatures(sf_dir: str) -> pd.DataFrame:
 
     ds = documents_to_tokens(sf_dir)
     sh = ds.map_batches(simhash_batch, batch_format="pyarrow")
-
-    def nunique(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"source": [g["source"].iloc[0]],
-                             "n_unique": [g["simhash"].nunique()]})
-
-    df = sh.groupby("source").map_groups(nunique, batch_format="pandas") \
-        .to_pandas()
-    df["n_unique"] = df["n_unique"].astype("int64")
-    return df.sort_values("source").reset_index(drop=True)
+    return _distinct_count_per_source(sh, "simhash", "n_unique")
 
 
 def ngram_dup_pairs(sf_dir: str) -> pd.DataFrame:
@@ -396,17 +400,24 @@ def regex_token_counts(sf_dir: str) -> pd.DataFrame:
 
 def session_stats_q(sf_dir: str) -> pd.DataFrame:
     """Session-window aggregate over events (30-min gap sessionization)."""
+    from ray.data.aggregate import Count, Max, Sum
+
     from tokrle.functions.windows import session_stats
 
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
-    st = session_stats(ds, gap_seconds=1800).to_pandas()
-    out = pd.DataFrame({
-        "n_sessions": [int(len(st))],
-        "n_events": [int(st["n_events"].sum())],
-        "max_session_events": [int(st["n_events"].max())],
-        "sum_duration_us": [int(st["duration_us"].sum())],
+    st = session_stats(ds, gap_seconds=1800)
+    # distributed reduce over the per-session rows: only the 4-number
+    # summary reaches the driver (billions of sessions at 100 TB)
+    row = st.aggregate(Count(alias_name="n_sessions"),
+                       Sum("n_events", alias_name="n_events"),
+                       Max("n_events", alias_name="max_session_events"),
+                       Sum("duration_us", alias_name="sum_duration_us"))
+    return pd.DataFrame({
+        "n_sessions": [int(row["n_sessions"])],
+        "n_events": [int(row["n_events"])],
+        "max_session_events": [int(row["max_session_events"])],
+        "sum_duration_us": [int(row["sum_duration_us"])],
     })
-    return out
 
 
 def events_tumbling(sf_dir: str) -> pd.DataFrame:
