@@ -12,25 +12,86 @@
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 _MERSENNE = (1 << 61) - 1
+_LOG = logging.getLogger(__name__)
+
+# two independent 16-byte keys -> 2 x 64-bit vectorized content hashes
+# (combined 128 bits: collision probability ~ n^2 / 2^129, negligible at
+# 10^12 docs)
+_HASH_KEY_A = "tokrle.dedup.ha!"
+_HASH_KEY_B = "tokrle.dedup.hb!"
 
 
-def exact_dedup(ds, key: str = "text"):
-    """Keep one row (min doc_id) per distinct ``key`` value.
+def exact_dedup(ds, key: str = "text", id_col: str = "doc_id",
+                keep_cols: tuple[str, ...] = (), *,
+                return_full_rows: bool = False):
+    """Keep one row (min ``id_col``) per distinct ``key`` value.
 
-    groupby(key) hash-partitions rows; the per-group first is O(group).
-    At 100 TB scale, prefer key = a 128-bit content hash computed in a map
-    stage first so the shuffle moves hashes, not documents."""
+    Scale shape: a map stage computes a 128-bit content hash of ``key``
+    (two independent vectorized 64-bit hashes), and the shuffle key is the
+    hash — the exchange moves ``(h1, h2, id, keep_cols)`` rows, never the
+    document payload.  Survivors are ``(id_col, *keep_cols)`` rows; pass
+    ``return_full_rows=True`` to co-group-join the survivors back to the
+    full input rows (a second shuffle on ``id_col`` — only worth it when
+    the payload is actually needed downstream).
+    """
+    carry = [id_col, *keep_cols]
+
+    def hash_stage(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[key].to_numpy(dtype=object)
+        out = df[carry].copy()
+        out["_h1"] = pd.util.hash_array(
+            vals, hash_key=_HASH_KEY_A, categorize=False).view(np.int64)
+        out["_h2"] = pd.util.hash_array(
+            vals, hash_key=_HASH_KEY_B, categorize=False).view(np.int64)
+        return out
+
+    hashed = ds.map_batches(hash_stage, batch_format="pandas")
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="mergesort")
-        return g.iloc[:1]
+        g = g.sort_values(id_col, kind="mergesort")
+        return g.iloc[:1][carry]
 
-    return ds.groupby(key).map_groups(first, batch_format="pandas")
+    winners = hashed.groupby(["_h1", "_h2"]).map_groups(
+        first, batch_format="pandas")
+    if not return_full_rows:
+        return winners
+    return semi_join(ds, winners.select_columns([id_col]), on=id_col)
+
+
+def semi_join(ds, keep_ds, on: str = "doc_id"):
+    """Distributed semi-join: rows of ``ds`` whose ``on`` value appears in
+    ``keep_ds`` — union-tag + groupby co-group, no driver-side id set."""
+    cols = ds.schema().names
+
+    def tag_data(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_keep"] = 0
+        return df
+
+    def tag_keep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({on: df[on]})
+        for c in cols:
+            if c != on:
+                out[c] = None
+        out["_keep"] = 1
+        return out[[*cols, "_keep"]]
+
+    tagged = ds.map_batches(tag_data, batch_format="pandas").union(
+        keep_ds.map_batches(tag_keep, batch_format="pandas"))
+
+    def per_id(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["_keep"] == 1).any():
+            return g[g["_keep"] == 0][cols]
+        return g.iloc[0:0][cols]
+
+    return tagged.groupby(on).map_groups(per_id, batch_format="pandas")
 
 
 def _word_shingles_hashed(texts: pa.Array, k: int = 3):
@@ -94,20 +155,24 @@ class MinHasher:
             if isinstance(batch.column("text"), pa.ChunkedArray)
             else batch.column("text"), self.k)
         n_docs = len(batch)
-        sigs = np.empty((n_docs, self.num_perm), dtype=np.uint64)
-        for d in range(n_docs):
-            h = hashes[offsets[d]:offsets[d + 1]]
-            if len(h) == 0:
-                sigs[d] = 0
-                continue
-            # (a*h + b) mod p for all perms: (n_perm, n_shingles) min
-            vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
-            sigs[d] = vals.min(axis=1)
+        if len(hashes):
+            # (a*h + b) mod p over the FLAT shingle array for all perms at
+            # once, then one minimum.reduceat per-doc fold (every doc has
+            # >= 1 shingle by construction, so reduceat segments are safe).
+            # No per-doc Python loop: two C passes over (num_perm, n_shingles)
+            vals = (self.a[:, None] * hashes[None, :]
+                    + self.b[:, None]) % _MERSENNE
+            sigs = np.minimum.reduceat(vals, offsets[:-1], axis=1).T
+        else:
+            sigs = np.zeros((n_docs, self.num_perm), dtype=np.uint64)
+        flat = np.ascontiguousarray(sigs).reshape(-1).view(np.int64)
+        list_offsets = np.arange(n_docs + 1, dtype=np.int32) * self.num_perm
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "source": batch.column("source"),
-            "signature": pa.array(list(sigs.astype(np.int64)),
-                                  type=pa.list_(pa.int64())),
+            "signature": pa.ListArray.from_arrays(
+                pa.array(list_offsets, type=pa.int32()),
+                pa.array(flat, type=pa.int64())),
         })
 
 
@@ -128,23 +193,29 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
                           batch_format="pyarrow", concurrency=concurrency)
 
     def to_buckets(batch: pa.Table) -> pa.Table:
-        sig = np.array(batch.column("signature").to_pylist(), dtype=np.uint64)
-        n = len(batch)
-        out_doc = []
-        out_bucket = []
-        doc_ids = batch.column("doc_id").to_pylist()
+        sig_col = batch.column("signature")
+        la = sig_col.combine_chunks() if isinstance(
+            sig_col, pa.ChunkedArray) else sig_col
+        flat = la.flatten().to_numpy(zero_copy_only=False)
+        sig = np.ascontiguousarray(flat).view(np.uint64).reshape(
+            len(batch), num_perm)
+        doc_id = batch.column("doc_id")
+        parts = []
         for bidx in range(bands):
             band = sig[:, bidx * rows_per_band:(bidx + 1) * rows_per_band]
-            bh = np.zeros(n, dtype=np.uint64)
-            for c in range(band.shape[1]):
+            bh = np.full(len(batch), np.uint64(0xCBF29CE484222325))
+            for c in range(band.shape[1]):      # rows_per_band (~4) passes
                 bh = bh * np.uint64(1099511628211) + band[:, c]
-            for i in range(n):
-                out_doc.append(doc_ids[i])
-                out_bucket.append(f"{bidx}:{bh[i]:x}")
-        return pa.table({
-            "doc_id": pa.array(out_doc),
-            "bucket": pa.array(out_bucket, type=pa.string()),
-        })
+            # int64 bucket key mixing in the band index (no string keys:
+            # the shuffle moves 8-byte ints, and hash-partitioning is
+            # cheaper than on variable-length strings)
+            bucket = (bh ^ (np.uint64(bidx) *
+                            np.uint64(0x9E3779B97F4A7C15))).view(np.int64)
+            parts.append(pa.table({
+                "doc_id": doc_id,
+                "bucket": pa.array(bucket, type=pa.int64()),
+            }))
+        return pa.concat_tables(parts)
 
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
 
@@ -241,6 +312,11 @@ def ngram_jaccard_pairs(ds, *, shingle_k: int = 3, threshold: float = 0.5,
     blocked = ds.map_batches(shingle_sets, batch_format="pyarrow")
 
     def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_group:
+            # no silent caps: record how many candidates the bound drops
+            _LOG.warning("ngram_jaccard_pairs: block %r truncated "
+                         "%d -> %d docs", g["block"].iloc[0], len(g),
+                         max_group)
         g = g.sort_values("doc_id", kind="mergesort").head(max_group)
         out = []
         sets = [set(s) for s in g["shingles"]]
@@ -264,29 +340,43 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 8,
     """Embedding-cosine near-duplicate pairs via hyperplane-LSH blocking +
     exact within-bucket cosine (vectorized matmul per bucket)."""
 
-    def sig_stage(batch: pa.Table) -> pa.Table:
-        from tokrle.functions.ann import _to_matrix
+    class SigStage:
+        """Stateful signer: hyperplanes sampled once per actor (lazily, on
+        the first batch, since the embedding dim comes from the data) —
+        setup in state, not per batch."""
 
-        m = _to_matrix(batch.column(vec_col))
-        n = len(m)
-        if n:
-            rng = np.random.default_rng(seed)
-            planes = rng.standard_normal((n_planes, m.shape[1]))
-            proj = m @ planes.T > 0
-            sig = np.zeros(n, dtype=np.int64)
-            for b in range(n_planes):
-                sig |= proj[:, b].astype(np.int64) << b
-        else:
-            sig = np.zeros(0, dtype=np.int64)
-        return pa.table({
-            id_col: batch.column(id_col),
-            "bucket": pa.array(sig, type=pa.int64()),
-            vec_col: batch.column(vec_col),
-        })
+        def __init__(self) -> None:
+            self.planes: np.ndarray | None = None
 
-    buckets = ds.map_batches(sig_stage, batch_format="pyarrow")
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from tokrle.functions.ann import _to_matrix
+
+            m = _to_matrix(batch.column(vec_col))
+            n = len(m)
+            if n:
+                if self.planes is None or self.planes.shape[1] != m.shape[1]:
+                    rng = np.random.default_rng(seed)
+                    self.planes = rng.standard_normal((n_planes, m.shape[1]))
+                proj = m @ self.planes.T > 0
+                sig = np.zeros(n, dtype=np.int64)
+                for b in range(n_planes):
+                    sig |= proj[:, b].astype(np.int64) << b
+            else:
+                sig = np.zeros(0, dtype=np.int64)
+            return pa.table({
+                id_col: batch.column(id_col),
+                "bucket": pa.array(sig, type=pa.int64()),
+                vec_col: batch.column(vec_col),
+            })
+
+    buckets = ds.map_batches(SigStage, batch_size=4096,
+                             batch_format="pyarrow", concurrency=(1, 4))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_group:
+            _LOG.warning("embedding_near_dups: bucket %r truncated "
+                         "%d -> %d vectors", g["bucket"].iloc[0], len(g),
+                         max_group)
         g = g.sort_values(id_col, kind="mergesort").head(max_group)
         m = np.stack(g[vec_col].map(np.asarray).to_list()).astype(np.float64)
         norms = np.linalg.norm(m, axis=1, keepdims=True)

@@ -246,7 +246,8 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
     from tokrle.functions.dedup import exact_dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
-    survivors = exact_dedup(ds, key="text")
+    # hash-keyed: the shuffle moves (h1, h2, doc_id, source), never text
+    survivors = exact_dedup(ds, key="text", keep_cols=("source",))
     df = survivors.groupby("source").aggregate(Count(alias_name="n_docs")) \
         .to_pandas()
     df["n_docs"] = df["n_docs"].astype("int64")
