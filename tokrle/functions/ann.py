@@ -117,6 +117,157 @@ def lsh_bucket_index(ds, dim: int, n_planes: int = 16, concurrency=(1, 4)):
                           batch_format="pyarrow", concurrency=concurrency)
 
 
+def lsh_build_index(ds, index_dir: str, *, n_planes: int = 8, seed: int = 7,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    concurrency=(1, 4)) -> None:
+    """Build a persistent bucket-partitioned LSH index: hyperplane matrix at
+    ``index_dir/planes.npy`` (tiny, read by every query) and candidate
+    vectors at ``index_dir/data/bucket=<b>/*.parquet`` — hive-partitioned
+    Parquet, so queries prune at the READ and only probed buckets' bytes
+    ever leave storage (the scale path: the full corpus is never scanned
+    per query set)."""
+    import os
+
+    import ray.data  # noqa: F401  (ds already is a Dataset)
+
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first[vec_col][0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "planes.npy"), planes)
+
+    def sign(batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch.column(vec_col)))
+        sig = _signatures(m, planes)
+        return pa.table({
+            id_col: batch.column(id_col),
+            vec_col: batch.column(vec_col),
+            "bucket": pa.array(sig, type=pa.int64()),
+        })
+
+    ds.map_batches(sign, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "data"), partition_cols=["bucket"])
+
+
+def _signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    if len(m) == 0:
+        return np.zeros(0, dtype=np.int64)
+    proj = m @ planes.T > 0
+    sig = np.zeros(len(m), dtype=np.int64)
+    for b in range(planes.shape[0]):
+        sig |= proj[:, b].astype(np.int64) << b
+    return sig
+
+
+def lsh_probed_buckets(qsig: np.ndarray, n_planes: int,
+                       radius: int = 1) -> set[int]:
+    """Bucket ids within Hamming distance ``radius`` of any query signature
+    (radius 0 = exact bucket; 1 = plus every single-bit flip)."""
+    probed = set(int(s) for s in qsig)
+    if radius >= 1:
+        for s in qsig:
+            for b in range(n_planes):
+                probed.add(int(s) ^ (1 << b))
+    return probed
+
+
+def _partition_paths(data_dir: str, col: str, values) -> list[str]:
+    """Parquet files under the hive partitions for the given key values —
+    the explicit pruned-read path list handed to read_parquet (file paths,
+    since Ray's read_parquet wants files when given a list)."""
+    import glob
+    import os
+
+    paths = []
+    for v in sorted(values):
+        p = os.path.join(data_dir, f"{col}={v}")
+        if os.path.isdir(p):
+            paths.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+    return paths
+
+
+def lsh_query_index(index_dir: str, queries: np.ndarray,
+                    query_ids: np.ndarray, k: int = 10, *, radius: int = 1,
+                    vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Approximate top-k against a :func:`lsh_build_index` index.
+
+    Reads ONLY the probed bucket partitions (query signatures + their
+    Hamming-``radius`` neighbours) — a pruned ``read_parquet`` over the
+    partition directories, never a full-corpus scan.  Queries that find no
+    candidate besides themselves fall back to a full scan for just those
+    queries (rare by construction; keeps exactly-k output rows)."""
+    import os
+
+    import ray.data
+
+    planes = np.load(os.path.join(index_dir, "planes.npy"))
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qsig = _signatures(qn, planes)
+    probed = lsh_probed_buckets(qsig, planes.shape[0], radius)
+    paths = _partition_paths(os.path.join(index_dir, "data"), "bucket",
+                             probed)
+    if not paths:
+        return pd.DataFrame(columns=["q_id", "vec_id", "rank"])
+    cand = ray.data.read_parquet(paths, columns=[id_col, vec_col])
+    out = brute_force_topk(cand, qn, query_ids, k,
+                           vec_col=vec_col, id_col=id_col)
+    missing = [q for q in np.asarray(query_ids)
+               if (out["q_id"] == q).sum() == 0]
+    if missing:
+        full = ray.data.read_parquet(os.path.join(index_dir, "data"),
+                                     columns=[id_col, vec_col])
+        sel = np.isin(np.asarray(query_ids), missing)
+        fb = brute_force_topk(full, qn[sel],
+                              np.asarray(query_ids)[sel], k,
+                              vec_col=vec_col, id_col=id_col)
+        out = pd.concat([out, fb], ignore_index=True)
+    return out.sort_values(["q_id", "rank"]).reset_index(drop=True)
+
+
+def ivf_build_index(ds, index_dir: str, *, n_lists: int = 16,
+                    sample_size: int = 2048, seed: int = 23,
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+    """Build a persistent IVF index: centroids at ``index_dir/centroids.npy``
+    (trained on a bounded driver-side sample) and vectors list-partitioned
+    at ``index_dir/data/list_id=<l>/*.parquet`` so queries read only the
+    ``nprobe`` nearest lists."""
+    import os
+
+    sample_df = ds.limit(sample_size).to_pandas()
+    sample = np.stack(sample_df[vec_col].map(np.asarray).to_list())
+    index = IVFIndex(sample, n_lists=n_lists, seed=seed)
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), index.centroids)
+    assigned = ds.map_batches(index.assign_stage(), batch_format="pyarrow")
+    assigned.write_parquet(os.path.join(index_dir, "data"),
+                           partition_cols=["list_id"])
+
+
+def ivf_query_index(index_dir: str, queries: np.ndarray,
+                    query_ids: np.ndarray, k: int = 10, *, nprobe: int = 4,
+                    vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Approximate top-k against a :func:`ivf_build_index` index: probe the
+    ``nprobe`` centroid-nearest lists per query, pruned-read only those
+    partitions, exact cosine within."""
+    import os
+
+    import ray.data
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+    lists = set(int(v) for v in probe.ravel())
+    paths = _partition_paths(os.path.join(index_dir, "data"), "list_id",
+                             lists)
+    if not paths:
+        return pd.DataFrame(columns=["q_id", "vec_id", "rank"])
+    cand = ray.data.read_parquet(paths, columns=[id_col, vec_col])
+    out = brute_force_topk(cand, qn, query_ids, k,
+                           vec_col=vec_col, id_col=id_col)
+    return out.sort_values(["q_id", "rank"]).reset_index(drop=True)
+
+
 def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
              *, n_planes: int = 8, seed: int = 7, vec_col: str = "embedding",
              id_col: str = "vec_id"):

@@ -349,19 +349,32 @@ def embedding_dups(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def lsh_ann_top1(sf_dir: str) -> pd.DataFrame:
-    """Approximate ANN top-1 via hyperplane-LSH candidate pruning
-    (rows-only: approximate by construction)."""
-    from tokrle.functions.ann import lsh_topk
-
+def _ann_queries(ds, n: int = 5):
     import pyarrow.compute as pc
 
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qdf = ds.map_batches(
-        lambda t: t.filter(pc.less(t.column("vec_id"), 5)),
+        lambda t: t.filter(pc.less(t.column("vec_id"), n)),
         batch_format="pyarrow").to_pandas().sort_values("vec_id")
-    queries = np.stack(qdf["embedding"].map(np.asarray).to_list())
-    out = lsh_topk(ds, queries, qdf["vec_id"].to_numpy(), k=1, n_planes=4)
+    return (np.stack(qdf["embedding"].map(np.asarray).to_list()),
+            qdf["vec_id"].to_numpy())
+
+
+def lsh_ann_top1(sf_dir: str) -> pd.DataFrame:
+    """Approximate ANN top-1 through the PERSISTENT bucket-partitioned LSH
+    index: build (hive-partitioned parquet) + pruned-read query of only the
+    probed bucket partitions (rows-only: approximate by construction)."""
+    import os
+    import shutil
+
+    from tokrle.functions.ann import lsh_build_index, lsh_query_index
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    index_dir = os.path.join("/tmp/tokrle_ann",
+                             sf_dir.strip("/").replace("/", "_"), "lsh4")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    lsh_build_index(ds, index_dir, n_planes=4)
+    queries, qids = _ann_queries(ds)
+    out = lsh_query_index(index_dir, queries, qids, k=1)
     return out[["q_id", "vec_id"]].astype("int64") \
         .sort_values("q_id").reset_index(drop=True)
 
@@ -484,17 +497,20 @@ def token_heavy_hitters(sf_dir: str) -> pd.DataFrame:
 
 
 def ivf_ann_top1(sf_dir: str) -> pd.DataFrame:
-    """IVF (inverted-file) approximate ANN top-1 (rows-only: approximate)."""
-    import pyarrow.compute as pc
+    """IVF approximate ANN top-1 through the PERSISTENT list-partitioned
+    index: bounded-sample centroid training + assignment write, then a
+    pruned read of only the nprobe nearest lists (rows-only: approximate)."""
+    import os
+    import shutil
 
-    from tokrle.functions.ann import ivf_topk
+    from tokrle.functions.ann import ivf_build_index, ivf_query_index
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qdf = ds.map_batches(
-        lambda t: t.filter(pc.less(t.column("vec_id"), 5)),
-        batch_format="pyarrow").to_pandas().sort_values("vec_id")
-    queries = np.stack(qdf["embedding"].map(np.asarray).to_list())
-    out = ivf_topk(ds, queries, qdf["vec_id"].to_numpy(), k=1,
-                   n_lists=8, nprobe=3)
+    index_dir = os.path.join("/tmp/tokrle_ann",
+                             sf_dir.strip("/").replace("/", "_"), "ivf8")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    ivf_build_index(ds, index_dir, n_lists=8)
+    queries, qids = _ann_queries(ds)
+    out = ivf_query_index(index_dir, queries, qids, k=1, nprobe=3)
     return out[["q_id", "vec_id"]].astype("int64") \
         .sort_values("q_id").reset_index(drop=True)
