@@ -67,15 +67,21 @@ def prepare_corpus(sf_dir: str) -> str:
 def bench_encode(in_dir: str, *, num_cpus: int, passes: int = 1) -> dict:
     """Timed read->encode->write run.  ``passes=2`` measures the second,
     steady-state pass (warm workers/arenas) — representative of a
-    long-running streaming job rather than session spin-up."""
+    long-running streaming job rather than session spin-up.
+
+    GRAFT_ENCODE_BY_SOURCE: "" (plain), "local" (per-batch source grouping,
+    no shuffle) or "sort" (global sort shuffle)."""
     from tokrle.pipelines.corpus import encode_corpus
 
+    by_source = os.environ.get("GRAFT_ENCODE_BY_SOURCE", "")
+    batch = 8192 if by_source == "local" else 2048
     out_dir = os.path.join(WORK, f"encoded_{num_cpus}")
     for _ in range(passes):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
-        run = encode_corpus(in_dir, out_dir, batch_size=2048,
-                            concurrency=(1, num_cpus))
+        run = encode_corpus(in_dir, out_dir, batch_size=batch,
+                            concurrency=(1, num_cpus),
+                            by_source=by_source or False)
         dt = time.perf_counter() - t0
     return {
         "seconds": dt,

@@ -25,6 +25,15 @@ def bit_width(max_value: int) -> int:
     return int(max_value).bit_length()
 
 
+# values per processing chunk — a multiple of 8 so every chunk's bit
+# stream is byte-aligned and chunks concatenate exactly.  Keeps the
+# transient bit matrix at ~chunk*sw bytes (~1-4 MB): small enough that the
+# allocator recycles it across calls instead of mmap/munmapping tens of MB
+# per batch (fresh-page faults are the scarce resource when many encoder
+# workers run concurrently).
+_CHUNK = 1 << 16
+
+
 def pack_uints(x: np.ndarray, width: int) -> bytes:
     """Pack non-negative integers into ``width``-bit little-endian codes."""
     n = len(x)
@@ -33,10 +42,17 @@ def pack_uints(x: np.ndarray, width: int) -> bytes:
     if width in _ALIGNED:
         return np.ascontiguousarray(x.astype(_ALIGNED[width])).tobytes()
     sw = next(w for w in (8, 16, 32, 64) if w > width)
-    raw = np.ascontiguousarray(x.astype(_ALIGNED[sw])).view(np.uint8)
-    bits = np.unpackbits(raw, bitorder="little").reshape(n, sw)[:, :width]
-    return np.packbits(np.ascontiguousarray(bits).ravel(),
-                       bitorder="little").tobytes()
+    out = np.empty((n * width + 7) // 8, dtype=np.uint8)
+    pos = 0
+    for s in range(0, n, _CHUNK):
+        seg = x[s:s + _CHUNK]
+        raw = np.ascontiguousarray(seg.astype(_ALIGNED[sw])).view(np.uint8)
+        bits = np.unpackbits(raw, bitorder="little").reshape(len(seg),
+                                                            sw)[:, :width]
+        packed = np.packbits(bits.ravel(), bitorder="little")
+        out[pos:pos + len(packed)] = packed
+        pos += len(packed)
+    return out.tobytes()
 
 
 def unpack_uints(buf: bytes, n: int, width: int) -> np.ndarray:
@@ -48,9 +64,14 @@ def unpack_uints(buf: bytes, n: int, width: int) -> np.ndarray:
                              count=n).astype(np.uint64)
     sw = next(w for w in (8, 16, 32, 64) if w > width)
     raw = np.frombuffer(buf, dtype=np.uint8)
-    bits = np.unpackbits(raw, count=n * width,
-                         bitorder="little").reshape(n, width)
-    full = np.zeros((n, sw), dtype=np.uint8)
-    full[:, :width] = bits
-    return np.packbits(full.ravel(),
-                       bitorder="little").view(_ALIGNED[sw]).astype(np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    full = np.zeros((min(_CHUNK, n), sw), dtype=np.uint8)
+    for s in range(0, n, _CHUNK):
+        c = min(_CHUNK, n - s)
+        bits = np.unpackbits(raw[s * width // 8:((s + c) * width + 7) // 8],
+                             count=c * width,
+                             bitorder="little").reshape(c, width)
+        full[:c, :width] = bits
+        out[s:s + c] = np.packbits(full[:c].ravel(),
+                                   bitorder="little").view(_ALIGNED[sw])
+    return out
