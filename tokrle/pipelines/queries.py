@@ -118,7 +118,8 @@ def codec_roundtrip(sf_dir: str, codec: str) -> pd.DataFrame:
 
 def _event_intervals(sf_dir: str, parity: int | None = None):
     """Deterministic intervals from events: start = user_id % 1000,
-    end = start + 1 + event_id % 97; optional event_id parity filter."""
+    end = start + 1 + event_id % 97; ``side`` = event_id parity (used by
+    the fused one-scan binop pipelines); optional parity filter."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
 
     def mk(batch: pa.Table) -> pa.Table:
@@ -131,6 +132,7 @@ def _event_intervals(sf_dir: str, parity: int | None = None):
             "event_id": batch.column("event_id"),
             "start": pa.array(start, type=pa.int64()),
             "end": pa.array(end, type=pa.int64()),
+            "side": pa.array((eid & 1).astype(np.int64), type=pa.int64()),
         })
         return t
 
@@ -143,6 +145,17 @@ def _event_intervals(sf_dir: str, parity: int | None = None):
                 pc.equal(pc.bit_wise_and(t.column("event_id"), 1), p)),
             batch_format="pyarrow")
     return ds
+
+
+def _coverage_binop(sf_dir: str, op: str) -> pd.DataFrame:
+    """even-parity coverage OP odd-parity coverage, as ONE scan of events
+    and ONE groupby(event_type) shuffle (fused co-group; the two-dataset
+    binop_keyed path would scan and shuffle twice)."""
+    from tokrle.pipelines.rle_table import coverage_binop_by_key
+
+    rle = coverage_binop_by_key(_event_intervals(sf_dir), "event_type",
+                                "start", "end", "side", op)
+    return _agg_to_df(rle)
 
 
 def _agg_to_df(rle_ds) -> pd.DataFrame:
@@ -166,19 +179,11 @@ def coverage_total(sf_dir: str) -> pd.DataFrame:
 
 
 def coverage_add(sf_dir: str) -> pd.DataFrame:
-    from tokrle.pipelines.rle_table import binop_keyed, coverage_by_key
-
-    a = coverage_by_key(_event_intervals(sf_dir, 0), "event_type", "start", "end")
-    b = coverage_by_key(_event_intervals(sf_dir, 1), "event_type", "start", "end")
-    return _agg_to_df(binop_keyed(a, b, "add"))
+    return _coverage_binop(sf_dir, "add")
 
 
 def coverage_mul(sf_dir: str) -> pd.DataFrame:
-    from tokrle.pipelines.rle_table import binop_keyed, coverage_by_key
-
-    a = coverage_by_key(_event_intervals(sf_dir, 0), "event_type", "start", "end")
-    b = coverage_by_key(_event_intervals(sf_dir, 1), "event_type", "start", "end")
-    return _agg_to_df(binop_keyed(a, b, "mul"))
+    return _coverage_binop(sf_dir, "mul")
 
 
 def coverage_slice(sf_dir: str) -> pd.DataFrame:
@@ -194,11 +199,7 @@ def coverage_ge(sf_dir: str) -> pd.DataFrame:
     """Positionwise cov_even >= cov_odd as an RLE comparison (the reference
     implements comparisons as subtract+threshold+defragment); total ==
     number of positions where the comparison holds."""
-    from tokrle.pipelines.rle_table import binop_keyed, coverage_by_key
-
-    a = coverage_by_key(_event_intervals(sf_dir, 0), "event_type", "start", "end")
-    b = coverage_by_key(_event_intervals(sf_dir, 1), "event_type", "start", "end")
-    df = _agg_to_df(binop_keyed(a, b, "ge"))
+    df = _coverage_binop(sf_dir, "ge")
     return df[["event_type", "total", "vec_length"]].rename(
         columns={"total": "n_ge"})
 

@@ -44,6 +44,57 @@ def coverage_by_key(ds, key_col: str, start_col: str, end_col: str,
     return ds.groupby(key_col).map_groups(per_group, batch_format="pandas")
 
 
+def _binop_kernel(op: str):
+    kernels = {"add": K.rle_add, "sub": K.rle_sub,
+               "mul": K.rle_mul, "div": K.rle_div}
+    if op in kernels:
+        return kernels[op]
+    # comparison ops: eq/ne/ge/gt/le/lt (ref pyrle/rle.py:248-466)
+    return lambda r1, v1, r2, v2, _op=op: K.rle_compare(r1, v1, r2, v2, _op)
+
+
+def coverage_binop_by_key(ds, key_col: str, start_col: str, end_col: str,
+                          side_col: str, op: str,
+                          value_col: str | None = None):
+    """Fused one-scan, one-shuffle equivalent of
+    ``binop_keyed(coverage_by_key(a), coverage_by_key(b))`` when both
+    operand interval sets come from the SAME table: rows carry a 0/1
+    ``side_col`` tag, the single groupby(key) shuffle co-locates both
+    sides, and the per-group kernel builds each side's coverage then
+    combines — half the scans and half the exchanges of the two-dataset
+    path.  A side with no intervals becomes a zero-Rle of the other
+    side's length (ref pyrle/methods.py:105-110)."""
+    kernel = _binop_kernel(op)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        def cov(side: int):
+            rows = g[g[side_col] == side]
+            if len(rows) == 0:
+                return None
+            starts = rows[start_col].to_numpy(dtype=np.int64)
+            ends = rows[end_col].to_numpy(dtype=np.int64)
+            weights = (rows[value_col].to_numpy(dtype=np.float64)
+                       if value_col else None)
+            return K.coverage(starts, ends, weights)
+
+        a = cov(0)
+        b = cov(1)
+        if a is None:
+            length = int(np.sum(b[0]))
+            a = (np.array([length], dtype=np.int64), np.zeros(1))
+        if b is None:
+            length = int(np.sum(a[0]))
+            b = (np.array([length], dtype=np.int64), np.zeros(1))
+        runs, values = kernel(a[0], a[1], b[0], b[1])
+        return pd.DataFrame({
+            "key": [str(g[key_col].iloc[0])],
+            "runs": [runs.tolist()],
+            "values": [values.tolist()],
+        })
+
+    return ds.groupby(key_col).map_groups(per_group, batch_format="pandas")
+
+
 def binop_keyed(ds_a, ds_b, op: str):
     """Partition-aligned binary op between two keyed RLE tables.
 
@@ -54,12 +105,7 @@ def binop_keyed(ds_a, ds_b, op: str):
     Implemented as union-tag + groupby(key).map_groups (a co-group): one
     shuffle, no driver-side key bookkeeping.
     """
-    kernels = {"add": K.rle_add, "sub": K.rle_sub,
-               "mul": K.rle_mul, "div": K.rle_div}
-    if op in kernels:
-        kernel = kernels[op]
-    else:  # comparison ops: eq/ne/ge/gt/le/lt (ref pyrle/rle.py:248-466)
-        kernel = lambda r1, v1, r2, v2, _op=op: K.rle_compare(r1, v1, r2, v2, _op)
+    kernel = _binop_kernel(op)
 
     def tag(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:

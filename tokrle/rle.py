@@ -234,6 +234,28 @@ class Rle:
                 "Start": starts, "End": ends, "ID": ids,
                 "Run": runs, "Value": vals,
             })
+        if hasattr(key, "df"):
+            # PyRanges-shaped query (ref pyrle/rle.py:300-335): key columns
+            # from the query frame re-attached; wrapped back into PyRanges
+            # when the package is importable, else the same DataFrame
+            qdf = key.df
+            if qdf.empty:
+                return pd.DataFrame(
+                    columns="Chromosome Start End ID Run Value".split())
+            ids, starts, ends, runs, vals = K.rle_getitems(
+                self.runs, self.values,
+                qdf.Start.to_numpy(dtype=np.int64),
+                qdf.End.to_numpy(dtype=np.int64))
+            df = pd.DataFrame({
+                "Chromosome": qdf.Chromosome.iloc[0],
+                "Start": starts, "End": ends, "ID": ids,
+                "Run": runs, "Value": vals,
+            })
+            if "Strand" in qdf:
+                df.insert(3, "Strand", qdf.Strand.iloc[0])
+            from tokrle.rledict import _maybe_pyranges
+
+            return _maybe_pyranges(df)
         raise IndexError(f"unsupported key type {type(key)}")
 
     # -- io -----------------------------------------------------------------

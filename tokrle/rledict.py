@@ -19,6 +19,18 @@ from tokrle.rle import Rle
 __all__ = ["RleDict"]
 
 
+def _maybe_pyranges(df: pd.DataFrame):
+    """Wrap an interval DataFrame into a PyRanges when the package exists
+    (ref pyrle/rle.py:330-335 returns PyRanges with a DataFrame fallback);
+    plain DataFrame otherwise — same columns either way."""
+    try:
+        import pyranges as pr
+
+        return pr.PyRanges(df)
+    except Exception:
+        return df
+
+
 def _natsorted(keys):
     import re
 
@@ -45,6 +57,11 @@ class RleDict:
         self.rles: dict = {}
         if data is None:
             return
+        if hasattr(data, "df") and not isinstance(data, (dict, pd.DataFrame)):
+            # PyRanges-shaped input (ref pyrle/rledict.py:148-151 accepts
+            # PyRanges): duck-typed on .df so the shim works without the
+            # pyranges package (not in this container)
+            data = data.df
         if isinstance(data, dict):
             self.rles = {k: (v if isinstance(v, Rle) else Rle(*v))
                          for k, v in data.items()}
@@ -81,6 +98,12 @@ class RleDict:
         return iter(self.items())
 
     def __getitem__(self, key):
+        if hasattr(key, "df") and not isinstance(key, (str, tuple,
+                                                       pd.DataFrame)):
+            # PyRanges-shaped query (ref pyrle/rledict.py:256-294); result
+            # is the interval DataFrame (wrapped back into PyRanges by
+            # _maybe_pyranges when the package is available)
+            return _maybe_pyranges(self[key.df])
         if isinstance(key, pd.DataFrame):
             # batched range lookup per key ("range join"), concat with key
             # columns re-attached (ref pyrle/rledict.py:228-302 +
@@ -266,9 +289,11 @@ class RleDict:
         return RleDict(out)
 
     # -- io / decode (ref pyrle/rledict.py:708-758) -------------------------
-    def to_ranges(self) -> pd.DataFrame:
+    def to_ranges(self):
         """Decode to interval rows (Chromosome, Start, End, Score[, Strand]);
-        rows with Score == 0 are dropped (ref pyrle/methods.py:159-213)."""
+        rows with Score == 0 are dropped (ref pyrle/methods.py:159-213).
+        Returns a PyRanges when the package is importable, else the same
+        data as a plain DataFrame (ref pyrle/rledict.py:708-742)."""
         frames = []
         for k in self.keys():
             r = self.rles[k]
@@ -285,9 +310,9 @@ class RleDict:
                 df["Strand"] = k[1]
             frames.append(df)
         if not frames:
-            return pd.DataFrame(
-                columns=["Chromosome", "Start", "End", "Score"])
-        return pd.concat(frames, ignore_index=True)
+            return _maybe_pyranges(pd.DataFrame(
+                columns=["Chromosome", "Start", "End", "Score"]))
+        return _maybe_pyranges(pd.concat(frames, ignore_index=True))
 
     def to_table(self) -> pd.DataFrame:
         """Concat per-key (Runs, Values) frames with key columns prepended
