@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_mul": Q.coverage_mul,
         "coverage_slice": Q.coverage_slice,
         "coverage_ge": Q.coverage_ge,
+        "coverage_shift": Q.coverage_shift,
+        "coverage_points": Q.coverage_points,
         "regex_token_counts": Q.regex_token_counts,
         "session_stats": Q.session_stats_q,
         "events_tumbling": Q.events_tumbling,
@@ -182,6 +184,27 @@ def oracle_sql() -> dict[str, str]:
                cast(greatest(0, least(max(e), 300) - 100) AS bigint)
                     AS vec_length
         FROM ivl GROUP BY event_type ORDER BY event_type
+    """
+
+    sql["coverage_shift"] = f"""
+        WITH ivl AS ({_IVL}),
+        b AS (SELECT event_type, max(e) AS hi FROM ivl GROUP BY event_type)
+        SELECT i.event_type,
+               cast(sum(greatest(0, least(i.e, b.hi - 50) - i.s))
+                    AS bigint) AS total,
+               cast(max(b.hi) AS bigint) AS vec_length
+        FROM ivl i JOIN b USING (event_type)
+        GROUP BY i.event_type ORDER BY i.event_type
+    """
+
+    sql["coverage_points"] = f"""
+        WITH ivl AS ({_IVL}),
+        pts AS (SELECT unnest([100, 200, 300, 400, 500]) AS p)
+        SELECT i.event_type,
+               cast(sum(CASE WHEN pts.p >= i.s AND pts.p < i.e
+                        THEN 1 ELSE 0 END) AS bigint) AS cov_sum
+        FROM ivl i CROSS JOIN pts
+        GROUP BY i.event_type ORDER BY i.event_type
     """
 
     sql["regex_token_counts"] = """

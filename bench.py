@@ -155,6 +155,22 @@ def main() -> None:
         fn(SF_DIR)
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # 8-CPU headline in the same report: this host's page-fault/bandwidth
+    # ceiling sits near 8 concurrent heavy workers (see BASELINE.md), so
+    # the 32-CPU figure under-reports the engine; a fresh 8-CPU session
+    # shows the per-worker-efficient number alongside it
+    enc8 = {}
+    try:
+        env = dict(os.environ, RAY_GRAFT_CPUS="8", GRAFT_SF_DIR=SF_DIR,
+                   GRAFT_PASSES="2")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--encode-only"],
+            env=env, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)), timeout=300)
+        enc8 = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception:
+        pass
+
     out = {
         "metric": "token encode+decode wall time (headline) + query suite",
         "value": round(sum(timings.values()), 3),
@@ -164,6 +180,7 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "n_tokens": enc["n_tokens"],
         "encode_tokens_per_sec": round(enc["tokens_per_sec"]),
+        "encode_tokens_per_sec_8cpu": round(enc8.get("tokens_per_sec", 0)),
         "decode_tokens_per_sec": round(enc["n_tokens"] / dec["seconds"])
         if dec["seconds"] else 0,
         "compression_ratio": round(enc["compression_ratio"], 3),

@@ -195,6 +195,35 @@ def coverage_slice(sf_dir: str) -> pd.DataFrame:
     return df[["event_type", "total", "vec_length"]]
 
 
+def coverage_shift(sf_dir: str) -> pd.DataFrame:
+    """Right-shift each key's coverage by 50 positions (length preserved,
+    zero fill — ref pyrle/rle.py:1000-1095) and aggregate; the SQL oracle
+    recomputes the shifted total as interval overlap with [0, L-50)."""
+    from tokrle.pipelines.rle_table import coverage_by_key, shift_keyed
+
+    rle = coverage_by_key(_event_intervals(sf_dir), "event_type", "start",
+                          "end")
+    df = _agg_to_df(shift_keyed(rle, 50))
+    return df[["event_type", "total", "vec_length"]]
+
+
+def coverage_points(sf_dir: str) -> pd.DataFrame:
+    """Point lookups on each key's coverage vector at fixed positions
+    (the getlocs kernel, ref pyrle/src/getitem.pyx:89-109), summed per key;
+    the SQL oracle counts intervals covering each point."""
+    from tokrle.pipelines.rle_table import coverage_by_key, getlocs_keyed
+
+    locs = [100, 200, 300, 400, 500]
+    rle = coverage_by_key(_event_intervals(sf_dir), "event_type", "start",
+                          "end")
+    pts = getlocs_keyed(rle, locs).to_pandas()
+    out = pd.DataFrame({
+        "event_type": pts["key"],
+        "cov_sum": [int(round(sum(v))) for v in pts["loc_values"]],
+    })
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def coverage_ge(sf_dir: str) -> pd.DataFrame:
     """Positionwise cov_even >= cov_odd as an RLE comparison (the reference
     implements comparisons as subtract+threshold+defragment); total ==

@@ -169,6 +169,48 @@ def slice_keyed(ds, start: int, end: int):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def shift_keyed(ds, dist: int, *, preserve_length: bool = True,
+                fill: float = 0.0):
+    """Per-key logical shift (ref pyrle/rle.py:1000-1095 under
+    RleDict.shift, pyrle/rledict.py:688-689) as a stateless batch map."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out_runs = []
+        out_values = []
+        for r, v in zip(df["runs"], df["values"]):
+            sr, sv = K.rle_shift(np.asarray(r, dtype=np.int64),
+                                 np.asarray(v, dtype=np.float64),
+                                 dist, preserve_length, fill)
+            out_runs.append(sr.tolist())
+            out_values.append(sv.tolist())
+        return pd.DataFrame({"key": df["key"], "runs": out_runs,
+                             "values": out_values})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def getlocs_keyed(ds, locs):
+    """Per-key point lookups (ref pyrle/src/getitem.pyx:89-109 under
+    RleDict getitem): one row per key with the values at ``locs``
+    (positions at/after the vector end read as 0)."""
+    locs = np.sort(np.asarray(locs, dtype=np.int64))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r, v in zip(df["runs"], df["values"]):
+            r = np.asarray(r, dtype=np.int64)
+            v = np.asarray(v, dtype=np.float64)
+            length = int(r.sum())
+            inside = locs[locs < length]
+            vals = np.zeros(len(locs), dtype=np.float64)
+            if len(inside):
+                vals[: len(inside)] = K.rle_getlocs(r, v, inside)
+            out.append(vals.tolist())
+        return pd.DataFrame({"key": df["key"], "loc_values": out})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def aggregate_keyed(ds):
     """Per-key decode-domain aggregates computed ON the compressed form
     (never materializing the dense vector): weighted total
