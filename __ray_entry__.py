@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     for codec in ("plain", "rle", "dict", "bitpack", "for", "fsst"):
         d[f"codec_roundtrip_{codec}"] = partial(Q.codec_roundtrip, codec=codec)
+    d["fsst_text_roundtrip"] = Q.fsst_text_roundtrip
     return d
 
 
@@ -120,6 +121,12 @@ def oracle_sql() -> dict[str, str]:
 
     for codec in ("plain", "rle", "dict", "bitpack", "for", "fsst"):
         sql[f"codec_roundtrip_{codec}"] = _CODEC_ROUNDTRIP_SQL
+
+    sql["fsst_text_roundtrip"] = """
+        SELECT cast(count(*) AS bigint)          AS n_docs,
+               cast(sum(strlen(text)) AS bigint) AS sum_bytes
+        FROM documents
+    """
 
     sql["coverage_total"] = _COV_AGG.format(ivl=_IVL)
     sql["coverage_add"] = _COV_AGG.format(ivl=_IVL)  # a+b == all intervals

@@ -112,6 +112,42 @@ def codec_roundtrip(sf_dir: str, codec: str) -> pd.DataFrame:
     })
 
 
+def fsst_text_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """String-column path for the fsst codec: each batch's UTF-8 text bytes
+    (taken zero-copy from the Arrow string buffer) go through
+    encode('fsst') -> decode, equality-asserted, and the aggregate is
+    checked against a trivial SQL byte-count oracle.  This is the workload
+    the trained multi-byte symbol tables exist for (int32 token chunks
+    never select fsst)."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def enc_dec(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        o = arr.offset
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                             count=len(arr) + 1 + o)[o:]
+        data = (np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+                [offs[0]:offs[-1]] if arr.buffers()[2] is not None
+                else np.zeros(0, dtype=np.uint8))
+        x = np.ascontiguousarray(data).view(np.int8)
+        payload = codec_encode("fsst", x)
+        out = codec_decode("fsst", payload, len(x), np.int8)
+        assert np.array_equal(out, x)
+        return pa.table({
+            "n_docs": pa.array([len(batch)], type=pa.int64()),
+            "sum_bytes": pa.array([int(len(x))], type=pa.int64()),
+            "enc_bytes": pa.array([len(payload)], type=pa.int64()),
+        })
+
+    parts = ds.map_batches(enc_dec, batch_size=4096,
+                           batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "n_docs": [int(parts["n_docs"].sum())],
+        "sum_bytes": [int(parts["sum_bytes"].sum())],
+    })
+
+
 # ---------------------------------------------------------------------------
 # coverage (keyed RLE) pipelines over events-derived intervals
 # ---------------------------------------------------------------------------

@@ -19,7 +19,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from tokrle.codecs._bits import bit_width
-from tokrle.codecs.core import FsstLite, encode
+from tokrle.codecs.core import Fsst, encode
 
 _SAMPLE = 1 << 16
 
@@ -105,7 +105,7 @@ def profile_chunk(x: np.ndarray) -> ChunkProfile:
     ws = words[:: max(1, len(words) // _SAMPLE)]
     if len(ws):
         _, counts = np.unique(ws, return_counts=True)
-        top = np.sort(counts)[::-1][: FsstLite.MAX_SYMBOLS]
+        top = np.sort(counts)[::-1][: Fsst.MAX_SYMBOLS]
         hit_ratio = float(top.sum() / len(ws))
     else:
         hit_ratio = 0.0
@@ -130,7 +130,7 @@ def estimate_sizes(p: ChunkProfile) -> dict[str, float]:
         est["rle"] = 14 + p.n_runs * (run_w + span_w) / 8
     # sampled run stats (high-entropy chunk): rle cannot win, skip it
     nwords = p.raw_bytes // 2
-    est["fsst"] = (10 + 2 * FsstLite.MAX_SYMBOLS + nwords / 8
+    est["fsst"] = (10 + 2 * Fsst.MAX_SYMBOLS + nwords / 8
                    + nwords * (p.fsst_hit_ratio + 2 * (1 - p.fsst_hit_ratio)))
     return est
 
