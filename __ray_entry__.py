@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_token_counts": Q.regex_token_counts,
         "session_stats": Q.session_stats_q,
         "events_tumbling": Q.events_tumbling,
+        "events_sliding": Q.events_sliding,
         "token_heavy_hitters": Q.token_heavy_hitters,
         # training-data ops
         "text_quality": Q.text_quality,
@@ -253,6 +254,21 @@ def oracle_sql() -> dict[str, str]:
                cast(max(event_id) AS bigint) AS max_eid
         FROM events GROUP BY event_type, window_id
         ORDER BY event_type, window_id
+    """
+
+    sql["events_sliding"] = """
+        SELECT event_type,
+               cast(w AS bigint) AS window_id,
+               cast(count(*) AS bigint) AS n_events,
+               cast(min(event_id) AS bigint) AS min_eid,
+               cast(max(event_id) AS bigint) AS max_eid
+        FROM (SELECT event_type, event_id,
+                     unnest(generate_series(
+                         epoch_us(ts) // 900000000 - 3,
+                         epoch_us(ts) // 900000000)) AS w
+              FROM events)
+        GROUP BY event_type, w
+        ORDER BY event_type, w
     """
 
     sql["token_heavy_hitters"] = """

@@ -37,6 +37,32 @@ def sessionize(ds, *, gap_seconds: int = 1800, user_col: str = "user_id",
     return ds.groupby(user_col).map_groups(per_user, batch_format="pandas")
 
 
+def sliding_window_assign(ds, *, window_seconds: int = 3600,
+                          step_seconds: int = 900, ts_col: str = "ts",
+                          keep_cols: tuple[str, ...] = ()):
+    """Assign each event to every sliding window covering it: window ``w``
+    spans [w*step, w*step + window); an event belongs to window/step
+    consecutive windows.  Expansion happens vectorized inside map_batches
+    (np.repeat — no per-row loop, no shuffle); aggregate downstream with a
+    normal groupby."""
+    import pyarrow as pa
+
+    k = window_seconds // step_seconds
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        base = ts // (step_seconds * 1_000_000)
+        win = (np.repeat(base, k)
+               - np.tile(np.arange(k, dtype=np.int64), len(ts)))
+        idx = np.repeat(np.arange(len(ts), dtype=np.int64), k)
+        cols = {c: batch.column(c).take(pa.array(idx)) for c in keep_cols}
+        cols["window_id"] = pa.array(win, type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def session_stats(ds, *, gap_seconds: int = 1800, user_col: str = "user_id",
                   ts_col: str = "ts"):
     """Per-session aggregates: n_events, duration_us.

@@ -527,6 +527,28 @@ def events_tumbling(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["event_type", "window_id"]).reset_index(drop=True)
 
 
+def events_sliding(sf_dir: str) -> pd.DataFrame:
+    """Sliding 1-hour windows at 15-minute step per event_type: each event
+    lands in 4 overlapping windows (vectorized expansion in map_batches,
+    one grouped aggregate)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from tokrle.functions.windows import sliding_window_assign
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+    assigned = sliding_window_assign(ds, window_seconds=3600,
+                                     step_seconds=900,
+                                     keep_cols=("event_type", "event_id"))
+    agg = assigned.groupby(["event_type", "window_id"]) \
+        .aggregate(Count(alias_name="n_events"),
+                   Min("event_id", alias_name="min_eid"),
+                   Max("event_id", alias_name="max_eid"))
+    df = agg.to_pandas()
+    for c in ("window_id", "n_events", "min_eid", "max_eid"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["event_type", "window_id"]).reset_index(drop=True)
+
+
 def token_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     """Top-20 tokens by frequency: per-batch bincount PARTIALS (combiner
     inside map_batches) -> small groupby sum -> top-k.  The pre-aggregation

@@ -158,7 +158,10 @@ def decode_chunks(batch: pa.Table) -> pa.Table:
     out_sources: list[pa.Array] = []
     for i in range(len(batch)):
         codec = batch.column("codec")[i].as_py()
-        payload = batch.column("payload")[i].as_py()
+        # zero-copy view of the payload bytes (as_py() would copy each
+        # multi-MB payload); every codec decode reads via the buffer
+        # protocol (np.frombuffer / struct.unpack_from / slicing)
+        payload = memoryview(batch.column("payload")[i].as_buffer())
         n_tokens = batch.column("n_tokens")[i].as_py()
         values = codec_decode(codec, payload, n_tokens, np.int32)
         offsets = np.asarray(batch.column("row_offsets")[i].as_py(),
