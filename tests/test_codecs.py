@@ -100,3 +100,42 @@ def test_compression_beats_reference_representation():
     ref_bytes = prof.n_runs * 16  # pyrle rle.py:146-147 representation
     assert len(payload) < ref_bytes
     assert len(payload) < prof.raw_bytes / 4
+
+
+def test_fsst_roundtrip_arbitrary_bytes():
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    from tokrle.codecs.core import decode, encode
+
+    @given(st.binary(max_size=3000))
+    def inner(data):
+        x = np.frombuffer(data, dtype=np.uint8).view(np.int8)
+        payload = encode("fsst", x)
+        out = decode("fsst", payload, len(x), np.int8)
+        assert np.array_equal(out, x)
+
+    inner()
+
+
+def test_fsst_multibyte_symbols_beat_two_byte_cap():
+    """Repeated 8-byte-aligned patterns must compress well past the 2x
+    ceiling a 2-byte-only symbol table has on text (the round-1 gap)."""
+    from tokrle.codecs.core import decode, encode
+
+    x = np.frombuffer(b"abcdefgh" * 4096, dtype=np.uint8).view(np.int8)
+    payload = encode("fsst", x)
+    assert len(payload) < len(x) / 4
+    assert np.array_equal(decode("fsst", payload, len(x), np.int8), x)
+
+
+def test_fsst_sampled_training_still_exact():
+    """Past TRAIN_SAMPLE words the table trains on a stride sample; the
+    round-trip must stay bit-identical regardless."""
+    from tokrle.codecs.core import Fsst, decode, encode
+
+    rng = np.random.default_rng(3)
+    n = (4 * Fsst.TRAIN_SAMPLE + 1000) * 4  # > sampling threshold in words
+    x = rng.integers(0, 300, size=n // 4, dtype=np.int64).astype(np.int32)
+    payload = encode("fsst", x)
+    assert np.array_equal(decode("fsst", payload, len(x), np.int32), x)

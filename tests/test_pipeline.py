@@ -174,3 +174,24 @@ def test_crashed_group_leaves_no_duplicates(ray_session, token_ds, tmp_path):
     got = list(iter_decoded(out_dir))
     assert len(got) == len(df)  # no duplicated docs
     assert Manifest(out_dir).completed_units() == {gid}
+
+
+def test_plan_groups_size_aware(tmp_path):
+    from tokrle.pipelines.corpus import plan_groups
+
+    files = []
+    for i, size in enumerate([100, 100, 300, 50, 500, 10]):
+        p = tmp_path / f"f{i}.parquet"
+        p.write_bytes(b"x" * size)
+        files.append(str(p))
+    groups = plan_groups(files, target_bytes=400, max_files=3)
+    # deterministic, consecutive, every file exactly once
+    assert [f for g in groups for f in g] == files
+    assert plan_groups(files, target_bytes=400, max_files=3) == groups
+    import os
+    for g in groups[:-1]:
+        assert len(g) <= 3
+    # no group exceeds target unless it is a single oversized file
+    for g in groups:
+        total = sum(os.path.getsize(f) for f in g)
+        assert total <= 400 or len(g) == 1

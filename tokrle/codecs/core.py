@@ -203,6 +203,10 @@ class Fsst(Codec):
     name = "fsst"
     MAX_SYMBOLS = 254
     _DTYPES = {8: np.uint64, 4: np.uint32, 2: np.uint16}
+    # symbol tables are trained on a strided sample past this many words —
+    # like FSST-proper's sampled training, it caps the O(n log n) unique()
+    # cost on huge chunks while matching still covers every word
+    TRAIN_SAMPLE = 1 << 16
 
     @classmethod
     def _train(cls, words: np.ndarray, width: int):
@@ -210,6 +214,8 @@ class Fsst(Codec):
         than its table cost: count*(width-1) > width  =>  count >= 2."""
         if len(words) == 0:
             return np.empty(0, dtype=cls._DTYPES[width])
+        if len(words) > 4 * cls.TRAIN_SAMPLE:
+            words = words[:: len(words) // cls.TRAIN_SAMPLE]
         uniq, counts = np.unique(words, return_counts=True)
         # deterministic tie-break: (-count, value)
         order = np.lexsort((uniq, -counts))[: cls.MAX_SYMBOLS]

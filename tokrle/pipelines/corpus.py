@@ -23,10 +23,35 @@ from tokrle.pipelines.encode import DEFAULT_BATCH_SIZE, encode_tokens
 from tokrle.state.manifest import Manifest
 
 GROUP_FILES = 32
+# auto-sizing targets: enough bytes per group that pipeline spin-up
+# amortizes, small enough that a crash loses minutes, not hours
+GROUP_TARGET_BYTES = 1 << 30
+GROUP_MAX_FILES = 64
 
 
 def list_units(in_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(in_dir, "*.parquet")))
+
+
+def plan_groups(units: list[str], *, target_bytes: int = GROUP_TARGET_BYTES,
+                max_files: int = GROUP_MAX_FILES) -> list[list[str]]:
+    """Deterministic size-aware grouping: consecutive (sorted) files are
+    grouped until ~target_bytes or max_files — so tiny-file corpora do not
+    pay one pipeline spin-up per handful of MB and huge-file corpora still
+    resume at a fine granularity.  Same files + sizes -> same groups."""
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    size = 0
+    for p in units:
+        s = os.path.getsize(p)
+        if cur and (size + s > target_bytes or len(cur) >= max_files):
+            groups.append(cur)
+            cur, size = [], 0
+        cur.append(p)
+        size += s
+    if cur:
+        groups.append(cur)
+    return groups
 
 
 def _group_id(paths: list[str]) -> str:
@@ -62,10 +87,14 @@ def _encode_file_task(batch: dict, *, batch_size: int) -> "pa.Table":
 def encode_corpus(in_dir: str, out_dir: str, *,
                   batch_size: int = DEFAULT_BATCH_SIZE,
                   concurrency=None, by_source: bool = False,
-                  group_files: int = GROUP_FILES,
+                  group_files: int | None = None,
                   file_tasks: bool = False) -> dict:
     """Encode every token Parquet file under ``in_dir`` into ``out_dir``,
     skipping groups already recorded in the manifest. Returns run metrics.
+
+    ``group_files``: None (default) = size-aware auto grouping
+    (:func:`plan_groups`, ~1 GB or 64 files per resume unit); an int keeps
+    the fixed files-per-group behavior.
 
     ``file_tasks=True`` reads each input file inside its encode task
     (see _encode_file_task) — measured SLOWER here than the Dataset read
@@ -76,8 +105,11 @@ def encode_corpus(in_dir: str, out_dir: str, *,
 
     manifest = Manifest(out_dir)
     units = list_units(in_dir)
-    groups = [units[i:i + group_files]
-              for i in range(0, len(units), group_files)]
+    if group_files is None:
+        groups = plan_groups(units)
+    else:
+        groups = [units[i:i + group_files]
+                  for i in range(0, len(units), group_files)]
     done = manifest.completed_units()
     run = {"units_total": len(groups), "units_skipped": 0,
            "n_tokens": 0, "raw_bytes": 0, "encoded_bytes": 0, "seconds": 0.0}
