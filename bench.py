@@ -95,18 +95,21 @@ def bench_encode(in_dir: str, *, num_cpus: int, passes: int = 1) -> dict:
     }
 
 
-def bench_decode(out_dir: str) -> dict:
+def bench_decode(out_dir: str, passes: int = 2) -> dict:
+    """Timed decode of the encoded corpus; like bench_encode, the reported
+    figure is the steady-state last pass (warm workers)."""
     import ray.data
 
     from tokrle.pipelines.encode import decode_tokens
 
-    t0 = time.perf_counter()
-    enc = ray.data.read_parquet(out_dir)
-    n = 0
-    for b in decode_tokens(enc).iter_batches(batch_format="pyarrow",
-                                             batch_size=4096):
-        n += b.num_rows
-    dt = time.perf_counter() - t0
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        enc = ray.data.read_parquet(out_dir)
+        n = 0
+        for b in decode_tokens(enc).iter_batches(batch_format="pyarrow",
+                                                 batch_size=4096):
+            n += b.num_rows
+        dt = time.perf_counter() - t0
     return {"seconds": dt, "n_docs": n}
 
 

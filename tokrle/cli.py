@@ -41,10 +41,14 @@ def main(argv=None) -> int:
     enc.add_argument("--in-dir", required=True)
     enc.add_argument("--out-dir", required=True)
     enc.add_argument("--batch-size", type=int, default=2048)
-    enc.add_argument("--by-source", action="store_true",
-                     help="sort+repartition by source before encoding")
-    enc.add_argument("--group-files", type=int, default=32,
-                     help="resume-unit size in input files")
+    enc.add_argument("--by-source", nargs="?", const="sort", default=False,
+                     choices=["sort", "local"],
+                     help="co-locate sources before encoding: 'sort' = "
+                          "global range shuffle, 'local' = per-batch "
+                          "grouping (no shuffle)")
+    enc.add_argument("--group-files", type=int, default=None,
+                     help="resume-unit size in input files "
+                          "(default: size-aware auto grouping, ~1GB/unit)")
     enc.add_argument("--num-cpus", type=int, default=None)
 
     dec = sub.add_parser("decode", help="encoded dir -> token parquet dir")
