@@ -174,7 +174,7 @@ def test_lang_id_stateful_stage(ray_session):
                  "el rapido zorro marron salta sobre el perro"],
     })
     out = ray.data.from_pandas(df).map_batches(
-        LangId, batch_format="pandas", concurrency=1).to_pandas()
+        LangId, batch_format="pyarrow", concurrency=1).to_pandas()
     assert out.loc[out["doc_id"] == 1, "pred_lang"].iloc[0] == "en"
     assert out.loc[out["doc_id"] == 2, "pred_lang"].iloc[0] == "es"
 

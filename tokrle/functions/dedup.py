@@ -295,18 +295,33 @@ def ngram_jaccard_pairs(ds, *, shingle_k: int = 3, threshold: float = 0.5,
         text = batch.column("text")
         text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
         hashes, offsets = _word_shingles_hashed(text, shingle_k)
-        doc_ids = batch.column("doc_id").to_pylist()
-        rows_doc, rows_block, rows_sh = [], [], []
-        for d, did in enumerate(doc_ids):
-            h = np.unique(hashes[offsets[d]:offsets[d + 1]])
-            block = f"{len(h) // 8}:{int(h.min() % 64) if len(h) else 0}"
-            rows_doc.append(did)
-            rows_block.append(block)
-            rows_sh.append(h.astype(np.int64).tolist())
+        n = len(batch)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64),
+                            np.diff(offsets))
+        # per-doc unique shingles: one lexsort + adjacent-dedupe pass (the
+        # sort also makes each doc's first entry its min-hash)
+        if len(hashes):
+            order = np.lexsort((hashes, doc_idx))
+            d, h = doc_idx[order], hashes[order]
+            keep = np.ones(len(d), dtype=bool)
+            keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+            d, h = d[keep], h[keep]
+        else:
+            d = np.empty(0, dtype=np.int64)
+            h = hashes
+        per_doc_u = np.bincount(d, minlength=n)
+        u_offs = np.concatenate(([0], np.cumsum(per_doc_u)))
+        minh = np.zeros(n, dtype=np.uint64)
+        nz = per_doc_u > 0
+        minh[nz] = h[u_offs[:-1][nz]]
+        # blocking key: (set-size bucket, min-hash band) as one int64
+        block = (per_doc_u // 8) * 64 + (minh % np.uint64(64)).astype(np.int64)
         return pa.table({
-            "doc_id": pa.array(rows_doc),
-            "block": pa.array(rows_block, type=pa.string()),
-            "shingles": pa.array(rows_sh, type=pa.list_(pa.int64())),
+            "doc_id": batch.column("doc_id"),
+            "block": pa.array(block, type=pa.int64()),
+            "shingles": pa.ListArray.from_arrays(
+                pa.array(u_offs, type=pa.int32()),
+                pa.array(h.view(np.int64), type=pa.int64())),
         })
 
     blocked = ds.map_batches(shingle_sets, batch_format="pyarrow")
@@ -319,12 +334,13 @@ def ngram_jaccard_pairs(ds, *, shingle_k: int = 3, threshold: float = 0.5,
                          max_group)
         g = g.sort_values("doc_id", kind="mergesort").head(max_group)
         out = []
-        sets = [set(s) for s in g["shingles"]]
+        sets = [np.asarray(s, dtype=np.int64) for s in g["shingles"]]
         ids = g["doc_id"].tolist()
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                inter = len(sets[i] & sets[j])
-                union = len(sets[i] | sets[j])
+                inter = len(np.intersect1d(sets[i], sets[j],
+                                           assume_unique=True))
+                union = len(sets[i]) + len(sets[j]) - inter
                 jac = inter / union if union else 0.0
                 if jac >= threshold:
                     out.append((ids[i], ids[j], jac))

@@ -371,7 +371,7 @@ def lang_id(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "lang", "text"])
-    pred = ds.map_batches(LangId, batch_size=512, batch_format="pandas",
+    pred = ds.map_batches(LangId, batch_size=512, batch_format="pyarrow",
                           concurrency=(1, 2))
     # distributed count per predicted language: only ~n_langs rows ever
     # reach the driver (never one row per document)
