@@ -65,33 +65,27 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id",
     return semi_join(ds, winners.select_columns([id_col]), on=id_col)
 
 
-def semi_join(ds, keep_ds, on: str = "doc_id"):
+def _join_partitions(num_partitions: int | None) -> int:
+    """Hash-join partition count: each partition is an aggregator ACTOR
+    holding a CPU, so requesting more partitions than free CPUs deadlocks
+    the streaming executor (measured: 32 partitions at num_cpus=4 hangs).
+    Default: half the cluster CPUs, capped [2, 64]; pass explicitly on
+    real multi-node clusters (~total_cores/2)."""
+    if num_partitions is not None:
+        return num_partitions
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(64, cpus // 2))
+
+
+def semi_join(ds, keep_ds, on: str = "doc_id", *,
+              num_partitions: int | None = None):
     """Distributed semi-join: rows of ``ds`` whose ``on`` value appears in
-    ``keep_ds`` — union-tag + groupby co-group, no driver-side id set."""
-    cols = ds.schema().names
-
-    def tag_data(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_keep"] = 0
-        return df
-
-    def tag_keep(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({on: df[on]})
-        for c in cols:
-            if c != on:
-                out[c] = None
-        out["_keep"] = 1
-        return out[[*cols, "_keep"]]
-
-    tagged = ds.map_batches(tag_data, batch_format="pandas").union(
-        keep_ds.map_batches(tag_keep, batch_format="pandas"))
-
-    def per_id(g: pd.DataFrame) -> pd.DataFrame:
-        if (g["_keep"] == 1).any():
-            return g[g["_keep"] == 0][cols]
-        return g.iloc[0:0][cols]
-
-    return tagged.groupby(on).map_groups(per_id, batch_format="pandas")
+    ``keep_ds`` — Ray Data's native hash-partitioned join (no driver-side
+    id set, no per-group Python calls)."""
+    return ds.join(keep_ds.select_columns([on]), "left_semi",
+                   _join_partitions(num_partitions), on=(on,))
 
 
 def _word_shingles_hashed(texts: pa.Array, k: int = 3):
@@ -228,34 +222,14 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
     return anti_join(ds, losers, on="doc_id")
 
 
-def anti_join(ds, drop_ds, on: str = "doc_id"):
+def anti_join(ds, drop_ds, on: str = "doc_id", *,
+              num_partitions: int | None = None):
     """Distributed anti-join: rows of ``ds`` whose ``on`` value does NOT
-    appear in ``drop_ds`` — union-tag + groupby co-group, no driver-side
-    id set (scales to drop lists larger than driver memory)."""
-    cols = ds.schema().names
-
-    def tag_keep(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_drop"] = 0
-        return df
-
-    def tag_drop(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({on: df[on]})
-        for c in cols:
-            if c != on:
-                out[c] = None
-        out["_drop"] = 1
-        return out[[*cols, "_drop"]]
-
-    tagged = ds.map_batches(tag_keep, batch_format="pandas").union(
-        drop_ds.map_batches(tag_drop, batch_format="pandas"))
-
-    def per_id(g: pd.DataFrame) -> pd.DataFrame:
-        if (g["_drop"] == 1).any():
-            return g.iloc[0:0][cols]
-        return g[cols]
-
-    return tagged.groupby(on).map_groups(per_id, batch_format="pandas")
+    appear in ``drop_ds`` — Ray Data's native hash-partitioned join
+    (scales to drop lists larger than driver memory; duplicate drop keys
+    are fine)."""
+    return ds.join(drop_ds.select_columns([on]), "left_anti",
+                   _join_partitions(num_partitions), on=(on,))
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
