@@ -194,3 +194,44 @@ def test_ivf_topk_recall(ray_session):
     e = {(q, v) for q, v in zip(exact["q_id"], exact["vec_id"])}
     a = {(q, v) for q, v in zip(approx["q_id"], approx["vec_id"])}
     assert len(e & a) / len(e) >= 0.5
+
+
+def test_semi_join_native(ray_session):
+    import ray.data
+
+    from tokrle.functions.dedup import semi_join
+
+    data = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4, 5], "v": list("abcde")}))
+    keep = ray.data.from_pandas(pd.DataFrame({"doc_id": [2, 4, 4, 9]}))
+    out = semi_join(data, keep, on="doc_id").to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [2, 4]
+    assert sorted(out["v"].tolist()) == ["b", "d"]
+
+
+def test_exact_dedup_return_full_rows(ray_session):
+    import ray.data
+
+    from tokrle.functions.dedup import exact_dedup
+
+    df = pd.DataFrame({
+        "doc_id": [3, 1, 2, 4],
+        "source": ["s1", "s1", "s2", "s2"],
+        "text": ["dup", "dup", "uniq", "dup"],
+    })
+    out = exact_dedup(ray.data.from_pandas(df), key="text",
+                      keep_cols=("source",),
+                      return_full_rows=True).to_pandas()
+    # min doc_id per distinct text survives, with full columns
+    assert sorted(out["doc_id"].tolist()) == [1, 2]
+    assert set(out.columns) == {"doc_id", "source", "text"}
+
+
+def test_audio_window_sampler(ray_session):
+    from tokrle.functions.multimodal import AudioFrameSampler, synth_media_table
+
+    out = synth_media_table(8, kind="audio").map_batches(
+        AudioFrameSampler, batch_size=4, batch_format="pyarrow",
+        concurrency=1).to_pandas()
+    assert len(out) == 8 * 4          # n_windows per item
+    assert (out["rms"] >= 0).all()

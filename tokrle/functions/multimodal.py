@@ -91,7 +91,9 @@ class AudioFrameSampler:
         out_id, out_win, out_rms = [], [], []
         for i in range(len(batch)):
             payload = batch.column("media")[i].as_py()
-            pcm = np.frombuffer(payload, dtype=np.int16)
+            # tolerate odd-length payloads (truncated final sample)
+            pcm = np.frombuffer(payload[:len(payload) // 2 * 2],
+                                dtype=np.int16)
             if len(pcm) < self.window:
                 pcm = np.pad(pcm, (0, self.window - len(pcm)))
             starts = np.linspace(0, len(pcm) - self.window,

@@ -461,6 +461,20 @@ def multimodal_image_features(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("item_id").reset_index(drop=True)
 
 
+def multimodal_audio_windows(sf_dir: str) -> pd.DataFrame:
+    """Audio window-sampling plumbing over a deterministic synthetic media
+    table (PCM int16 convention; rows-only check)."""
+    from tokrle.functions.multimodal import AudioFrameSampler, synth_media_table
+
+    media = synth_media_table(64, kind="audio")
+    out = media.map_batches(AudioFrameSampler, batch_size=32,
+                            batch_format="pyarrow",
+                            concurrency=(1, 2)).to_pandas()
+    out["rms_x100"] = (out["rms"] * 100).round().astype("int64")
+    out = out[["item_id", "window", "rms_x100"]]
+    return out.sort_values(["item_id", "window"]).reset_index(drop=True)
+
+
 def regex_token_counts(sf_dir: str) -> pd.DataFrame:
     """BPE-ish regex token counting per source (compiled-regex actor stage)."""
     from ray.data.aggregate import Count, Sum
@@ -568,11 +582,20 @@ def token_heavy_hitters(sf_dir: str) -> pd.DataFrame:
             return pa.table({"token": pa.array([], type=pa.int64()),
                              "cnt": pa.array([], type=pa.int64())})
         vmin = int(values.min())
-        counts = np.bincount((values.astype(np.int64) - vmin))
-        toks = np.flatnonzero(counts)
+        span = int(values.max()) - vmin
+        if span < (1 << 22):
+            # dense domain: O(n + span) bincount
+            counts = np.bincount(values.astype(np.int64) - vmin)
+            toks = np.flatnonzero(counts)
+            toks_out, cnts = toks + vmin, counts[toks]
+        else:
+            # span cap: a sparse / adversarial token domain would make the
+            # bincount allocation span-sized — fall back to sort-based
+            toks_out, cnts = np.unique(values.astype(np.int64),
+                                       return_counts=True)
         return pa.table({
-            "token": pa.array(toks + vmin, type=pa.int64()),
-            "cnt": pa.array(counts[toks], type=pa.int64()),
+            "token": pa.array(toks_out, type=pa.int64()),
+            "cnt": pa.array(cnts, type=pa.int64()),
         })
 
     agg = ds.map_batches(partial_counts, batch_format="pyarrow") \
