@@ -71,18 +71,32 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
                          "vec_id": pa.array(out_v, type=pa.int64()),
                          "sim": pa.array(out_s, type=pa.float64())})
 
-    partial = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
-    rows = []
-    for qid, g in partial.groupby("q_id"):
+    partial = ds.map_batches(per_batch, batch_format="pyarrow")
+    return _topk_reduce(partial, k, exclude_self=exclude_self)
+
+
+def _topk_reduce(partial_ds, k: int, *, exclude_self: bool = True
+                 ) -> pd.DataFrame:
+    """Distributed final top-k: per-batch candidate partials are grouped by
+    query id and reduced INSIDE the cluster (one small group per query),
+    so the driver only ever receives n_queries * k result rows — never the
+    num_batches * k partial set (unbounded at corpus scale)."""
+
+    def reduce_q(g: pd.DataFrame) -> pd.DataFrame:
+        qid = g["q_id"].iloc[0]
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
                           kind="mergesort")
         if exclude_self:
             g = g[g["vec_id"] != qid]
         g = g.head(k).copy()
         g["rank"] = np.arange(1, len(g) + 1)
-        rows.append(g[["q_id", "vec_id", "rank"]])
-    return (pd.concat(rows, ignore_index=True) if rows
-            else pd.DataFrame(columns=["q_id", "vec_id", "rank"]))
+        return g[["q_id", "vec_id", "rank"]]
+
+    out = partial_ds.groupby("q_id").map_groups(
+        reduce_q, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=["q_id", "vec_id", "rank"])
+    return out.reset_index(drop=True)
 
 
 class HyperplaneLSH:
@@ -312,16 +326,8 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                          "vec_id": pa.array(out_v, type=pa.int64()),
                          "sim": pa.array(out_s, type=pa.float64())})
 
-    partial = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
-    rows = []
-    for qid, g in partial.groupby("q_id"):
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
-                          kind="mergesort")
-        g = g[g["vec_id"] != qid].head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1)
-        rows.append(g[["q_id", "vec_id", "rank"]])
-    return (pd.concat(rows, ignore_index=True) if rows
-            else pd.DataFrame(columns=["q_id", "vec_id", "rank"]))
+    partial = ds.map_batches(per_batch, batch_format="pyarrow")
+    return _topk_reduce(partial, k)
 
 
 class IVFIndex:
@@ -403,14 +409,5 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                          "vec_id": pa.array(out_v, type=pa.int64()),
                          "sim": pa.array(out_s, type=pa.float64())})
 
-    partial = assigned.map_batches(per_batch, batch_format="pyarrow") \
-        .to_pandas()
-    rows = []
-    for qid, g in partial.groupby("q_id"):
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
-                          kind="mergesort")
-        g = g[g["vec_id"] != qid].head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1)
-        rows.append(g[["q_id", "vec_id", "rank"]])
-    return (pd.concat(rows, ignore_index=True) if rows
-            else pd.DataFrame(columns=["q_id", "vec_id", "rank"]))
+    partial = assigned.map_batches(per_batch, batch_format="pyarrow")
+    return _topk_reduce(partial, k)
