@@ -35,6 +35,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship encode/decode round-trip, per-source aggregates
         "encode_roundtrip_stats": Q.encode_roundtrip_stats,
         "encode_roundtrip_stats_localgroup": Q.encode_roundtrip_stats_localgroup,
+        "encoded_pruned_source_stats": Q.encoded_pruned_source_stats,
+        "recompress_roundtrip_stats": Q.recompress_roundtrip_stats,
         # keyed RLE (RleDict-equivalent) pipelines: coverage + run-merge ops
         "coverage_total": Q.coverage_total,
         "coverage_add": Q.coverage_add,
@@ -120,6 +122,16 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["encode_roundtrip_stats_localgroup"] = sql["encode_roundtrip_stats"]
+
+    sql["recompress_roundtrip_stats"] = sql["encode_roundtrip_stats"]
+
+    sql["encoded_pruned_source_stats"] = """
+        SELECT cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
+               cast(count(*) AS bigint)               AS n_tokens,
+               cast(sum(ascii(w) * 32 + length(w)) AS bigint) AS sum_tokens
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE source = 'src0')
+    """
 
     for codec in ("plain", "rle", "dict", "bitpack", "for", "fsst"):
         sql[f"codec_roundtrip_{codec}"] = _CODEC_ROUNDTRIP_SQL

@@ -195,3 +195,30 @@ def test_plan_groups_size_aware(tmp_path):
     for g in groups:
         total = sum(os.path.getsize(f) for f in g)
         assert total <= 400 or len(g) == 1
+
+
+def test_recompress_roundtrip_and_resume(ray_session, tmp_path):
+    import ray.data
+
+    from tokrle.pipelines.corpus import encode_corpus, recompress
+    from tokrle.pipelines.encode import decode_tokens, roundtrip_check
+    from tokrle.sources.tokens import synth_tokens
+
+    src = str(tmp_path / "tokens")
+    synth_tokens(2000).repartition(4).write_parquet(src)
+    enc1 = str(tmp_path / "enc1")
+    encode_corpus(src, enc1, batch_size=512)
+    # recompress with local source grouping (codec-fit migration)
+    enc2 = str(tmp_path / "enc2")
+    run = recompress(enc1, enc2, batch_size=1024, by_source="local")
+    assert run["units_skipped"] == 0 and run["n_tokens"] > 0
+    # decoded output identical to the original token stream
+    chk = roundtrip_check(
+        ray.data.read_parquet(src),
+        decode_tokens(ray.data.read_parquet(enc2, columns=[
+            "codec", "payload", "n_tokens", "row_offsets", "doc_id",
+            "doc_source"])))
+    assert chk["source"] == chk["decoded"]
+    # second run resumes: everything skipped
+    run2 = recompress(enc1, enc2, batch_size=1024, by_source="local")
+    assert run2["units_skipped"] == run["units_total"]

@@ -51,6 +51,15 @@ def main(argv=None) -> int:
                           "(default: size-aware auto grouping, ~1GB/unit)")
     enc.add_argument("--num-cpus", type=int, default=None)
 
+    rec = sub.add_parser("recompress",
+                         help="encoded dir -> re-encoded dir (migration)")
+    rec.add_argument("--in-dir", required=True)
+    rec.add_argument("--out-dir", required=True)
+    rec.add_argument("--batch-size", type=int, default=2048)
+    rec.add_argument("--by-source", nargs="?", const="sort", default=False,
+                     choices=["sort", "local"])
+    rec.add_argument("--num-cpus", type=int, default=None)
+
     dec = sub.add_parser("decode", help="encoded dir -> token parquet dir")
     dec.add_argument("--in-dir", required=True)
     dec.add_argument("--out-dir", required=True)
@@ -73,6 +82,13 @@ def main(argv=None) -> int:
                                 batch_size=args.batch_size,
                                 by_source=args.by_source,
                                 group_files=args.group_files)
+            print(json.dumps(run))
+        elif args.cmd == "recompress":
+            from tokrle.pipelines.corpus import recompress
+
+            run = recompress(args.in_dir, args.out_dir,
+                             batch_size=args.batch_size,
+                             by_source=args.by_source)
             print(json.dumps(run))
         elif args.cmd == "decode":
             import ray.data

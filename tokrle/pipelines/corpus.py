@@ -84,6 +84,66 @@ def _encode_file_task(batch: dict, *, batch_size: int) -> "pa.Table":
                   "source": pa.array([], type=pa.string())}))
 
 
+def recompress(in_encoded: str, out_dir: str, *,
+               batch_size: int = DEFAULT_BATCH_SIZE,
+               by_source: bool = False, concurrency=None) -> dict:
+    """Re-encode an already-encoded corpus (codec migration / compaction /
+    re-chunking): streaming decode -> encode per resume group — the decoded
+    token stream never materializes, and a killed run resumes at group
+    granularity exactly like :func:`encode_corpus`.
+
+    Typical uses: switch the skew strategy (``by_source``), change the
+    chunk size after data drift, or pick up codec improvements on old data.
+    """
+    import ray.data
+
+    from tokrle.pipelines.encode import decode_tokens, encode_tokens
+
+    manifest = Manifest(out_dir)
+    units = [p for p in glob.glob(os.path.join(in_encoded, "**",
+                                               "*.parquet"), recursive=True)
+             if "_manifest" not in p]
+    groups = plan_groups(sorted(units))
+    done = manifest.completed_units()
+    run = {"units_total": len(groups), "units_skipped": 0,
+           "n_tokens": 0, "raw_bytes": 0, "encoded_bytes": 0, "seconds": 0.0}
+    for grp in groups:
+        gid = _group_id(grp)
+        if gid in done:
+            run["units_skipped"] += 1
+            continue
+        t0 = time.perf_counter()
+        enc_in = ray.data.read_parquet(grp,
+                                       override_num_blocks=len(grp))
+        tokens = decode_tokens(enc_in)
+        enc_out = encode_tokens(tokens, batch_size=batch_size,
+                                concurrency=concurrency,
+                                by_source=by_source)
+        unit_out = os.path.join(out_dir, f"group={gid}")
+        if os.path.isdir(unit_out):
+            import shutil
+
+            shutil.rmtree(unit_out)
+        enc_out.write_parquet(unit_out)
+        agg = ray.data.read_parquet(
+            unit_out, columns=["n_tokens", "raw_bytes", "encoded_bytes"]
+        ).sum(["n_tokens", "raw_bytes", "encoded_bytes"])
+        dt = time.perf_counter() - t0
+        metrics = {
+            "n_files": len(grp),
+            "first_file": grp[0],
+            "n_tokens": int(agg["sum(n_tokens)"] or 0),
+            "raw_bytes": int(agg["sum(raw_bytes)"] or 0),
+            "encoded_bytes": int(agg["sum(encoded_bytes)"] or 0),
+            "seconds": dt,
+        }
+        manifest.mark_done(gid, metrics)
+        for k in ("n_tokens", "raw_bytes", "encoded_bytes"):
+            run[k] += metrics[k]
+        run["seconds"] += dt
+    return run
+
+
 def encode_corpus(in_dir: str, out_dir: str, *,
                   batch_size: int = DEFAULT_BATCH_SIZE,
                   concurrency=None, by_source: bool = False,

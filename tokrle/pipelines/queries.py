@@ -112,6 +112,87 @@ def codec_roundtrip(sf_dir: str, codec: str) -> pd.DataFrame:
     })
 
 
+def recompress_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
+    """encode -> RECOMPRESS (codec/chunking migration) -> decode -> per
+    source aggregates; the oracle recomputes from the raw text, so the
+    whole two-generation encode chain must preserve every row."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from tokrle.pipelines.corpus import encode_corpus, recompress
+    from tokrle.pipelines.encode import decode_tokens
+    from tokrle.sources.tokens import documents_to_tokens
+
+    base = os.path.join("/tmp/tokrle_q",
+                        sf_dir.strip("/").replace("/", "_"))
+    tok_dir = os.path.join(base, "tokens")
+    enc1 = os.path.join(base, "recomp_enc1")
+    enc2 = os.path.join(base, "recomp_enc2")
+    for d in (tok_dir, enc1, enc2):
+        shutil.rmtree(d, ignore_errors=True)
+    documents_to_tokens(sf_dir).write_parquet(tok_dir)
+    encode_corpus(tok_dir, enc1, batch_size=256)
+    recompress(enc1, enc2, batch_size=512, by_source="local")
+    dec = decode_tokens(ray.data.read_parquet(
+        enc2, columns=["codec", "payload", "n_tokens", "row_offsets",
+                       "doc_id", "doc_source"]))
+    return _per_source_token_stats(dec)
+
+
+def encoded_pruned_source_stats(sf_dir: str) -> pd.DataFrame:
+    """Predicate pushdown on the ENCODED table: encode with local source
+    grouping (chunks are source-pure, so the chunk-level ``source`` column
+    is an exact partition key), then answer a one-source question by
+    pruned-reading only that source's chunk rows — the filter is pushed to
+    the Parquet scan, other sources' payload bytes never leave storage."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from tokrle.pipelines.encode import decode_tokens, encode_tokens
+    from tokrle.sources.tokens import documents_to_tokens
+
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"), "enc_lg")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = documents_to_tokens(sf_dir)
+    encode_tokens(ds, batch_size=256, by_source="local") \
+        .write_parquet(enc_dir)
+
+    enc = ray.data.read_parquet(enc_dir,
+                                filter=pc.field("source") == "src0")
+    dec = decode_tokens(enc)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        from tokrle.kernels.segments import segment_sums
+        from tokrle.stages.encoder import _flat_tokens
+
+        assert pc.all(pc.equal(batch.column("source"), "src0")).as_py() \
+            or len(batch) == 0, "pruned read leaked another source"
+        values, offsets = _flat_tokens(batch)
+        sums = segment_sums(values, offsets, dtype=np.int64)
+        return pa.table({
+            "n_tok": batch.column("n_tok").cast(pa.int64()),
+            "tok_sum": pa.array(sums, type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Count, Sum
+
+    row = dec.map_batches(per_doc, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tok", alias_name="n_tokens"),
+        Sum("tok_sum", alias_name="sum_tokens"))
+    return pd.DataFrame({
+        "n_docs": [int(row["n_docs"])],
+        "n_tokens": [int(row["n_tokens"])],
+        "sum_tokens": [int(row["sum_tokens"])],
+    })
+
+
 def fsst_text_roundtrip(sf_dir: str) -> pd.DataFrame:
     """String-column path for the fsst codec: each batch's UTF-8 text bytes
     (taken zero-copy from the Arrow string buffer) go through
