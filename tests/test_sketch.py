@@ -1,0 +1,60 @@
+"""HyperLogLog sketch operator: estimation accuracy vs exact distinct
+counts, merge associativity, and the distributed per-key pipeline."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tokrle.functions.sketch import hll_estimate, hll_partial
+
+
+@pytest.mark.parametrize("n", [10, 1000, 50_000])
+def test_hll_accuracy(n):
+    rng = np.random.default_rng(5)
+    values = rng.integers(0, 1 << 40, size=3 * n, dtype=np.int64)
+    values = np.unique(values)[:n]          # exactly n distinct
+    data = np.repeat(values, 3)             # duplicates must not matter
+    est = hll_estimate(hll_partial(data, p=12))
+    # standard error for p=12 is ~1.04/sqrt(4096) = 1.6%; allow 5%
+    assert abs(est - n) / n < 0.05
+
+
+def test_hll_merge_equals_single_pass():
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 1 << 50, size=20_000, dtype=np.int64)
+    b = rng.integers(0, 1 << 50, size=20_000, dtype=np.int64)
+    merged = np.maximum(hll_partial(a), hll_partial(b))
+    single = hll_partial(np.concatenate([a, b]))
+    assert np.array_equal(merged, single)
+
+
+def test_hll_empty():
+    regs = hll_partial(np.empty(0, dtype=np.int64))
+    assert hll_estimate(regs) == 0.0
+
+
+def test_hll_distinct_by_key_pipeline(ray_session):
+    import ray.data
+
+    from tokrle.functions.sketch import hll_distinct_by_key
+
+    rng = np.random.default_rng(7)
+    rows = []
+    truth = {}
+    for key, n_distinct in [("a", 500), ("b", 3000)]:
+        vals = np.unique(rng.integers(0, (1 << 31) - 1, size=4 * n_distinct,
+                                      dtype=np.int64))[:n_distinct]
+        truth[key] = n_distinct
+        toks = np.repeat(vals, 2)
+        rng.shuffle(toks)
+        for chunk in np.array_split(toks, 20):
+            rows.append({"doc_id": f"{key}{len(rows)}",
+                         "tokens": chunk.astype(np.int32).tolist(),
+                         "n_tok": len(chunk), "source": key})
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    out = hll_distinct_by_key(ds, "source")
+    for _, r in out.iterrows():
+        exact = truth[r["source"]]
+        assert abs(r["approx_unique"] - exact) / exact < 0.06

@@ -622,6 +622,19 @@ def events_tumbling(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["event_type", "window_id"]).reset_index(drop=True)
 
 
+def hll_unique_tokens(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct tokens per source via a distributed HyperLogLog
+    aggregate (rows-only: approximate by construction; accuracy ~1.6%
+    standard error at p=12 is pytest-verified against exact counts).  The
+    shuffle moves 4 KB register rows, never token values — the sketch shape
+    for COUNT(DISTINCT) at 100 TB."""
+    from tokrle.functions.sketch import hll_distinct_by_key
+    from tokrle.sources.tokens import documents_to_tokens
+
+    ds = documents_to_tokens(sf_dir)
+    return hll_distinct_by_key(ds, "source")
+
+
 def events_sliding(sf_dir: str) -> pd.DataFrame:
     """Sliding 1-hour windows at 15-minute step per event_type: each event
     lands in 4 overlapping windows (vectorized expansion in map_batches,
