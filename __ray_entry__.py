@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": Q.events_tumbling,
         "events_sliding": Q.events_sliding,
         "token_heavy_hitters": Q.token_heavy_hitters,
+        "doc_length_quantiles": Q.doc_length_quantiles,
         # training-data ops
         "text_quality": Q.text_quality,
         "dedup_exact": Q.dedup_exact,
@@ -291,6 +292,15 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT unnest(string_split(text, ' ')) AS w
                     FROM documents))
         GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
+    """
+
+    sql["doc_length_quantiles"] = """
+        SELECT source,
+               cast(quantile_disc(len(string_split(text, ' ')), 0.5)
+                    AS bigint) AS q50,
+               cast(quantile_disc(len(string_split(text, ' ')), 0.9)
+                    AS bigint) AS q90
+        FROM documents GROUP BY source ORDER BY source
     """
 
     sql["text_quality"] = """

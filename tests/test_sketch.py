@@ -58,3 +58,23 @@ def test_hll_distinct_by_key_pipeline(ray_session):
     for _, r in out.iterrows():
         exact = truth[r["source"]]
         assert abs(r["approx_unique"] - exact) / exact < 0.06
+
+
+def test_histogram_quantiles_match_numpy(ray_session):
+    import ray.data
+
+    from tokrle.functions.quantiles import histogram_quantiles_by_key
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for key in ("x", "y"):
+        for v in rng.integers(1, 400, size=5000):
+            rows.append({"k": key, "v": int(v)})
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df)
+    out = histogram_quantiles_by_key(ds, "k", "v", qs=(0.5, 0.9))
+    for _, r in out.iterrows():
+        vals = np.sort(df.loc[df["k"] == r["k"], "v"].to_numpy())
+        n = len(vals)
+        assert r["q50"] == vals[int(np.ceil(0.5 * n)) - 1]
+        assert r["q90"] == vals[int(np.ceil(0.9 * n)) - 1]

@@ -622,6 +622,20 @@ def events_tumbling(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["event_type", "window_id"]).reset_index(drop=True)
 
 
+def doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-source p50/p90 of document token counts via distributed
+    histogram partials (the shuffle moves (source, length, count) rows,
+    never documents); matches DuckDB's quantile_disc definition."""
+    from tokrle.functions.quantiles import histogram_quantiles_by_key
+    from tokrle.sources.tokens import documents_to_tokens
+
+    ds = documents_to_tokens(sf_dir)
+    out = histogram_quantiles_by_key(ds, "source", "n_tok", qs=(0.5, 0.9))
+    out["q50"] = out["q50"].astype("int64")
+    out["q90"] = out["q90"].astype("int64")
+    return out
+
+
 def hll_unique_tokens(sf_dir: str) -> pd.DataFrame:
     """Approximate distinct tokens per source via a distributed HyperLogLog
     aggregate (rows-only: approximate by construction; accuracy ~1.6%
