@@ -24,8 +24,10 @@ from tokrle.state.manifest import Manifest
 
 GROUP_FILES = 32
 # auto-sizing targets: enough bytes per group that pipeline spin-up
-# amortizes, small enough that a crash loses minutes, not hours
-GROUP_TARGET_BYTES = 1 << 30
+# amortizes, small enough that a crash loses minutes, not hours.  The
+# target counts ON-DISK (compressed parquet) bytes — ~256 MB on disk is
+# roughly 1 GB of raw token data at typical parquet ratios
+GROUP_TARGET_BYTES = 256 << 20
 GROUP_MAX_FILES = 64
 
 
