@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     for codec in ("plain", "rle", "dict", "bitpack", "for", "fsst"):
         d[f"codec_roundtrip_{codec}"] = partial(Q.codec_roundtrip, codec=codec)
     d["fsst_text_roundtrip"] = Q.fsst_text_roundtrip
+    d["columnar_encode_lineitem"] = Q.columnar_encode_lineitem
     return d
 
 
@@ -126,6 +127,14 @@ def oracle_sql() -> dict[str, str]:
     sql["encode_roundtrip_stats_localgroup"] = sql["encode_roundtrip_stats"]
 
     sql["recompress_roundtrip_stats"] = sql["encode_roundtrip_stats"]
+
+    sql["columnar_encode_lineitem"] = """
+        SELECT cast(count(*) AS bigint)        AS n,
+               cast(sum(l_orderkey) AS bigint) AS sum_l_orderkey,
+               cast(sum(l_partkey) AS bigint)  AS sum_l_partkey,
+               cast(sum(l_suppkey) AS bigint)  AS sum_l_suppkey
+        FROM lineitem
+    """
 
     sql["encoded_pruned_source_stats"] = """
         SELECT cast(count(DISTINCT doc_id) AS bigint) AS n_docs,

@@ -130,3 +130,34 @@ def test_binop_keyed_duplicate_key_rows_fail_loudly(ray_session):
         {"key": ["k", "k"], "runs": [[4], [2]], "values": [[1.0], [2.0]]}))
     with pytest.raises(Exception, match="one row per key"):
         binop_keyed(good, dup, "add").to_pandas()
+
+
+def test_tokenize_sliced_batch_matches_full():
+    # Arrow array offsets (non-zero .offset after Table.slice) must not
+    # shift the buffer math in tokenize_batch
+    from tokrle.sources.tokens import tokenize_batch
+
+    texts = ["héllo wörld", "a b c", "", "日本語 x", "tail words here"]
+    batch = pa.table({
+        "doc_id": pa.array([str(i) for i in range(len(texts))]),
+        "text": pa.array(texts),
+        "source": pa.array(["s"] * len(texts)),
+    })
+    full = tokenize_batch(batch).to_pandas()
+    sliced = tokenize_batch(batch.slice(1, 3)).to_pandas()
+    want = full.iloc[1:4].reset_index(drop=True)
+    assert sliced["tokens"].map(list).tolist() == \
+        want["tokens"].map(list).tolist()
+
+
+def test_codec_decode_accepts_memoryview():
+    # decode_chunks hands codecs a zero-copy memoryview; every codec must
+    # read through the buffer protocol
+    from tokrle.codecs.core import CODECS, decode, encode
+
+    rng = np.random.default_rng(11)
+    x = (rng.zipf(1.3, 20000) % 32000).astype(np.int32)
+    for name in CODECS:
+        payload = encode(name, x)
+        out = decode(name, memoryview(payload), len(x), np.int32)
+        assert np.array_equal(out, x), name

@@ -229,6 +229,36 @@ def fsst_text_roundtrip(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def columnar_encode_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Per-column auto-selected encode of a general table (not the token
+    table): three lineitem int columns round-trip through the codec layer
+    and the aggregates must match SQL over the untouched columns."""
+    from ray.data.aggregate import Sum
+
+    from tokrle.pipelines.table_encode import (decode_table_columns,
+                                               encode_table_columns)
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    ds = _read(sf_dir, "lineitem", columns=cols)
+    enc = encode_table_columns(ds, cols, batch_size=65536)
+    dec = decode_table_columns(enc, cols)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        out = {"n": pa.array([len(batch)], type=pa.int64())}
+        for c in cols:
+            x = batch.column(c).to_numpy(zero_copy_only=False)
+            out[f"sum_{c}"] = pa.array([int(x.sum())], type=pa.int64())
+        return pa.table(out)
+
+    agg = dec.map_batches(per_batch, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"),
+        *[Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in cols])
+    return pd.DataFrame({
+        "n": [int(agg["n"])],
+        **{f"sum_{c}": [int(agg[f"sum_{c}"])] for c in cols},
+    })
+
+
 # ---------------------------------------------------------------------------
 # coverage (keyed RLE) pipelines over events-derived intervals
 # ---------------------------------------------------------------------------
