@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_top1": Q.ivf_ann_top1,              # rows-only (approximate)
         "multimodal_image_features": Q.multimodal_image_features,  # rows-only
         "multimodal_audio_windows": Q.multimodal_audio_windows,    # rows-only
+        "multimodal_video_frames": Q.multimodal_video_frames,      # rows-only
         "hll_unique_tokens": Q.hll_unique_tokens,  # rows-only (approximate)
     }
     for codec in ("plain", "rle", "dict", "bitpack", "for", "fsst"):

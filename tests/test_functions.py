@@ -235,3 +235,17 @@ def test_audio_window_sampler(ray_session):
         concurrency=1).to_pandas()
     assert len(out) == 8 * 4          # n_windows per item
     assert (out["rms"] >= 0).all()
+
+
+def test_video_frame_sampler(ray_session):
+    from tokrle.functions.multimodal import (VideoFrameSampler,
+                                             synth_media_table)
+
+    out = synth_media_table(6, kind="video").map_batches(
+        VideoFrameSampler, batch_size=4, batch_format="pyarrow",
+        concurrency=1).to_pandas()
+    assert len(out) == 6 * 4
+    assert set(out["frame"]) == {0, 1, 2, 3}
+    # frames differ (the rotation stand-in produces distinct content)
+    g = out.groupby("item_id")["mean_intensity"].nunique()
+    assert (g > 1).all()

@@ -110,6 +110,53 @@ class AudioFrameSampler:
         })
 
 
+def fake_decode_video_frame(payload: bytes, frame_idx: int, width: int,
+                            height: int) -> np.ndarray:
+    """DETERMINISTIC STAND-IN for video frame extraction (no ffmpeg in
+    this container): frame k is the payload tiled with a k-byte rotation —
+    replace with a real seek+decode via the ``frame_decoder=`` hook."""
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    if len(raw) == 0:
+        return np.zeros((height, width, 3), dtype=np.uint8)
+    raw = np.roll(raw, -frame_idx)
+    need = width * height * 3
+    reps = int(np.ceil(need / len(raw)))
+    return np.tile(raw, reps)[:need].reshape(height, width, 3)
+
+
+class VideoFrameSampler:
+    """Actor stage: sample ``n_frames`` evenly-spaced frames from a video
+    byte payload and emit per-frame channel-mean features.  Setup (frame
+    plan, decoder choice) once per actor; payloads stay binary columns and
+    batches stay SMALL (video payloads are the largest media class)."""
+
+    def __init__(self, n_frames: int = 4, out_size: int = 16,
+                 frame_decoder=fake_decode_video_frame) -> None:
+        self.n_frames = n_frames
+        self.out_size = out_size
+        self.frame_decoder = frame_decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_frame, out_mean = [], [], []
+        for i in range(len(batch)):
+            payload = batch.column("media")[i].as_py()
+            w = batch.column("width")[i].as_py()
+            h = batch.column("height")[i].as_py()
+            for f in range(self.n_frames):
+                img = self.frame_decoder(payload, f, w, h)
+                sy = max(1, img.shape[0] // self.out_size)
+                sx = max(1, img.shape[1] // self.out_size)
+                small = img[::sy, ::sx][:self.out_size, :self.out_size]
+                out_id.append(batch.column("item_id")[i].as_py())
+                out_frame.append(f)
+                out_mean.append(float(small.mean()))
+        return pa.table({
+            "item_id": pa.array(out_id, type=pa.string()),
+            "frame": pa.array(out_frame, type=pa.int32()),
+            "mean_intensity": pa.array(out_mean, type=pa.float64()),
+        })
+
+
 def synth_media_table(n: int, *, kind: str = "image", seed: int = 11):
     """Deterministic fake media table for plumbing tests/benches."""
     import ray.data

@@ -586,6 +586,21 @@ def multimodal_audio_windows(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["item_id", "window"]).reset_index(drop=True)
 
 
+def multimodal_video_frames(sf_dir: str) -> pd.DataFrame:
+    """Video frame-sampling plumbing over a deterministic synthetic media
+    table (frame decode is a deterministic stand-in — no ffmpeg in the
+    container; rows-only check)."""
+    from tokrle.functions.multimodal import VideoFrameSampler, synth_media_table
+
+    media = synth_media_table(32, kind="video")
+    out = media.map_batches(VideoFrameSampler, batch_size=16,
+                            batch_format="pyarrow",
+                            concurrency=(1, 2)).to_pandas()
+    out["mean_x100"] = (out["mean_intensity"] * 100).round().astype("int64")
+    out = out[["item_id", "frame", "mean_x100"]]
+    return out.sort_values(["item_id", "frame"]).reset_index(drop=True)
+
+
 def regex_token_counts(sf_dir: str) -> pd.DataFrame:
     """BPE-ish regex token counting per source (compiled-regex actor stage)."""
     from ray.data.aggregate import Count, Sum
