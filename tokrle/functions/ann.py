@@ -131,6 +131,33 @@ def lsh_bucket_index(ds, dim: int, n_planes: int = 16, concurrency=(1, 4)):
                           batch_format="pyarrow", concurrency=concurrency)
 
 
+def hash_sample(ds, id_col: str, n: int):
+    """Deterministic ~n-row sample spread across ALL blocks: keep rows
+    whose mixed id hash falls under n/count (a streaming filter, no
+    shuffle), then cap at n.  Unlike ``ds.limit(n)`` — which takes the
+    FIRST blocks and biases any training done on the sample — the hash
+    spreads the sample uniformly over the dataset."""
+    total = ds.count()
+    if total <= n:
+        return ds.to_pandas()
+    # threshold on a 64-bit hash: keep ~1.5x n, cap at n after collect
+    frac = min(1.0, 1.5 * n / total)
+    thresh = np.uint64(int(frac * (1 << 63)) * 2)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = (ids + np.uint64(0x9E3779B97F4A7C15))
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+        mask = h < thresh
+        return batch.filter(pa.array(mask))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values(id_col, kind="mergesort").head(n)
+
+
 def lsh_build_index(ds, index_dir: str, *, n_planes: int = 8, seed: int = 7,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     concurrency=(1, 4)) -> None:
@@ -248,7 +275,7 @@ def ivf_build_index(ds, index_dir: str, *, n_lists: int = 16,
     ``nprobe`` nearest lists."""
     import os
 
-    sample_df = ds.limit(sample_size).to_pandas()
+    sample_df = hash_sample(ds, id_col, sample_size)
     sample = np.stack(sample_df[vec_col].map(np.asarray).to_list())
     index = IVFIndex(sample, n_lists=n_lists, seed=seed)
     os.makedirs(index_dir, exist_ok=True)
@@ -381,7 +408,7 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     import pandas as pd
     import ray
 
-    sample_df = ds.limit(sample_size).to_pandas()
+    sample_df = hash_sample(ds, "vec_id", sample_size)
     sample = np.stack(sample_df["embedding"].map(np.asarray).to_list())
     index = IVFIndex(sample, n_lists=n_lists, seed=seed)
     qn = _normalize(np.asarray(queries, dtype=np.float64))
