@@ -63,11 +63,13 @@ def _group_id(paths: list[str]) -> str:
     return h.hexdigest()
 
 
-def _encode_file_task(batch: dict, *, batch_size: int) -> "pa.Table":
+def _encode_file_task(batch: dict, *, batch_size: int,
+                      local_group: bool = False) -> "pa.Table":
     """One task = one input file: read the parquet locally inside the task,
-    encode it chunk by chunk, emit the encoded rows.  The input bytes never
-    enter the object store (only the ~4x-smaller encoded output does) —
-    the object store / page-fault path is the scarce resource at scale."""
+    encode it chunk by chunk, emit the encoded rows.  The raw token bytes
+    never enter the object store (and with the fused Write, neither does
+    anything else: read -> encode -> write happens inside one task) — the
+    object store / page-fault path is the scarce resource at scale."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -78,7 +80,8 @@ def _encode_file_task(batch: dict, *, batch_size: int) -> "pa.Table":
         table = pq.read_table(path, columns=["doc_id", "tokens", "n_tok",
                                              "source"])
         for start in range(0, len(table), batch_size):
-            out.append(_encode_batch(table.slice(start, batch_size)))
+            out.append(_encode_batch(table.slice(start, batch_size),
+                                     local_group=local_group))
     return pa.concat_tables(out) if out else _encode_batch(
         pa.table({"doc_id": pa.array([], type=pa.string()),
                   "tokens": pa.array([], type=pa.list_(pa.int32())),
@@ -150,7 +153,7 @@ def encode_corpus(in_dir: str, out_dir: str, *,
                   batch_size: int = DEFAULT_BATCH_SIZE,
                   concurrency=None, by_source: bool = False,
                   group_files: int | None = None,
-                  file_tasks: bool = False) -> dict:
+                  file_tasks: bool | None = None) -> dict:
     """Encode every token Parquet file under ``in_dir`` into ``out_dir``,
     skipping groups already recorded in the manifest. Returns run metrics.
 
@@ -158,13 +161,18 @@ def encode_corpus(in_dir: str, out_dir: str, *,
     (:func:`plan_groups`, ~1 GB or 64 files per resume unit); an int keeps
     the fixed files-per-group behavior.
 
-    ``file_tasks=True`` reads each input file inside its encode task
-    (see _encode_file_task) — measured SLOWER here than the Dataset read
-    (Ray's parallel read + pipelining beats in-task serial reads ~2x), so
-    the Dataset path is the default; the option remains for storage layers
-    where object-store traffic is the binding constraint."""
+    ``file_tasks``: read each input file inside its encode task
+    (see _encode_file_task), so read -> encode -> write fuses into single
+    tasks and NO raw token bytes cross the object store.  Default (None):
+    on for the shuffle-free paths (plain / by_source="local"), off for
+    the sort shuffle (which needs the Dataset exchange anyway).  Measured
+    faster at every parallelism level since the chunked bit-packing change
+    removed the other fault source; round-1's opposite measurement
+    predated that fix."""
     import ray.data
 
+    if file_tasks is None:
+        file_tasks = by_source in (False, "", "local")
     manifest = Manifest(out_dir)
     units = list_units(in_dir)
     if group_files is None:
@@ -181,14 +189,15 @@ def encode_corpus(in_dir: str, out_dir: str, *,
             run["units_skipped"] += 1
             continue
         t0 = time.perf_counter()
-        if file_tasks and not by_source:
+        if file_tasks and by_source in (False, "", "local"):
             import functools
 
             paths = ray.data.from_items(
                 [{"path": p} for p in grp],
                 override_num_blocks=len(grp))
             enc = paths.map_batches(
-                functools.partial(_encode_file_task, batch_size=batch_size),
+                functools.partial(_encode_file_task, batch_size=batch_size,
+                                  local_group=by_source == "local"),
                 batch_size=1, batch_format="numpy")
         else:
             # one block per input file: avoids the SplitBlocks stage, so
