@@ -1,5 +1,5 @@
-"""Lightweight per-chunk compression codecs: dict, RLE, FSST-lite, bit-pack,
-frame-of-reference, plain.
+"""Lightweight per-chunk compression codecs: dict, RLE, FSST (hierarchical
+trained symbols), bit-pack, frame-of-reference, plain.
 
 Each codec maps a 1-D integer NumPy array to an opaque ``bytes`` payload and
 back, bit-identical (the round-trip gate generalizes the reference's
@@ -34,11 +34,33 @@ def _span_to_unsigned(x: np.ndarray, ref: int) -> np.ndarray:
 class Codec:
     name: str
 
-    def encode(self, x: np.ndarray) -> bytes:
+    def encode(self, x: np.ndarray, vmin: int | None = None,
+               vmax: int | None = None) -> bytes:
+        """``vmin``/``vmax`` let the selector's profile pass its already
+        computed bounds so codecs skip redundant reduction passes — at
+        tens of M tokens/s per core the extra full-array scans are real
+        memory traffic."""
         raise NotImplementedError
 
     def decode(self, payload: bytes, n: int, dtype: np.dtype) -> np.ndarray:
         raise NotImplementedError
+
+
+def _bounds(x: np.ndarray, vmin, vmax) -> tuple[int, int]:
+    if vmin is None:
+        vmin = int(x.min())
+    if vmax is None:
+        vmax = int(x.max())
+    return int(vmin), int(vmax)
+
+
+def _deltas_narrow(x: np.ndarray, ref: int, span: int) -> np.ndarray:
+    """(x - ref) with the NARROWEST safe temp: int32 inputs with an int32
+    span subtract in-place width (4 B/elem temps) instead of the generic
+    int64->uint64 path (16 B/elem)."""
+    if x.dtype == np.int32 and 0 <= span < (1 << 31):
+        return (x - np.int32(ref)).view(np.uint32)
+    return _span_to_unsigned(x, ref)
 
 
 class Plain(Codec):
@@ -46,7 +68,7 @@ class Plain(Codec):
 
     name = "plain"
 
-    def encode(self, x):
+    def encode(self, x, vmin=None, vmax=None):
         return x.tobytes()
 
     def decode(self, payload, n, dtype):
@@ -62,11 +84,12 @@ class BitPack(Codec):
 
     name = "bitpack"
 
-    def encode(self, x):
-        if len(x) and int(x.min()) < 0:
+    def encode(self, x, vmin=None, vmax=None):
+        vmin, vmax = _bounds(x, vmin, vmax) if len(x) else (0, 0)
+        if len(x) and vmin < 0:
             raise ValueError("bitpack requires non-negative values")
-        w = bit_width(int(x.max())) if len(x) else 0
-        return struct.pack("<B", w) + pack_uints(x.astype(np.uint64), w)
+        w = bit_width(vmax) if len(x) else 0
+        return struct.pack("<B", w) + pack_uints(x, w)
 
     def decode(self, payload, n, dtype):
         (w,) = struct.unpack_from("<B", payload, 0)
@@ -78,12 +101,13 @@ class FrameOfReference(Codec):
 
     name = "for"
 
-    def encode(self, x):
+    def encode(self, x, vmin=None, vmax=None):
         if len(x) == 0:
             return struct.pack("<qB", 0, 0)
-        ref = int(x.min())
-        deltas = _span_to_unsigned(x, ref)
-        w = bit_width(int(deltas.max()))
+        ref, vmax = _bounds(x, vmin, vmax)
+        span = vmax - ref
+        deltas = _deltas_narrow(x, ref, span)
+        w = bit_width(span)
         return struct.pack("<qB", ref, w) + pack_uints(deltas, w)
 
     def decode(self, payload, n, dtype):
@@ -101,16 +125,16 @@ class Dictionary(Codec):
 
     name = "dict"
 
-    def encode(self, x):
+    def encode(self, x, vmin=None, vmax=None):
         if len(x) == 0:
             return struct.pack("<IBqB", 0, 0, 0, 0) + struct.pack("<I", 0)
-        vmin = int(x.min())
-        vmax = int(x.max())
+        vmin, vmax = _bounds(x, vmin, vmax)
         span = vmax - vmin
         if 0 <= span < (1 << 20) and span < 8 * len(x):
             # O(n + span) unique+codes via a presence table instead of the
-            # O(n log n) sort inside np.unique
-            shifted = (x.astype(np.int64) - vmin)
+            # O(n log n) sort inside np.unique; int32-width temps when the
+            # input allows (half the transient traffic of the int64 path)
+            shifted = _deltas_narrow(x, vmin, span)
             present = np.zeros(span + 1, dtype=bool)
             present[shifted] = True
             uniq_idx = np.flatnonzero(present)
@@ -128,7 +152,7 @@ class Dictionary(Codec):
         dict_bytes = pack_uints(dict_deltas, dict_w)
         header = struct.pack("<IBqB", k, code_w, ref, dict_w)
         return header + struct.pack("<I", len(dict_bytes)) + dict_bytes + \
-            pack_uints(inv.astype(np.uint64), code_w)
+            pack_uints(inv, code_w)
 
     def decode(self, payload, n, dtype):
         k, code_w, ref, dict_w = struct.unpack_from("<IBqB", payload, 0)
@@ -149,7 +173,7 @@ class RunLength(Codec):
 
     name = "rle"
 
-    def encode(self, x):
+    def encode(self, x, vmin=None, vmax=None):
         if len(x) == 0:
             return struct.pack("<IBqB", 0, 0, 0, 0)
         boundary = np.empty(len(x), dtype=bool)
@@ -232,7 +256,7 @@ class Fsst(Codec):
         hit = table[idx_c] == words
         return hit, idx_c[hit].astype(np.uint8)
 
-    def encode(self, x):
+    def encode(self, x, vmin=None, vmax=None):
         raw = np.frombuffer(x.tobytes(), dtype=np.uint8)
         nbytes = len(raw)
         if nbytes % 8:
@@ -314,8 +338,9 @@ CODECS: dict[str, Codec] = {
 }
 
 
-def encode(codec: str, x: np.ndarray) -> bytes:
-    return CODECS[codec].encode(np.ascontiguousarray(x))
+def encode(codec: str, x: np.ndarray, vmin: int | None = None,
+           vmax: int | None = None) -> bytes:
+    return CODECS[codec].encode(np.ascontiguousarray(x), vmin, vmax)
 
 
 def decode(codec: str, payload: bytes, n: int, dtype) -> np.ndarray:

@@ -141,10 +141,13 @@ def select_codec(p: ChunkProfile) -> str:
 
 
 def auto_encode(x: np.ndarray) -> tuple[str, bytes, ChunkProfile]:
-    """Profile -> select -> encode; returns (codec, payload, profile)."""
+    """Profile -> select -> encode; returns (codec, payload, profile).
+
+    The profile's bounds are passed into the codec so it skips its own
+    min/max reduction passes (two fewer full-array scans per chunk)."""
     p = profile_chunk(x)
     codec = select_codec(p)
-    payload = encode(codec, x)
+    payload = encode(codec, x, p.vmin, p.vmax)
     # the analytic estimate can rarely lose to plain on adversarial input;
     # never ship a payload larger than raw
     if len(payload) >= p.raw_bytes and codec != "plain":
