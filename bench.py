@@ -223,6 +223,38 @@ def _burn(n: int) -> int:
     return s
 
 
+def _mem_burn(nbytes: int) -> float:
+    """Fault-heavy memory streaming: allocate-and-touch a fresh buffer —
+    the resource class lightweight compression actually consumes."""
+    import numpy as np
+
+    a = np.ones(nbytes // 8, dtype=np.float64)
+    return float(a[:: 4096].sum())
+
+
+def _mem_control(levels, nbytes: int = 256 << 20, reps: int = 2) -> dict:
+    """Memory-streaming scaling control: per-process fresh-page touch
+    throughput at both parallelism levels.  On this host the AGGREGATE
+    fault/bandwidth ceiling has multi-hour phases; when it binds, this
+    control collapses exactly like any memory-bound engine does, while
+    the pure-ALU control stays near 1.0 — printing both separates 'the
+    engine stopped scaling' from 'the host's memory system did'."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    out = {}
+    for w in levels:
+        tasks = w * reps
+        t0 = time.perf_counter()
+        with ProcessPoolExecutor(w) as ex:
+            list(ex.map(_mem_burn, [nbytes] * tasks))
+        out[w] = tasks * nbytes / (time.perf_counter() - t0)
+    lo, hi = levels
+    return {"mem_control_efficiency":
+            round((out[hi] / out[lo]) / (hi / lo), 3),
+            f"mem_gbps_{lo}": round(out[lo] / 1e9, 2),
+            f"mem_gbps_{hi}": round(out[hi] / 1e9, 2)}
+
+
 def _cpu_control(levels, n: int = 20_000_000, reps: int = 4) -> dict:
     """Pure-ALU scaling control: shows what the host itself can scale,
     isolating engine efficiency from host memory-bandwidth throttling."""
@@ -310,6 +342,7 @@ def scaling() -> None:
     t_lo = best_lo["tokens_per_sec"]
     t_hi = best_hi["tokens_per_sec"]
     ctl = _cpu_control(levels)
+    ctl.update(_mem_control(levels))
     print(json.dumps({
         "metric": f"encode throughput scaling (num_cpus {lo} vs {hi}, "
                   "fresh sessions, best warm pass, quiet-window gated)",
