@@ -232,7 +232,7 @@ def _mem_burn(nbytes: int) -> float:
     return float(a[:: 4096].sum())
 
 
-def _mem_control(levels, nbytes: int = 256 << 20, reps: int = 2) -> dict:
+def _mem_control(levels, nbytes: int = 64 << 20, reps: int = 2) -> dict:
     """Memory-streaming scaling control: per-process fresh-page touch
     throughput at both parallelism levels.  On this host the AGGREGATE
     fault/bandwidth ceiling has multi-hour phases; when it binds, this
