@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": Q.events_tumbling,
         "events_sliding": Q.events_sliding,
         "token_heavy_hitters": Q.token_heavy_hitters,
+        "token_bigram_heavy_hitters": Q.token_bigram_heavy_hitters,
+        "orders_per_nation": Q.orders_per_nation,
         "doc_length_quantiles": Q.doc_length_quantiles,
         # training-data ops
         "text_quality": Q.text_quality,
@@ -302,6 +304,30 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT unnest(string_split(text, ' ')) AS w
                     FROM documents))
         GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
+    """
+
+    sql["token_bigram_heavy_hitters"] = """
+        WITH toks AS (
+            SELECT doc_id, i, ascii(w) * 32 + length(w) AS tok
+            FROM (SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS w,
+                         generate_subscripts(string_split(text, ' '), 1) AS i
+                  FROM documents)
+        )
+        SELECT cast(a.tok * 67108864 + b.tok AS bigint) AS bigram,
+               cast(count(*) AS bigint) AS n
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+    """
+
+    sql["orders_per_nation"] = """
+        SELECT n.n_name,
+               cast(count(*) AS bigint) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
     """
 
     sql["doc_length_quantiles"] = """

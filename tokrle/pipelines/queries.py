@@ -760,6 +760,81 @@ def token_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def token_bigram_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Top-20 token BIGRAMS: sequence-aware aggregation over the ragged
+    token lists — bigram codes are built vectorized on the flat buffer
+    with doc-boundary masking, per-batch partial counts pre-aggregate
+    before the one small shuffle (same combiner pattern as the unigram
+    heavy hitters)."""
+    from ray.data.aggregate import Sum
+
+    from tokrle.sources.tokens import documents_to_tokens
+
+    ds = documents_to_tokens(sf_dir)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        from tokrle.stages.encoder import _flat_tokens
+
+        values, offsets = _flat_tokens(batch)
+        if len(values) < 2:
+            return pa.table({"bigram": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64),
+                            np.diff(offsets))
+        same_doc = doc_idx[:-1] == doc_idx[1:]
+        a = values[:-1].astype(np.int64)[same_doc]
+        b = values[1:].astype(np.int64)[same_doc]
+        big = a * (1 << 26) + b       # token < 2^26 for any UTF-8 word
+        uniq, cnts = np.unique(big, return_counts=True)
+        return pa.table({
+            "bigram": pa.array(uniq, type=pa.int64()),
+            "cnt": pa.array(cnts, type=pa.int64()),
+        })
+
+    agg = ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("cnt", alias_name="n"))
+    df = agg.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    df["bigram"] = df["bigram"].astype("int64")
+    df = df.sort_values(["n", "bigram"], ascending=[False, True],
+                        kind="mergesort").head(20)
+    return df.reset_index(drop=True)
+
+
+def orders_per_nation(sf_dir: str) -> pd.DataFrame:
+    """orders JOIN customer JOIN nation -> count per nation: Ray Data's
+    native hash-partitioned inner join for the big-big side (orders x
+    customer on custkey) and a BROADCAST map for the tiny nation table
+    (25 rows — shipped once via closure capture, never shuffled)."""
+    from ray.data.aggregate import Count
+
+    from tokrle.functions.dedup import _join_partitions
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]) \
+        .to_pandas()
+    nation_of = dict(zip(nation["n_nationkey"].astype(int),
+                         nation["n_name"]))
+
+    joined = orders.join(customer, "inner", _join_partitions(None),
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def attach_nation(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        names = pd.Series(nk).map(nation_of).to_numpy(dtype=object)
+        return pa.table({
+            "n_name": pa.array(names, type=pa.string()),
+            "o_orderkey": batch.column("o_orderkey"),
+        })
+
+    agg = joined.map_batches(attach_nation, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Count(alias_name="n_orders"))
+    df = agg.to_pandas()
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df.sort_values("n_name").reset_index(drop=True)
+
+
 def ivf_ann_top1(sf_dir: str) -> pd.DataFrame:
     """IVF approximate ANN top-1 through the PERSISTENT list-partitioned
     index: bounded-sample centroid training + assignment write, then a
