@@ -70,7 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_video_frames": Q.multimodal_video_frames,      # rows-only
         "hll_unique_tokens": Q.hll_unique_tokens,  # rows-only (approximate)
     }
-    for codec in ("plain", "rle", "dict", "bitpack", "for", "fsst"):
+    for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "fsst"):
         d[f"codec_roundtrip_{codec}"] = partial(Q.codec_roundtrip, codec=codec)
     d["fsst_text_roundtrip"] = Q.fsst_text_roundtrip
     d["columnar_encode_lineitem"] = Q.columnar_encode_lineitem
@@ -147,7 +147,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE source = 'src0')
     """
 
-    for codec in ("plain", "rle", "dict", "bitpack", "for", "fsst"):
+    for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "fsst"):
         sql[f"codec_roundtrip_{codec}"] = _CODEC_ROUNDTRIP_SQL
 
     sql["fsst_text_roundtrip"] = """

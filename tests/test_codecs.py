@@ -25,6 +25,8 @@ CORPORA = {
     "empty": np.empty(0, dtype=np.int32),
     "single": np.array([123456], dtype=np.int32),
     "two_values": RNG.choice([17, 9000000], size=10000).astype(np.int32),
+    "sorted_ids": np.sort(RNG.integers(0, 10**9, size=20000)).astype(np.int64),
+    "timestamps": (np.cumsum(RNG.integers(0, 1000, size=20000)) + 10**15).astype(np.int64),
 }
 
 
@@ -61,6 +63,11 @@ def test_selector_picks_sensible_codecs():
     # negative values -> for beats plain
     p = profile_chunk(CORPORA["negative"])
     assert select_codec(p) in ("for", "dict")
+    # sorted / smooth series -> delta (narrow zigzag deltas beat FOR's span)
+    assert select_codec(profile_chunk(CORPORA["sorted_ids"])) == "delta"
+    assert select_codec(profile_chunk(CORPORA["timestamps"])) == "delta"
+    # high-entropy tokens: the exact delta diff pass is skipped entirely
+    assert not profile_chunk(CORPORA["zipf_tokens"].repeat(3)[:70000]).delta_exact
 
 
 def test_estimates_close_to_actual():

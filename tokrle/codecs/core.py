@@ -198,6 +198,45 @@ class RunLength(Codec):
         return np.repeat(values.astype(dtype), runs.astype(np.int64))
 
 
+class Delta(Codec):
+    """Delta: zigzag-encoded successive differences, bit-packed at the width
+    of the largest delta — the standard lightweight encoding for sorted or
+    smoothly-varying integer columns (doc ids, timestamps, offsets; cf.
+    Parquet's DELTA_BINARY_PACKED).
+
+    All arithmetic is modular uint64, so any int64 input round-trips even
+    when differences overflow the signed range.
+
+    Layout: ``<q first><B width>`` + (n-1) zigzag-delta codes.
+    """
+
+    name = "delta"
+
+    def encode(self, x, vmin=None, vmax=None):
+        if len(x) == 0:
+            return struct.pack("<qB", 0, 0)
+        first = int(x[0])
+        if len(x) == 1:
+            return struct.pack("<qB", first, 0)
+        u = x.astype(np.uint64)
+        d = (u[1:] - u[:-1]).view(np.int64)       # wrapping differences
+        z = ((d << np.int64(1)) ^ (d >> np.int64(63))).view(np.uint64)
+        w = bit_width(int(z.max()))
+        return struct.pack("<qB", first, w) + pack_uints(z, w)
+
+    def decode(self, payload, n, dtype):
+        first, w = struct.unpack_from("<qB", payload, 0)
+        if n == 0:
+            return np.empty(0, dtype=dtype)
+        z = unpack_uints(payload[9:], n - 1, w)
+        d = (z >> np.uint64(1)) ^ (np.uint64(0) - (z & np.uint64(1)))
+        out = np.empty(n, dtype=np.uint64)
+        out[0] = np.uint64(first)
+        np.cumsum(d, out=out[1:])
+        out[1:] += np.uint64(first)
+        return out.astype(np.int64).astype(dtype)
+
+
 class Fsst(Codec):
     """FSST-style trained multi-byte symbol codec (Boncz/Neumann/Leis,
     "FSST: Fast Random Access String Compression", VLDB 2020) with
@@ -334,7 +373,7 @@ class Fsst(Codec):
 CODECS: dict[str, Codec] = {
     c.name: c
     for c in [Plain(), BitPack(), FrameOfReference(), Dictionary(),
-              RunLength(), Fsst()]
+              RunLength(), Delta(), Fsst()]
 }
 
 

@@ -36,6 +36,8 @@ class ChunkProfile:
     cardinality: int          # exact when cheap, else sample lower bound
     cardinality_exact: bool
     fsst_hit_ratio: float     # estimated fraction of 16-bit words covered by table
+    delta_width: int = 64     # bit width of the largest zigzag delta
+    delta_exact: bool = False  # True only after an exact diff pass
 
     @property
     def raw_bytes(self) -> int:
@@ -54,6 +56,17 @@ def _run_density_sampled(x: np.ndarray, windows: int = 16,
         cnt += int(np.count_nonzero(w[1:] != w[:-1]))
         tot += len(w) - 1
     return (cnt + 1) / max(tot, 1)
+
+
+def _zigzag_width(x: np.ndarray) -> int:
+    """Bit width of the largest zigzag-encoded successive difference
+    (modular uint64 arithmetic, mirrors codecs.core.Delta)."""
+    if len(x) < 2:
+        return 0
+    u = x.astype(np.uint64)
+    d = (u[1:] - u[:-1]).view(np.int64)
+    z = ((d << np.int64(1)) ^ (d >> np.int64(63))).view(np.uint64)
+    return bit_width(int(z.max()))
 
 
 def profile_chunk(x: np.ndarray) -> ChunkProfile:
@@ -97,6 +110,22 @@ def profile_chunk(x: np.ndarray) -> ChunkProfile:
         sample = x[:: max(1, n // _SAMPLE)]
         card = len(np.unique(sample))
         card_exact = False
+    # delta: exact zigzag-width for small chunks; large chunks first probe
+    # the same adjacency-preserving windows — only when the sampled width
+    # beats the FOR span width (the codec delta must outdo) does the exact
+    # full diff pass run.  Selection never trusts a sampled width: a width
+    # that underestimates the true max would corrupt the encoding.
+    span_w = bit_width(span) if span >= 0 else 64
+    if n <= (1 << 15):
+        delta_w, delta_exact = _zigzag_width(x), True
+    else:
+        dw_sample = 0
+        for s in np.linspace(0, n - 512, 16).astype(np.int64):
+            dw_sample = max(dw_sample, _zigzag_width(x[s:s + 512]))
+        if dw_sample < span_w:
+            delta_w, delta_exact = _zigzag_width(x), True
+        else:
+            delta_w, delta_exact = dw_sample, False
     # fsst: estimated top-254 16-bit-word coverage from a strided sample of
     # the value buffer viewed as uint16 words (zero-copy view, no tobytes)
     words = x.view(np.uint16) if x.dtype.itemsize % 2 == 0 else \
@@ -110,7 +139,8 @@ def profile_chunk(x: np.ndarray) -> ChunkProfile:
     else:
         hit_ratio = 0.0
     return ChunkProfile(n, x.dtype.itemsize, vmin, vmax, n_runs, max_run,
-                        runs_exact, card, card_exact, hit_ratio)
+                        runs_exact, card, card_exact, hit_ratio,
+                        delta_w, delta_exact)
 
 
 def estimate_sizes(p: ChunkProfile) -> dict[str, float]:
@@ -129,6 +159,9 @@ def estimate_sizes(p: ChunkProfile) -> dict[str, float]:
         run_w = bit_width(max(p.max_run - 1, 0))
         est["rle"] = 14 + p.n_runs * (run_w + span_w) / 8
     # sampled run stats (high-entropy chunk): rle cannot win, skip it
+    if p.delta_exact:
+        est["delta"] = 9 + (p.n - 1) * p.delta_width / 8
+    # sampled delta width (wide-delta chunk): delta cannot beat FOR, skip it
     nwords = p.raw_bytes // 2
     est["fsst"] = (10 + 2 * Fsst.MAX_SYMBOLS + nwords / 8
                    + nwords * (p.fsst_hit_ratio + 2 * (1 - p.fsst_hit_ratio)))
