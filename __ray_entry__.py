@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship encode/decode round-trip, per-source aggregates
         "encode_roundtrip_stats": Q.encode_roundtrip_stats,
         "encode_roundtrip_stats_localgroup": Q.encode_roundtrip_stats_localgroup,
+        "encode_roundtrip_stats_hashgroup": Q.encode_roundtrip_stats_hashgroup,
         "encoded_pruned_source_stats": Q.encoded_pruned_source_stats,
         "recompress_roundtrip_stats": Q.recompress_roundtrip_stats,
         # keyed RLE (RleDict-equivalent) pipelines: coverage + run-merge ops
@@ -128,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["encode_roundtrip_stats_localgroup"] = sql["encode_roundtrip_stats"]
+    sql["encode_roundtrip_stats_hashgroup"] = sql["encode_roundtrip_stats"]
 
     sql["recompress_roundtrip_stats"] = sql["encode_roundtrip_stats"]
 

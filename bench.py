@@ -153,6 +153,16 @@ def main() -> None:
     lg_ratio = (lg["raw_bytes"] / lg["encoded_bytes"]
                 if lg["encoded_bytes"] else 0.0)
 
+    # bucketed-hash variant: one hash exchange co-locating whole sources
+    # (no boundary sampling, no within-block sort)
+    hg_out = os.path.join(WORK, "encoded_hashgroup")
+    shutil.rmtree(hg_out, ignore_errors=True)
+    t0 = time.perf_counter()
+    hg = encode_corpus(in_dir, hg_out, batch_size=8192, by_source="hash")
+    timings["encode_hashgroup"] = round(time.perf_counter() - t0, 3)
+    hg_ratio = (hg["raw_bytes"] / hg["encoded_bytes"]
+                if hg["encoded_bytes"] else 0.0)
+
     for name, fn in [("coverage_total", Q.coverage_total),
                      ("coverage_add", Q.coverage_add),
                      ("dedup_exact", Q.dedup_exact),
@@ -194,6 +204,7 @@ def main() -> None:
         "compression_ratio": round(enc["compression_ratio"], 3),
         "compression_ratio_bysource": round(bys_ratio, 3),
         "compression_ratio_localgroup": round(lg_ratio, 3),
+        "compression_ratio_hashgroup": round(hg_ratio, 3),
     }
     print(json.dumps(out))
     import ray

@@ -89,3 +89,28 @@ def test_local_grouping_matches_sort_compression(ray_session, regime_ds):
     assert ratio_local >= 0.9 * ratio_sort
     # chunks are single-source
     assert all(len(set(s)) == 1 for s in loc["doc_source"] if len(s))
+
+
+def test_hash_bucket_rebalance_preserves_content(ray_session, regime_ds):
+    from tokrle.pipelines.encode import decode_tokens, encode_tokens
+
+    enc = encode_tokens(regime_ds, batch_size=64, by_source="hash")
+    dec = decode_tokens(enc).to_pandas()
+    src = regime_ds.to_pandas()
+    got = _by_doc(dec)
+    want = _by_doc(src)
+    assert set(got) == set(want)
+    for d in want:
+        assert np.array_equal(got[d], want[d])
+
+
+def test_hash_bucket_chunks_are_single_source(ray_session, regime_ds):
+    """Hash co-location + local grouping should give fully source-pure
+    chunks: whole sources land in one partition, and the encoder groups
+    each batch by source before chunking."""
+    from tokrle.pipelines.encode import encode_tokens
+
+    enc = encode_tokens(regime_ds, batch_size=64,
+                        by_source="hash").to_pandas()
+    for srcs in enc["doc_source"]:
+        assert len(set(srcs)) == 1

@@ -42,10 +42,11 @@ def main(argv=None) -> int:
     enc.add_argument("--out-dir", required=True)
     enc.add_argument("--batch-size", type=int, default=2048)
     enc.add_argument("--by-source", nargs="?", const="sort", default=False,
-                     choices=["sort", "local"],
+                     choices=["sort", "local", "hash"],
                      help="co-locate sources before encoding: 'sort' = "
                           "global range shuffle, 'local' = per-batch "
-                          "grouping (no shuffle)")
+                          "grouping (no shuffle), 'hash' = bucketed "
+                          "hash exchange")
     enc.add_argument("--group-files", type=int, default=None,
                      help="resume-unit size in input files "
                           "(default: size-aware auto grouping, ~1GB/unit)")
@@ -57,7 +58,7 @@ def main(argv=None) -> int:
     rec.add_argument("--out-dir", required=True)
     rec.add_argument("--batch-size", type=int, default=2048)
     rec.add_argument("--by-source", nargs="?", const="sort", default=False,
-                     choices=["sort", "local"])
+                     choices=["sort", "local", "hash"])
     rec.add_argument("--num-cpus", type=int, default=None)
 
     dec = sub.add_parser("decode", help="encoded dir -> token parquet dir")

@@ -42,6 +42,36 @@ def rebalance_by_source(ds, num_blocks: int | None = None):
     return ds
 
 
+def rebalance_by_source_bucket(ds, num_blocks: int | None = None):
+    """Bucketed-hash alternative to :func:`rebalance_by_source`: one
+    hash-partitioned exchange on the (tiny) source key co-locates every
+    source's rows in one output partition — no boundary-sampling scan and
+    no within-block sort, the two extra passes ``sort("source")`` pays.
+    Output blocks hold a few WHOLE sources each, so the encoder's local
+    per-batch source grouping recovers source-pure chunks.
+
+    Key-based repartition needs ``shuffle_strategy=HASH_SHUFFLE``; it is
+    set on THIS dataset lineage's captured DataContext only — the global
+    context (and unrelated pipelines) keep their strategy.  Aggregator
+    actors are capped at CPUs/2: each exchange partition is an actor
+    holding a CPU slot, and more aggregators than free CPUs stalls the
+    streaming executor (same sizing rule as dedup._join_partitions).
+
+    Skew note: one giant source still lands in one partition — the
+    encoder slices it into chunk-sized pieces, so only that partition's
+    task runs long; nothing accumulates in memory.
+    """
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    cpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    if num_blocks is None:
+        num_blocks = max(2, cpus // 2)
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ds.context.max_hash_shuffle_aggregators = max(2, cpus // 2)
+    return ds.repartition(num_blocks, keys=["source"])
+
+
 _TASK_ENCODERS: dict[bool, TokenEncoder] = {}
 
 
@@ -71,10 +101,15 @@ def encode_tokens(ds, *, batch_size: int = DEFAULT_BATCH_SIZE,
     ``by_source``: ``"sort"``/True = the global sort("source") shuffle
     (chunks near-perfectly source-pure); ``"local"`` = per-batch source
     grouping inside the encoder — no shuffle at all, smaller chunks, most
-    of the codec-fit benefit (see BASELINE.md).
+    of the codec-fit benefit (see BASELINE.md); ``"hash"`` = one bucketed
+    hash exchange co-locating whole sources (run under
+    :func:`hash_shuffle`), then local grouping — source-pure chunks at a
+    cheaper exchange than the sort.
     """
-    local_group = by_source == "local"
-    if by_source and not local_group:
+    local_group = by_source in ("local", "hash")
+    if by_source == "hash":
+        ds = rebalance_by_source_bucket(ds, num_blocks)
+    elif by_source and not local_group:
         ds = rebalance_by_source(ds, num_blocks)
     if not use_actors:
         import functools

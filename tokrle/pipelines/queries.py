@@ -77,6 +77,18 @@ def encode_roundtrip_stats_localgroup(sf_dir: str) -> pd.DataFrame:
     return _per_source_token_stats(dec)
 
 
+def encode_roundtrip_stats_hashgroup(sf_dir: str) -> pd.DataFrame:
+    """Same as encode_roundtrip_stats but through the bucketed-hash
+    source co-location path (one hash exchange, no sort) — same SQL
+    oracle (aggregates are order-free)."""
+    from tokrle.pipelines.encode import decode_tokens, encode_tokens
+    from tokrle.sources.tokens import documents_to_tokens
+
+    ds = documents_to_tokens(sf_dir)
+    dec = decode_tokens(encode_tokens(ds, batch_size=256, by_source="hash"))
+    return _per_source_token_stats(dec)
+
+
 # ---------------------------------------------------------------------------
 # per-codec round-trip through Ray over lineitem ints
 # ---------------------------------------------------------------------------
