@@ -249,3 +249,42 @@ def test_video_frame_sampler(ray_session):
     # frames differ (the rotation stand-in produces distinct content)
     g = out.groupby("item_id")["mean_intensity"].nunique()
     assert (g > 1).all()
+
+
+def test_sliding_partial_agg_matches_event_expansion(ray_session):
+    """The step-partial composition must produce exactly the same
+    (key, window) -> count/min/max as the k-fold event expansion."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    from tokrle.functions.windows import (sliding_window_assign,
+                                          sliding_window_partial_agg)
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["a", "b", "c"], size=n),
+        "ts": pd.to_datetime(rng.integers(0, 10**7, size=n) * 10**6,
+                             unit="us"),
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    got = sliding_window_partial_agg(
+        ds, window_seconds=3600, step_seconds=900).to_pandas()
+
+    assigned = sliding_window_assign(ds, window_seconds=3600,
+                                     step_seconds=900,
+                                     keep_cols=("event_type", "event_id"))
+    want = assigned.groupby(["event_type", "window_id"]) \
+        .aggregate(Count(alias_name="n_events"),
+                   Min("event_id", alias_name="min_eid"),
+                   Max("event_id", alias_name="max_eid")).to_pandas()
+
+    key = ["event_type", "window_id"]
+    got = got.sort_values(key).reset_index(drop=True)[want.columns]
+    want = want.sort_values(key).reset_index(drop=True)
+    for c in ("window_id", "n_events", "min_eid", "max_eid"):
+        got[c] = got[c].astype("int64")
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got, want)

@@ -50,8 +50,10 @@ def sliding_window_assign(ds, *, window_seconds: int = 3600,
     k = window_seconds // step_seconds
 
     def assign(batch: pa.Table) -> pa.Table:
-        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
+        # normalize to microseconds first: a raw int64 cast of a
+        # timestamp[ns] column would silently compute ns-scaled windows
+        ts = batch.column(ts_col).cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
         base = ts // (step_seconds * 1_000_000)
         win = (np.repeat(base, k)
                - np.tile(np.arange(k, dtype=np.int64), len(ts)))
@@ -61,6 +63,62 @@ def sliding_window_assign(ds, *, window_seconds: int = 3600,
         return pa.table(cols)
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sliding_window_partial_agg(ds, *, window_seconds: int = 3600,
+                               step_seconds: int = 900,
+                               key_cols: tuple[str, ...] = ("event_type",),
+                               id_col: str = "event_id", ts_col: str = "ts"):
+    """Sliding-window count/min/max via STEP-LEVEL PARTIALS — the scale
+    shape for large k = window/step.
+
+    :func:`sliding_window_assign` expands every event k-fold before the
+    shuffle; here each batch first combines its events into one partial row
+    per (key, step) (a pandas C-level groupby — no Python loop), the
+    shuffle then moves only those partials, a small groupby combines them
+    per step, and only the combined STEP AGGREGATES are expanded k-fold
+    into the windows they cover (step s lands in windows s-k+1..s) for a
+    final tiny groupby.  Exchange volume drops from k x n_events rows to
+    ~n_batches x keys x steps_per_batch partial rows.
+
+    Works for any aggregate that decomposes over disjoint partitions
+    (count/sum/min/max); windows with zero events produce no row, matching
+    the event-expansion variant.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Min, Sum
+
+    k = window_seconds // step_seconds
+    step_us = step_seconds * 1_000_000
+    keys = list(key_cols)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        step = (df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+                // step_us)
+        g = df.assign(step=step).groupby(keys + ["step"], sort=False)[id_col] \
+            .agg(n="count", mn="min", mx="max").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    steps = ds.map_batches(partials, batch_format="pandas") \
+        .groupby(keys + ["step"]) \
+        .aggregate(Sum("n", alias_name="n"), Min("mn", alias_name="mn"),
+                   Max("mx", alias_name="mx"))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        s = batch.column("step").to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(len(s), dtype=np.int64), k)
+        win = np.repeat(s, k) - np.tile(np.arange(k, dtype=np.int64), len(s))
+        cols = {c: batch.column(c).take(pa.array(idx))
+                for c in keys + ["n", "mn", "mx"]}
+        cols["window_id"] = pa.array(win, type=pa.int64())
+        return pa.table(cols)
+
+    return steps.map_batches(expand, batch_format="pyarrow") \
+        .groupby(keys + ["window_id"]) \
+        .aggregate(Sum("n", alias_name="n_events"),
+                   Min("mn", alias_name="min_eid"),
+                   Max("mx", alias_name="max_eid"))
 
 
 def session_stats(ds, *, gap_seconds: int = 1800, user_col: str = "user_id",

@@ -707,21 +707,15 @@ def hll_unique_tokens(sf_dir: str) -> pd.DataFrame:
 
 
 def events_sliding(sf_dir: str) -> pd.DataFrame:
-    """Sliding 1-hour windows at 15-minute step per event_type: each event
-    lands in 4 overlapping windows (vectorized expansion in map_batches,
-    one grouped aggregate)."""
-    from ray.data.aggregate import Count, Max, Min
-
-    from tokrle.functions.windows import sliding_window_assign
+    """Sliding 1-hour windows at 15-minute step per event_type, via
+    step-level partial aggregation (the shuffle moves per-batch step
+    partials, not k-fold-expanded events; see
+    windows.sliding_window_partial_agg)."""
+    from tokrle.functions.windows import sliding_window_partial_agg
 
     ds = _read(sf_dir, "events", columns=["event_id", "event_type", "ts"])
-    assigned = sliding_window_assign(ds, window_seconds=3600,
-                                     step_seconds=900,
-                                     keep_cols=("event_type", "event_id"))
-    agg = assigned.groupby(["event_type", "window_id"]) \
-        .aggregate(Count(alias_name="n_events"),
-                   Min("event_id", alias_name="min_eid"),
-                   Max("event_id", alias_name="max_eid"))
+    agg = sliding_window_partial_agg(ds, window_seconds=3600,
+                                     step_seconds=900)
     df = agg.to_pandas()
     for c in ("window_id", "n_events", "min_eid", "max_eid"):
         df[c] = df[c].astype("int64")
