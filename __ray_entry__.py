@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "fsst"):
         d[f"codec_roundtrip_{codec}"] = partial(Q.codec_roundtrip, codec=codec)
     d["fsst_text_roundtrip"] = Q.fsst_text_roundtrip
+    d["fsstg_text_roundtrip"] = partial(Q.fsst_text_roundtrip, codec="fsstg")
+    d["codec_roundtrip_fsstg"] = partial(Q.codec_roundtrip, codec="fsstg")
     d["columnar_encode_lineitem"] = Q.columnar_encode_lineitem
     return d
 
@@ -157,6 +159,8 @@ def oracle_sql() -> dict[str, str]:
                cast(sum(strlen(text)) AS bigint) AS sum_bytes
         FROM documents
     """
+    sql["fsstg_text_roundtrip"] = sql["fsst_text_roundtrip"]
+    sql["codec_roundtrip_fsstg"] = _CODEC_ROUNDTRIP_SQL
 
     sql["coverage_total"] = _COV_AGG.format(ivl=_IVL)
     sql["coverage_add"] = _COV_AGG.format(ivl=_IVL)  # a+b == all intervals

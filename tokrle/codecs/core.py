@@ -370,10 +370,282 @@ class Fsst(Codec):
                                  dtype).itemsize).copy()
 
 
+class FsstGreedy(Codec):
+    """FSST-proper semantics: trained 2-8-byte symbols matched GREEDILY at
+    ARBITRARY byte offsets (Boncz/Neumann/Leis, VLDB 2020), fully
+    vectorized in NumPy.
+
+    The sequential bottleneck of FSST's parse — each token's start depends
+    on the previous token's length — is removed by resolving the greedy
+    chain ``next[p] = p + longest_match_len[p]`` with POINTER DOUBLING:
+    within fixed ``BLOCK``-byte sub-blocks, ``D = D[D]`` applied
+    ``ceil(log2(BLOCK))`` times marks exactly the positions the greedy
+    left-to-right parse visits, so the whole parse is ~13 vectorized
+    gather passes instead of a per-byte Python/C loop.  Symbols never span
+    a sub-block boundary (costs <=7 potential match bytes per 4 KiB).
+
+    Training follows the paper's shape: sampled substring candidates per
+    length, then iterative refinement — parse the sample with the
+    candidate table, count REAL symbol usage, keep symbols whose usage
+    gain beats their table cost, repeat.  Misses are emitted as 1-byte
+    literals flagged by an explicit token bitmap (replacing FSST's in-band
+    escape byte, which would force sequential decode).
+
+    Layout: ``<Q nbytes><B nsym>`` + nsym len bytes + packed symbol bytes
+    + ``<Q ntokens>`` + token-hit bitmap + 1-byte codes (hits) + literal
+    bytes (misses).
+    """
+
+    name = "fsstg"
+    MAX_SYMBOLS = 255
+    BLOCK = 4096
+    TRAIN_SAMPLE = 1 << 16     # max sampled positions for candidate counts
+    CAND_PER_LEN = 512
+    REFINE_ROUNDS = 2
+
+    @staticmethod
+    def _w8(raw: np.ndarray) -> np.ndarray:
+        """Little-endian uint64 view of the 8 bytes starting at every
+        position (zero-padded past the end): ONE (n,8) sliding-window copy
+        (~9n bytes of traffic) instead of eight shift-or accumulation
+        passes (~190n)."""
+        n = len(raw)
+        p = np.concatenate([raw, np.zeros(8, dtype=np.uint8)])
+        win = np.lib.stride_tricks.sliding_window_view(p, 8)[:n]
+        return np.ascontiguousarray(win).view(np.uint64).ravel()
+
+    @staticmethod
+    def _mask(L: int) -> np.uint64:
+        return np.uint64((1 << (8 * L)) - 1) if L < 8 else np.uint64(2**64 - 1)
+
+    @classmethod
+    def _match_longest(cls, w8: np.ndarray, n: int, tables: dict):
+        """Per-position longest symbol match: len_at (1 = literal) and
+        code_at.  Matches may not cross a BLOCK boundary or the end.
+
+        A 64Ki-entry LUT over each position's first TWO bytes (every
+        symbol is >=2 bytes, so its 2-byte prefix is a necessary
+        condition) prunes the per-length searchsorted passes to the
+        positions whose prefix actually starts a symbol of that length —
+        on diverse data the per-L candidate sets are a small fraction
+        of n."""
+        len_at = np.ones(n, dtype=np.uint8)
+        code_at = np.zeros(n, dtype=np.uint8)
+        if not tables:
+            return len_at, code_at
+        lenbits = np.zeros(1 << 16, dtype=np.uint8)
+        for L, (tbl, _) in tables.items():
+            pref = (tbl & np.uint64(0xFFFF)).astype(np.int64)
+            lenbits[pref] |= np.uint8(1 << (L - 2))
+        pbits = lenbits[(w8 & np.uint64(0xFFFF)).astype(np.int64)]
+        cand = np.flatnonzero(pbits)          # positions with any prefix hit
+        if len(cand) == 0:
+            return len_at, code_at
+        cbits = pbits[cand]
+        cw8 = w8[cand]
+        crel = (cand % cls.BLOCK).astype(np.int32)
+        unset = np.ones(len(cand), dtype=bool)
+        for L in range(8, 1, -1):
+            entry = tables.get(L)
+            if not entry:
+                continue
+            tbl, gcodes = entry
+            sub = np.flatnonzero(unset & (cbits & np.uint8(1 << (L - 2))
+                                          ).astype(bool))
+            if len(sub) == 0:
+                continue
+            m = cw8[sub] & cls._mask(L)
+            idx = np.minimum(np.searchsorted(tbl, m), len(tbl) - 1)
+            ok = tbl[idx] == m
+            ok &= crel[sub] <= cls.BLOCK - L
+            ok &= cand[sub] <= n - L
+            hitpos = sub[ok]
+            len_at[cand[hitpos]] = L
+            code_at[cand[hitpos]] = gcodes[idx[ok]]
+            unset[hitpos] = False
+        return len_at, code_at
+
+    @classmethod
+    def _parse(cls, len_at: np.ndarray, n: int) -> np.ndarray:
+        """Greedy-parse start positions via pointer doubling per sub-block.
+
+        S_{k+1} = S_k ∪ D_k[S_k] with D_0[p] = p + len_at[p] marks every
+        position reached in < 2^k steps; after ceil(log2(BLOCK+1)) rounds
+        S covers the full chain."""
+        B = cls.BLOCK
+        Bp = B + 1
+        nb = -(-n // B)
+        total = nb * B
+        la = np.ones(total, dtype=np.int16)
+        la[:n] = len_at
+        D = np.empty((nb, Bp), dtype=np.int16)      # int16: halve the
+        D[:, :B] = (la.reshape(nb, B)               # doubling traffic
+                    + np.arange(B, dtype=np.int16)[None, :])
+        D[:, B] = B                                 # absorbing terminal
+        s = np.zeros(nb * Bp, dtype=bool)
+        idx = np.arange(nb, dtype=np.int64) * Bp    # col 0 of every block
+        s[idx] = True
+        for _ in range(Bp.bit_length()):
+            col = D.reshape(-1)[idx].astype(np.int64)
+            keep = col < B                          # drop absorbed chains
+            tgt = idx[keep] - idx[keep] % Bp + col[keep]
+            fresh = tgt[~s[tgt]]
+            if len(fresh) == 0:                     # D[S] ⊆ S: fixpoint
+                break
+            s[fresh] = True
+            idx = np.concatenate([idx, fresh])
+            D = np.take_along_axis(D, D, axis=1)
+        return s.reshape(nb, Bp)[:, :B].reshape(-1)[:n]
+
+    @classmethod
+    def _tables_from(cls, vals: np.ndarray, lens: np.ndarray) -> dict:
+        tables: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for L in range(2, 9):
+            sel = np.flatnonzero(lens == L)
+            if len(sel):
+                order = np.argsort(vals[sel])
+                tables[L] = (vals[sel][order],
+                             sel[order].astype(np.uint8))
+        return tables
+
+    @classmethod
+    def _train(cls, raw: np.ndarray, w8: np.ndarray):
+        """Sampled candidates -> iterative refinement against the real
+        greedy parse of a contiguous-window sample (paper section 3.2's
+        recounting loop, vectorized)."""
+        n = len(raw)
+        stride = max(1, n // cls.TRAIN_SAMPLE)
+        sw = w8[::stride]
+        cand_vals, cand_lens, cand_gain = [], [], []
+        for L in range(2, 9):
+            m = sw & cls._mask(L)
+            uniq, cnt = np.unique(m, return_counts=True)
+            order = np.lexsort((uniq, -cnt))[: cls.CAND_PER_LEN]
+            gain = cnt[order].astype(np.int64) * (L - 1) * stride - (1 + L)
+            keep = gain > 0
+            cand_vals.append(uniq[order[keep]])
+            cand_lens.append(np.full(int(keep.sum()), L, dtype=np.uint8))
+            cand_gain.append(gain[keep])
+        vals = np.concatenate(cand_vals) if cand_vals else \
+            np.empty(0, dtype=np.uint64)
+        lens = np.concatenate(cand_lens) if cand_lens else \
+            np.empty(0, dtype=np.uint8)
+        gains = np.concatenate(cand_gain) if cand_gain else \
+            np.empty(0, dtype=np.int64)
+        if len(vals) == 0:
+            return {}, vals, lens
+        top = np.lexsort((vals, lens.astype(np.int64), -gains))
+        vals, lens = vals[top[: cls.MAX_SYMBOLS]], lens[top[: cls.MAX_SYMBOLS]]
+        # contiguous sample blocks for refinement (adjacency preserved so
+        # the real parse runs on them)
+        B = cls.BLOCK
+        nb = max(1, min(16, n // B)) if n >= B else 1
+        starts = (np.linspace(0, max(n - B, 0), nb).astype(np.int64)
+                  // B * B)
+        starts = np.unique(starts)
+        seg = np.concatenate([raw[s:s + B] for s in starts])
+        sw8 = cls._w8(seg)
+        scale = max(1.0, n / max(len(seg), 1))
+        for _ in range(cls.REFINE_ROUNDS):
+            tables = cls._tables_from(vals, lens)
+            len_at, code_at = cls._match_longest(sw8, len(seg), tables)
+            pmask = cls._parse(len_at, len(seg))
+            tok = np.flatnonzero(pmask)
+            hits = tok[len_at[tok] > 1]
+            usage = np.bincount(code_at[hits], minlength=len(vals))
+            gain = (usage * (lens.astype(np.int64) - 1) * scale
+                    - (1 + lens.astype(np.int64)))
+            keep = gain > 0
+            if keep.all() or not keep.any():
+                vals, lens, gains = vals[keep], lens[keep], gain[keep]
+                break
+            order = np.lexsort((vals[keep], lens[keep].astype(np.int64),
+                                -gain[keep]))
+            vals = vals[keep][order][: cls.MAX_SYMBOLS]
+            lens = lens[keep][order][: cls.MAX_SYMBOLS]
+        # canonical final order: (len, value) so codes are deterministic
+        order = np.lexsort((vals, lens))
+        vals, lens = vals[order], lens[order]
+        return cls._tables_from(vals, lens), vals, lens
+
+    @staticmethod
+    def _sym_matrix(vals: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """(nsym, 8) little-endian byte matrix of the symbol values."""
+        return vals.astype("<u8").view(np.uint8).reshape(len(vals), 8)
+
+    def encode(self, x, vmin=None, vmax=None):
+        raw = np.frombuffer(x.tobytes(), dtype=np.uint8)
+        n = len(raw)
+        if n == 0:
+            return struct.pack("<QB", 0, 0) + struct.pack("<Q", 0)
+        w8 = self._w8(raw)
+        tables, vals, lens = self._train(raw, w8)
+        len_at, code_at = self._match_longest(w8, n, tables)
+        pmask = self._parse(len_at, n)
+        tok = np.flatnonzero(pmask)
+        tlens = len_at[tok]
+        hit = tlens > 1
+        codes = code_at[tok[hit]]
+        lits = raw[tok[~hit]]
+        mat = self._sym_matrix(vals, lens)
+        col = np.arange(8, dtype=np.uint8)
+        packed_syms = mat[col[None, :] < lens[:, None]]  # row-major ragged
+        parts = [struct.pack("<QB", n, len(vals)), lens.tobytes(),
+                 packed_syms.tobytes(), struct.pack("<Q", len(tok)),
+                 np.packbits(hit, bitorder="little").tobytes(),
+                 codes.tobytes(), lits.tobytes()]
+        return b"".join(parts)
+
+    def decode(self, payload, n, dtype):
+        nbytes, nsym = struct.unpack_from("<QB", payload, 0)
+        off = 9
+        lens = np.frombuffer(payload, dtype=np.uint8, count=nsym, offset=off)
+        off += nsym
+        symlen_total = int(lens.sum())
+        symflat = np.frombuffer(payload, dtype=np.uint8, count=symlen_total,
+                                offset=off)
+        off += symlen_total
+        mat = np.zeros((nsym, 8), dtype=np.uint8)
+        col = np.arange(8, dtype=np.uint8)
+        mat[col[None, :] < lens[:, None]] = symflat
+        (ntok,) = struct.unpack_from("<Q", payload, off)
+        off += 8
+        if nbytes == 0:
+            return np.empty(0, dtype=dtype)
+        bm_len = (ntok + 7) // 8
+        hit = np.unpackbits(
+            np.frombuffer(payload, dtype=np.uint8, count=bm_len, offset=off),
+            count=ntok, bitorder="little").astype(bool)
+        off += bm_len
+        nhit = int(hit.sum())
+        codes = np.frombuffer(payload, dtype=np.uint8, count=nhit, offset=off)
+        off += nhit
+        lits = np.frombuffer(payload, dtype=np.uint8, count=ntok - nhit,
+                             offset=off)
+        codes_full = np.zeros(ntok, dtype=np.uint8)
+        codes_full[hit] = codes
+        tlens = (np.where(hit, lens[codes_full], 1).astype(np.int64)
+                 if nsym else np.ones(ntok, dtype=np.int64))
+        offs = np.empty(ntok + 1, dtype=np.int64)
+        offs[0] = 0
+        np.cumsum(tlens, out=offs[1:])
+        out = np.empty(nbytes, dtype=np.uint8)
+        out[offs[:-1][~hit]] = lits
+        ho = offs[:-1][hit]
+        hc = codes_full[hit]
+        hl = tlens[hit]
+        for j in range(8):
+            sel = hl > j
+            out[ho[sel] + j] = mat[hc[sel], j]
+        return np.frombuffer(out.tobytes(), dtype=dtype,
+                             count=n if n else nbytes // np.dtype(
+                                 dtype).itemsize).copy()
+
+
 CODECS: dict[str, Codec] = {
     c.name: c
     for c in [Plain(), BitPack(), FrameOfReference(), Dictionary(),
-              RunLength(), Delta(), Fsst()]
+              RunLength(), Delta(), Fsst(), FsstGreedy()]
 }
 
 

@@ -205,13 +205,14 @@ def encoded_pruned_source_stats(sf_dir: str) -> pd.DataFrame:
     })
 
 
-def fsst_text_roundtrip(sf_dir: str) -> pd.DataFrame:
-    """String-column path for the fsst codec: each batch's UTF-8 text bytes
+def fsst_text_roundtrip(sf_dir: str, codec: str = "fsst") -> pd.DataFrame:
+    """String-column path for the fsst codecs: each batch's UTF-8 text bytes
     (taken zero-copy from the Arrow string buffer) go through
-    encode('fsst') -> decode, equality-asserted, and the aggregate is
+    encode(codec) -> decode, equality-asserted, and the aggregate is
     checked against a trivial SQL byte-count oracle.  This is the workload
     the trained multi-byte symbol tables exist for (int32 token chunks
-    never select fsst)."""
+    never select fsst).  ``codec='fsstg'`` runs the FSST-proper greedy
+    arbitrary-offset parse instead of the aligned hierarchical tables."""
     ds = _read(sf_dir, "documents", columns=["text"])
 
     def enc_dec(batch: pa.Table) -> pa.Table:
@@ -224,8 +225,8 @@ def fsst_text_roundtrip(sf_dir: str) -> pd.DataFrame:
                 [offs[0]:offs[-1]] if arr.buffers()[2] is not None
                 else np.zeros(0, dtype=np.uint8))
         x = np.ascontiguousarray(data).view(np.int8)
-        payload = codec_encode("fsst", x)
-        out = codec_decode("fsst", payload, len(x), np.int8)
+        payload = codec_encode(codec, x)
+        out = codec_decode(codec, payload, len(x), np.int8)
         assert np.array_equal(out, x)
         return pa.table({
             "n_docs": pa.array([len(batch)], type=pa.int64()),
