@@ -54,15 +54,30 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id",
 
     hashed = ds.map_batches(hash_stage, batch_format="pandas")
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort")
-        return g.iloc[:1][carry]
+    def block_first(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(["_h1", "_h2", id_col], kind="mergesort") \
+            .drop_duplicates(["_h1", "_h2"], keep="first")
+        return out[carry]
 
-    winners = hashed.groupby(["_h1", "_h2"]).map_groups(
-        first, batch_format="pandas")
+    winners = _group_blocks(hashed, ["_h1", "_h2"]).map_batches(
+        block_first, batch_size=None, batch_format="pandas")
     if not return_full_rows:
         return winners
     return semi_join(ds, winners.select_columns([id_col]), on=id_col)
+
+
+def _group_blocks(ds, keys: list[str], num_partitions: int | None = None):
+    """Hash-repartition so every block holds COMPLETE key groups, letting a
+    plain vectorized ``map_batches(fn, batch_size=None)`` replace
+    ``groupby(...).map_groups`` — one shuffle either way, but the per-group
+    Python call (brutal when groups are tiny and numerous, e.g. LSH
+    buckets averaging 1-2 rows) becomes one sort/dedup kernel per block."""
+    from ray.data.context import ShuffleStrategy
+
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    n = _join_partitions(num_partitions)
+    ds.context.max_hash_shuffle_aggregators = n
+    return ds.repartition(n, keys=keys)
 
 
 def _join_partitions(num_partitions: int | None) -> int:
@@ -79,12 +94,24 @@ def _join_partitions(num_partitions: int | None) -> int:
     return max(2, min(64, cpus // 2))
 
 
+def _unique_keys(key_ds, on: str):
+    """Distinct ``on`` values of ``key_ds`` via a native hash aggregate.
+
+    Two jobs in one: (a) shrinks the join's build side (an LSH loser list
+    repeats each doc up to #bands times), and (b) schema-normalizes it —
+    ``map_batches`` over a hash-repartitioned dataset emits SCHEMA-LESS
+    empty blocks for empty partitions, which crash Acero inside the native
+    join; the aggregate digests them into one well-typed table."""
+    return key_ds.select_columns([on]).groupby(on).count() \
+        .select_columns([on])
+
+
 def semi_join(ds, keep_ds, on: str = "doc_id", *,
               num_partitions: int | None = None):
     """Distributed semi-join: rows of ``ds`` whose ``on`` value appears in
     ``keep_ds`` — Ray Data's native hash-partitioned join (no driver-side
     id set, no per-group Python calls)."""
-    return ds.join(keep_ds.select_columns([on]), "left_semi",
+    return ds.join(_unique_keys(keep_ds, on), "left_semi",
                    _join_partitions(num_partitions), on=(on,))
 
 
@@ -171,7 +198,8 @@ class MinHasher:
 
 
 def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
-                      shingle_k: int = 3, concurrency=(1, 4)):
+                      shingle_k: int = 3, concurrency=(1, 4),
+                      return_full_rows: bool = False):
     """MinHash+LSH near-dup grouping: signature -> band buckets ->
     bucket-grouped cluster leaders -> global survivor set.
 
@@ -179,7 +207,16 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
     any LSH band bucket contains a doc with smaller doc_id (leader-wins,
     deterministic; transitively-connected duplicates collapse toward the
     smallest id over repeated application — single pass matches common
-    one-round LSH dedup practice)."""
+    one-round LSH dedup practice).
+
+    Scale shape — TWO shuffles, no join, no per-group Python calls:
+    (1) hash-repartition the (doc_id, source, bucket) rows by bucket so a
+    vectorized per-block pass computes every bucket's exact leader and
+    folds to at most one (doc, dropped-here?) partial per doc per block;
+    (2) a native Max aggregate over the int8 ``dropped`` flags, then a
+    vectorized filter.  ``return_full_rows=True`` semi-joins survivors
+    back to the full input rows (a third shuffle — only when the payload
+    is needed downstream)."""
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(MinHasher, batch_size=1024,
                           fn_constructor_kwargs={"num_perm": num_perm,
@@ -193,7 +230,6 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
         flat = la.flatten().to_numpy(zero_copy_only=False)
         sig = np.ascontiguousarray(flat).view(np.uint64).reshape(
             len(batch), num_perm)
-        doc_id = batch.column("doc_id")
         parts = []
         for bidx in range(bands):
             band = sig[:, bidx * rows_per_band:(bidx + 1) * rows_per_band]
@@ -206,20 +242,52 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
             bucket = (bh ^ (np.uint64(bidx) *
                             np.uint64(0x9E3779B97F4A7C15))).view(np.int64)
             parts.append(pa.table({
-                "doc_id": doc_id,
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
                 "bucket": pa.array(bucket, type=pa.int64()),
             }))
         return pa.concat_tables(parts)
 
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
 
-    def bucket_losers(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        return pd.DataFrame({"doc_id": ids[1:]})  # everyone but the leader
+    def block_dropped_partials(df: pd.DataFrame) -> pd.DataFrame:
+        # bucket groups are COMPLETE within a block (hash repartition), so
+        # each bucket's leader (min doc_id) is exact; a doc's partial flag
+        # says "some bucket in this block has a smaller doc".  The
+        # per-doc fold shrinks the next shuffle by up to `bands`x.
+        df = df.sort_values(["bucket", "doc_id"], kind="mergesort")
+        b = df["bucket"].to_numpy()
+        d = df["doc_id"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate([[True], b[1:] != b[:-1]])) if len(b) else \
+            np.zeros(0, dtype=np.int64)
+        runs = np.diff(np.append(starts, len(b)))
+        leader = np.repeat(d[starts], runs)
+        part = pd.DataFrame({
+            "doc_id": d, "source": df["source"].to_numpy(),
+            "dropped": (leader != d).astype(np.int8),
+        })
+        return part.groupby(["doc_id", "source"], sort=False,
+                            as_index=False)["dropped"].max()
 
-    losers = buckets.groupby("bucket").map_groups(bucket_losers,
-                                                  batch_format="pandas")
-    return anti_join(ds, losers, on="doc_id")
+    partials = _group_blocks(buckets, ["bucket"]).map_batches(
+        block_dropped_partials, batch_size=None, batch_format="pandas")
+
+    from ray.data.aggregate import Max
+
+    flags = partials.groupby(["doc_id", "source"]).aggregate(
+        Max("dropped", alias_name="dropped"))
+
+    def keep_survivors(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kept = batch.filter(pc.equal(batch.column("dropped"), 0))
+        return kept.select(["doc_id", "source"])
+
+    survivors = flags.map_batches(keep_survivors, batch_format="pyarrow")
+    if not return_full_rows:
+        return survivors
+    return semi_join(ds, survivors, on="doc_id")
 
 
 def anti_join(ds, drop_ds, on: str = "doc_id", *,
@@ -228,7 +296,7 @@ def anti_join(ds, drop_ds, on: str = "doc_id", *,
     appear in ``drop_ds`` — Ray Data's native hash-partitioned join
     (scales to drop lists larger than driver memory; duplicate drop keys
     are fine)."""
-    return ds.join(drop_ds.select_columns([on]), "left_anti",
+    return ds.join(_unique_keys(drop_ds, on), "left_anti",
                    _join_partitions(num_partitions), on=(on,))
 
 
