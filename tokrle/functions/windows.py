@@ -13,28 +13,51 @@ import numpy as np
 import pandas as pd
 
 
-def _session_index(ts_us: np.ndarray, gap_seconds: int) -> np.ndarray:
-    """Per-event session index for one user's time-sorted events."""
-    gaps = np.diff(ts_us, prepend=ts_us[0] if len(ts_us) else 0)
-    return np.cumsum(gaps > gap_seconds * 1_000_000)
+def _user_session_bounds(u: np.ndarray, ts_us: np.ndarray,
+                         gap_seconds: int):
+    """Session boundaries over a (user, ts)-sorted block covering MANY
+    users at once: returns (new_user, new_sess) boolean masks.  One
+    vectorized pass replaces a per-user Python call."""
+    n = len(u)
+    new_user = np.empty(n, dtype=bool)
+    if n:
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+    gaps = np.diff(ts_us, prepend=ts_us[0] if n else 0)
+    new_sess = new_user | (gaps > gap_seconds * 1_000_000)
+    return new_user, new_sess
 
 
 def sessionize(ds, *, gap_seconds: int = 1800, user_col: str = "user_id",
                ts_col: str = "ts"):
     """Assign session ids per user: a new session starts when the gap from
     the previous event exceeds ``gap_seconds``.  Returns the input rows plus
-    ``session_id`` (f"{user}:{k}") and per-row session index."""
+    ``session_id`` (f"{user}:{k}") and per-row session index.
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort").copy()
+    Scale shape: hash-repartition by user (complete users per block), then
+    ONE vectorized pass per block across all its users — no per-user
+    Python call (a map_groups would pay ~1ms of call overhead per user;
+    users number in the billions at 100 TB)."""
+    from tokrle.functions.dedup import _group_blocks
+
+    def per_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col], kind="mergesort")
+        u = g[user_col].to_numpy()
         ts = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        k = _session_index(ts, gap_seconds)
+        new_user, new_sess = _user_session_bounds(u, ts, gap_seconds)
+        c = np.cumsum(new_sess)                  # global session ordinal
+        user_starts = np.flatnonzero(new_user)
+        per_user_n = np.diff(np.append(user_starts, len(u)))
+        base = np.repeat(c[user_starts], per_user_n)
+        k = c - base                             # 0-based within user
+        g = g.copy()
         g["session_idx"] = k
         g["session_id"] = (g[user_col].astype(str).to_numpy()
                            + np.char.add(":", k.astype(str)))
         return g
 
-    return ds.groupby(user_col).map_groups(per_user, batch_format="pandas")
+    return _group_blocks(ds, [user_col]).map_batches(
+        per_block, batch_size=None, batch_format="pandas")
 
 
 def sliding_window_assign(ds, *, window_seconds: int = 3600,
@@ -125,27 +148,33 @@ def session_stats(ds, *, gap_seconds: int = 1800, user_col: str = "user_id",
                   ts_col: str = "ts"):
     """Per-session aggregates: n_events, duration_us.
 
-    Fully vectorized inside each user group: session boundaries come from
-    the gap mask, counts from boundary differences, and durations from the
-    first/last timestamp per contiguous (time-sorted) session segment —
-    no per-session Python loop.
+    Fully vectorized across ALL users in a hash-co-located block: session
+    boundaries come from the combined (user-change | gap) mask, counts
+    from boundary differences, durations from first/last timestamps per
+    contiguous segment — no per-user or per-session Python loop.
     """
+    from tokrle.functions.dedup import _group_blocks
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
+    def per_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col], kind="mergesort")
+        u = g[user_col].to_numpy()
         ts = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
         if len(ts) == 0:
             return pd.DataFrame(columns=["user_id", "session_idx",
                                          "n_events", "duration_us"])
-        k = _session_index(ts, gap_seconds)
-        # sessions are contiguous segments of the sorted array
-        starts = np.concatenate(([0], np.flatnonzero(np.diff(k)) + 1))
-        ends = np.concatenate((starts[1:], [len(ts)]))
+        new_user, new_sess = _user_session_bounds(u, ts, gap_seconds)
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], len(ts))
+        # session_idx: ordinal of the session within its user
+        gidx = np.arange(len(starts))
+        user_first = new_user[starts]
+        base = np.maximum.accumulate(np.where(user_first, gidx, 0))
         return pd.DataFrame({
-            "user_id": np.repeat(g[user_col].iloc[0], len(starts)),
-            "session_idx": k[starts].astype(np.int64),
+            "user_id": u[starts],
+            "session_idx": (gidx - base).astype(np.int64),
             "n_events": (ends - starts).astype(np.int64),
             "duration_us": ts[ends - 1] - ts[starts],
         })
 
-    return ds.groupby(user_col).map_groups(per_user, batch_format="pandas")
+    return _group_blocks(ds, [user_col]).map_batches(
+        per_block, batch_size=None, batch_format="pandas")
