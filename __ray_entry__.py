@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     d["fsstg_text_roundtrip"] = partial(Q.fsst_text_roundtrip, codec="fsstg")
     d["codec_roundtrip_fsstg"] = partial(Q.codec_roundtrip, codec="fsstg")
     d["columnar_encode_lineitem"] = Q.columnar_encode_lineitem
+    d["columnar_encode_documents"] = Q.columnar_encode_documents
     return d
 
 
@@ -135,6 +136,14 @@ def oracle_sql() -> dict[str, str]:
 
     sql["recompress_roundtrip_stats"] = sql["encode_roundtrip_stats"]
 
+    sql["columnar_encode_documents"] = """
+        SELECT cast(count(*) AS bigint)            AS n_docs,
+               cast(sum(doc_id) AS bigint)         AS sum_doc_id,
+               cast(sum(n_chars) AS bigint)        AS sum_n_chars,
+               cast(sum(strlen(text)) AS bigint)   AS sum_text_bytes,
+               cast(sum(strlen(lang)) AS bigint)   AS sum_lang_bytes
+        FROM documents
+    """
     sql["columnar_encode_lineitem"] = """
         SELECT cast(count(*) AS bigint)        AS n,
                cast(sum(l_orderkey) AS bigint) AS sum_l_orderkey,

@@ -248,3 +248,30 @@ def test_table_columns_roundtrip_bit_identical(ray_session, tmp_path):
     # per-column sums pin bit-identity
     for c in ("a", "b", "c"):
         assert sorted(dec[c].tolist()) == sorted(df[c].tolist())
+
+
+@pytest.mark.parametrize("text_codec", ["fsst", "fsstg"])
+def test_table_string_columns_roundtrip(ray_session, text_codec):
+    """String columns split into length + flat-byte payloads; decode must
+    rebuild every string bit-identically — including empty strings,
+    non-ASCII text, and an all-empty column."""
+    import pandas as pd
+
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (decode_table_columns,
+                                               encode_table_columns)
+
+    df = pd.DataFrame({
+        "id": np.arange(300, dtype=np.int64),
+        "s": (["the quick brown fox", "", "héllo wörld 結構", "x"] * 75),
+        "empty": [""] * 300,
+    })
+    cols = ["id", "s", "empty"]
+    ds = ray.data.from_pandas(df)
+    enc = encode_table_columns(ds, cols, batch_size=128,
+                               text_codec=text_codec)
+    dec = decode_table_columns(enc, cols).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    for c in cols:
+        assert dec[c].tolist() == df[c].tolist(), c

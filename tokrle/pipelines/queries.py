@@ -272,6 +272,51 @@ def columnar_encode_lineitem(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def columnar_encode_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-column encode of a MIXED int/string table: the documents table
+    (string doc text + lang + source, int ids/lengths) round-trips through
+    the codec layer — string columns split into length arrays (int codecs)
+    and flat UTF-8 bytes (greedy-FSST 'fsstg') — and the aggregates over
+    the DECODED columns must match SQL over the untouched table."""
+    from ray.data.aggregate import Sum
+
+    from tokrle.pipelines.table_encode import (decode_table_columns,
+                                               encode_table_columns)
+
+    cols = ["doc_id", "source", "text", "lang", "n_chars"]
+    ds = _read(sf_dir, "documents", columns=cols)
+    enc = encode_table_columns(ds, cols, batch_size=4096,
+                               text_codec="fsstg")
+    dec = decode_table_columns(enc, cols)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "n_docs": pa.array([len(batch)], type=pa.int64()),
+            "sum_doc_id": pa.array(
+                [int(pc.sum(batch.column("doc_id")).as_py() or 0)],
+                type=pa.int64()),
+            "sum_n_chars": pa.array(
+                [int(pc.sum(batch.column("n_chars")).as_py() or 0)],
+                type=pa.int64()),
+            "sum_text_bytes": pa.array(
+                [int(pc.sum(pc.binary_length(
+                    batch.column("text"))).as_py() or 0)],
+                type=pa.int64()),
+            "sum_lang_bytes": pa.array(
+                [int(pc.sum(pc.binary_length(
+                    batch.column("lang"))).as_py() or 0)],
+                type=pa.int64()),
+        })
+
+    names = ["n_docs", "sum_doc_id", "sum_n_chars", "sum_text_bytes",
+             "sum_lang_bytes"]
+    agg = dec.map_batches(per_batch, batch_format="pyarrow").aggregate(
+        *[Sum(c, alias_name=c) for c in names])
+    return pd.DataFrame({c: [int(agg[c])] for c in names})
+
+
 # ---------------------------------------------------------------------------
 # coverage (keyed RLE) pipelines over events-derived intervals
 # ---------------------------------------------------------------------------

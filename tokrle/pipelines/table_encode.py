@@ -20,18 +20,52 @@ from tokrle.codecs.core import decode as codec_decode
 from tokrle.select import auto_encode
 
 
+def _string_buffers(col: pa.ChunkedArray | pa.Array):
+    """(lengths:int64, flat_bytes:uint8) of an Arrow string column,
+    zero-copy from its offsets/data buffers."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    o = arr.offset
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                         count=len(arr) + 1 + o)[o:]
+    data = (np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            [offs[0]:offs[-1]] if arr.buffers()[2] is not None
+            else np.zeros(0, dtype=np.uint8))
+    return np.diff(offs).astype(np.int64), np.ascontiguousarray(data)
+
+
 def encode_table_columns(ds, columns: list[str], *,
-                         batch_size: int = 65536):
+                         batch_size: int = 65536, text_codec: str = "fsst"):
     """Dataset -> encoded Dataset with one row per input batch and, per
-    column, ``{col}__codec/__payload/__dtype`` plus byte lineage."""
+    column, ``{col}__codec/__payload/__dtype`` plus byte lineage.
+
+    Integer columns go through codec auto-selection.  STRING columns
+    split into their Arrow buffers: per-row byte lengths (an int column —
+    auto-selected, usually for/bitpack) and the flat UTF-8 bytes through
+    ``text_codec`` ('fsst' aligned tables, or 'fsstg' for the greedy
+    arbitrary-offset parse: ~1.5x better ratio at ~5x the encode cost)."""
+    from tokrle.codecs.core import encode as codec_encode
 
     def enc(batch: pa.Table) -> pa.Table:
         out: dict = {"n_rows": pa.array([len(batch)], type=pa.int64())}
         raw_bytes = 0
         enc_bytes = 0
         for c in columns:
-            x = np.ascontiguousarray(
-                batch.column(c).to_numpy(zero_copy_only=False))
+            col = batch.column(c)
+            if pa.types.is_string(col.type) or pa.types.is_large_string(
+                    col.type):
+                lens, data = _string_buffers(col)
+                lcodec, lpayload, lprof = auto_encode(lens)
+                bpayload = codec_encode(text_codec, data.view(np.int8))
+                raw_bytes += lens.sum() + len(batch) * 4   # data + offsets
+                enc_bytes += len(lpayload) + len(bpayload)
+                out[f"{c}__codec"] = pa.array(
+                    [f"str:{lcodec}:{text_codec}"], type=pa.string())
+                out[f"{c}__dtype"] = pa.array(["str"], type=pa.string())
+                out[f"{c}__lens_payload"] = pa.array([lpayload],
+                                                     type=pa.binary())
+                out[f"{c}__payload"] = pa.array([bpayload], type=pa.binary())
+                continue
+            x = np.ascontiguousarray(col.to_numpy(zero_copy_only=False))
             codec, payload, prof = auto_encode(x)
             raw_bytes += prof.raw_bytes
             enc_bytes += len(payload)
@@ -56,9 +90,25 @@ def decode_table_columns(encoded_ds, columns: list[str]):
             cols = {}
             for c in columns:
                 codec = batch.column(f"{c}__codec")[i].as_py()
-                dtype = np.dtype(batch.column(f"{c}__dtype")[i].as_py())
                 payload = memoryview(
                     batch.column(f"{c}__payload")[i].as_buffer())
+                if codec.startswith("str:"):
+                    _, lcodec, tcodec = codec.split(":")
+                    lpayload = memoryview(
+                        batch.column(f"{c}__lens_payload")[i].as_buffer())
+                    lens = codec_decode(lcodec, lpayload, n, np.int64)
+                    nbytes = int(lens.sum())
+                    data = codec_decode(tcodec, payload, nbytes, np.int8)
+                    offs = np.zeros(n + 1, dtype=np.int64)
+                    np.cumsum(lens, out=offs[1:])
+                    cols[c] = pa.StringArray.from_buffers(
+                        n, pa.py_buffer(offs.astype(np.int32).tobytes()),
+                        pa.py_buffer(data.tobytes())) if offs[-1] < 2**31 \
+                        else pa.LargeStringArray.from_buffers(
+                            n, pa.py_buffer(offs.tobytes()),
+                            pa.py_buffer(data.tobytes()))
+                    continue
+                dtype = np.dtype(batch.column(f"{c}__dtype")[i].as_py())
                 cols[c] = pa.array(codec_decode(codec, payload, n, dtype))
             parts.append(pa.table(cols))
         if not parts:
