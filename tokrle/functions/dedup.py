@@ -388,8 +388,17 @@ def ngram_jaccard_pairs(ds, *, shingle_k: int = 3, threshold: float = 0.5,
                     out.append((ids[i], ids[j], jac))
         return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
 
-    return blocked.groupby("block").map_groups(pairs_in_block,
-                                               batch_format="pandas")
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # complete blocking-key groups per hash partition; iterate groups
+        # in-process (pandas groupby, ~us per group) instead of one Ray
+        # map_groups dispatch (~ms) per group
+        frames = [pairs_in_block(g) for _, g in
+                  df.groupby("block", sort=False)]
+        return (pd.concat(frames, ignore_index=True) if frames else
+                pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"]))
+
+    return _group_blocks(blocked, ["block"]).map_batches(
+        block_pairs, batch_size=None, batch_format="pandas")
 
 
 def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 8,
@@ -448,4 +457,10 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 8,
             "cosine": sims[ii, jj],
         })
 
-    return buckets.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [pairs(g) for _, g in df.groupby("bucket", sort=False)]
+        return (pd.concat(frames, ignore_index=True) if frames else
+                pd.DataFrame(columns=["id_a", "id_b", "cosine"]))
+
+    return _group_blocks(buckets, ["bucket"]).map_batches(
+        block_pairs, batch_size=None, batch_format="pandas")
