@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unique_token_seqs": Q.unique_token_seqs,
         "ann_top1": Q.ann_top1,
         "dedup_minhash": Q.dedup_minhash,   # rows-only (no SQL analog)
+        "minhash_cluster_stats": Q.minhash_cluster_stats,  # rows-only (LSH)
         "lang_id": Q.lang_id,               # rows-only (heuristic model)
         "simhash_signatures": Q.simhash_signatures,  # rows-only
         "ngram_dup_pairs": Q.ngram_dup_pairs,        # rows-only (blocked)

@@ -288,3 +288,27 @@ def test_sliding_partial_agg_matches_event_expansion(ray_session):
         got[c] = got[c].astype("int64")
         want[c] = want[c].astype("int64")
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_minhash_clusters_consistent_with_dedup(ray_session):
+    import ray.data
+
+    from tokrle.functions.dedup import minhash_clusters, minhash_lsh_dedup
+
+    base = pd.DataFrame({
+        "doc_id": np.arange(30),
+        "source": ["s"] * 30,
+        "text": (["alpha beta gamma delta epsilon zeta eta theta"] * 10
+                 + [f"unique text number {i} with words {i*7} {i*13} etc"
+                    for i in range(20)]),
+    })
+    ds = ray.data.from_pandas(base)
+    cl = minhash_clusters(ds).to_pandas()
+    assert len(cl) == 30                       # every doc gets a cluster
+    # the 10 identical docs all point at leader 0
+    dup = cl[cl["doc_id"] < 10]
+    assert (dup["cluster"] == 0).all()
+    # survivor semantics match the dedup operator exactly
+    survivors = set(
+        minhash_lsh_dedup(ray.data.from_pandas(base)).to_pandas()["doc_id"])
+    assert set(cl.loc[cl["cluster"] == cl["doc_id"], "doc_id"]) == survivors

@@ -197,26 +197,10 @@ class MinHasher:
         })
 
 
-def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
-                      shingle_k: int = 3, concurrency=(1, 4),
-                      return_full_rows: bool = False):
-    """MinHash+LSH near-dup grouping: signature -> band buckets ->
-    bucket-grouped cluster leaders -> global survivor set.
-
-    Returns a Dataset of (doc_id, source) survivors: a doc is dropped if
-    any LSH band bucket contains a doc with smaller doc_id (leader-wins,
-    deterministic; transitively-connected duplicates collapse toward the
-    smallest id over repeated application — single pass matches common
-    one-round LSH dedup practice).
-
-    Scale shape — TWO shuffles, no join, no per-group Python calls:
-    (1) hash-repartition the (doc_id, source, bucket) rows by bucket so a
-    vectorized per-block pass computes every bucket's exact leader and
-    folds to at most one (doc, dropped-here?) partial per doc per block;
-    (2) a native Max aggregate over the int8 ``dropped`` flags, then a
-    vectorized filter.  ``return_full_rows=True`` semi-joins survivors
-    back to the full input rows (a third shuffle — only when the payload
-    is needed downstream)."""
+def _lsh_band_buckets(ds, *, num_perm: int, bands: int, shingle_k: int,
+                      concurrency):
+    """(doc_id, source, bucket) rows: minhash signatures -> one int64
+    bucket key per band (shared by minhash_lsh_dedup / minhash_clusters)."""
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(MinHasher, batch_size=1024,
                           fn_constructor_kwargs={"num_perm": num_perm,
@@ -248,27 +232,79 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
             }))
         return pa.concat_tables(parts)
 
-    buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
+    return sigs.map_batches(to_buckets, batch_format="pyarrow")
+
+
+def _block_bucket_leaders(df: pd.DataFrame) -> pd.DataFrame:
+    """Per co-located block: each bucket's exact leader (min doc_id),
+    folded to one (doc, min-leader-in-this-block) partial per doc."""
+    df = df.sort_values(["bucket", "doc_id"], kind="mergesort")
+    b = df["bucket"].to_numpy()
+    d = df["doc_id"].to_numpy()
+    starts = np.flatnonzero(
+        np.concatenate([[True], b[1:] != b[:-1]])) if len(b) else \
+        np.zeros(0, dtype=np.int64)
+    runs = np.diff(np.append(starts, len(b)))
+    leader = np.repeat(d[starts], runs)
+    part = pd.DataFrame({
+        "doc_id": d, "source": df["source"].to_numpy(), "leader": leader,
+    })
+    return part.groupby(["doc_id", "source"], sort=False,
+                        as_index=False)["leader"].min()
+
+
+def minhash_clusters(ds, *, num_perm: int = 64, bands: int = 16,
+                     shingle_k: int = 3, concurrency=(1, 4)):
+    """Per-doc near-dup CLUSTER assignment: (doc_id, source, cluster)
+    where ``cluster`` is the smallest doc_id found in any LSH band bucket
+    containing the doc (single leader-wins pass; transitive chains
+    collapse fully under repeated application, matching
+    :func:`minhash_lsh_dedup`'s survivor semantics — a doc survives dedup
+    iff ``cluster == doc_id``).
+
+    Same two-shuffle scale shape as the dedup: bucket co-location +
+    vectorized per-block leader fold, then a native Min aggregate."""
+    from ray.data.aggregate import Min
+
+    buckets = _lsh_band_buckets(ds, num_perm=num_perm, bands=bands,
+                                shingle_k=shingle_k, concurrency=concurrency)
+    partials = _group_blocks(buckets, ["bucket"]).map_batches(
+        _block_bucket_leaders, batch_size=None, batch_format="pandas")
+    return partials.groupby(["doc_id", "source"]).aggregate(
+        Min("leader", alias_name="cluster"))
+
+
+def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
+                      shingle_k: int = 3, concurrency=(1, 4),
+                      return_full_rows: bool = False):
+    """MinHash+LSH near-dup grouping: signature -> band buckets ->
+    bucket-grouped cluster leaders -> global survivor set.
+
+    Returns a Dataset of (doc_id, source) survivors: a doc is dropped if
+    any LSH band bucket contains a doc with smaller doc_id (leader-wins,
+    deterministic; transitively-connected duplicates collapse toward the
+    smallest id over repeated application — single pass matches common
+    one-round LSH dedup practice).
+
+    Scale shape — TWO shuffles, no join, no per-group Python calls:
+    (1) hash-repartition the (doc_id, source, bucket) rows by bucket so a
+    vectorized per-block pass computes every bucket's exact leader and
+    folds to at most one (doc, dropped-here?) partial per doc per block;
+    (2) a native Max aggregate over the int8 ``dropped`` flags, then a
+    vectorized filter.  ``return_full_rows=True`` semi-joins survivors
+    back to the full input rows (a third shuffle — only when the payload
+    is needed downstream)."""
+    buckets = _lsh_band_buckets(ds, num_perm=num_perm, bands=bands,
+                                shingle_k=shingle_k, concurrency=concurrency)
 
     def block_dropped_partials(df: pd.DataFrame) -> pd.DataFrame:
-        # bucket groups are COMPLETE within a block (hash repartition), so
-        # each bucket's leader (min doc_id) is exact; a doc's partial flag
-        # says "some bucket in this block has a smaller doc".  The
-        # per-doc fold shrinks the next shuffle by up to `bands`x.
-        df = df.sort_values(["bucket", "doc_id"], kind="mergesort")
-        b = df["bucket"].to_numpy()
-        d = df["doc_id"].to_numpy()
-        starts = np.flatnonzero(
-            np.concatenate([[True], b[1:] != b[:-1]])) if len(b) else \
-            np.zeros(0, dtype=np.int64)
-        runs = np.diff(np.append(starts, len(b)))
-        leader = np.repeat(d[starts], runs)
-        part = pd.DataFrame({
-            "doc_id": d, "source": df["source"].to_numpy(),
-            "dropped": (leader != d).astype(np.int8),
+        # per-doc partial flag "some bucket in this block has a smaller
+        # doc" — an int8, so the aggregate shuffle moves flags, not ids
+        part = _block_bucket_leaders(df)
+        return pd.DataFrame({
+            "doc_id": part["doc_id"], "source": part["source"],
+            "dropped": (part["leader"] != part["doc_id"]).astype(np.int8),
         })
-        return part.groupby(["doc_id", "source"], sort=False,
-                            as_index=False)["dropped"].max()
 
     partials = _group_blocks(buckets, ["bucket"]).map_batches(
         block_dropped_partials, batch_size=None, batch_format="pandas")

@@ -533,6 +533,33 @@ def dedup_minhash(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("source").reset_index(drop=True)
 
 
+def minhash_cluster_stats(sf_dir: str) -> pd.DataFrame:
+    """Near-dup cluster assignment summary per source: total docs and
+    distinct cluster leaders (no SQL oracle — LSH; rows-only check).
+    Distinct counting is the two-level groupby (no unbounded per-source
+    group, no driver-side row materialization)."""
+    from ray.data.aggregate import Count
+
+    from tokrle.functions.dedup import minhash_clusters
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    # materialize the (doc, cluster) assignment once: (a) both summaries
+    # read it without re-running the LSH pipeline, and (b) it caps the
+    # number of CONCURRENT hash-shuffle stages — chaining 4 shuffle ops
+    # in one streaming plan oversubscribes the per-op aggregator actors
+    # (each holds a CPU) and can deadlock the executor on small hosts
+    cl = minhash_clusters(ds).materialize()
+    n_docs = cl.groupby("source").aggregate(
+        Count(alias_name="n_docs")).to_pandas()
+    n_clusters = cl.groupby(["source", "cluster"]).count() \
+        .groupby("source").aggregate(
+            Count(alias_name="n_clusters")).to_pandas()
+    out = n_docs.merge(n_clusters, on="source")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def lang_id(sf_dir: str) -> pd.DataFrame:
     """Predicted language counts (heuristic; rows-only check)."""
     from tokrle.functions.text import LangId
