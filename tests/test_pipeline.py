@@ -275,3 +275,34 @@ def test_table_string_columns_roundtrip(ray_session, text_codec):
         .sort_values("id").reset_index(drop=True)
     for c in cols:
         assert dec[c].tolist() == df[c].tolist(), c
+
+
+def test_table_string_auto_codec_picks_greedy_on_text(ray_session):
+    """text_codec='auto' samples both fsst variants and records the winner
+    in the lineage column; on wordy text that is the greedy parse."""
+    import pandas as pd
+
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (decode_table_columns,
+                                               encode_table_columns)
+
+    rng = np.random.default_rng(5)
+    # wide enough vocabulary that aligned windows dilute across phases
+    # (with very few distinct words the aligned tables legitimately win
+    # and auto correctly picks plain fsst)
+    vocab = ["the", "model", "data", "token", "stream", "encode", "ray",
+             "batch", "compression", "symbol", "greedy", "parse", "with",
+             "and", "for", "column"]
+    texts = [" ".join(vocab[i] for i in rng.integers(0, len(vocab), 40))
+             for _ in range(400)]
+    df = pd.DataFrame({"id": np.arange(400, dtype=np.int64), "s": texts})
+    ds = ray.data.from_pandas(df)
+    enc = encode_table_columns(ds, ["id", "s"], batch_size=400,
+                               text_codec="auto")
+    enc_df = enc.to_pandas()
+    assert (enc_df["s__codec"] == "str:for:fsstg").any() or \
+        (enc_df["s__codec"].str.endswith(":fsstg")).all()
+    dec = decode_table_columns(ray.data.from_pandas(enc_df), ["id", "s"]) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert dec["s"].tolist() == df["s"].tolist()

@@ -50,14 +50,19 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id",
             vals, hash_key=_HASH_KEY_A, categorize=False).view(np.int64)
         out["_h2"] = pd.util.hash_array(
             vals, hash_key=_HASH_KEY_B, categorize=False).view(np.int64)
-        return out
+        # map-side combiner: duplicates that co-occur in a batch collapse
+        # BEFORE the shuffle (the final block pass re-applies the same
+        # min-id rule globally, so the result is unchanged)
+        return _first_per_hash(out, id_col)
+
+    def _first_per_hash(df: pd.DataFrame, idc: str) -> pd.DataFrame:
+        return df.sort_values(["_h1", "_h2", idc], kind="mergesort") \
+            .drop_duplicates(["_h1", "_h2"], keep="first")
 
     hashed = ds.map_batches(hash_stage, batch_format="pandas")
 
     def block_first(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.sort_values(["_h1", "_h2", id_col], kind="mergesort") \
-            .drop_duplicates(["_h1", "_h2"], keep="first")
-        return out[carry]
+        return _first_per_hash(df, id_col)[carry]
 
     winners = _group_blocks(hashed, ["_h1", "_h2"]).map_batches(
         block_first, batch_size=None, batch_format="pandas")

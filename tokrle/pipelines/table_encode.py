@@ -41,9 +41,19 @@ def encode_table_columns(ds, columns: list[str], *,
     Integer columns go through codec auto-selection.  STRING columns
     split into their Arrow buffers: per-row byte lengths (an int column —
     auto-selected, usually for/bitpack) and the flat UTF-8 bytes through
-    ``text_codec`` ('fsst' aligned tables, or 'fsstg' for the greedy
-    arbitrary-offset parse: ~1.5x better ratio at ~5x the encode cost)."""
+    ``text_codec`` ('fsst' aligned tables, 'fsstg' for the greedy
+    arbitrary-offset parse: ~1.5x better ratio at ~5x the encode cost, or
+    'auto' to pick per chunk from a 64 KiB sample encode of each)."""
     from tokrle.codecs.core import encode as codec_encode
+
+    def pick_text_codec(data: np.ndarray) -> str:
+        if text_codec != "auto":
+            return text_codec
+        sample = data[: 1 << 16].view(np.int8)
+        if len(sample) < 256:          # too small for trained tables to
+            return "fsst"              # differentiate; take the fast one
+        sizes = {c: len(codec_encode(c, sample)) for c in ("fsst", "fsstg")}
+        return min(sizes, key=sizes.__getitem__)
 
     def enc(batch: pa.Table) -> pa.Table:
         out: dict = {"n_rows": pa.array([len(batch)], type=pa.int64())}
@@ -55,11 +65,12 @@ def encode_table_columns(ds, columns: list[str], *,
                     col.type):
                 lens, data = _string_buffers(col)
                 lcodec, lpayload, lprof = auto_encode(lens)
-                bpayload = codec_encode(text_codec, data.view(np.int8))
+                tcodec = pick_text_codec(data)
+                bpayload = codec_encode(tcodec, data.view(np.int8))
                 raw_bytes += lens.sum() + len(batch) * 4   # data + offsets
                 enc_bytes += len(lpayload) + len(bpayload)
                 out[f"{c}__codec"] = pa.array(
-                    [f"str:{lcodec}:{text_codec}"], type=pa.string())
+                    [f"str:{lcodec}:{tcodec}"], type=pa.string())
                 out[f"{c}__dtype"] = pa.array(["str"], type=pa.string())
                 out[f"{c}__lens_payload"] = pa.array([lpayload],
                                                      type=pa.binary())
