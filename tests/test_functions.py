@@ -312,3 +312,52 @@ def test_minhash_clusters_consistent_with_dedup(ray_session):
     survivors = set(
         minhash_lsh_dedup(ray.data.from_pandas(base)).to_pandas()["doc_id"])
     assert set(cl.loc[cl["cluster"] == cl["doc_id"], "doc_id"]) == survivors
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_minhash_dedup_matches_brute_force_reference(ray_session, seed):
+    """Differential gate for the distributed LSH shape: an in-process
+    brute-force reference (same MinHasher signatures, same band-hash
+    formula, explicit bucket dict, leader = min doc_id per bucket) must
+    produce exactly the survivor set the two-shuffle pipeline computes."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from tokrle.functions.dedup import MinHasher, minhash_lsh_dedup
+
+    rng = np.random.default_rng(seed)
+    vocab = ["red", "green", "blue", "cyan", "teal", "plum", "gold",
+             "jade", "rust", "sand"]
+    texts = []
+    for i in range(60):
+        if i % 5 == 0 and i:
+            texts.append(texts[rng.integers(0, len(texts))])  # planted dup
+        else:
+            texts.append(" ".join(
+                vocab[j] for j in rng.integers(0, len(vocab), 12)))
+    base = pd.DataFrame({
+        "doc_id": np.arange(60), "source": ["s"] * 60, "text": texts,
+    })
+
+    num_perm, bands = 64, 16
+    rows_per_band = num_perm // bands
+    hasher = MinHasher(num_perm=num_perm, shingle_k=3)
+    sig_tbl = hasher(pa.table(base))
+    flat = sig_tbl.column("signature").combine_chunks().flatten() \
+        .to_numpy(zero_copy_only=False)
+    sig = np.ascontiguousarray(flat).view(np.uint64).reshape(60, num_perm)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in range(60):
+        for bidx in range(bands):
+            bh = np.uint64(0xCBF29CE484222325)
+            for c in range(rows_per_band):
+                bh = bh * np.uint64(1099511628211) + \
+                    sig[i, bidx * rows_per_band + c]
+            buckets.setdefault((bidx, int(bh)), []).append(i)
+    dropped = {i for ids in buckets.values() for i in ids if i != min(ids)}
+    want = set(range(60)) - dropped
+
+    got = set(minhash_lsh_dedup(
+        ray.data.from_pandas(base)).to_pandas()["doc_id"])
+    assert got == want

@@ -306,3 +306,25 @@ def test_table_string_auto_codec_picks_greedy_on_text(ray_session):
     dec = decode_table_columns(ray.data.from_pandas(enc_df), ["id", "s"]) \
         .to_pandas().sort_values("id").reset_index(drop=True)
     assert dec["s"].tolist() == df["s"].tolist()
+
+
+def test_column_checksums_batching_independent(ray_session):
+    import pandas as pd
+
+    import ray.data
+
+    from tokrle.pipelines.table_encode import _column_checksums
+
+    df = pd.DataFrame({
+        "a": np.arange(1000, dtype=np.int64),
+        "s": [f"doc {i % 37}" for i in range(1000)],
+    })
+    ds1 = ray.data.from_pandas(df)
+    ds2 = ray.data.from_pandas(df).repartition(7)
+    c1 = _column_checksums(ds1, ["a", "s"])
+    c2 = _column_checksums(ds2, ["a", "s"])
+    assert c1 == c2
+    df3 = df.copy()
+    df3.loc[500, "s"] = "tampered"
+    c3 = _column_checksums(ray.data.from_pandas(df3), ["a", "s"])
+    assert c3["h_s"] != c1["h_s"] and c3["h_a"] == c1["h_a"]

@@ -5,6 +5,10 @@
 
     python -m tokrle.cli decode --in-dir /data/encoded --out-dir /data/tokens2
     python -m tokrle.cli verify --tokens /data/tokens --encoded /data/encoded
+    python -m tokrle.cli table-encode --in-dir /data/any.parquet \
+        --out-dir /data/enc --columns id,text --text-codec auto
+    python -m tokrle.cli table-verify --source /data/any.parquet \
+        --encoded /data/enc --columns id,text
 
 In a cluster, ``ray.init(address="auto")`` attaches to the running cluster;
 standalone it starts a local one.  This is the only module that owns a Ray
@@ -66,6 +70,26 @@ def main(argv=None) -> int:
     dec.add_argument("--out-dir", required=True)
     dec.add_argument("--num-cpus", type=int, default=None)
 
+    te = sub.add_parser("table-encode",
+                        help="any parquet table -> per-column encoded "
+                             "parquet (int + string columns)")
+    te.add_argument("--in-dir", required=True)
+    te.add_argument("--out-dir", required=True)
+    te.add_argument("--columns", required=True,
+                    help="comma-separated column names")
+    te.add_argument("--batch-size", type=int, default=65536)
+    te.add_argument("--text-codec", default="auto",
+                    choices=["fsst", "fsstg", "auto"])
+    te.add_argument("--num-cpus", type=int, default=None)
+
+    tv = sub.add_parser("table-verify",
+                        help="decode a table-encode dir and checksum "
+                             "against the source table")
+    tv.add_argument("--source", required=True)
+    tv.add_argument("--encoded", required=True)
+    tv.add_argument("--columns", required=True)
+    tv.add_argument("--num-cpus", type=int, default=None)
+
     ver = sub.add_parser("verify", help="streaming roundtrip checksum")
     ver.add_argument("--tokens", required=True)
     ver.add_argument("--encoded", required=True)
@@ -99,6 +123,43 @@ def main(argv=None) -> int:
             enc_ds = ray.data.read_parquet(args.in_dir)
             decode_tokens(enc_ds).write_parquet(args.out_dir)
             print(json.dumps({"status": "ok", "out": args.out_dir}))
+        elif args.cmd == "table-encode":
+            import ray.data
+
+            from tokrle.pipelines.table_encode import encode_table_columns
+
+            cols = args.columns.split(",")
+            ds = ray.data.read_parquet(args.in_dir, columns=cols)
+            enc = encode_table_columns(ds, cols, batch_size=args.batch_size,
+                                       text_codec=args.text_codec)
+            enc.write_parquet(args.out_dir)
+            from ray.data.aggregate import Sum
+
+            stats = ray.data.read_parquet(
+                args.out_dir, columns=["raw_bytes", "encoded_bytes"]) \
+                .aggregate(Sum("raw_bytes", alias_name="raw"),
+                           Sum("encoded_bytes", alias_name="enc"))
+            print(json.dumps({
+                "status": "ok", "out": args.out_dir,
+                "raw_bytes": int(stats["raw"]),
+                "encoded_bytes": int(stats["enc"]),
+                "ratio": round(stats["raw"] / max(stats["enc"], 1), 3),
+            }))
+        elif args.cmd == "table-verify":
+            import ray.data
+
+            from tokrle.pipelines.table_encode import (_column_checksums,
+                                                       decode_table_columns)
+
+            cols = args.columns.split(",")
+            src = ray.data.read_parquet(args.source, columns=cols)
+            dec = decode_table_columns(
+                ray.data.read_parquet(args.encoded), cols)
+            a = _column_checksums(src, cols)
+            b = _column_checksums(dec, cols)
+            match = a == b
+            print(json.dumps({"match": match, "source": a, "decoded": b}))
+            return 0 if match else 1
         elif args.cmd == "verify":
             import ray.data
 

@@ -128,3 +128,30 @@ def decode_table_columns(encoded_ds, columns: list[str]):
 
     return encoded_ds.map_batches(dec, batch_size=4,
                                   batch_format="pyarrow")
+
+
+def _column_checksums(ds, columns: list[str]) -> dict:
+    """Order-independent per-column checksums, computed distributed: row
+    count plus a sum of vectorized 64-bit content hashes per column (so
+    two datasets with equal multisets of values — regardless of row or
+    block order — produce equal checksums)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    P = (1 << 31) - 1   # sums stay far inside int64 up to ~2^32 partials;
+                        # elementwise-mod -> partial-mod -> final-mod is
+                        # additive, so the checksum is BATCHING-INDEPENDENT
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"n": [len(df)]}
+        for c in columns:
+            h = pd.util.hash_array(df[c].to_numpy(dtype=object),
+                                   categorize=False)
+            out[f"h_{c}"] = [int((h % np.uint64(P)).sum() % P)]
+        return pd.DataFrame(out)
+
+    aggs = [Sum("n", alias_name="n")] + [
+        Sum(f"h_{c}", alias_name=f"h_{c}") for c in columns]
+    row = ds.map_batches(partial, batch_format="pandas").aggregate(*aggs)
+    return {k: int(v) % P if k.startswith("h_") else int(v)
+            for k, v in row.items()}
