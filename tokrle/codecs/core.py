@@ -437,7 +437,9 @@ class FsstGreedy(Codec):
         for L, (tbl, _) in tables.items():
             pref = (tbl & np.uint64(0xFFFF)).astype(np.int64)
             lenbits[pref] |= np.uint8(1 << (L - 2))
-        pbits = lenbits[(w8 & np.uint64(0xFFFF)).astype(np.int64)]
+        # 2-byte prefix straight from the word array, uint16 temps only
+        # (uint16 fancy-indexes the LUT directly — no int64 blow-up)
+        pbits = lenbits[w8.astype(np.uint16)]
         cand = np.flatnonzero(pbits)          # positions with any prefix hit
         if len(cand) == 0:
             return len_at, code_at
