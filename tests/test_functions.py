@@ -361,3 +361,45 @@ def test_minhash_dedup_matches_brute_force_reference(ray_session, seed):
     got = set(minhash_lsh_dedup(
         ray.data.from_pandas(base)).to_pandas()["doc_id"])
     assert got == want
+
+
+def test_label_propagation_transitive_chain(ray_session):
+    """A bucket chain 0-1, 1-2, 2-3 must collapse to one component: each
+    round moves labels one bucket-hop, so the 3-hop chain needs 3."""
+    import ray.data
+
+    from tokrle.functions.dedup import _propagate_labels
+
+    edges = pd.DataFrame({
+        "doc_id": [0, 1, 1, 2, 2, 3],
+        "source": ["s"] * 6,
+        "bucket": [10, 10, 20, 20, 30, 30],
+        "label":  [0, 1, 1, 2, 2, 3],
+    })
+
+    def labels_after(rounds):
+        out = _propagate_labels(ray.data.from_pandas(edges), rounds) \
+            .to_pandas().groupby("doc_id")["label"].min()
+        return out.to_dict()
+
+    assert labels_after(1) == {0: 0, 1: 0, 2: 1, 3: 2}
+    assert labels_after(2) == {0: 0, 1: 0, 2: 0, 3: 1}
+    assert labels_after(3) == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_connected_clusters_collapse_identical_docs(ray_session):
+    import ray.data
+
+    from tokrle.functions.dedup import minhash_connected_clusters
+
+    base = pd.DataFrame({
+        "doc_id": np.arange(20),
+        "source": ["s"] * 20,
+        "text": (["same exact text repeated here again and again ok"] * 8
+                 + [f"unique document number {i} words {i*3} {i*11} more"
+                    for i in range(12)]),
+    })
+    cl = minhash_connected_clusters(
+        ray.data.from_pandas(base), rounds=2).to_pandas()
+    assert len(cl) == 20
+    assert (cl.loc[cl["doc_id"] < 8, "cluster"] == 0).all()

@@ -279,6 +279,56 @@ def minhash_clusters(ds, *, num_perm: int = 64, bands: int = 16,
         Min("leader", alias_name="cluster"))
 
 
+def _propagate_labels(state, rounds: int):
+    """Distributed min-label propagation over a (doc_id, source, bucket,
+    label) edge table: each round sets every row's label to the minimum
+    label in its BUCKET, then to the minimum label of its DOC — i.e. one
+    step of connected components over the doc-bucket bipartite graph,
+    expressed as two hash repartitions with vectorized per-block folds
+    (NO joins; labels ride along with the edge rows).  Labels only
+    decrease; ``rounds`` bounds the component diameter covered."""
+
+    def fold(key: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return df
+            m = df.groupby(key, sort=False)["label"].transform("min")
+            return df.assign(label=m)
+        return f
+
+    for r in range(rounds):
+        state = _group_blocks(state, ["bucket"]).map_batches(
+            fold("bucket"), batch_size=None, batch_format="pandas")
+        state = _group_blocks(state, ["doc_id"]).map_batches(
+            fold("doc_id"), batch_size=None, batch_format="pandas")
+        # materialize between rounds: chaining 2*rounds shuffle stages in
+        # one streaming plan oversubscribes aggregator actors
+        state = state.materialize()
+    return state
+
+
+def minhash_connected_clusters(ds, *, rounds: int = 3, num_perm: int = 64,
+                               bands: int = 16, shingle_k: int = 3,
+                               concurrency=(1, 4)):
+    """Near-dup clusters with TRANSITIVE closure (up to ``rounds`` hops):
+    connected components over the doc-LSH-bucket graph via iterated
+    min-label propagation.  Returns (doc_id, source, cluster); docs whose
+    near-dup chain is shorter than ``rounds`` get their component's
+    smallest doc_id as cluster (single-round = minhash_clusters)."""
+    from ray.data.aggregate import Min
+
+    buckets = _lsh_band_buckets(ds, num_perm=num_perm, bands=bands,
+                                shingle_k=shingle_k, concurrency=concurrency)
+
+    def seed(batch: pa.Table) -> pa.Table:
+        return batch.append_column("label", batch.column("doc_id"))
+
+    state = _propagate_labels(
+        buckets.map_batches(seed, batch_format="pyarrow"), rounds)
+    return state.groupby(["doc_id", "source"]).aggregate(
+        Min("label", alias_name="cluster"))
+
+
 def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 3, concurrency=(1, 4),
                       return_full_rows: bool = False):

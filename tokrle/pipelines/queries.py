@@ -560,6 +560,26 @@ def minhash_cluster_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
+def minhash_connected_stats(sf_dir: str) -> pd.DataFrame:
+    """Transitive near-dup clustering (2-round label propagation over the
+    doc-bucket graph) summary per source (rows-only; LSH)."""
+    from ray.data.aggregate import Count
+
+    from tokrle.functions.dedup import minhash_connected_clusters
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    cl = minhash_connected_clusters(ds, rounds=2).materialize()
+    n_docs = cl.groupby("source").aggregate(
+        Count(alias_name="n_docs")).to_pandas()
+    n_clusters = cl.groupby(["source", "cluster"]).count() \
+        .groupby("source").aggregate(
+            Count(alias_name="n_clusters")).to_pandas()
+    out = n_docs.merge(n_clusters, on="source")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def lang_id(sf_dir: str) -> pd.DataFrame:
     """Predicted language counts (heuristic; rows-only check)."""
     from tokrle.functions.text import LangId
