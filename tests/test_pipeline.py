@@ -328,3 +328,25 @@ def test_column_checksums_batching_independent(ray_session):
     df3.loc[500, "s"] = "tampered"
     c3 = _column_checksums(ray.data.from_pandas(df3), ["a", "s"])
     assert c3["h_s"] != c1["h_s"] and c3["h_a"] == c1["h_a"]
+
+
+def test_table_large_string_roundtrip(ray_session):
+    """large_string columns carry int64 offsets — the buffer reader must
+    honor that (int32 reads would garble lengths)."""
+    import pandas as pd
+
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (decode_table_columns,
+                                               encode_table_columns)
+
+    t = pa.table({
+        "id": pa.array(np.arange(100, dtype=np.int64)),
+        "s": pa.array([f"value {i} " * (i % 5 + 1) for i in range(100)],
+                      type=pa.large_string()),
+    })
+    ds = ray.data.from_arrow(t)
+    enc = encode_table_columns(ds, ["id", "s"], batch_size=64)
+    dec = decode_table_columns(enc, ["id", "s"]).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert dec["s"].tolist() == t.column("s").to_pylist()

@@ -21,11 +21,12 @@ from tokrle.select import auto_encode
 
 
 def _string_buffers(col: pa.ChunkedArray | pa.Array):
-    """(lengths:int64, flat_bytes:uint8) of an Arrow string column,
-    zero-copy from its offsets/data buffers."""
+    """(lengths:int64, flat_bytes:uint8) of an Arrow string or
+    large_string column, zero-copy from its offsets/data buffers."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     o = arr.offset
-    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype,
                          count=len(arr) + 1 + o)[o:]
     data = (np.frombuffer(arr.buffers()[2], dtype=np.uint8)
             [offs[0]:offs[-1]] if arr.buffers()[2] is not None
