@@ -216,15 +216,10 @@ def fsst_text_roundtrip(sf_dir: str, codec: str = "fsst") -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["text"])
 
     def enc_dec(batch: pa.Table) -> pa.Table:
-        col = batch.column("text")
-        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        o = arr.offset
-        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
-                             count=len(arr) + 1 + o)[o:]
-        data = (np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-                [offs[0]:offs[-1]] if arr.buffers()[2] is not None
-                else np.zeros(0, dtype=np.uint8))
-        x = np.ascontiguousarray(data).view(np.int8)
+        from tokrle.pipelines.table_encode import _string_buffers
+
+        _, data = _string_buffers(batch.column("text"))
+        x = data.view(np.int8)
         payload = codec_encode(codec, x)
         out = codec_decode(codec, payload, len(x), np.int8)
         assert np.array_equal(out, x)
