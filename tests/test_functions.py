@@ -403,3 +403,26 @@ def test_connected_clusters_collapse_identical_docs(ray_session):
         ray.data.from_pandas(base), rounds=2).to_pandas()
     assert len(cl) == 20
     assert (cl.loc[cl["doc_id"] < 8, "cluster"] == 0).all()
+
+
+def test_minhash_hot_bucket_combiner_exact(ray_session):
+    """A giant identical-doc cluster (hot LSH bucket) must still dedup to
+    exactly one survivor with the map-side combiner, across many batches
+    (MinHasher batch_size=1024 -> this spans 3 batches)."""
+    import ray.data
+
+    from tokrle.functions.dedup import minhash_lsh_dedup
+
+    n = 3000
+    base = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "source": ["s"] * n,
+        "text": ["hot cluster identical text body words words words"] * n,
+    })
+    # NOTE: no upstream .repartition() here — an extra AllToAll op in the
+    # same plan as the hash shuffle + aggregate oversubscribes the 4-CPU
+    # test host and stalls the executor (same class of limit as
+    # _join_partitions documents).  MinHasher's batch_size=1024 already
+    # splits 3000 docs into 3 batches, which is what the combiner needs.
+    survivors = minhash_lsh_dedup(ray.data.from_pandas(base)).to_pandas()
+    assert survivors["doc_id"].tolist() == [0]

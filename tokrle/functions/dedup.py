@@ -228,8 +228,8 @@ def _lsh_band_buckets(ds, *, num_perm: int, bands: int, shingle_k: int,
             # int64 bucket key mixing in the band index (no string keys:
             # the shuffle moves 8-byte ints, and hash-partitioning is
             # cheaper than on variable-length strings)
-            bucket = (bh ^ (np.uint64(bidx) *
-                            np.uint64(0x9E3779B97F4A7C15))).view(np.int64)
+            band_salt = np.uint64((bidx * 0x9E3779B97F4A7C15) % (1 << 64))
+            bucket = (bh ^ band_salt).view(np.int64)
             parts.append(pa.table({
                 "doc_id": batch.column("doc_id"),
                 "source": batch.column("source"),
@@ -352,16 +352,51 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
     buckets = _lsh_band_buckets(ds, num_perm=num_perm, bands=bands,
                                 shingle_k=shingle_k, concurrency=concurrency)
 
+    def combine_batch(df: pd.DataFrame) -> pd.DataFrame:
+        # MAP-SIDE COMBINER + hot-bucket skew guard: within a batch, every
+        # doc except the per-bucket batch-leader already has a smaller doc
+        # in that bucket — it is PROVABLY dropped and its bucket row never
+        # needs to ship.  The global bucket minimum is always its own
+        # batch's leader, so its row always ships and the reduce side sees
+        # it: the survivor set is EXACTLY unchanged.  A bucket holding a
+        # million-member duplicate cluster ships one row per batch instead
+        # of a million rows to one partition.
+        df = df.sort_values(["bucket", "doc_id"], kind="mergesort")
+        lead = ~df["bucket"].duplicated(keep="first")
+        win = df.loc[lead, ["doc_id", "source", "bucket"]].copy()
+        win["pre_dropped"] = np.int8(0)
+        lose = df.loc[~lead, ["doc_id", "source"]] \
+            .drop_duplicates(ignore_index=True)
+        # spread the flag-carrier rows by doc hash — a constant key here
+        # would funnel every pre-dropped row of a giant cluster into ONE
+        # hash partition, re-creating the skew the combiner removes.  The
+        # value itself is never used for leader computation (see block fn).
+        lose["bucket"] = pd.util.hash_pandas_object(
+            lose["doc_id"], index=False).to_numpy().view(np.int64)
+        lose["pre_dropped"] = np.int8(1)
+        return pd.concat([win, lose], ignore_index=True)
+
     def block_dropped_partials(df: pd.DataFrame) -> pd.DataFrame:
         # per-doc partial flag "some bucket in this block has a smaller
-        # doc" — an int8, so the aggregate shuffle moves flags, not ids
-        part = _block_bucket_leaders(df)
-        return pd.DataFrame({
+        # doc" — an int8, so the aggregate shuffle moves flags, not ids.
+        # pre-dropped rows are flag carriers only; they are EXCLUDED from
+        # leader computation (their bucket key is synthetic).
+        pre = df.loc[df["pre_dropped"] == 1, ["doc_id", "source"]]
+        part = _block_bucket_leaders(df[df["pre_dropped"] == 0])
+        flags = pd.DataFrame({
             "doc_id": part["doc_id"], "source": part["source"],
             "dropped": (part["leader"] != part["doc_id"]).astype(np.int8),
         })
+        if len(pre):
+            flags = pd.concat(
+                [flags, pre.assign(dropped=np.int8(1))], ignore_index=True)
+            flags = flags.groupby(["doc_id", "source"], sort=False,
+                                  as_index=False)["dropped"].max()
+        return flags
 
-    partials = _group_blocks(buckets, ["bucket"]).map_batches(
+    partials = _group_blocks(
+        buckets.map_batches(combine_batch, batch_format="pandas"),
+        ["bucket"]).map_batches(
         block_dropped_partials, batch_size=None, batch_format="pandas")
 
     from ray.data.aggregate import Max
