@@ -189,9 +189,14 @@ def main() -> None:
     except Exception:
         pass
 
+    # round-1-comparable subtotal: the r2 suite ADDED the (deliberately
+    # redundant, known-slower) hashgroup variant; excluding it from the
+    # core figure keeps round-over-round totals apples-to-apples
+    core = {k: v for k, v in timings.items() if k != "encode_hashgroup"}
     out = {
         "metric": "token encode+decode wall time (headline) + query suite",
         "value": round(sum(timings.values()), 3),
+        "value_core_r1_suite": round(sum(core.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": SF_DIR,

@@ -82,6 +82,10 @@ def _group_blocks(ds, keys: list[str], num_partitions: int | None = None):
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     n = _join_partitions(num_partitions)
     ds.context.max_hash_shuffle_aggregators = n
+    # any DOWNSTREAM hash aggregate in the same plan inherits this context;
+    # Ray's default of 200 partitions would spin up 200-way exchanges for
+    # kilobyte-scale finals — pin it to the same CPU-sized count
+    ds.context.default_hash_shuffle_parallelism = n
     return ds.repartition(n, keys=keys)
 
 

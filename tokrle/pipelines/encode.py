@@ -69,6 +69,10 @@ def rebalance_by_source_bucket(ds, num_blocks: int | None = None):
         num_blocks = max(2, cpus // 2)
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ds.context.max_hash_shuffle_aggregators = max(2, cpus // 2)
+    # downstream hash aggregates in this lineage inherit the context; pin
+    # the partition default (Ray's 200) to the same CPU-sized count so a
+    # trailing small groupby doesn't become a 200-way exchange
+    ds.context.default_hash_shuffle_parallelism = num_blocks
     return ds.repartition(num_blocks, keys=["source"])
 
 
