@@ -53,9 +53,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_heavy_hitters": Q.token_heavy_hitters,
         "token_bigram_heavy_hitters": Q.token_bigram_heavy_hitters,
         "orders_per_nation": Q.orders_per_nation,
+        "lineitem_per_nation": Q.lineitem_per_nation,
         "doc_length_quantiles": Q.doc_length_quantiles,
         # training-data ops
         "text_quality": Q.text_quality,
+        "repetitive_docs": Q.repetitive_docs,
         "dedup_exact": Q.dedup_exact,
         "unique_token_seqs": Q.unique_token_seqs,
         "ann_top1": Q.ann_top1,
@@ -339,6 +341,40 @@ def oracle_sql() -> dict[str, str]:
         FROM toks a JOIN toks b
           ON a.doc_id = b.doc_id AND b.i = a.i + 1
         GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+    """
+
+    sql["lineitem_per_nation"] = """
+        SELECT n.n_name,
+               cast(count(*) AS bigint) AS n_lineitems,
+               cast(sum(l.l_quantity) AS bigint) AS sum_qty
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+    """
+
+    sql["repetitive_docs"] = """
+        WITH toks AS (
+            SELECT doc_id, source, ascii(w) * 32 + length(w) AS tok
+            FROM (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+        ),
+        tc AS (
+            SELECT doc_id, source, tok, count(*) AS c
+            FROM toks GROUP BY doc_id, source, tok
+        ),
+        dm AS (
+            SELECT doc_id, source, max(c) AS maxc, sum(c) AS n
+            FROM tc GROUP BY doc_id, source
+        )
+        SELECT source,
+               cast(count(*) FILTER (WHERE n >= 20) AS bigint)
+                   AS n_eligible,
+               cast(count(*) FILTER (WHERE n >= 20 AND maxc * 5 >= n)
+                    AS bigint) AS n_repetitive
+        FROM dm GROUP BY source ORDER BY source
     """
 
     sql["orders_per_nation"] = """

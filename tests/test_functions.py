@@ -426,3 +426,42 @@ def test_minhash_hot_bucket_combiner_exact(ray_session):
     # splits 3000 docs into 3 batches, which is what the combiner needs.
     survivors = minhash_lsh_dedup(ray.data.from_pandas(base)).to_pandas()
     assert survivors["doc_id"].tolist() == [0]
+
+
+def test_doc_repetition_partials_oracle():
+    """Vectorized per-doc max-unigram-run stats vs a per-doc Python oracle,
+    including empty docs, all-same docs, and the eligibility threshold."""
+    import pyarrow as pa
+    from collections import Counter
+
+    from tokrle.functions.text import doc_repetition_partials
+
+    rng = np.random.default_rng(7)
+    docs, srcs = [], []
+    for i in range(60):
+        n = int(rng.integers(0, 60))
+        docs.append(rng.integers(0, 8, size=n).astype(np.int32))
+        srcs.append(f"s{i % 3}")
+    docs.append(np.zeros(0, dtype=np.int32))          # empty doc
+    srcs.append("s0")
+    docs.append(np.full(25, 4, dtype=np.int32))       # all-same, eligible
+    srcs.append("s1")
+    offsets = np.concatenate(([0], np.cumsum([len(d) for d in docs])))
+    batch = pa.table({
+        "doc_id": pa.array([str(i) for i in range(len(docs))]),
+        "tokens": pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(np.concatenate(docs), type=pa.int32())),
+        "source": pa.array(srcs),
+    })
+    out = doc_repetition_partials(batch).to_pandas() \
+        .groupby("source", as_index=False).sum().sort_values("source")
+
+    exp = {}
+    for d, s in zip(docs, srcs):
+        e = len(d) >= 20
+        r = e and max(Counter(d.tolist()).values()) * 5 >= len(d)
+        a, b = exp.get(s, (0, 0))
+        exp[s] = (a + int(e), b + int(r))
+    for _, row in out.iterrows():
+        assert (row["n_eligible"], row["n_repetitive"]) == exp[row["source"]]

@@ -180,3 +180,46 @@ class RegexTokenCounter:
         batch["n_regex_tokens"] = batch["text"].map(
             lambda t: len(self.pat.findall(t)))
         return batch[["doc_id", "source", "n_regex_tokens"]]
+
+
+def doc_repetition_partials(batch: pa.Table, *, min_words: int = 20,
+                            max_frac_den: int = 5) -> pa.Table:
+    """Per-batch PARTIAL counts for a Gopher-style repetition filter
+    (cf. Rae et al. 2021, "Scaling Language Models" repetition rules): a
+    doc is *repetitive* when its most frequent unigram accounts for at
+    least 1/``max_frac_den`` of its words (docs shorter than ``min_words``
+    are not eligible).
+
+    Input: token-table rows (doc_id, tokens list<int32>, source).  Fully
+    vectorized: one lexsort of the batch's flat (doc, token) pairs, run
+    lengths from boundary diffs, per-doc max run via maximum.reduceat —
+    no per-doc loop.  Output: one (source, n_eligible, n_repetitive)
+    partial row per source per batch, so the shuffle moves a handful of
+    int64 rows, never tokens.
+    """
+    from tokrle.stages.encoder import _flat_tokens
+
+    values, offsets = _flat_tokens(batch)
+    per_doc = np.diff(offsets)
+    n_docs = len(per_doc)
+    di = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
+    if len(values):
+        order = np.lexsort((values, di))
+        t, d = values[order], di[order]
+        runs = np.flatnonzero(np.concatenate(
+            ([True], (t[1:] != t[:-1]) | (d[1:] != d[:-1]))))
+        runlen = np.diff(np.append(runs, len(t)))
+        rd = d[runs]
+        first = np.flatnonzero(np.concatenate(([True], rd[1:] != rd[:-1])))
+        maxrun = np.zeros(n_docs, dtype=np.int64)
+        maxrun[rd[first]] = np.maximum.reduceat(runlen, first)
+    else:
+        maxrun = np.zeros(n_docs, dtype=np.int64)
+    eligible = per_doc >= min_words
+    repetitive = eligible & (maxrun * max_frac_den >= per_doc)
+    src = batch.column("source").to_pandas()
+    out = pd.DataFrame({"source": src,
+                        "n_eligible": eligible.astype(np.int64),
+                        "n_repetitive": repetitive.astype(np.int64)}) \
+        .groupby("source", sort=False, as_index=False).sum()
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -947,3 +947,69 @@ def ivf_ann_top1(sf_dir: str) -> pd.DataFrame:
     out = ivf_query_index(index_dir, queries, qids, k=1, nprobe=3)
     return out[["q_id", "vec_id"]].astype("int64") \
         .sort_values("q_id").reset_index(drop=True)
+
+
+def repetitive_docs(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition filter stats per source: docs whose top
+    unigram covers >= 1/5 of their words (among docs >= 20 words).  Scale
+    shape: per-batch vectorized partials (functions.text.
+    doc_repetition_partials) -> tiny Sum aggregate; the shuffle moves one
+    int64 row per (source, batch)."""
+    from ray.data.aggregate import Sum
+
+    from tokrle.functions.text import doc_repetition_partials
+    from tokrle.sources.tokens import documents_to_tokens
+
+    ds = documents_to_tokens(sf_dir)
+    parts = ds.map_batches(doc_repetition_partials, batch_format="pyarrow")
+    agg = parts.groupby("source").aggregate(
+        Sum("n_eligible", alias_name="n_eligible"),
+        Sum("n_repetitive", alias_name="n_repetitive"))
+    df = agg.to_pandas()
+    for c in ("n_eligible", "n_repetitive"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
+def lineitem_per_nation(sf_dir: str) -> pd.DataFrame:
+    """lineitem JOIN orders JOIN customer JOIN nation -> per-nation
+    lineitem count + total quantity: both big-big joins (lineitem x
+    orders on orderkey, result x customer on custkey) run as Ray Data
+    native hash-partitioned joins — at TPC-H scale customer is far too
+    large to broadcast — and only the 25-row nation table is broadcast
+    into a map stage."""
+    from ray.data.aggregate import Count, Sum
+
+    from tokrle.functions.dedup import _join_partitions
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]) \
+        .to_pandas()
+    nation_of = dict(zip(nation["n_nationkey"].astype(int),
+                         nation["n_name"]))
+    n = _join_partitions(None)
+
+    j = li.join(orders, "inner", n, on=("l_orderkey",),
+                right_on=("o_orderkey",))
+    j = j.join(customer, "inner", n, on=("o_custkey",),
+               right_on=("c_custkey",))
+
+    def attach_nation(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        names = pd.Series(nk).map(nation_of).to_numpy(dtype=object)
+        return pa.table({
+            "n_name": pa.array(names, type=pa.string()),
+            "l_quantity": batch.column("l_quantity"),
+        })
+
+    agg = j.map_batches(attach_nation, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(
+            Count(alias_name="n_lineitems"),
+            Sum("l_quantity", alias_name="sum_qty"))
+    df = agg.to_pandas()
+    df["n_lineitems"] = df["n_lineitems"].astype("int64")
+    # quantities are integral; an exact-FP sum cast keeps the hash stable
+    df["sum_qty"] = df["sum_qty"].round().astype("int64")
+    return df.sort_values("n_name").reset_index(drop=True)
