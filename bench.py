@@ -210,6 +210,7 @@ def main() -> None:
         "compression_ratio_bysource": round(bys_ratio, 3),
         "compression_ratio_localgroup": round(lg_ratio, 3),
         "compression_ratio_hashgroup": round(hg_ratio, 3),
+        **_host_health(),
     }
     print(json.dumps(out))
     import ray
@@ -230,6 +231,21 @@ def encode_only() -> None:
     import ray
 
     ray.shutdown()
+
+
+def _host_health() -> dict:
+    """Absolute single-process host probe stamped into the main bench
+    JSON: this sandbox host has multi-hour phases where fresh-page memory
+    bandwidth drops ~50-100x (see BASELINE.md "memory-scaling phases");
+    a suite number taken inside such a phase needs the in-band evidence."""
+    t0 = time.perf_counter()
+    _mem_burn(256 << 20)
+    mem_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _burn(2_000_000)
+    alu_s = time.perf_counter() - t0
+    return {"host_mem_gbps": round((256 << 20) / mem_s / 1e9, 3),
+            "host_alu_mops": round(2.0 / alu_s, 1)}
 
 
 def _burn(n: int) -> int:
