@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "text_quality": Q.text_quality,
         "repetitive_docs": Q.repetitive_docs,
+        "clean_corpus_stats": Q.clean_corpus_stats,
         "dedup_exact": Q.dedup_exact,
         "unique_token_seqs": Q.unique_token_seqs,
         "ann_top1": Q.ann_top1,
@@ -375,6 +376,32 @@ def oracle_sql() -> dict[str, str]:
                cast(count(*) FILTER (WHERE n >= 20 AND maxc * 5 >= n)
                     AS bigint) AS n_repetitive
         FROM dm GROUP BY source ORDER BY source
+    """
+
+    sql["clean_corpus_stats"] = """
+        WITH toks AS (
+            SELECT doc_id, source, ascii(w) * 32 + length(w) AS tok
+            FROM (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+        ),
+        tc AS (
+            SELECT doc_id, source, tok, count(*) AS c
+            FROM toks GROUP BY doc_id, source, tok
+        ),
+        dm AS (
+            SELECT doc_id, max(c) AS maxc, sum(c) AS n
+            FROM tc GROUP BY doc_id
+        ),
+        pass AS (
+            SELECT d.doc_id, d.source, d.text
+            FROM documents d JOIN dm ON d.doc_id = dm.doc_id
+            WHERE dm.n >= 20 AND dm.maxc * 5 < dm.n
+        ),
+        kept AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY text)
+        SELECT p.source, cast(count(*) AS bigint) AS n_kept
+        FROM kept k JOIN pass p ON k.doc_id = p.doc_id
+        GROUP BY p.source ORDER BY p.source
     """
 
     sql["orders_per_nation"] = """

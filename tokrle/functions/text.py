@@ -182,6 +182,45 @@ class RegexTokenCounter:
         return batch[["doc_id", "source", "n_regex_tokens"]]
 
 
+def doc_unigram_stats(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc (word_count, max_unigram_count) for a token-table batch.
+    Fully vectorized: one lexsort of the batch's flat (doc, token) pairs,
+    run lengths from boundary diffs, per-doc max run via maximum.reduceat
+    — no per-doc loop."""
+    from tokrle.stages.encoder import _flat_tokens
+
+    values, offsets = _flat_tokens(batch)
+    per_doc = np.diff(offsets)
+    n_docs = len(per_doc)
+    di = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
+    maxrun = np.zeros(n_docs, dtype=np.int64)
+    if len(values):
+        order = np.lexsort((values, di))
+        t, d = values[order], di[order]
+        runs = np.flatnonzero(np.concatenate(
+            ([True], (t[1:] != t[:-1]) | (d[1:] != d[:-1]))))
+        runlen = np.diff(np.append(runs, len(t)))
+        rd = d[runs]
+        first = np.flatnonzero(np.concatenate(([True], rd[1:] != rd[:-1])))
+        maxrun[rd[first]] = np.maximum.reduceat(runlen, first)
+    return per_doc, maxrun
+
+
+def quality_filter(batch: pa.Table, *, min_words: int = 20,
+                   max_frac_den: int = 5) -> pa.Table:
+    """Keep only quality-passing documents rows: at least ``min_words``
+    words AND not repetitive (top unigram < 1/``max_frac_den`` of words).
+    Input: documents rows (doc_id, source, text); tokenization happens
+    in-task, the filter is a vectorized Arrow mask — nothing leaves the
+    task but the surviving rows."""
+    from tokrle.sources.tokens import tokenize_batch
+
+    toks = tokenize_batch(batch)
+    per_doc, maxrun = doc_unigram_stats(toks)
+    keep = (per_doc >= min_words) & (maxrun * max_frac_den < per_doc)
+    return batch.filter(pa.array(keep))
+
+
 def doc_repetition_partials(batch: pa.Table, *, min_words: int = 20,
                             max_frac_den: int = 5) -> pa.Table:
     """Per-batch PARTIAL counts for a Gopher-style repetition filter
@@ -197,24 +236,7 @@ def doc_repetition_partials(batch: pa.Table, *, min_words: int = 20,
     partial row per source per batch, so the shuffle moves a handful of
     int64 rows, never tokens.
     """
-    from tokrle.stages.encoder import _flat_tokens
-
-    values, offsets = _flat_tokens(batch)
-    per_doc = np.diff(offsets)
-    n_docs = len(per_doc)
-    di = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
-    if len(values):
-        order = np.lexsort((values, di))
-        t, d = values[order], di[order]
-        runs = np.flatnonzero(np.concatenate(
-            ([True], (t[1:] != t[:-1]) | (d[1:] != d[:-1]))))
-        runlen = np.diff(np.append(runs, len(t)))
-        rd = d[runs]
-        first = np.flatnonzero(np.concatenate(([True], rd[1:] != rd[:-1])))
-        maxrun = np.zeros(n_docs, dtype=np.int64)
-        maxrun[rd[first]] = np.maximum.reduceat(runlen, first)
-    else:
-        maxrun = np.zeros(n_docs, dtype=np.int64)
+    per_doc, maxrun = doc_unigram_stats(batch)
     eligible = per_doc >= min_words
     repetitive = eligible & (maxrun * max_frac_den >= per_doc)
     src = batch.column("source").to_pandas()

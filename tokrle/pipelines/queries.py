@@ -1013,3 +1013,26 @@ def lineitem_per_nation(sf_dir: str) -> pd.DataFrame:
     # quantities are integral; an exact-FP sum cast keeps the hash stable
     df["sum_qty"] = df["sum_qty"].round().astype("int64")
     return df.sort_values("n_name").reset_index(drop=True)
+
+
+def clean_corpus_stats(sf_dir: str) -> pd.DataFrame:
+    """Flagship CLEANING COMPOSITION: quality filter (>= 20 words, not
+    repetitive) -> exact dedup among the survivors (min doc_id per
+    distinct text) -> per-source kept-doc counts.
+
+    Scale shape: the filter is a fused map stage (tokenize + per-doc
+    stats + Arrow mask, nothing shuffled); dedup shuffles only (hash,
+    doc_id, source) rows; the final aggregate moves one row per
+    (source, block)."""
+    from ray.data.aggregate import Count
+
+    from tokrle.functions.dedup import exact_dedup
+    from tokrle.functions.text import quality_filter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    passing = ds.map_batches(quality_filter, batch_format="pyarrow")
+    kept = exact_dedup(passing, key="text", keep_cols=("source",))
+    df = kept.groupby("source").aggregate(Count(alias_name="n_kept")) \
+        .to_pandas()
+    df["n_kept"] = df["n_kept"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
