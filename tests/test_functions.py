@@ -196,7 +196,7 @@ def test_ivf_topk_recall(ray_session):
     assert len(e & a) / len(e) >= 0.5
 
 
-def test_semi_join_native(ray_session):
+def test_semi_join_cogroup(ray_session):
     import ray.data
 
     from tokrle.functions.dedup import semi_join
@@ -465,3 +465,41 @@ def test_doc_repetition_partials_oracle():
         exp[s] = (a + int(e), b + int(r))
     for _, row in out.iterrows():
         assert (row["n_eligible"], row["n_repetitive"]) == exp[row["source"]]
+
+
+def test_clean_corpus_pipeline(ray_session, tmp_path):
+    """End-to-end cleaning: short docs and repetitive docs filtered,
+    exact dups collapse to min doc_id, output hive-partitioned by
+    source, counts from parquet metadata only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tokrle.pipelines.clean import clean_corpus
+
+    good = "the quick brown fox jumps over a lazy dog near the old " \
+           "river bank while birds sing softly above green trees today"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "source": ["a", "a", "b", "b", "a", "b"],
+        "text": [
+            good,                        # 0: kept
+            "too short",                 # 1: dropped (len)
+            good,                        # 2: dup of 0 -> dropped
+            "spam " * 30,                # 3: dropped (repetitive)
+            good + " extra",             # 4: kept (distinct)
+            "word " * 10 + good,         # 5: kept (maxrun 11 < 31/5? no ->
+                                         #    11*5 >= 31: dropped repetitive)
+        ],
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(src))
+    out = clean_corpus(str(src), str(tmp_path / "clean"))
+    assert out["n_in"] == 6
+    kept = pq.read_table(str(tmp_path / "clean")).to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == [0, 4]
+    assert out["n_kept"] == 2
+    # hive partition dirs by source exist
+    import os
+    assert any(d.startswith("source=") for d in
+               os.listdir(tmp_path / "clean"))

@@ -90,6 +90,16 @@ def main(argv=None) -> int:
     tv.add_argument("--columns", required=True)
     tv.add_argument("--num-cpus", type=int, default=None)
 
+    cc = sub.add_parser("clean-corpus",
+                        help="documents parquet -> cleaned, deduped, "
+                             "source-partitioned parquet")
+    cc.add_argument("--in-path", required=True)
+    cc.add_argument("--out-dir", required=True)
+    cc.add_argument("--min-words", type=int, default=20)
+    cc.add_argument("--max-frac-den", type=int, default=5)
+    cc.add_argument("--near-dedup", action="store_true")
+    cc.add_argument("--num-cpus", type=int, default=None)
+
     ver = sub.add_parser("verify", help="streaming roundtrip checksum")
     ver.add_argument("--tokens", required=True)
     ver.add_argument("--encoded", required=True)
@@ -123,6 +133,14 @@ def main(argv=None) -> int:
             enc_ds = ray.data.read_parquet(args.in_dir)
             decode_tokens(enc_ds).write_parquet(args.out_dir)
             print(json.dumps({"status": "ok", "out": args.out_dir}))
+        elif args.cmd == "clean-corpus":
+            from tokrle.pipelines.clean import clean_corpus
+
+            run = clean_corpus(args.in_path, args.out_dir,
+                               min_words=args.min_words,
+                               max_frac_den=args.max_frac_den,
+                               near_dedup=args.near_dedup)
+            print(json.dumps(run))
         elif args.cmd == "table-encode":
             import ray.data
 

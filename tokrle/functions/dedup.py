@@ -43,9 +43,23 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id",
     """
     carry = [id_col, *keep_cols]
 
-    def hash_stage(df: pd.DataFrame) -> pd.DataFrame:
-        vals = df[key].to_numpy(dtype=object)
-        out = df[carry].copy()
+    # Both stages are Arrow-in/Arrow-out with EXPLICIT schemas: a pandas
+    # stage returning an empty DataFrame (an upstream filter can empty any
+    # block) becomes a schema-less block, which crashes Acero inside the
+    # native semi-join downstream.  Typed empty Arrow tables flow through
+    # shuffle and join cleanly.
+    def _first_per_hash(df: pd.DataFrame, idc: str) -> pd.DataFrame:
+        return df.sort_values(["_h1", "_h2", idc], kind="mergesort") \
+            .drop_duplicates(["_h1", "_h2"], keep="first")
+
+    def _hash_schema(batch: pa.Table) -> pa.Schema:
+        return pa.schema([batch.schema.field(c) for c in carry]
+                         + [pa.field("_h1", pa.int64()),
+                            pa.field("_h2", pa.int64())])
+
+    def hash_stage(batch: pa.Table) -> pa.Table:
+        vals = batch.column(key).to_pandas().to_numpy(dtype=object)
+        out = batch.select(carry).to_pandas()
         out["_h1"] = pd.util.hash_array(
             vals, hash_key=_HASH_KEY_A, categorize=False).view(np.int64)
         out["_h2"] = pd.util.hash_array(
@@ -53,19 +67,20 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id",
         # map-side combiner: duplicates that co-occur in a batch collapse
         # BEFORE the shuffle (the final block pass re-applies the same
         # min-id rule globally, so the result is unchanged)
-        return _first_per_hash(out, id_col)
+        out = _first_per_hash(out, id_col)
+        return pa.Table.from_pandas(out, schema=_hash_schema(batch),
+                                    preserve_index=False)
 
-    def _first_per_hash(df: pd.DataFrame, idc: str) -> pd.DataFrame:
-        return df.sort_values(["_h1", "_h2", idc], kind="mergesort") \
-            .drop_duplicates(["_h1", "_h2"], keep="first")
+    hashed = ds.map_batches(hash_stage, batch_format="pyarrow")
 
-    hashed = ds.map_batches(hash_stage, batch_format="pandas")
-
-    def block_first(df: pd.DataFrame) -> pd.DataFrame:
-        return _first_per_hash(df, id_col)[carry]
+    def block_first(batch: pa.Table) -> pa.Table:
+        out = _first_per_hash(batch.to_pandas(), id_col)[carry]
+        schema = pa.schema([batch.schema.field(c) for c in carry])
+        return pa.Table.from_pandas(out, schema=schema,
+                                    preserve_index=False)
 
     winners = _group_blocks(hashed, ["_h1", "_h2"]).map_batches(
-        block_first, batch_size=None, batch_format="pandas")
+        block_first, batch_size=None, batch_format="pyarrow")
     if not return_full_rows:
         return winners
     return semi_join(ds, winners.select_columns([id_col]), on=id_col)
@@ -118,10 +133,78 @@ def _unique_keys(key_ds, on: str):
 def semi_join(ds, keep_ds, on: str = "doc_id", *,
               num_partitions: int | None = None):
     """Distributed semi-join: rows of ``ds`` whose ``on`` value appears in
-    ``keep_ds`` — Ray Data's native hash-partitioned join (no driver-side
-    id set, no per-group Python calls)."""
-    return ds.join(_unique_keys(keep_ds, on), "left_semi",
-                   _join_partitions(num_partitions), on=(on,))
+    ``keep_ds`` (no driver-side id set, no per-group Python calls)."""
+    return _cogroup_filter_join(ds, keep_ds, on, keep_present=True,
+                                num_partitions=num_partitions)
+
+
+def _arrow_fields(schema) -> list:
+    """(name, arrow_type) pairs from a ray.data Schema, whether the
+    underlying blocks are Arrow (types are pa.DataType) or pandas (types
+    are numpy dtypes; object columns are strings throughout this repo)."""
+    base = getattr(schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return [(f.name, f.type) for f in base]
+    out = []
+    for name, typ in zip(schema.names, schema.types):
+        if not isinstance(typ, pa.DataType):
+            dt = np.dtype(typ)
+            typ = pa.string() if dt == object else pa.from_numpy_dtype(dt)
+        out.append((name, typ))
+    return out
+
+
+def _cogroup_filter_join(ds, key_ds, on: str, *, keep_present: bool,
+                         num_partitions: int | None = None):
+    """Semi/anti join as a TAGGED-UNION CO-GROUP: one hash exchange, one
+    vectorized per-block filter — deliberately NOT Ray's native join.
+
+    Ray 2.49's native hash join crashes (ArrowInvalid: "No match ... for
+    key field reference" inside Acero) whenever ANY join partition
+    receives ZERO rows on one side — the empty partition's table is built
+    schema-less.  With a small or skewed build side (e.g. a handful of
+    dedup winners hashing into a subset of partitions) that is a routine,
+    data-dependent condition, so natives are unusable for key-filter
+    joins.  Here both sides are schema-harmonized (the key side carries
+    typed nulls for the payload columns), tagged with an int8 ``_side``,
+    unioned, hash-repartitioned on the key, and filtered block-locally —
+    empty partitions simply produce empty typed blocks.
+
+    Exchange volume is identical to the native join (payload + keys move
+    once).  SQL null semantics: a NULL key never matches, so semi drops
+    it and anti keeps it."""
+    import pyarrow.compute as pc
+
+    keys = _unique_keys(key_ds, on)
+    fields = _arrow_fields(ds.schema())
+    names = [n for n, _ in fields]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        return batch.select(names).append_column(
+            "_side", pa.array(np.zeros(len(batch), np.int8)))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {name: (batch.column(on).cast(typ) if name == on
+                       else pa.nulls(len(batch), type=typ))
+                for name, typ in fields}
+        return pa.table(cols).append_column(
+            "_side", pa.array(np.ones(len(batch), np.int8)))
+
+    both = ds.map_batches(tag_left, batch_format="pyarrow").union(
+        keys.map_batches(tag_right, batch_format="pyarrow"))
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        k = batch.column(on)
+        side = batch.column("_side")
+        right_keys = k.filter(pc.equal(side, 1)).combine_chunks()
+        present = pc.fill_null(pc.is_in(k, value_set=right_keys), False)
+        if not keep_present:
+            present = pc.invert(present)
+        keep = pc.and_(pc.equal(side, 0), present)
+        return batch.filter(keep).drop_columns(["_side"])
+
+    return _group_blocks(both, [on], num_partitions).map_batches(
+        per_block, batch_size=None, batch_format="pyarrow")
 
 
 def _word_shingles_hashed(texts: pa.Array, k: int = 3):
@@ -423,11 +506,12 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
 def anti_join(ds, drop_ds, on: str = "doc_id", *,
               num_partitions: int | None = None):
     """Distributed anti-join: rows of ``ds`` whose ``on`` value does NOT
-    appear in ``drop_ds`` — Ray Data's native hash-partitioned join
-    (scales to drop lists larger than driver memory; duplicate drop keys
-    are fine)."""
-    return ds.join(_unique_keys(drop_ds, on), "left_anti",
-                   _join_partitions(num_partitions), on=(on,))
+    appear in ``drop_ds`` (scales to drop lists larger than driver
+    memory; duplicate drop keys are fine).  Implemented as a tagged
+    co-group — see :func:`_cogroup_filter_join` for why not the native
+    join."""
+    return _cogroup_filter_join(ds, drop_ds, on, keep_present=False,
+                                num_partitions=num_partitions)
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
