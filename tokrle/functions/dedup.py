@@ -162,10 +162,12 @@ def _cogroup_filter_join(ds, key_ds, on: str, *, keep_present: bool,
     Ray 2.49's native hash join crashes (ArrowInvalid: "No match ... for
     key field reference" inside Acero) whenever ANY join partition
     receives ZERO rows on one side — the empty partition's table is built
-    schema-less.  With a small or skewed build side (e.g. a handful of
-    dedup winners hashing into a subset of partitions) that is a routine,
-    data-dependent condition, so natives are unusable for key-filter
-    joins.  Here both sides are schema-harmonized (the key side carries
+    schema-less.  (Measured: left_semi/left_anti crash; inner joins
+    short-circuit empty partitions and are unaffected, so
+    orders_per_nation / lineitem_per_nation keep the native join.)  With
+    a small or skewed build side (e.g. a handful of dedup winners hashing
+    into a subset of partitions) that is a routine, data-dependent
+    condition, so natives are unusable for key-filter joins.  Here both sides are schema-harmonized (the key side carries
     typed nulls for the payload columns), tagged with an int8 ``_side``,
     unioned, hash-repartitioned on the key, and filtered block-locally —
     empty partitions simply produce empty typed blocks.
