@@ -503,3 +503,21 @@ def test_clean_corpus_pipeline(ray_session, tmp_path):
     import os
     assert any(d.startswith("source=") for d in
                os.listdir(tmp_path / "clean"))
+
+
+def test_semi_anti_join_single_key_partition(ray_session):
+    """Regression: a build side whose keys hash into a SUBSET of the join
+    partitions (here: one key) crashed Ray's native semi/anti join with
+    ArrowInvalid (schema-less empty partition in Acero); the tagged
+    co-group must handle it."""
+    import ray.data
+
+    from tokrle.functions.dedup import anti_join, semi_join
+
+    data = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4, 5], "v": list("abcde")}))
+    keep = ray.data.from_pandas(pd.DataFrame({"doc_id": [3]}))
+    out = semi_join(data, keep, on="doc_id", num_partitions=4).to_pandas()
+    assert out["doc_id"].tolist() == [3] and out["v"].tolist() == ["c"]
+    out = anti_join(data, keep, on="doc_id", num_partitions=4).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [1, 2, 4, 5]
