@@ -40,12 +40,34 @@ def test_by_source_chunks_are_single_source(ray_session, regime_ds):
     assert mixed <= 8
 
 
-def test_regime_corpus_exercises_multiple_codecs(ray_session, regime_ds):
+def test_regime_profiles_exercise_multiple_codecs():
+    """Deterministic codec-diversity check: auto-select over pure
+    per-regime token streams.  (The old end-to-end assertion depended on
+    post-sort block boundaries, which vary under concurrent load — the
+    r2 flake; chunk composition is covered deterministically below.)"""
+    from tokrle.select import auto_encode
+    from tokrle.sources.tokens import _synth_doc_tokens
+
+    used = set()
+    for regime in range(4):
+        # doc indices idx % 8 == regime -> all docs in one value regime
+        idxs = np.arange(regime, regime + 8 * 64, 8, dtype=np.int64)
+        flat, _, _ = _synth_doc_tokens(idxs, 32000, 128, 8)
+        codec, _, _ = auto_encode(flat)
+        used.add(codec)
+    assert len(used) >= 3, used  # rle / bitpack / for / dict
+
+
+def test_regime_corpus_codec_diversity_pinned(ray_session, regime_ds):
+    """End-to-end codec diversity with chunking pinned deterministic:
+    one block (repartition(1) preserves row order), no shuffle
+    (by_source="local"), fixed batch_size -> identical chunks every run."""
     from tokrle.pipelines.encode import encode_tokens
 
-    enc = encode_tokens(regime_ds, batch_size=64, by_source=True).to_pandas()
+    enc = encode_tokens(regime_ds.repartition(1), batch_size=1024,
+                        by_source="local").to_pandas()
     used = set(enc["codec"])
-    assert len(used) >= 3, used  # rle / dict-or-bitpack / for territory
+    assert len(used) >= 3, used
     # compression must beat raw overall
     assert enc["encoded_bytes"].sum() < 0.6 * enc["raw_bytes"].sum()
 
