@@ -350,3 +350,39 @@ def test_table_large_string_roundtrip(ray_session):
     dec = decode_table_columns(enc, ["id", "s"]).to_pandas() \
         .sort_values("id").reset_index(drop=True)
     assert dec["s"].tolist() == t.column("s").to_pylist()
+
+
+def test_table_null_values_roundtrip(ray_session):
+    """Null strings and nullable ints must round-trip as nulls, not '' / 0
+    (validity bitmap carried per column; advisor-flagged r2 corruption)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (decode_table_columns,
+                                               encode_table_columns)
+
+    n = 500
+    s = [None if i % 7 == 0 else f"doc {i}" for i in range(n)]
+    ints = [None if i % 11 == 0 else i * 3 for i in range(n)]
+    t = pa.table({
+        "id": pa.array(range(n), type=pa.int64()),
+        "s": pa.array(s, type=pa.string()),
+        "v": pa.array(ints, type=pa.int64()),
+        "dense": pa.array(range(n), type=pa.int32()),   # no-null fast path
+    })
+    cols = ["id", "s", "v", "dense"]
+    enc = encode_table_columns(ray.data.from_arrow(t), cols, batch_size=128)
+    dec = decode_table_columns(enc, cols).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    got_s = [None if x is None else x for x in dec["s"].tolist()]
+    assert got_s == s
+    got_v = [None if pd_isna(x) else int(x) for x in dec["v"].tolist()]
+    assert got_v == ints
+    assert dec["dense"].tolist() == list(range(n))
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)

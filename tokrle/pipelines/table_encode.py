@@ -34,6 +34,33 @@ def _string_buffers(col: pa.ChunkedArray | pa.Array):
     return np.diff(offs).astype(np.int64), np.ascontiguousarray(data)
 
 
+def _validity_bits(col: pa.ChunkedArray | pa.Array) -> bytes:
+    """LSB-packed validity bitmap of a column, b'' when no nulls (the
+    common case pays one null_count check and ships zero bytes)."""
+    if col.null_count == 0:
+        return b""
+    import pyarrow.compute as pc
+
+    valid = pc.is_valid(col)
+    if isinstance(valid, pa.ChunkedArray):
+        valid = valid.combine_chunks()
+    return np.packbits(valid.to_numpy(zero_copy_only=False),
+                       bitorder="little").tobytes()
+
+
+def _apply_validity(arr: pa.Array, packed: bytes) -> pa.Array:
+    """Re-attach a packed validity bitmap produced by _validity_bits."""
+    if not packed:
+        return arr
+    valid = np.unpackbits(np.frombuffer(packed, dtype=np.uint8),
+                          count=len(arr), bitorder="little").astype(bool)
+    null_count = int(len(arr) - valid.sum())
+    return pa.Array.from_buffers(
+        arr.type, len(arr),
+        [pa.py_buffer(packed)] + arr.buffers()[1:],
+        null_count=null_count)
+
+
 def encode_table_columns(ds, columns: list[str], *,
                          batch_size: int = 65536, text_codec: str = "fsst"):
     """Dataset -> encoded Dataset with one row per input batch and, per
@@ -62,8 +89,19 @@ def encode_table_columns(ds, columns: list[str], *,
         enc_bytes = 0
         for c in columns:
             col = batch.column(c)
+            # nulls: carry an LSB-packed validity bitmap (b'' when none)
+            # so None round-trips exactly instead of flattening to ''/0
+            vbits = _validity_bits(col)
+            out[f"{c}__valid"] = pa.array([vbits], type=pa.binary())
+            enc_bytes += len(vbits)
             if pa.types.is_string(col.type) or pa.types.is_large_string(
                     col.type):
+                if vbits:
+                    # null slots' lengths/bytes are whatever the buffers
+                    # hold; canonicalize to empty so encode is content-
+                    # deterministic regardless of upstream buffer state
+                    import pyarrow.compute as pc
+                    col = pc.fill_null(col, "")
                 lens, data = _string_buffers(col)
                 lcodec, lpayload, lprof = auto_encode(lens)
                 tcodec = pick_text_codec(data)
@@ -77,6 +115,9 @@ def encode_table_columns(ds, columns: list[str], *,
                                                      type=pa.binary())
                 out[f"{c}__payload"] = pa.array([bpayload], type=pa.binary())
                 continue
+            if vbits:
+                import pyarrow.compute as pc
+                col = pc.fill_null(col, 0)
             x = np.ascontiguousarray(col.to_numpy(zero_copy_only=False))
             codec, payload, prof = auto_encode(x)
             raw_bytes += prof.raw_bytes
@@ -104,6 +145,8 @@ def decode_table_columns(encoded_ds, columns: list[str]):
                 codec = batch.column(f"{c}__codec")[i].as_py()
                 payload = memoryview(
                     batch.column(f"{c}__payload")[i].as_buffer())
+                vbits = (batch.column(f"{c}__valid")[i].as_py()
+                         if f"{c}__valid" in batch.column_names else b"")
                 if codec.startswith("str:"):
                     _, lcodec, tcodec = codec.split(":")
                     lpayload = memoryview(
@@ -113,15 +156,17 @@ def decode_table_columns(encoded_ds, columns: list[str]):
                     data = codec_decode(tcodec, payload, nbytes, np.int8)
                     offs = np.zeros(n + 1, dtype=np.int64)
                     np.cumsum(lens, out=offs[1:])
-                    cols[c] = pa.StringArray.from_buffers(
+                    arr = pa.StringArray.from_buffers(
                         n, pa.py_buffer(offs.astype(np.int32).tobytes()),
                         pa.py_buffer(data.tobytes())) if offs[-1] < 2**31 \
                         else pa.LargeStringArray.from_buffers(
                             n, pa.py_buffer(offs.tobytes()),
                             pa.py_buffer(data.tobytes()))
+                    cols[c] = _apply_validity(arr, vbits)
                     continue
                 dtype = np.dtype(batch.column(f"{c}__dtype")[i].as_py())
-                cols[c] = pa.array(codec_decode(codec, payload, n, dtype))
+                cols[c] = _apply_validity(
+                    pa.array(codec_decode(codec, payload, n, dtype)), vbits)
             parts.append(pa.table(cols))
         if not parts:
             return pa.table({c: pa.array([]) for c in columns})
