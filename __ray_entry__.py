@@ -64,10 +64,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_top1": Q.ann_top1,
         "dedup_minhash": Q.dedup_minhash,   # rows-only (no SQL analog)
         "minhash_cluster_stats": Q.minhash_cluster_stats,  # rows-only (LSH)
-        # minhash_connected_stats (iterative label propagation) exists in
-        # queries.py but is NOT swept: ~7 shuffle stages of fixed actor
-        # spin-up dominate at sf0.01 and would distort the gate timings
-
+        # transitive-closure path, swept at rounds=1 (full propagation
+        # machinery, half the shuffle spin-up; default rounds=2 in API)
+        "minhash_connected_stats": partial(Q.minhash_connected_stats,
+                                           rounds=1),  # rows-only (LSH)
         "lang_id": Q.lang_id,               # rows-only (heuristic model)
         "simhash_signatures": Q.simhash_signatures,  # rows-only
         "ngram_dup_pairs": Q.ngram_dup_pairs,        # rows-only (blocked)

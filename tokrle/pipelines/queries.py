@@ -555,15 +555,18 @@ def minhash_cluster_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
-def minhash_connected_stats(sf_dir: str) -> pd.DataFrame:
-    """Transitive near-dup clustering (2-round label propagation over the
-    doc-bucket graph) summary per source (rows-only; LSH)."""
+def minhash_connected_stats(sf_dir: str, *, rounds: int = 2) -> pd.DataFrame:
+    """Transitive near-dup clustering (label propagation over the
+    doc-bucket graph) summary per source (rows-only; LSH).  The driver
+    sweep registers ``rounds=1`` — same propagation machinery, one round
+    of its two hash repartitions, to keep fixed shuffle spin-up from
+    dominating the sf0.01 gate timings (r2 left it unswept entirely)."""
     from ray.data.aggregate import Count
 
     from tokrle.functions.dedup import minhash_connected_clusters
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
-    cl = minhash_connected_clusters(ds, rounds=2).materialize()
+    cl = minhash_connected_clusters(ds, rounds=rounds).materialize()
     n_docs = cl.groupby("source").aggregate(
         Count(alias_name="n_docs")).to_pandas()
     n_clusters = cl.groupby(["source", "cluster"]).count() \
