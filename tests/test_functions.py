@@ -521,3 +521,54 @@ def test_semi_anti_join_single_key_partition(ray_session):
     assert out["doc_id"].tolist() == [3] and out["v"].tolist() == ["c"]
     out = anti_join(data, keep, on="doc_id", num_partitions=4).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [1, 2, 4, 5]
+
+
+def test_ngram_jaccard_matches_set_oracle(ray_session):
+    """Vectorized collision-count Jaccard must equal exact set Jaccard
+    for every emitted pair, and identical copies must always pair
+    (regression for the r3 inverted-index rewrite of pairs_in_block)."""
+    import pyarrow as pa
+    import ray.data
+
+    from tokrle.functions.dedup import (_word_shingles_hashed,
+                                        ngram_jaccard_pairs)
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(30)]
+    docs, ids = [], []
+    for fam in range(6):
+        base = [words[i] for i in rng.integers(0, 30, 25)]
+        for v in range(10):
+            t = list(base)
+            for _ in range(v // 3):      # v in 0..2 stay identical
+                t[int(rng.integers(0, len(t)))] = \
+                    words[int(rng.integers(0, 30))]
+            docs.append(" ".join(t))
+            ids.append(fam * 100 + v)
+    base_df = pd.DataFrame({"doc_id": ids, "source": ["s"] * len(ids),
+                            "text": docs})
+    pairs = ngram_jaccard_pairs(ray.data.from_pandas(base_df),
+                                threshold=0.3).to_pandas()
+    hashes, offs = _word_shingles_hashed(pa.array(docs), 3)
+    sets = {ids[i]: set(hashes[offs[i]:offs[i + 1]].tolist())
+            for i in range(len(ids))}
+    assert len(pairs) > 0
+    for a, b, j in pairs[["doc_a", "doc_b", "jaccard"]].itertuples(
+            index=False):
+        exact = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        assert abs(j - exact) < 1e-12, (a, b)
+    got = {(a, b) for a, b in
+           pairs[["doc_a", "doc_b"]].itertuples(index=False)}
+    for fam in range(6):        # identical copies share a block: must pair
+        f = fam * 100
+        for pair in ((f, f + 1), (f, f + 2), (f + 1, f + 2)):
+            assert pair in got, pair
+
+
+def test_ngram_jaccard_rejects_nonpositive_threshold(ray_session):
+    import ray.data
+
+    from tokrle.functions.dedup import ngram_jaccard_pairs
+
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(ray.data.from_items([]), threshold=0.0)

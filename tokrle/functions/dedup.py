@@ -547,7 +547,14 @@ def ngram_jaccard_pairs(ds, *, shingle_k: int = 3, threshold: float = 0.5,
     hash band) groups candidates, then the exact Jaccard is computed only
     within groups — no O(n^2) across the corpus.  Returns
     (doc_a, doc_b, jaccard) rows with jaccard >= threshold.
+
+    ``threshold`` must be > 0: pairs are generated from shingle
+    collisions (inverted index), so zero-overlap pairs never surface.
     """
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (pairs come from shingle "
+                         "collisions; zero-overlap pairs are never "
+                         "generated)")
 
     def shingle_sets(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
@@ -591,18 +598,49 @@ def ngram_jaccard_pairs(ds, *, shingle_k: int = 3, threshold: float = 0.5,
                          "%d -> %d docs", g["block"].iloc[0], len(g),
                          max_group)
         g = g.sort_values("doc_id", kind="mergesort").head(max_group)
-        out = []
+        empty = pd.DataFrame({
+            "doc_a": g["doc_id"].iloc[:0].reset_index(drop=True),
+            "doc_b": g["doc_id"].iloc[:0].reset_index(drop=True),
+            "jaccard": pd.Series(dtype="float64")})
+        ng = len(g)
+        if ng < 2:
+            return empty
+        # inverted-index collision counting instead of the O(g^2)
+        # per-pair intersect1d loop (r2 advisor finding): intersection
+        # sizes come from one lexsort of all (shingle, doc) entries —
+        # each run of an equal shingle contributes one count to every
+        # doc pair in the run; work is sum(run^2), not g^2 * set_size
         sets = [np.asarray(s, dtype=np.int64) for s in g["shingles"]]
-        ids = g["doc_id"].tolist()
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(np.intersect1d(sets[i], sets[j],
-                                           assume_unique=True))
-                union = len(sets[i]) + len(sets[j]) - inter
-                jac = inter / union if union else 0.0
-                if jac >= threshold:
-                    out.append((ids[i], ids[j], jac))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
+        sizes = np.array([len(s) for s in sets], dtype=np.int64)
+        total = int(sizes.sum())
+        if total == 0:
+            return empty
+        doc = np.repeat(np.arange(ng, dtype=np.int64), sizes)
+        h = np.concatenate(sets)
+        order = np.lexsort((doc, h))     # primary shingle, secondary doc
+        hs, dsorted = h[order], doc[order]
+        starts = np.flatnonzero(np.concatenate(([True], hs[1:] != hs[:-1])))
+        run_lens = np.diff(np.concatenate((starts, [len(hs)])))
+        pair_keys = []
+        for m in np.unique(run_lens):
+            if m < 2:
+                continue
+            s_m = starts[run_lens == m]
+            mat = dsorted[s_m[:, None] + np.arange(m)]  # (k, m) ascending
+            iu, ju = np.triu_indices(int(m), 1)
+            pair_keys.append((mat[:, iu] * ng + mat[:, ju]).ravel())
+        if not pair_keys:
+            return empty
+        keys, inter = np.unique(np.concatenate(pair_keys),
+                                return_counts=True)
+        ai, bi = keys // ng, keys % ng
+        union = sizes[ai] + sizes[bi] - inter
+        jac = inter / np.maximum(union, 1)
+        mask = jac >= threshold
+        ids = g["doc_id"].to_numpy()
+        return pd.DataFrame({"doc_a": ids[ai[mask]],
+                             "doc_b": ids[bi[mask]],
+                             "jaccard": jac[mask]})
 
     def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
         # complete blocking-key groups per hash partition; iterate groups
