@@ -161,3 +161,49 @@ def test_codec_decode_accepts_memoryview():
         payload = encode(name, x)
         out = decode(name, memoryview(payload), len(x), np.int32)
         assert np.array_equal(out, x), name
+
+
+def test_coverage_by_key_giant_key_skew(ray_session):
+    """One key holding 90% of all intervals (plus empty-side binop keys)
+    must produce dense-oracle-identical coverage through the block-fold
+    path — the r3 replacement for per-key map_groups — without the fold
+    ever seeing more than its block."""
+    import ray.data
+
+    from tokrle.pipelines.rle_table import (aggregate_keyed,
+                                            coverage_by_key)
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.9, "giant",
+                    rng.choice(["a", "b", "c"], n))
+    starts = rng.integers(0, 5_000, n)
+    ends = starts + 1 + rng.integers(0, 200, n)
+    df = pd.DataFrame({"k": keys, "s": starts, "e": ends})
+    cov = coverage_by_key(ray.data.from_pandas(df).repartition(8),
+                          "k", "s", "e")
+    out = aggregate_keyed(cov).to_pandas().set_index("key")
+    for key in ("giant", "a", "b", "c"):
+        sel = df[df["k"] == key]
+        dense = np.zeros(int(sel["e"].max()), dtype=np.int64)
+        for s, e in zip(sel["s"], sel["e"]):
+            dense[s:e] += 1
+        assert out.loc[key, "total"] == dense.sum()
+        assert out.loc[key, "max_value"] == dense.max()
+        assert out.loc[key, "length"] == len(dense)
+
+
+def test_rle_table_emits_large_list_arrow(ray_session):
+    """List columns must be Arrow large_list (zero-copy packed), not
+    per-row Python lists round-tripped through object dtype."""
+    import ray.data
+
+    from tokrle.pipelines.rle_table import coverage_by_key
+
+    df = pd.DataFrame({"k": ["x", "x", "y"], "s": [0, 5, 2],
+                       "e": [4, 9, 6]})
+    cov = coverage_by_key(ray.data.from_pandas(df), "k", "s", "e")
+    schema = cov.schema()
+    t = dict(zip(schema.names, schema.types))
+    assert pa.types.is_large_list(t["runs"])
+    assert pa.types.is_large_list(t["values"])

@@ -95,7 +95,7 @@ def _group_blocks(ds, keys: list[str], num_partitions: int | None = None):
     from ray.data.context import ShuffleStrategy
 
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    n = _join_partitions(num_partitions)
+    n = _join_partitions(num_partitions, size_bytes=_upstream_size_hint(ds))
     ds.context.max_hash_shuffle_aggregators = n
     # any DOWNSTREAM hash aggregate in the same plan inherits this context;
     # Ray's default of 200 partitions would spin up 200-way exchanges for
@@ -104,18 +104,65 @@ def _group_blocks(ds, keys: list[str], num_partitions: int | None = None):
     return ds.repartition(n, keys=keys)
 
 
-def _join_partitions(num_partitions: int | None) -> int:
-    """Hash-join partition count: each partition is an aggregator ACTOR
+#: target in-memory bytes per exchange partition: each partition is an
+#: aggregator actor (a fresh worker process), so small inputs must not pay
+#: CPU-count-many process spin-ups — measured at sf0.1 (1.5 MB shuffled)
+#: the 16-actor exchange cost ~5 s of pure startup vs ~2.6 s at 2-4.
+_TARGET_PARTITION_BYTES = 128 << 20
+
+
+def _upstream_size_hint(ds) -> int | None:
+    """Nearest known metadata size walking UP the logical plan, summed over
+    branches (parquet reads know their in-memory size from file metadata
+    WITHOUT executing; map lineages report None and defer to their input).
+    Never triggers execution; returns None when any branch is unknowable.
+
+    The hint over-estimates exchanges that project rows down (hash-only
+    shuffles) and under-estimates expanding maps (shingling) — both fine,
+    because the result only ever LOWERS the partition count below the
+    CPU-sized cap; at real scale every input saturates the cap anyway."""
+
+    def walk(node, depth: int) -> int | None:
+        if depth > 32:
+            return None
+        md = node.infer_metadata()
+        if md.size_bytes is not None:
+            return md.size_bytes
+        deps = node.input_dependencies
+        if not deps:
+            return None
+        total = 0
+        for d in deps:
+            s = walk(d, depth + 1)
+            if s is None:
+                return None
+            total += s
+        return total
+
+    try:
+        return walk(ds._logical_plan.dag, 0)
+    except Exception:
+        return None
+
+
+def _join_partitions(num_partitions: int | None,
+                     size_bytes: int | None = None) -> int:
+    """Hash-exchange partition count: each partition is an aggregator ACTOR
     holding a CPU, so requesting more partitions than free CPUs deadlocks
     the streaming executor (measured: 32 partitions at num_cpus=4 hangs).
-    Default: half the cluster CPUs, capped [2, 64]; pass explicitly on
-    real multi-node clusters (~total_cores/2)."""
+    Default: half the cluster CPUs, capped [2, 64] — and when the input
+    size is cheaply known, no more than one partition per
+    ``_TARGET_PARTITION_BYTES`` (actor spin-up dominates tiny exchanges).
+    Pass explicitly on real multi-node clusters (~total_cores/2)."""
     if num_partitions is not None:
         return num_partitions
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    return max(2, min(64, cpus // 2))
+    cap = max(2, min(64, cpus // 2))
+    if size_bytes:
+        return max(2, min(cap, -(-size_bytes // _TARGET_PARTITION_BYTES)))
+    return cap
 
 
 def _unique_keys(key_ds, on: str):

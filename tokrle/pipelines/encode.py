@@ -64,11 +64,17 @@ def rebalance_by_source_bucket(ds, num_blocks: int | None = None):
     import ray
     from ray.data.context import ShuffleStrategy
 
+    from tokrle.functions.dedup import _join_partitions, _upstream_size_hint
+
     cpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
     if num_blocks is None:
-        num_blocks = max(2, cpus // 2)
+        # byte-aware: small inputs get few exchange partitions (aggregator
+        # actor spin-up dominates tiny exchanges; see dedup._join_partitions)
+        num_blocks = _join_partitions(None,
+                                      size_bytes=_upstream_size_hint(ds))
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ds.context.max_hash_shuffle_aggregators = max(2, cpus // 2)
+    ds.context.max_hash_shuffle_aggregators = min(num_blocks,
+                                                  max(2, cpus // 2))
     # downstream hash aggregates in this lineage inherit the context; pin
     # the partition default (Ray's 200) to the same CPU-sized count so a
     # trailing small groupby doesn't become a 200-way exchange

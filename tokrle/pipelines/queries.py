@@ -914,7 +914,11 @@ def orders_per_nation(sf_dir: str) -> pd.DataFrame:
     nation_of = dict(zip(nation["n_nationkey"].astype(int),
                          nation["n_name"]))
 
-    joined = orders.join(customer, "inner", _join_partitions(None),
+    from tokrle.functions.dedup import _upstream_size_hint
+
+    n = _join_partitions(None, size_bytes=(_upstream_size_hint(orders) or 0)
+                         + (_upstream_size_hint(customer) or 0) or None)
+    joined = orders.join(customer, "inner", n,
                          on=("o_custkey",), right_on=("c_custkey",))
 
     def attach_nation(batch: pa.Table) -> pa.Table:
@@ -992,7 +996,11 @@ def lineitem_per_nation(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     nation_of = dict(zip(nation["n_nationkey"].astype(int),
                          nation["n_name"]))
-    n = _join_partitions(None)
+    from tokrle.functions.dedup import _upstream_size_hint
+
+    n = _join_partitions(None, size_bytes=(_upstream_size_hint(li) or 0)
+                         + (_upstream_size_hint(orders) or 0)
+                         + (_upstream_size_hint(customer) or 0) or None)
 
     j = li.join(orders, "inner", n, on=("l_orderkey",),
                 right_on=("o_orderkey",))
