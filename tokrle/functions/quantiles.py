@@ -31,7 +31,7 @@ def histogram_quantiles_by_key(ds, key_col: str, value_col: str,
     from ray.data.aggregate import Sum
 
     def partials(batch: pa.Table) -> pa.Table:
-        keys = np.asarray(batch.column(key_col).to_pylist(), dtype=object)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         vals = batch.column(value_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         if len(vals) == 0:
@@ -53,19 +53,42 @@ def histogram_quantiles_by_key(ds, key_col: str, value_col: str,
     hist = ds.map_batches(partials, batch_format="pyarrow") \
         .groupby([key_col, value_col]).aggregate(Sum("cnt", alias_name="n"))
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(value_col, kind="mergesort")
-        values = g[value_col].to_numpy(dtype=np.int64)
-        counts = g["n"].to_numpy(dtype=np.int64)
-        cum = np.cumsum(counts)
-        total = int(cum[-1])
-        row = {key_col: g[key_col].iloc[0]}
-        for q in qs:
-            pos = max(1, int(np.ceil(q * total)))      # 1-based rank
-            row[f"q{int(q * 100)}"] = int(
-                values[np.searchsorted(cum, pos, side="left")])
-        return pd.DataFrame([row])
+    qcols = [f"q{int(q * 100)}" for q in qs]
 
-    out = hist.groupby(key_col).map_groups(
-        per_key, batch_format="pandas").to_pandas()
+    def block_quantiles(batch: pa.Table) -> pa.Table:
+        """Hash-co-located block fold: every key's full histogram sits in
+        this block; one (key, value) lexsort, then the quantile read-off
+        per key in-process (histograms are tiny — one row per distinct
+        value)."""
+        if len(batch) == 0:
+            return pa.schema([(key_col, pa.string())]
+                             + [(c, pa.int64()) for c in qcols]) \
+                .empty_table()
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        values = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        counts = batch.column("n").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((values, keys))
+        k, v, c = keys[order], values[order], counts[order]
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        out: dict = {key_col: [str(x) for x in k[starts]]}
+        out.update({qc: [] for qc in qcols})
+        for s, e in zip(starts, ends):
+            cum = np.cumsum(c[s:e])
+            total = int(cum[-1])
+            for q, qc in zip(qs, qcols):
+                pos = max(1, int(np.ceil(q * total)))   # 1-based rank
+                out[qc].append(int(
+                    v[s:e][np.searchsorted(cum, pos, side="left")]))
+        return pa.table({key_col: pa.array(out[key_col], type=pa.string()),
+                         **{qc: pa.array(out[qc], type=pa.int64())
+                            for qc in qcols}})
+
+    from tokrle.functions.dedup import _group_blocks
+
+    out = _group_blocks(hist, [key_col]).map_batches(
+        block_quantiles, batch_size=None, batch_format="pyarrow") \
+        .to_pandas()
     return out.sort_values(key_col).reset_index(drop=True)

@@ -98,7 +98,7 @@ def hll_distinct_by_key(ds, key_col: str, p: int = 12,
 
             values, offsets = _flat_tokens(batch)
             keys = np.repeat(
-                np.asarray(batch.column(key_col).to_pylist(), dtype=object),
+                batch.column(key_col).to_numpy(zero_copy_only=False),
                 np.diff(offsets))
             return values, keys
 
@@ -127,15 +127,38 @@ def hll_distinct_by_key(ds, key_col: str, p: int = 12,
 
     part_ds = ds.map_batches(partials, batch_format="pyarrow")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        regs = np.zeros(1 << p, dtype=np.uint8)
-        for r in g["regs"]:
-            regs = np.maximum(regs, np.asarray(r, dtype=np.uint8))
-        return pd.DataFrame({
-            key_col: [g[key_col].iloc[0]],
-            "approx_unique": [int(round(hll_estimate(regs)))],
+    m = 1 << p
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        """Hash-co-located block fold (complete key groups per block):
+        one sort + one axis-0 maximum.reduceat over the (rows, m)
+        register matrix merges every key in the block at once — no
+        per-key Ray dispatch, no per-row Python list round-trips."""
+        if len(batch) == 0:
+            return pa.schema([(key_col, pa.string()),
+                              ("approx_unique", pa.int64())]).empty_table()
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        regs_col = batch.column("regs")
+        regs_arr = (regs_col.combine_chunks()
+                    if isinstance(regs_col, pa.ChunkedArray) else regs_col)
+        flat = regs_arr.values.to_numpy(zero_copy_only=False)
+        offs = regs_arr.offsets.to_numpy(zero_copy_only=False)
+        mat = flat[offs[0]:offs[-1]].astype(np.uint8).reshape(-1, m)
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], sk[1:] != sk[:-1])))
+        merged = np.maximum.reduceat(mat[order], starts, axis=0)
+        return pa.table({
+            key_col: pa.array([str(k) for k in sk[starts]],
+                              type=pa.string()),
+            "approx_unique": pa.array(
+                [int(round(hll_estimate(merged[i])))
+                 for i in range(len(starts))], type=pa.int64()),
         })
 
-    out = part_ds.groupby(key_col).map_groups(
-        merge, batch_format="pandas").to_pandas()
+    from tokrle.functions.dedup import _group_blocks
+
+    out = _group_blocks(part_ds, [key_col]).map_batches(
+        merge_block, batch_size=None, batch_format="pyarrow").to_pandas()
     return out.sort_values(key_col).reset_index(drop=True)

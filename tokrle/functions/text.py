@@ -164,22 +164,24 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 
 class RegexTokenCounter:
-    """BPE-ish regex token counting (stateful stage: pattern compiled once
-    per actor/worker).  Pattern kept RE2-compatible so the DuckDB oracle can
-    recount with regexp_extract_all."""
+    """BPE-ish regex token counting.  Pattern kept RE2-compatible so both
+    Arrow's count_substring_regex kernel (used here — one vectorized RE2
+    scan over the whole batch, verified match-count-identical to Python
+    ``re.findall``) and the DuckDB oracle's regexp_extract_all agree.
+    Still a callable-class stage so heavier tokenizers (trained BPE
+    merges) can hold per-actor state in ``__init__``."""
 
     PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
-    def __init__(self) -> None:
-        import re
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-        self.pat = re.compile(self.PATTERN)
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["n_regex_tokens"] = batch["text"].map(
-            lambda t: len(self.pat.findall(t)))
-        return batch[["doc_id", "source", "n_regex_tokens"]]
+        n = pc.count_substring_regex(batch.column("text"), self.PATTERN)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "n_regex_tokens": n.cast(pa.int64()),
+        })
 
 
 def doc_unigram_stats(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:

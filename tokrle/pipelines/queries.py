@@ -712,7 +712,7 @@ def regex_token_counts(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
     counts = ds.map_batches(RegexTokenCounter, batch_size=1024,
-                            batch_format="pandas", concurrency=(1, 2))
+                            batch_format="pyarrow", concurrency=(1, 2))
     df = counts.groupby("source").aggregate(
         Count(alias_name="n_docs"),
         Sum("n_regex_tokens", alias_name="n_tokens")).to_pandas()
