@@ -572,3 +572,38 @@ def test_ngram_jaccard_rejects_nonpositive_threshold(ray_session):
 
     with pytest.raises(ValueError):
         ngram_jaccard_pairs(ray.data.from_items([]), threshold=0.0)
+
+
+def test_group_blocks_survives_small_block_target(ray_session):
+    """Pin the Ray-2.49 coupling _group_blocks relies on: hash-shuffle
+    finalize emits ONE block per partition even when that block far
+    exceeds target_max_block_size, so map_batches(batch_size=None) sees
+    complete key groups.  If a future Ray splits finalized partitions,
+    this fails and every per-block fold must be re-keyed (see the
+    _group_blocks docstring)."""
+    import ray.data
+
+    from tokrle.functions.dedup import _group_blocks
+
+    n = 40_000
+    df = pd.DataFrame({
+        "k": np.repeat([f"key{i}" for i in range(8)], n // 8),
+        "payload": ["x" * 64] * n,     # ~2.5 MB total
+    })
+    ds = ray.data.from_pandas(df).repartition(16)
+    # far below one key group's size: a block-splitting finalize would
+    # have to fragment groups to honor it
+    ds.context.target_max_block_size = 4096
+
+    def batch_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"keys": [",".join(sorted(set(batch["k"])))],
+                             "rows": [len(batch)]})
+
+    seen = _group_blocks(ds, ["k"], num_partitions=4).map_batches(
+        batch_keys, batch_size=None, batch_format="pandas").to_pandas()
+    nonempty = seen[seen["rows"] > 0]
+    all_keys = [k for ks in nonempty["keys"] for k in ks.split(",")]
+    # every key in exactly one batch, and all rows accounted for
+    assert sorted(all_keys) == sorted(set(all_keys))
+    assert set(all_keys) == {f"key{i}" for i in range(8)}
+    assert nonempty["rows"].sum() == n

@@ -91,7 +91,20 @@ def _group_blocks(ds, keys: list[str], num_partitions: int | None = None):
     plain vectorized ``map_batches(fn, batch_size=None)`` replace
     ``groupby(...).map_groups`` — one shuffle either way, but the per-group
     Python call (brutal when groups are tiny and numerous, e.g. LSH
-    buckets averaging 1-2 rows) becomes one sort/dedup kernel per block."""
+    buckets averaging 1-2 rows) becomes one sort/dedup kernel per block.
+
+    VERSION COUPLING (Ray 2.49): the complete-groups-per-block invariant
+    holds because hash-shuffle finalize emits exactly ONE block per
+    partition — upstream carries a "TODO break down blocks to target
+    size" (ray.data._internal.execution.operators.hash_shuffle); if a
+    future Ray splits finalized partitions into multiple blocks, every
+    downstream per-block fold (semi/anti co-group joins, dedup leaders,
+    sessionize, label propagation, RLE-table folds, HLL/quantile finals)
+    would silently compute per-FRAGMENT results.
+    tests/test_functions.py::test_group_blocks_survives_small_block_target
+    pins the invariant with a partition far above target_max_block_size —
+    it failing on a Ray upgrade means: re-key these folds (e.g. follow the
+    repartition with a per-block regroup or switch to map_groups)."""
     from ray.data.context import ShuffleStrategy
 
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
