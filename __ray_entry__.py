@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # machinery, half the shuffle spin-up; default rounds=2 in API)
         "minhash_connected_stats": partial(Q.minhash_connected_stats,
                                            rounds=1),  # rows-only (LSH)
+        "packed_sequences_stats": Q.packed_sequences_stats,
         "lang_id": Q.lang_id,               # rows-only (heuristic model)
         "simhash_signatures": Q.simhash_signatures,  # rows-only
         "ngram_dup_pairs": Q.ngram_dup_pairs,        # rows-only (blocked)
@@ -143,6 +144,22 @@ def oracle_sql() -> dict[str, str]:
     sql["encode_roundtrip_stats_hashgroup"] = sql["encode_roundtrip_stats"]
 
     sql["recompress_roundtrip_stats"] = sql["encode_roundtrip_stats"]
+
+    # packing aggregates are doc-order-independent: n_examples per source
+    # = ceil((n_tokens + n_docs)/seq_len) [one EOS per doc, final example
+    # padded with pad=0], sum over packed ids = sum_tokens + eos*n_docs
+    sql["packed_sequences_stats"] = """
+        SELECT source,
+               cast(ceil((count(*) + count(DISTINCT doc_id)) / 512.0)
+                    AS bigint)                                AS n_examples,
+               cast(count(*) + count(DISTINCT doc_id)
+                    AS bigint)                                AS n_real_tokens,
+               cast(sum(ascii(w) * 32 + length(w))
+                    + 3 * count(DISTINCT doc_id) AS bigint)   AS sum_input_ids
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY source ORDER BY source
+    """
 
     sql["columnar_encode_documents"] = """
         SELECT cast(count(*) AS bigint)            AS n_docs,

@@ -607,3 +607,68 @@ def test_group_blocks_survives_small_block_target(ray_session):
     assert sorted(all_keys) == sorted(set(all_keys))
     assert set(all_keys) == {f"key{i}" for i in range(8)}
     assert nonempty["rows"].sum() == n
+
+
+def test_pack_sequences_explicit(ray_session):
+    """Known tiny corpus: exact packed examples, EOS placement, padding."""
+    import ray.data
+
+    from tokrle.functions.packing import pack_sequences
+
+    df = pd.DataFrame({
+        "doc_id": ["a", "b", "c"],
+        "source": ["s1", "s1", "s2"],
+        "tokens": [np.array([10, 11, 12], dtype=np.int32),
+                   np.array([20], dtype=np.int32),
+                   np.array([30, 31], dtype=np.int32)],
+    })
+    packed = pack_sequences(ray.data.from_pandas(df), seq_len=4, eos=99,
+                            pad=0, key_col="source") \
+        .to_pandas().sort_values(["key", "example_idx"])
+    got = {(r["key"], r["example_idx"]): (list(r["input_ids"]), r["n_real"])
+           for _, r in packed.iterrows()}
+    # s1: [10,11,12,EOS, 20,EOS] -> [10,11,12,99] + [20,99,0,0]
+    assert got[("s1", 0)] == ([10, 11, 12, 99], 4)
+    assert got[("s1", 1)] == ([20, 99, 0, 0], 2)
+    # s2: [30,31,EOS] -> [30,31,99,0]
+    assert got[("s2", 0)] == ([30, 31, 99, 0], 3)
+    assert len(got) == 3
+
+
+def test_pack_sequences_conservation_and_partitioning(ray_session):
+    """Packing is partitioning-invariant and conserves the token multiset:
+    per-source sums and example counts match the closed form regardless of
+    input block layout."""
+    import ray.data
+
+    from tokrle.functions.packing import pack_sequences
+
+    rng = np.random.default_rng(11)
+    n = 300
+    df = pd.DataFrame({
+        "doc_id": [f"d{i:04d}" for i in range(n)],
+        "source": [f"s{i % 5}" for i in range(n)],
+        "tokens": [rng.integers(4, 1000, rng.integers(0, 40))
+                   .astype(np.int32) for _ in range(n)],
+    })
+    L, EOS = 64, 2
+
+    def stats(num_blocks):
+        ds = ray.data.from_pandas(df).repartition(num_blocks)
+        p = pack_sequences(ds, seq_len=L, eos=EOS, pad=0).to_pandas()
+        assert all(len(x) == L for x in p["input_ids"])
+        return {
+            k: (len(g), sum(int(np.sum(x)) for x in g["input_ids"]),
+                int(g["n_real"].sum()))
+            for k, g in p.groupby("key")
+        }
+
+    a = stats(3)
+    assert a == stats(11)
+    for src, (n_ex, total, n_real) in a.items():
+        sel = df[df["source"] == src]
+        tok_sum = int(sum(int(t.sum()) for t in sel["tokens"]))
+        n_with_eos = int(sel["tokens"].map(len).sum()) + len(sel)
+        assert n_real == n_with_eos
+        assert n_ex == -(-n_with_eos // L)
+        assert total == tok_sum + EOS * len(sel)

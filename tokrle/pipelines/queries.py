@@ -1047,3 +1047,44 @@ def clean_corpus_stats(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     df["n_kept"] = df["n_kept"].astype("int64")
     return df.sort_values("source").reset_index(drop=True)
+
+
+def packed_sequences_stats(sf_dir: str, *, seq_len: int = 512,
+                           eos: int = 3, pad: int = 0) -> pd.DataFrame:
+    """Fixed-length training-example packing summary per source: examples
+    are each source's docs concatenated in doc_id order with one EOS per
+    doc, cut to ``seq_len``, final example padded.  Aggregates are
+    order-independent, so the SQL oracle recomputes them from token
+    counts alone: n_examples = ceil((n_tokens + n_docs)/seq_len),
+    sum_input_ids = sum_tokens + eos*n_docs (pad=0 adds nothing),
+    n_real_tokens = n_tokens + n_docs."""
+    from ray.data.aggregate import Count, Sum
+
+    from tokrle.functions.packing import pack_sequences
+    from tokrle.sources.tokens import documents_to_tokens
+
+    ds = documents_to_tokens(sf_dir)
+    packed = pack_sequences(ds, seq_len=seq_len, eos=eos, pad=pad)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch.column("input_ids")
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        flat = ids.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = ids.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.add.reduceat(flat, offs[:-1]) if len(flat) else \
+            np.zeros(len(batch), dtype=np.int64)
+        return pa.table({
+            "source": batch.column("key"),
+            "ex_sum": pa.array(sums, type=pa.int64()),
+            "n_real": batch.column("n_real"),
+        })
+
+    agg = packed.map_batches(partials, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Count(alias_name="n_examples"),
+            Sum("ex_sum", alias_name="sum_input_ids"),
+            Sum("n_real", alias_name="n_real_tokens"))
+    df = agg.to_pandas()
+    for c in ("n_examples", "sum_input_ids", "n_real_tokens"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
