@@ -1,10 +1,12 @@
 """Multimodal (image/audio/video) stages: opaque ``binary`` payload columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The container has no image/audio libraries, so the *decode step* is a
-deterministic fake (clearly marked, swappable for PIL/ffmpeg via the
-``decoder=`` hook); everything around it — schema, batch sizing, actor
-signature, output layout — is real and tested.
+Image decode is REAL for PNG payloads (pure-stdlib codec in
+tokrle.functions.png; the synthetic media table writes genuine PNGs).
+Other formats (JPEG, audio, video) still use a deterministic stand-in —
+no libjpeg/ffmpeg in this container — swappable via the ``decoder=``
+hook; the surrounding plumbing (schema, batch sizing, actor signature,
+output layout) is real and tested either way.
 
 Schema convention for a media table:
     item_id: string, media: binary, media_type: string ("image"|"audio"|...),
@@ -34,15 +36,46 @@ def fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.tile(raw, reps)[:need].reshape(height, width, 3)
 
 
+def png_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """REAL image decode for PNG payloads (stdlib-zlib codec in
+    tokrle.functions.png — chunk parse, inflate, full filter
+    reconstruction); validates the decoded dimensions against the
+    table's metadata columns.  Grey images broadcast to 3 channels so
+    the feature stage sees a uniform (h, w, 3) layout."""
+    from tokrle.functions.png import decode_png
+
+    img = decode_png(payload)
+    if img.shape[0] != height or img.shape[1] != width:
+        raise ValueError(
+            f"media metadata says {height}x{width}, PNG decodes to "
+            f"{img.shape[0]}x{img.shape[1]}")
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    return img[:, :, :3]
+
+
+def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Default decode hook: real PNG decode when the payload IS a PNG
+    (signature sniff); deterministic stand-in for other formats (JPEG
+    etc. would need libjpeg, absent from this container)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decode_image(payload, width, height)
+    return fake_decode_image(payload, width, height)
+
+
 def real_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """The production decode hook.  Raises until an image library exists in
-    the runtime (by design — see module docstring)."""
+    """Strict production hook: PNG decodes for real (pure stdlib); other
+    formats raise until an image library exists in the runtime (by
+    design — see module docstring)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decode_image(payload, width, height)
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "image decoding requires PIL; this container has no image "
-            "libraries — use fake_decode_image for plumbing tests") from exc
+            "non-PNG image decoding requires PIL; this container has no "
+            "image libraries — PNG payloads decode natively, other "
+            "formats use fake_decode_image for plumbing tests") from exc
     raise NotImplementedError("wire PIL decode here when available")
 
 
@@ -51,7 +84,7 @@ class ImageFeatures:
     feature vector.  Setup (decoder choice, resize plan) happens once per
     actor; __call__ is per batch."""
 
-    def __init__(self, out_size: int = 32, decoder=fake_decode_image) -> None:
+    def __init__(self, out_size: int = 32, decoder=decode_image) -> None:
         self.out_size = out_size
         self.decoder = decoder
 
@@ -162,14 +195,26 @@ def synth_media_table(n: int, *, kind: str = "image", seed: int = 11):
     import ray.data
 
     def make(batch: dict) -> pa.Table:
+        from tokrle.functions.png import encode_png
+
         idx = batch["id"].astype(np.int64)
         ids, blobs, widths, heights = [], [], [], []
         for i in idx:
             rng = np.random.default_rng(seed * 1_000_003 + int(i))
             w = int(rng.integers(16, 64))
             h = int(rng.integers(16, 64))
-            blobs.append(rng.integers(0, 256, size=w * h // 2,
-                                      dtype=np.int64).astype(np.uint8).tobytes())
+            if kind == "image":
+                # REAL PNG payloads (smooth gradient + noise, Up-filtered)
+                # so the decode stage exercises the genuine codec path
+                yy, xx = np.mgrid[0:h, 0:w]
+                base = ((yy * 3 + xx * 5 + int(i)) % 256)[..., None]
+                img = (base + rng.integers(0, 32, (h, w, 3))) \
+                    .astype(np.uint8)
+                blobs.append(encode_png(img, filter_type=2))
+            else:
+                blobs.append(rng.integers(0, 256, size=w * h // 2,
+                                          dtype=np.int64)
+                             .astype(np.uint8).tobytes())
             ids.append(f"item{int(i)}")
             widths.append(w)
             heights.append(h)
