@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_connected_stats": partial(Q.minhash_connected_stats,
                                            rounds=1),  # rows-only (LSH)
         "packed_sequences_stats": Q.packed_sequences_stats,
+        "mixture_sample_stats": Q.mixture_sample_stats,
         "lang_id": Q.lang_id,               # rows-only (heuristic model)
         "simhash_signatures": Q.simhash_signatures,  # rows-only
         "ngram_dup_pairs": Q.ngram_dup_pairs,        # rows-only (blocked)
@@ -148,6 +149,20 @@ def oracle_sql() -> dict[str, str]:
     # packing aggregates are doc-order-independent: n_examples per source
     # = ceil((n_tokens + n_docs)/seq_len) [one EOS per doc, final example
     # padded with pad=0], sum over packed ids = sum_tokens + eos*n_docs
+    from tokrle.functions.mixture import mixture_sql_predicate
+    from tokrle.pipelines.queries import MIXTURE_WEIGHTS
+
+    pred = mixture_sql_predicate(MIXTURE_WEIGHTS, seed=7,
+                                 default_weight=0.75)
+    sql["mixture_sample_stats"] = f"""
+        SELECT source,
+               cast(count(*) AS bigint)      AS n_docs,
+               cast(sum(n_chars) AS bigint)  AS sum_n_chars
+        FROM documents
+        WHERE {pred}
+        GROUP BY source ORDER BY source
+    """
+
     sql["packed_sequences_stats"] = """
         SELECT source,
                cast(ceil((count(*) + count(DISTINCT doc_id)) / 512.0)

@@ -672,3 +672,41 @@ def test_pack_sequences_conservation_and_partitioning(ray_session):
         assert n_real == n_with_eos
         assert n_ex == -(-n_with_eos // L)
         assert total == tok_sum + EOS * len(sel)
+
+
+def test_mixture_sample_deterministic_and_weighted(ray_session):
+    """Mixture sampling is a pure function of doc_id: identical rows kept
+    under any partitioning, zero-weight sources fully dropped, keep rates
+    near the weights, and numpy matches the SQL predicate row-for-row."""
+    import duckdb
+    import ray.data
+
+    from tokrle.functions.mixture import (mixture_mask,
+                                          mixture_sql_predicate,
+                                          sample_mixture)
+
+    n = 4000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64) * 17 + 3,
+        "source": [f"s{i % 4}" for i in range(n)],
+        "n_chars": np.arange(n, dtype=np.int64) % 100,
+    })
+    weights = {"s0": 0.25, "s1": 1.0, "s2": 0.0}
+    kept_a = sample_mixture(ray.data.from_pandas(df), weights, seed=5,
+                            default_weight=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    kept_b = sample_mixture(ray.data.from_pandas(df).repartition(13),
+                            weights, seed=5, default_weight=0.5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert kept_a["doc_id"].tolist() == kept_b["doc_id"].tolist()
+    rates = kept_a.groupby("source").size() / df.groupby("source").size()
+    assert "s2" not in kept_a["source"].values
+    assert abs(rates.get("s0", 0) - 0.25) < 0.05
+    assert rates["s1"] == 1.0
+    assert abs(rates["s3"] - 0.5) < 0.05
+    con = duckdb.connect()
+    con.register("t", df)
+    pred = mixture_sql_predicate(weights, seed=5, default_weight=0.5)
+    sql_ids = con.execute(
+        f"SELECT doc_id FROM t WHERE {pred} ORDER BY doc_id").df()
+    assert kept_a["doc_id"].tolist() == sql_ids["doc_id"].tolist()

@@ -1088,3 +1088,26 @@ def packed_sequences_stats(sf_dir: str, *, seq_len: int = 512,
     for c in ("n_examples", "sum_input_ids", "n_real_tokens"):
         df[c] = df[c].astype("int64")
     return df.sort_values("source").reset_index(drop=True)
+
+
+MIXTURE_WEIGHTS = {"src0": 0.25, "src1": 0.5, "src2": 0.0, "src3": 1.0}
+
+
+def mixture_sample_stats(sf_dir: str) -> pd.DataFrame:
+    """Deterministic weighted mixture sample (data-mixing op) summarized
+    per source.  The keep rule is an exact integer hash on doc_id, so
+    the SQL oracle re-derives the SAME rows (value-identical, not just
+    statistically similar); unlisted sources keep 75% by default."""
+    from ray.data.aggregate import Count, Sum
+
+    from tokrle.functions.mixture import sample_mixture
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    kept = sample_mixture(ds, MIXTURE_WEIGHTS, seed=7, default_weight=0.75)
+    agg = kept.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_n_chars"))
+    df = agg.to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df["sum_n_chars"] = df["sum_n_chars"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
