@@ -163,14 +163,18 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY source ORDER BY source
     """
 
-    sql["packed_sequences_stats"] = """
+    from tokrle.pipelines.queries import PACK_EOS, PACK_SEQ_LEN
+    from tokrle.sources.tokens import TOKEN_SQL_EXPR
+
+    sql["packed_sequences_stats"] = f"""
         SELECT source,
-               cast(ceil((count(*) + count(DISTINCT doc_id)) / 512.0)
-                    AS bigint)                                AS n_examples,
+               cast(ceil((count(*) + count(DISTINCT doc_id))
+                    / {PACK_SEQ_LEN}.0) AS bigint)            AS n_examples,
                cast(count(*) + count(DISTINCT doc_id)
                     AS bigint)                                AS n_real_tokens,
-               cast(sum(ascii(w) * 32 + length(w))
-                    + 3 * count(DISTINCT doc_id) AS bigint)   AS sum_input_ids
+               cast(sum({TOKEN_SQL_EXPR})
+                    + {PACK_EOS} * count(DISTINCT doc_id)
+                    AS bigint)                                AS sum_input_ids
         FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
               FROM documents)
         GROUP BY source ORDER BY source

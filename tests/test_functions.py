@@ -710,3 +710,30 @@ def test_mixture_sample_deterministic_and_weighted(ray_session):
     sql_ids = con.execute(
         f"SELECT doc_id FROM t WHERE {pred} ORDER BY doc_id").df()
     assert kept_a["doc_id"].tolist() == sql_ids["doc_id"].tolist()
+
+
+def test_mixture_mask_negative_ids_match_sql():
+    """Negative ids: numpy % floors, SQL % truncates toward zero — the
+    bitand reduction must keep the two engines row-identical."""
+    import duckdb
+
+    from tokrle.functions.mixture import mixture_mask, mixture_sql_predicate
+
+    ids = np.array([-1, -3, -5, -2**40, 0, 7, 2**40], dtype=np.int64)
+    w = np.full(len(ids), 0.5)
+    mask = mixture_mask(ids, w, seed=7)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"doc_id": ids, "source": ["s"] * len(ids)}))
+    pred = mixture_sql_predicate({}, seed=7, default_weight=0.5)
+    sql_ids = set(con.execute(
+        f"SELECT doc_id FROM t WHERE {pred}").df()["doc_id"])
+    assert set(ids[mask].tolist()) == sql_ids
+
+
+def test_png_truncated_raises_valueerror():
+    from tokrle.functions.png import decode_png, encode_png
+
+    png = encode_png(np.zeros((8, 8, 3), dtype=np.uint8))
+    for cut in (12, 20, len(png) - 5):
+        with pytest.raises(ValueError):
+            decode_png(png[:cut])

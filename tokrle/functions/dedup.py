@@ -158,6 +158,20 @@ def _upstream_size_hint(ds) -> int | None:
         return None
 
 
+def _combined_size_hint(*datasets) -> int | None:
+    """Sum of the datasets' upstream size hints, or None if ANY side is
+    unknowable — a partially-known sum would undersize the exchange for
+    the unknown (possibly dominant) side; unknown falls back to the CPU
+    cap instead."""
+    total = 0
+    for ds in datasets:
+        s = _upstream_size_hint(ds)
+        if s is None:
+            return None
+        total += s
+    return total
+
+
 def _join_partitions(num_partitions: int | None,
                      size_bytes: int | None = None) -> int:
     """Hash-exchange partition count: each partition is an aggregator ACTOR

@@ -26,11 +26,13 @@ def mixture_mask(ids: np.ndarray, weights: np.ndarray,
                  seed: int = 0) -> np.ndarray:
     """Vectorized keep-mask: hash(id) in [0, 2^31) compared to the row's
     weight threshold.  Exact int64 arithmetic (no float hash)."""
-    # reduce BEFORE multiplying: (id % 2^31) * KNUTH < 2^62 stays inside
-    # int64 in both numpy and DuckDB (DuckDB errors on overflow), and
-    # (a mod m)*b mod m == a*b mod m keeps the hash value unchanged
-    h = ((ids.astype(np.int64) % MOD) * np.int64(KNUTH)
-         + np.int64(seed)) % MOD
+    # reduce with BITAND, not %: numpy % floors while SQL % truncates
+    # toward zero, so negative ids would diverge; & (2^31-1) has identical
+    # two's-complement semantics in both engines and also caps the
+    # multiply at 2^62 (DuckDB errors on int64 overflow).  The outer %
+    # then operates on a non-negative value, matching everywhere.
+    h = (((ids.astype(np.int64) & (MOD - np.int64(1)))
+          * np.int64(KNUTH) + np.int64(seed)) % MOD)
     thresholds = np.minimum(
         (weights * float(MOD)).astype(np.int64), MOD)
     return h < thresholds
@@ -62,9 +64,13 @@ def mixture_sql_predicate(weights: dict[str, float], *,
                           default_weight: float = 1.0) -> str:
     """The exact SQL equivalent of :func:`sample_mixture`'s keep rule —
     used by the driver oracle so Ray and DuckDB select identical rows."""
-    thresh = " ".join(
-        f"WHEN '{k}' THEN {min(int(w * (1 << 31)), 1 << 31)}"
-        for k, w in sorted(weights.items()))
     default = min(int(default_weight * (1 << 31)), 1 << 31)
-    return (f"((({id_col} % {1 << 31}) * {KNUTH} + {seed}) % {1 << 31}) < "
-            f"(CASE {key_col} {thresh} ELSE {default} END)")
+    if weights:
+        thresh = " ".join(
+            f"WHEN '{k}' THEN {min(int(w * (1 << 31)), 1 << 31)}"
+            for k, w in sorted(weights.items()))
+        threshold_sql = f"(CASE {key_col} {thresh} ELSE {default} END)"
+    else:       # CASE with no WHEN arm is invalid SQL
+        threshold_sql = str(default)
+    return (f"((({id_col} & {(1 << 31) - 1}) * {KNUTH} + {seed})"
+            f" % {1 << 31}) < {threshold_sql}")

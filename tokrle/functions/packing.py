@@ -23,26 +23,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from tokrle.functions._arrays import list_rows as _list_rows
+
 
 def _flat_list_column(batch: pa.Table, col: str):
-    """(flat_values, per-row offsets) of a list column, absolute-indexed.
-    Zero-copy for Arrow list/large_list (the parquet path); falls back to
-    per-row concatenation for Ray's variable-shaped tensor extension
-    (in-memory test datasets built from pandas object columns)."""
-    arr = batch.column(col)
-    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
-        flat = arr.values.to_numpy(zero_copy_only=False)
-        offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        return flat, offs
-    rows = arr.to_numpy(zero_copy_only=False)
-    lens = np.fromiter((len(r) for r in rows), dtype=np.int64,
-                       count=len(rows))
-    offs = np.zeros(len(rows) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    flat = (np.concatenate([np.asarray(r) for r in rows])
-            if len(rows) and offs[-1] else np.empty(0, dtype=np.int32))
-    return flat, offs
+    """(flat_values, per-row offsets) of a list column — shared helper
+    (tokrle.functions._arrays.list_rows), absolute-indexed."""
+    return _list_rows(batch.column(col))
 
 
 def pack_sequences(ds, *, seq_len: int = 2048, eos: int = 1, pad: int = 0,

@@ -78,9 +78,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     pos = 8
     idat = []
     w = h = ch = None
+    saw_iend = False
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         tag = payload[pos + 4:pos + 8]
+        if pos + 12 + length > len(payload):
+            raise ValueError("decode_png: truncated PNG (chunk "
+                             f"{tag!r} runs past end of payload)")
         data = payload[pos + 8:pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
@@ -94,10 +98,17 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif tag == b"IDAT":
             idat.append(data)
         elif tag == b"IEND":
+            saw_iend = True
             break
     if w is None or not idat:
         raise ValueError("decode_png: missing IHDR/IDAT")
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if not saw_iend:
+        raise ValueError("decode_png: truncated PNG (no complete IEND)")
+    try:
+        inflated = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"decode_png: corrupt IDAT ({exc})") from exc
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("decode_png: scanline size mismatch")

@@ -64,24 +64,25 @@ def histogram_quantiles_by_key(ds, key_col: str, value_col: str,
             return pa.schema([(key_col, pa.string())]
                              + [(c, pa.int64()) for c in qcols]) \
                 .empty_table()
+        from tokrle.functions._arrays import key_groups
+
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         values = batch.column(value_col).to_numpy(
             zero_copy_only=False).astype(np.int64)
         counts = batch.column("n").to_numpy(
             zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((values, keys))
-        k, v, c = keys[order], values[order], counts[order]
-        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
-        ends = np.concatenate((starts[1:], [len(k)]))
-        out: dict = {key_col: [str(x) for x in k[starts]]}
+        out: dict = {key_col: []}
         out.update({qc: [] for qc in qcols})
-        for s, e in zip(starts, ends):
-            cum = np.cumsum(c[s:e])
+        for label, idx in key_groups(keys):
+            o = np.argsort(values[idx], kind="stable")
+            v = values[idx][o]
+            cum = np.cumsum(counts[idx][o])
             total = int(cum[-1])
+            out[key_col].append(str(label))
             for q, qc in zip(qs, qcols):
                 pos = max(1, int(np.ceil(q * total)))   # 1-based rank
                 out[qc].append(int(
-                    v[s:e][np.searchsorted(cum, pos, side="left")]))
+                    v[np.searchsorted(cum, pos, side="left")]))
         return pa.table({key_col: pa.array(out[key_col], type=pa.string()),
                          **{qc: pa.array(out[qc], type=pa.int64())
                             for qc in qcols}})

@@ -137,24 +137,19 @@ def hll_distinct_by_key(ds, key_col: str, p: int = 12,
         if len(batch) == 0:
             return pa.schema([(key_col, pa.string()),
                               ("approx_unique", pa.int64())]).empty_table()
+        from tokrle.functions._arrays import key_groups, list_rows
+
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-        regs_col = batch.column("regs")
-        regs_arr = (regs_col.combine_chunks()
-                    if isinstance(regs_col, pa.ChunkedArray) else regs_col)
-        flat = regs_arr.values.to_numpy(zero_copy_only=False)
-        offs = regs_arr.offsets.to_numpy(zero_copy_only=False)
+        flat, offs = list_rows(batch.column("regs"))
         mat = flat[offs[0]:offs[-1]].astype(np.uint8).reshape(-1, m)
-        order = np.argsort(keys, kind="stable")
-        sk = keys[order]
-        starts = np.flatnonzero(np.concatenate(
-            ([True], sk[1:] != sk[:-1])))
-        merged = np.maximum.reduceat(mat[order], starts, axis=0)
+        out_keys, out_est = [], []
+        for label, idx in key_groups(keys):
+            out_keys.append(str(label))
+            out_est.append(int(round(hll_estimate(
+                mat[idx].max(axis=0)))))
         return pa.table({
-            key_col: pa.array([str(k) for k in sk[starts]],
-                              type=pa.string()),
-            "approx_unique": pa.array(
-                [int(round(hll_estimate(merged[i])))
-                 for i in range(len(starts))], type=pa.int64()),
+            key_col: pa.array(out_keys, type=pa.string()),
+            "approx_unique": pa.array(out_est, type=pa.int64()),
         })
 
     from tokrle.functions.dedup import _group_blocks

@@ -914,10 +914,10 @@ def orders_per_nation(sf_dir: str) -> pd.DataFrame:
     nation_of = dict(zip(nation["n_nationkey"].astype(int),
                          nation["n_name"]))
 
-    from tokrle.functions.dedup import _upstream_size_hint
+    from tokrle.functions.dedup import _combined_size_hint
 
-    n = _join_partitions(None, size_bytes=(_upstream_size_hint(orders) or 0)
-                         + (_upstream_size_hint(customer) or 0) or None)
+    n = _join_partitions(None,
+                         size_bytes=_combined_size_hint(orders, customer))
     joined = orders.join(customer, "inner", n,
                          on=("o_custkey",), right_on=("c_custkey",))
 
@@ -996,11 +996,10 @@ def lineitem_per_nation(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     nation_of = dict(zip(nation["n_nationkey"].astype(int),
                          nation["n_name"]))
-    from tokrle.functions.dedup import _upstream_size_hint
+    from tokrle.functions.dedup import _combined_size_hint
 
-    n = _join_partitions(None, size_bytes=(_upstream_size_hint(li) or 0)
-                         + (_upstream_size_hint(orders) or 0)
-                         + (_upstream_size_hint(customer) or 0) or None)
+    n = _join_partitions(None,
+                         size_bytes=_combined_size_hint(li, orders, customer))
 
     j = li.join(orders, "inner", n, on=("l_orderkey",),
                 right_on=("o_orderkey",))
@@ -1049,8 +1048,13 @@ def clean_corpus_stats(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("source").reset_index(drop=True)
 
 
-def packed_sequences_stats(sf_dir: str, *, seq_len: int = 512,
-                           eos: int = 3, pad: int = 0) -> pd.DataFrame:
+# shared with the oracle SQL in __ray_entry__ (single source of truth)
+PACK_SEQ_LEN = 512
+PACK_EOS = 3
+
+
+def packed_sequences_stats(sf_dir: str, *, seq_len: int = PACK_SEQ_LEN,
+                           eos: int = PACK_EOS, pad: int = 0) -> pd.DataFrame:
     """Fixed-length training-example packing summary per source: examples
     are each source's docs concatenated in doc_id order with one EOS per
     doc, cut to ``seq_len``, final example padded.  Aggregates are
@@ -1067,12 +1071,9 @@ def packed_sequences_stats(sf_dir: str, *, seq_len: int = 512,
     packed = pack_sequences(ds, seq_len=seq_len, eos=eos, pad=pad)
 
     def partials(batch: pa.Table) -> pa.Table:
-        ids = batch.column("input_ids")
-        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
-        flat = ids.values.to_numpy(zero_copy_only=False).astype(np.int64)
-        offs = ids.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        sums = np.add.reduceat(flat, offs[:-1]) if len(flat) else \
-            np.zeros(len(batch), dtype=np.int64)
+        from tokrle.functions._arrays import list_row_sums
+
+        sums = list_row_sums(batch.column("input_ids"))
         return pa.table({
             "source": batch.column("key"),
             "ex_sum": pa.array(sums, type=pa.int64()),

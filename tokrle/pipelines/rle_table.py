@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from tokrle.functions._arrays import key_groups as _key_groups
+from tokrle.functions._arrays import list_rows as _list_rows
 from tokrle.kernels import rle as K
 
 _EMPTY = np.empty(0)
@@ -54,29 +56,6 @@ def _pack_rle_rows(keys: list, runs_list: list, values_list: list) -> pa.Table:
          pa.LargeListArray.from_arrays(off_arr, pa.array(flat_r)),
          pa.LargeListArray.from_arrays(off_arr, pa.array(flat_v))],
         schema=_rle_schema())
-
-
-def _list_rows(col: pa.ChunkedArray | pa.Array):
-    """(flat_values, offsets) view of an Arrow list column; row i is
-    ``flat[offs[i]:offs[i+1]]`` (offsets indexed absolutely, so sliced
-    arrays read correctly)."""
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    flat = arr.values.to_numpy(zero_copy_only=False)
-    offs = arr.offsets.to_numpy(zero_copy_only=False)
-    return flat, offs
-
-
-def _key_groups(key_arr: np.ndarray):
-    """Yield (label, row_index_array) per distinct key, one stable sort."""
-    codes, uniques = pd.factorize(key_arr)
-    order = np.argsort(codes, kind="stable")
-    c = codes[order]
-    if len(c) == 0:
-        return
-    starts = np.flatnonzero(np.concatenate(([True], c[1:] != c[:-1])))
-    ends = np.concatenate((starts[1:], [len(c)]))
-    for s, e in zip(starts, ends):
-        yield uniques[c[s]], order[s:e]
 
 
 def coverage_by_key(ds, key_col: str, start_col: str, end_col: str,
