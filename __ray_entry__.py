@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                            rounds=1),  # rows-only (LSH)
         "packed_sequences_stats": Q.packed_sequences_stats,
         "mixture_sample_stats": Q.mixture_sample_stats,
+        "decontam_stats": Q.decontam_stats,
         "lang_id": Q.lang_id,               # rows-only (heuristic model)
         "simhash_signatures": Q.simhash_signatures,  # rows-only
         "ngram_dup_pairs": Q.ngram_dup_pairs,        # rows-only (blocked)
@@ -178,6 +179,29 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
               FROM documents)
         GROUP BY source ORDER BY source
+    """
+
+    from tokrle.pipelines.queries import DECONTAM_EVAL_MASK, DECONTAM_K
+
+    sql["decontam_stats"] = f"""
+        WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                   FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   unnest([array_to_string(ws[i:i+{DECONTAM_K - 1}], ' ')
+                           for i in range(1, greatest(len(ws) - {DECONTAM_K},
+                                                      -1) + 2)]) AS g
+            FROM w),
+        ev AS (SELECT DISTINCT g FROM grams
+               WHERE (doc_id & {DECONTAM_EVAL_MASK}) = 0),
+        cont AS (SELECT DISTINCT doc_id FROM grams JOIN ev USING (g)
+                 WHERE (doc_id & {DECONTAM_EVAL_MASK}) <> 0)
+        SELECT d.source,
+               cast(count(*) AS bigint)        AS n_train,
+               cast(count(c.doc_id) AS bigint) AS n_contaminated
+        FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+        WHERE (d.doc_id & {DECONTAM_EVAL_MASK}) <> 0
+        GROUP BY d.source ORDER BY d.source
     """
 
     sql["columnar_encode_documents"] = """

@@ -737,3 +737,64 @@ def test_png_truncated_raises_valueerror():
     for cut in (12, 20, len(png) - 5):
         with pytest.raises(ValueError):
             decode_png(png[:cut])
+
+
+def test_word_ngram_hashes_exact_counts_and_equality():
+    import pyarrow as pa
+
+    from tokrle.functions.decontam import word_ngram_hashes
+
+    texts = pa.array([
+        "a b c d e",          # 5 words, k=3 -> 3 grams
+        "a b",                # 2 words -> 0 grams
+        "",                   # split gives one empty word -> 0 grams
+        "c d e a b",          # shares gram "c d e" with doc 0
+    ])
+    h1, h2, offs = word_ngram_hashes(texts, 3)
+    assert offs.tolist() == [0, 3, 3, 3, 6]
+    # same literal 3-gram hashes identically across docs
+    assert h1[2] == h1[3] and h2[2] == h2[3]          # "c d e"
+    # distinct grams hash differently (both mixes)
+    assert len(set(zip(h1.tolist(), h2.tolist()))) == 5
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    import ray.data
+
+    from tokrle.functions.decontam import decontaminate, flag_contaminated
+
+    evald = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0],
+        "text": ["the quick brown fox jumps over the lazy dog tonight"],
+    }))
+    train = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            # contains the eval 8-gram "quick brown fox jumps over the lazy dog"
+            "prefix words quick brown fox jumps over the lazy dog suffix",
+            "totally different content with no overlap at all here okay",
+            "quick brown fox jumps over the lazy cat instead of dog",  # 7-gram only
+            "short doc",                                   # < k words
+        ],
+    }))
+    flagged = flag_contaminated(train, evald, k=8).to_pandas() \
+        .sort_values("doc_id")
+    assert flagged["contaminated"].tolist() == [True, False, False, False]
+    clean = decontaminate(train, evald, k=8).to_pandas()
+    assert sorted(clean["doc_id"]) == [2, 3, 4]
+    assert "contaminated" not in clean.columns
+
+
+def test_decontam_stats_matches_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    got = E.queries()["decontam_stats"](sf)
+    want = con.sql(E.oracle_sql()["decontam_stats"]).df()
+    cols = sorted(got.columns)
+    assert got[cols].astype(str).sort_values(cols).reset_index(drop=True) \
+        .equals(want[cols].astype(str).sort_values(cols).reset_index(drop=True))

@@ -1112,3 +1112,47 @@ def mixture_sample_stats(sf_dir: str) -> pd.DataFrame:
     df["n_docs"] = df["n_docs"].astype("int64")
     df["sum_n_chars"] = df["sum_n_chars"].astype("int64")
     return df.sort_values("source").reset_index(drop=True)
+
+
+# decontamination split: doc_id & DECONTAM_EVAL_MASK == 0 is the held-out
+# eval set (power-of-two mask so the parquet filter pushes down via
+# bit_wise_and AND the SQL oracle is the identical predicate)
+DECONTAM_EVAL_MASK = 15
+DECONTAM_K = 8
+
+
+def decontam_stats(sf_dir: str) -> pd.DataFrame:
+    """Test-set decontamination summary: per source, training docs and
+    how many are contaminated (share any 8-word n-gram with the held-out
+    eval split).  Both reads push the split predicate into the Parquet
+    scan; the train text never shuffles (broadcast eval-hash index)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ray.data.aggregate import Count, Sum
+
+    from tokrle.functions.decontam import flag_contaminated
+
+    idmask = pc.Expression._call(
+        "bit_wise_and", [pc.field("doc_id"), pc.scalar(DECONTAM_EVAL_MASK)])
+    path = f"{sf_dir}/documents.parquet"
+    eval_ds = ray.data.read_parquet(path, columns=["doc_id", "text"],
+                                    filter=(idmask == 0))
+    train_ds = ray.data.read_parquet(
+        path, columns=["doc_id", "source", "text"], filter=(idmask != 0))
+    flagged = flag_contaminated(train_ds, eval_ds, k=DECONTAM_K)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch.column("source"),
+            "c": pc.cast(batch.column("contaminated"), pa.int64()),
+        })
+
+    agg = flagged.map_batches(partials, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Count(alias_name="n_train"),
+            Sum("c", alias_name="n_contaminated"))
+    df = agg.to_pandas()
+    df["n_train"] = df["n_train"].astype("int64")
+    df["n_contaminated"] = df["n_contaminated"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
