@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_sequences_stats": Q.packed_sequences_stats,
         "mixture_sample_stats": Q.mixture_sample_stats,
         "decontam_stats": Q.decontam_stats,
+        "dup_span_stats": Q.dup_span_stats,
         "lang_id": Q.lang_id,               # rows-only (heuristic model)
         "simhash_signatures": Q.simhash_signatures,  # rows-only
         "ngram_dup_pairs": Q.ngram_dup_pairs,        # rows-only (blocked)
@@ -202,6 +203,34 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
         WHERE (d.doc_id & {DECONTAM_EVAL_MASK}) <> 0
         GROUP BY d.source ORDER BY d.source
+    """
+
+    from tokrle.pipelines.queries import DUPSPAN_K, DUPSPAN_MIN_COUNT
+
+    sql["dup_span_stats"] = f"""
+        WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                   FROM documents),
+        grams AS (
+            SELECT doc_id, source,
+                   unnest([{{'p': i,
+                            'g': array_to_string(ws[i:i+{DUPSPAN_K - 1}],
+                                                 ' ')}}
+                           for i in range(1, greatest(len(ws) - {DUPSPAN_K},
+                                                      -1) + 2)],
+                          recursive := true)
+            FROM w),
+        freq AS (SELECT g FROM grams GROUP BY g
+                 HAVING count(*) >= {DUPSPAN_MIN_COUNT}),
+        hits AS (SELECT doc_id, p FROM grams JOIN freq USING (g)),
+        covered AS (SELECT DISTINCT h.doc_id, h.p + t.range AS wp
+                    FROM hits h CROSS JOIN range(0, {DUPSPAN_K}) t),
+        dup AS (SELECT doc_id, count(*) AS c FROM covered GROUP BY doc_id)
+        SELECT w.source,
+               cast(count(*) AS bigint)              AS n_docs,
+               cast(sum(len(ws)) AS bigint)          AS total_words,
+               cast(coalesce(sum(d.c), 0) AS bigint) AS dup_words
+        FROM w LEFT JOIN dup d USING (doc_id)
+        GROUP BY w.source ORDER BY w.source
     """
 
     sql["columnar_encode_documents"] = """

@@ -798,3 +798,59 @@ def test_decontam_stats_matches_duckdb(ray_session):
     cols = sorted(got.columns)
     assert got[cols].astype(str).sort_values(cols).reset_index(drop=True) \
         .equals(want[cols].astype(str).sort_values(cols).reset_index(drop=True))
+
+
+def test_remove_dup_spans_planted(ray_session):
+    import ray.data
+
+    from tokrle.functions.dupspan import remove_dup_spans
+
+    base = pd.DataFrame({
+        "doc_id": np.arange(4),
+        "text": [
+            "one two three four five six seven eight nine ten",
+            "one two three four five six seven eight different tail",
+            "completely unrelated words here that do not repeat at all",
+            "x y z",                     # < k words: untouched
+        ],
+    })
+    out = remove_dup_spans(ray.data.from_pandas(base), k=8, min_count=2) \
+        .to_pandas().sort_values("doc_id")
+    assert out["text"].tolist() == [
+        "nine ten", "different tail",
+        "completely unrelated words here that do not repeat at all",
+        "x y z"]
+
+
+def test_dup_span_counts_overlapping_spans_union(ray_session):
+    """Overlapping frequent grams in one doc must count the UNION of
+    covered positions, not the sum (doc 0/1 share a 9-word prefix =>
+    two overlapping 8-grams covering 9 positions, not 16)."""
+    import ray.data
+
+    from tokrle.functions.dupspan import dup_span_source_stats
+
+    base = pd.DataFrame({
+        "doc_id": [0, 1],
+        "source": ["s", "s"],
+        "text": ["a b c d e f g h i tail0 xx",
+                 "a b c d e f g h i tail1 yy"],
+    })
+    df = dup_span_source_stats(ray.data.from_pandas(base), k=8, min_count=2)
+    assert df["dup_words"].tolist() == [18]      # 9 per doc, unioned
+    assert df["total_words"].tolist() == [22]
+
+
+def test_dup_span_stats_matches_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    got = E.queries()["dup_span_stats"](sf)
+    want = con.sql(E.oracle_sql()["dup_span_stats"]).df()
+    cols = sorted(got.columns)
+    assert got[cols].astype(str).sort_values(cols).reset_index(drop=True) \
+        .equals(want[cols].astype(str).sort_values(cols).reset_index(drop=True))

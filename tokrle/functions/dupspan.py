@@ -1,0 +1,313 @@
+"""Duplicated n-gram span detection / removal (exact substring dedup in
+the style of Lee et al., "Deduplicating Training Data Makes Language
+Models Better" — n-gram-counting formulation rather than suffix arrays).
+
+A k-word n-gram is FREQUENT when it occurs at least ``min_count`` times
+corpus-wide; every word position covered by a frequent gram (the union
+of ``[p, p+k)`` over frequent gram starts ``p``) is a duplicated-span
+position.  128-bit gram hashes (the :mod:`tokrle.functions.decontam`
+hasher) stand in for the literal strings; the SQL oracle compares
+strings, so parity can break only on a 128-bit collision.
+
+Scale shape (100 TB), two passes over the text like the reference
+algorithm — document text NEVER enters an exchange:
+
+1. count pass: per-batch partial gram counts (map-side combine of
+   (h1, h2, c)) -> one hash aggregate -> ``frequent`` pairs.
+2. occurrence pass: per-batch gram-start rows (doc_id, source, p,
+   h1, h2) — fixed-width ints — tagged-union co-grouped with the
+   frequent pairs on (h1, h2) (same empty-partition-safe pattern as
+   :func:`tokrle.functions.dedup.semi_join`, which is single-key),
+   then hash-co-located by doc_id for an exact per-doc interval union
+   (one vectorized pass per block, docs offset into disjoint
+   coordinate ranges so spans never merge across docs).
+
+:func:`remove_dup_spans` (the rewriting variant) broadcasts the
+frequent-pair index instead — right when the duplicated-gram set is
+benchmark-/boilerplate-sized; at corpus scale where that set is huge,
+use the join path of :func:`dup_span_source_stats` to locate spans and
+rewrite from the occurrence join instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tokrle.functions.decontam import word_ngram_hashes
+
+# doc-local positions are < 2^32; offsetting doc codes by 2^32 keeps
+# per-doc intervals in disjoint coordinate ranges for the fused union
+_DOC_STRIDE = np.int64(1) << np.int64(32)
+
+
+def _gram_count_partials(batch: pa.Table, *, k: int,
+                         text_col: str) -> pa.Table:
+    h1, h2, _ = word_ngram_hashes(batch.column(text_col), k)
+    if len(h1) == 0:
+        return pa.table({"h1": pa.array([], pa.int64()),
+                         "h2": pa.array([], pa.int64()),
+                         "c": pa.array([], pa.int64())})
+    pair = np.stack([h1.view(np.int64), h2.view(np.int64)], axis=1)
+    uniq, counts = np.unique(pair, axis=0, return_counts=True)
+    return pa.table({"h1": pa.array(uniq[:, 0], pa.int64()),
+                     "h2": pa.array(uniq[:, 1], pa.int64()),
+                     "c": pa.array(counts.astype(np.int64), pa.int64())})
+
+
+def frequent_grams(ds, *, k: int = 8, min_count: int = 2,
+                   text_col: str = "text"):
+    """(h1, h2) pairs of k-grams occurring >= min_count times corpus-wide.
+    One hash aggregate over map-side-combined counts."""
+    import pyarrow.compute as pc
+
+    counts = ds.map_batches(
+        lambda b: _gram_count_partials(b, k=k, text_col=text_col),
+        batch_format="pyarrow") \
+        .groupby(["h1", "h2"]).sum("c")
+    return counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("sum(c)"), min_count))
+        .select(["h1", "h2"]),
+        batch_format="pyarrow")
+
+
+def _gram_occurrences(batch: pa.Table, *, k: int, text_col: str,
+                      id_col: str, carry: str | None) -> pa.Table:
+    h1, h2, offs = word_ngram_hashes(batch.column(text_col), k)
+    n = len(h1)
+    per_doc = np.diff(offs)
+    doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), per_doc)
+    p = (np.arange(n, dtype=np.int64)
+         - np.repeat(offs[:-1], per_doc)) if n else np.empty(0, np.int64)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)[doc_idx]
+    cols = {id_col: pa.array(ids, pa.int64()),
+            "p": pa.array(p, pa.int64()),
+            "h1": pa.array(h1.view(np.int64), pa.int64()),
+            "h2": pa.array(h2.view(np.int64), pa.int64())}
+    if carry is not None:
+        cols[carry] = batch.column(carry).take(pa.array(doc_idx))
+    return pa.table(cols)
+
+
+def covered_gram_starts(ds, freq_ds, *, k: int = 8, text_col: str = "text",
+                        id_col: str = "doc_id", carry: str | None = None,
+                        num_partitions: int | None = None):
+    """Gram-start rows of ``ds`` whose gram is in ``freq_ds`` — a pair-key
+    semi-join as a tagged-union co-group (fixed-width int rows only)."""
+    from tokrle.functions.dedup import _group_blocks
+
+    occ = ds.map_batches(
+        lambda b: _gram_occurrences(b, k=k, text_col=text_col,
+                                    id_col=id_col, carry=carry),
+        batch_format="pyarrow")
+    occ_schema = [(id_col, pa.int64()), ("p", pa.int64()),
+                  ("h1", pa.int64()), ("h2", pa.int64())] \
+        + ([(carry, pa.string())] if carry else [])
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for name, typ in occ_schema:
+                if name in batch.column_names:
+                    cols[name] = batch.column(name).cast(typ)
+                else:
+                    cols[name] = pa.nulls(len(batch), type=typ)
+            cols["_side"] = pa.array(
+                np.full(len(batch), side, dtype=np.int8))
+            return pa.table(cols)
+        return fn
+
+    both = occ.map_batches(tag(0), batch_format="pyarrow").union(
+        freq_ds.map_batches(tag(1), batch_format="pyarrow"))
+    grouped = _group_blocks(both, keys=["h1", "h2"],
+                            num_partitions=num_partitions)
+
+    def filter_block(batch: pa.Table) -> pa.Table:
+        side = batch.column("_side").to_numpy(zero_copy_only=False)
+        h1 = batch.column("h1").to_numpy(zero_copy_only=False)
+        h2 = batch.column("h2").to_numpy(zero_copy_only=False)
+        left = side == 0
+        right = ~left
+        if not right.any() or not left.any():
+            keep = np.zeros(len(batch), dtype=bool)
+        else:
+            m = pd.DataFrame({"h1": h1[left], "h2": h2[left]}).merge(
+                pd.DataFrame({"h1": h1[right], "h2": h2[right],
+                              "_hit": np.int8(1)}).drop_duplicates(
+                                  ["h1", "h2"]),
+                on=["h1", "h2"], how="left")
+            keep = np.zeros(len(batch), dtype=bool)
+            keep[np.flatnonzero(left)] = \
+                m["_hit"].notna().to_numpy()
+        return batch.filter(pa.array(keep)).drop_columns(
+            ["h1", "h2", "_side"])
+
+    return grouped.map_batches(filter_block, batch_size=None,
+                               batch_format="pyarrow")
+
+
+def dup_span_word_counts(covered_ds, *, k: int, id_col: str = "doc_id",
+                         carry: str | None = None,
+                         num_partitions: int | None = None):
+    """Per-doc duplicated-word counts: hash-co-locate covered gram starts
+    by doc, then ONE vectorized interval union per block (docs offset
+    into disjoint ranges, so cross-doc spans can never merge)."""
+    from tokrle.functions.dedup import _group_blocks
+
+    grouped = _group_blocks(covered_ds, keys=[id_col],
+                            num_partitions=num_partitions)
+
+    def union_block(batch: pa.Table) -> pa.Table:
+        out_schema = [(id_col, pa.int64()), ("dup_words", pa.int64())] \
+            + ([(carry, pa.string())] if carry else [])
+        if len(batch) == 0:
+            return pa.schema(out_schema).empty_table()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        p = batch.column("p").to_numpy(zero_copy_only=False)
+        codes, uniques = pd.factorize(ids)
+        x = codes.astype(np.int64) * _DOC_STRIDE + p
+        order = np.argsort(x, kind="stable")
+        s = x[order]
+        e = s + k
+        cme = np.maximum.accumulate(e)
+        new_span = np.concatenate(([True], s[1:] > cme[:-1]))
+        span_starts = np.flatnonzero(new_span)
+        span_len = (np.maximum.reduceat(e, span_starts)
+                    - s[span_starts])
+        span_doc = codes[order][span_starts]
+        per_doc = np.zeros(len(uniques), dtype=np.int64)
+        np.add.at(per_doc, span_doc, span_len)
+        cols = {id_col: pa.array(uniques.astype(np.int64), pa.int64()),
+                "dup_words": pa.array(per_doc, pa.int64())}
+        if carry is not None:
+            first = np.zeros(len(uniques), dtype=np.int64)
+            first[codes[::-1]] = np.arange(len(ids))[::-1]
+            cols[carry] = batch.column(carry).take(pa.array(first))
+        return pa.table(cols)
+
+    return grouped.map_batches(union_block, batch_size=None,
+                               batch_format="pyarrow")
+
+
+class _SpanRemover:
+    """Stateful stage for :func:`remove_dup_spans`: the frequent-pair
+    index is materialized once per actor; each batch is rewritten with
+    one hash join + one boolean word mask + one vectorized re-join."""
+
+    def __init__(self, index_ref, *, k: int, text_col: str) -> None:
+        import ray
+
+        h1, h2 = ray.get(index_ref) if not isinstance(index_ref, tuple) \
+            else index_ref
+        self._index = pd.DataFrame({"h1": h1, "h2": h2})
+        self._k = k
+        self._text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = batch.column(self._text_col)
+        texts = texts.combine_chunks() if isinstance(
+            texts, pa.ChunkedArray) else texts
+        h1, h2, offs = word_ngram_hashes(texts, self._k)
+        words = pc.split_pattern(texts, " ")
+        words = words.combine_chunks() if isinstance(
+            words, pa.ChunkedArray) else words
+        n_words = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        word_offs = np.concatenate(([0], np.cumsum(n_words)))
+        keep = np.ones(int(word_offs[-1]), dtype=bool)
+        if len(h1) and len(self._index):
+            per_doc = np.diff(offs)
+            doc_idx = np.repeat(
+                np.arange(len(batch), dtype=np.int64), per_doc)
+            p_local = (np.arange(len(h1), dtype=np.int64)
+                       - np.repeat(offs[:-1], per_doc))
+            q = pd.DataFrame({"h1": h1.view(np.int64),
+                              "h2": h2.view(np.int64),
+                              "g": np.arange(len(h1), dtype=np.int64)})
+            hits = q.merge(self._index, on=["h1", "h2"], how="inner")
+            if len(hits):
+                g = hits["g"].to_numpy()
+                starts = word_offs[doc_idx[g]] + p_local[g]
+                # mask [start, start+k) for every hit, vectorized via a
+                # +1/-1 delta array and a cumulative sum
+                delta = np.zeros(len(keep) + 1, dtype=np.int64)
+                np.add.at(delta, starts, 1)
+                np.add.at(delta, starts + self._k, -1)
+                keep &= np.cumsum(delta[:-1]) == 0
+        flat = words.flatten()
+        kept_words = flat.filter(pa.array(keep))
+        from tokrle.kernels.segments import segment_sums
+
+        kept_per_doc = segment_sums(keep.astype(np.int64), word_offs)
+        new_offs = np.concatenate(
+            ([0], np.cumsum(kept_per_doc))).astype(np.int32)
+        rebuilt = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()),
+                                     kept_words),
+            " ")
+        i = batch.column_names.index(self._text_col)
+        return batch.set_column(i, self._text_col, rebuilt)
+
+
+def remove_dup_spans(ds, *, k: int = 8, min_count: int = 2,
+                     text_col: str = "text", concurrency=(1, 4),
+                     max_index_rows: int = 50_000_000):
+    """Rewrite ``text`` with every duplicated span's words removed.
+
+    Broadcast variant: the frequent-pair index is pulled to the driver
+    and ``ray.put`` once.  Raises when the index exceeds
+    ``max_index_rows`` (~800 MB at the default) — at that size the set
+    no longer fits a broadcast and the join path (covered_gram_starts +
+    a doc_id re-join) is the right tool."""
+    import ray
+
+    freq = frequent_grams(ds, k=k, min_count=min_count, text_col=text_col)
+    t = freq.to_pandas()
+    if len(t) > max_index_rows:
+        raise ValueError(
+            f"frequent-gram index has {len(t)} entries "
+            f"(> max_index_rows={max_index_rows}); use the join path")
+    index_ref = ray.put((t["h1"].to_numpy(), t["h2"].to_numpy()))
+    return ds.map_batches(
+        _SpanRemover,
+        fn_constructor_kwargs={"index_ref": index_ref, "k": k,
+                               "text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency)
+
+
+def dup_span_source_stats(ds, *, k: int = 8, min_count: int = 2,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          source_col: str = "source") -> pd.DataFrame:
+    """Per-source (n_docs, total_words, dup_words) — the all-join path:
+    two passes over the text, exchanges move only fixed-width int rows."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    freq = frequent_grams(ds, k=k, min_count=min_count, text_col=text_col)
+    covered = covered_gram_starts(ds, freq, k=k, text_col=text_col,
+                                  id_col=id_col, carry=source_col)
+    per_doc = dup_span_word_counts(covered, k=k, id_col=id_col,
+                                   carry=source_col)
+    dup = per_doc.groupby(source_col) \
+        .aggregate(Sum("dup_words", alias_name="dup_words")).to_pandas()
+
+    def totals(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        spaces = pc.count_substring(texts, " ").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({source_col: batch.column(source_col),
+                         "w": pa.array(spaces + 1, pa.int64())})
+
+    tot = ds.map_batches(totals, batch_format="pyarrow") \
+        .groupby(source_col).aggregate(
+            Count(alias_name="n_docs"),
+            Sum("w", alias_name="total_words")).to_pandas()
+    out = tot.merge(dup, on=source_col, how="left")
+    out["dup_words"] = out["dup_words"].fillna(0).astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_words"] = out["total_words"].astype("int64")
+    return out.sort_values(source_col).reset_index(drop=True)

@@ -1156,3 +1156,19 @@ def decontam_stats(sf_dir: str) -> pd.DataFrame:
     df["n_train"] = df["n_train"].astype("int64")
     df["n_contaminated"] = df["n_contaminated"].astype("int64")
     return df.sort_values("source").reset_index(drop=True)
+
+
+DUPSPAN_K = 8
+DUPSPAN_MIN_COUNT = 2
+
+
+def dup_span_stats(sf_dir: str) -> pd.DataFrame:
+    """Duplicated n-gram span summary (Lee-et-al-style substring dedup):
+    per source, how many word positions fall inside an 8-gram that occurs
+    >= 2 times corpus-wide.  Two passes over the text; every exchange
+    moves fixed-width int rows (gram hashes, positions), never text."""
+    from tokrle.functions.dupspan import dup_span_source_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return dup_span_source_stats(ds, k=DUPSPAN_K,
+                                 min_count=DUPSPAN_MIN_COUNT)
