@@ -2,11 +2,14 @@
 with typed metadata, processed by actor-pool map_batches stages.
 
 Image decode is REAL for PNG payloads (pure-stdlib codec in
-tokrle.functions.png; the synthetic media table writes genuine PNGs).
-Other formats (JPEG, audio, video) still use a deterministic stand-in —
-no libjpeg/ffmpeg in this container — swappable via the ``decoder=``
-hook; the surrounding plumbing (schema, batch sizing, actor signature,
-output layout) is real and tested either way.
+tokrle.functions.png) and audio decode is REAL for WAV payloads
+(RIFF/WAVE parser in tokrle.functions.wav); the synthetic media table
+writes genuine PNGs/WAVs so both pipelines exercise spec-conformant
+decoding end-to-end.  Remaining formats (JPEG, video) use a
+deterministic stand-in — no libjpeg/ffmpeg in this container —
+swappable via the ``decoder=`` hook; the surrounding plumbing (schema,
+batch sizing, actor signature, output layout) is real and tested
+either way.
 
 Schema convention for a media table:
     item_id: string, media: binary, media_type: string ("image"|"audio"|...),
@@ -113,20 +116,32 @@ class ImageFeatures:
 
 
 class AudioFrameSampler:
-    """Actor stage: sample fixed-length windows from an audio byte payload
-    (int16 PCM convention).  Deterministic window positions."""
+    """Actor stage: sample fixed-length windows from an audio payload.
+
+    REAL decode for WAV payloads (RIFF sniff -> the spec-conformant
+    stdlib-only codec in tokrle.functions.wav; multi-channel mixes down
+    to mono); raw int16-PCM convention for bare payloads.  Deterministic
+    window positions."""
 
     def __init__(self, window: int = 1024, n_windows: int = 4) -> None:
         self.window = window
         self.n_windows = n_windows
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from tokrle.functions.wav import decode_wav
+
         out_id, out_win, out_rms = [], [], []
         for i in range(len(batch)):
             payload = batch.column("media")[i].as_py()
-            # tolerate odd-length payloads (truncated final sample)
-            pcm = np.frombuffer(payload[:len(payload) // 2 * 2],
-                                dtype=np.int16)
+            if payload[:4] == b"RIFF":
+                samples, _rate = decode_wav(payload)
+                pcm = samples.astype(np.int32).mean(axis=1) \
+                    .astype(np.int16) if samples.shape[1] > 1 \
+                    else samples[:, 0]
+            else:
+                # tolerate odd-length payloads (truncated final sample)
+                pcm = np.frombuffer(payload[:len(payload) // 2 * 2],
+                                    dtype=np.int16)
             if len(pcm) < self.window:
                 pcm = np.pad(pcm, (0, self.window - len(pcm)))
             starts = np.linspace(0, len(pcm) - self.window,
@@ -211,6 +226,19 @@ def synth_media_table(n: int, *, kind: str = "image", seed: int = 11):
                 img = (base + rng.integers(0, 32, (h, w, 3))) \
                     .astype(np.uint8)
                 blobs.append(encode_png(img, filter_type=2))
+            elif kind == "audio":
+                # REAL WAV payloads (sine + noise, 16 kHz mono int16) so
+                # the decode stage exercises the genuine RIFF parser
+                from tokrle.functions.wav import encode_wav
+
+                n_samp = int(rng.integers(2048, 8192))
+                t = np.arange(n_samp, dtype=np.float64)
+                freq = 100.0 + float(i % 40) * 25.0
+                sig = (6000 * np.sin(2 * np.pi * freq * t / 16000)
+                       + rng.integers(-500, 500, n_samp))
+                blobs.append(encode_wav(
+                    np.clip(sig, -32768, 32767).astype(np.int16),
+                    sample_rate=16000))
             else:
                 blobs.append(rng.integers(0, 256, size=w * h // 2,
                                           dtype=np.int64)

@@ -676,8 +676,9 @@ def multimodal_image_features(sf_dir: str) -> pd.DataFrame:
 
 
 def multimodal_audio_windows(sf_dir: str) -> pd.DataFrame:
-    """Audio window-sampling plumbing over a deterministic synthetic media
-    table (PCM int16 convention; rows-only check)."""
+    """Audio window-sampling over a deterministic synthetic media table
+    of REAL WAV payloads (spec-conformant RIFF decode; rows-only
+    check)."""
     from tokrle.functions.multimodal import AudioFrameSampler, synth_media_table
 
     media = synth_media_table(64, kind="audio")
