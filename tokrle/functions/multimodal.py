@@ -5,7 +5,9 @@ Image decode is REAL for PNG payloads (pure-stdlib codec in
 tokrle.functions.png) and audio decode is REAL for WAV payloads
 (RIFF/WAVE parser in tokrle.functions.wav); the synthetic media table
 writes genuine PNGs/WAVs so both pipelines exercise spec-conformant
-decoding end-to-end.  Remaining formats (JPEG, video) use a
+decoding end-to-end.  Video decode is REAL for APNG payloads
+(acTL/fcTL/fdAT frame extraction in tokrle.functions.apng, the synth
+video table writes genuine APNGs); remaining formats (JPEG, mp4) use a
 deterministic stand-in — no libjpeg/ffmpeg in this container —
 swappable via the ``decoder=`` hook; the surrounding plumbing (schema,
 batch sizing, actor signature, output layout) is real and tested
@@ -172,6 +174,37 @@ def fake_decode_video_frame(payload: bytes, frame_idx: int, width: int,
     return np.tile(raw, reps)[:need].reshape(height, width, 3)
 
 
+def apng_decode_video_frame(payload: bytes, frame_idx: int, width: int,
+                            height: int) -> np.ndarray:
+    """REAL video frame decode for APNG payloads (acTL/fcTL/fdAT parse,
+    per-frame independent zlib streams — tokrle.functions.apng).  A
+    sampler asking for more frames than the container holds clamps to
+    the last frame (evenly-spaced sampling semantics)."""
+    from tokrle.functions.apng import apng_frame_count, decode_apng_frame
+
+    n = apng_frame_count(payload)
+    img = decode_apng_frame(payload, min(frame_idx, n - 1))
+    if img.shape[0] != height or img.shape[1] != width:
+        raise ValueError(
+            f"media metadata says {height}x{width}, APNG decodes to "
+            f"{img.shape[0]}x{img.shape[1]}")
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    return img[:, :, :3]
+
+
+def decode_video_frame(payload: bytes, frame_idx: int, width: int,
+                       height: int) -> np.ndarray:
+    """Default video decode hook: real APNG frame extraction when the
+    payload is an APNG (signature + acTL sniff); deterministic stand-in
+    for other containers (mp4 etc. would need ffmpeg, absent here)."""
+    from tokrle.functions.apng import is_apng
+
+    if is_apng(payload):
+        return apng_decode_video_frame(payload, frame_idx, width, height)
+    return fake_decode_video_frame(payload, frame_idx, width, height)
+
+
 class VideoFrameSampler:
     """Actor stage: sample ``n_frames`` evenly-spaced frames from a video
     byte payload and emit per-frame channel-mean features.  Setup (frame
@@ -179,7 +212,7 @@ class VideoFrameSampler:
     batches stay SMALL (video payloads are the largest media class)."""
 
     def __init__(self, n_frames: int = 4, out_size: int = 16,
-                 frame_decoder=fake_decode_video_frame) -> None:
+                 frame_decoder=decode_video_frame) -> None:
         self.n_frames = n_frames
         self.out_size = out_size
         self.frame_decoder = frame_decoder
@@ -239,6 +272,20 @@ def synth_media_table(n: int, *, kind: str = "image", seed: int = 11):
                 blobs.append(encode_wav(
                     np.clip(sig, -32768, 32767).astype(np.int16),
                     sample_rate=16000))
+            elif kind == "video":
+                # REAL APNG payloads (drifting gradient frames) so the
+                # frame sampler exercises the genuine container parse
+                from tokrle.functions.apng import encode_apng
+
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = []
+                for f in range(6):
+                    base = ((yy * 3 + xx * 5 + int(i) + f * 17)
+                            % 256)[..., None]
+                    frames.append(
+                        (base + rng.integers(0, 16, (h, w, 3)))
+                        .astype(np.uint8))
+                blobs.append(encode_apng(frames, filter_type=2))
             else:
                 blobs.append(rng.integers(0, 256, size=w * h // 2,
                                           dtype=np.int64)

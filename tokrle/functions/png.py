@@ -41,25 +41,33 @@ def encode_png(img: np.ndarray, *, filter_type: int = 0,
         raise ValueError(f"encode_png: unsupported channel count {ch}")
     if filter_type not in (0, 2):
         raise ValueError("encode_png: filter_type must be 0 (None) or 2 (Up)")
+    raw = filtered_scanlines(img, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_SIG + png_chunk(b"IHDR", ihdr)
+            + png_chunk(b"IDAT", zlib.compress(raw, level))
+            + png_chunk(b"IEND", b""))
+
+
+def filtered_scanlines(img: np.ndarray, filter_type: int) -> bytes:
+    """Raw (pre-zlib) scanline stream of an (h, w, ch) uint8 image with
+    ``filter_type`` 0 (None) or 2 (Up) on every row — shared by the PNG
+    and APNG encoders."""
+    h, w, ch = img.shape
     rows = img.reshape(h, w * ch)
     if filter_type == 2:
         prev = np.zeros((1, w * ch), dtype=np.uint8)
-        deltas = rows - np.concatenate([prev, rows[:-1]])   # uint8 wraps
-        body = deltas
+        body = rows - np.concatenate([prev, rows[:-1]])     # uint8 wraps
     else:
         body = rows
-    raw = np.concatenate(
+    return np.concatenate(
         [np.full((h, 1), filter_type, dtype=np.uint8), body],
         axis=1).tobytes()
 
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (struct.pack(">I", len(data)) + tag + data
-                + struct.pack(">I", zlib.crc32(tag + data)))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (_SIG + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(raw, level))
-            + chunk(b"IEND", b""))
+def png_chunk(tag: bytes, data: bytes) -> bytes:
+    """Length + tag + data + CRC32, per the PNG chunk layout."""
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data)))
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -108,6 +116,14 @@ def decode_png(payload: bytes) -> np.ndarray:
         inflated = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
         raise ValueError(f"decode_png: corrupt IDAT ({exc})") from exc
+    return reconstruct_scanlines(inflated, w, h, ch)
+
+
+def reconstruct_scanlines(inflated: bytes, w: int, h: int,
+                          ch: int) -> np.ndarray:
+    """Inflated scanline stream -> (h, w, ch) uint8 array: full
+    five-filter PNG reconstruction — shared by the PNG and APNG
+    decoders."""
     raw = np.frombuffer(inflated, dtype=np.uint8)
     stride = w * ch
     if len(raw) != h * (stride + 1):

@@ -691,9 +691,9 @@ def multimodal_audio_windows(sf_dir: str) -> pd.DataFrame:
 
 
 def multimodal_video_frames(sf_dir: str) -> pd.DataFrame:
-    """Video frame-sampling plumbing over a deterministic synthetic media
-    table (frame decode is a deterministic stand-in — no ffmpeg in the
-    container; rows-only check)."""
+    """Video frame-sampling over a deterministic synthetic media table
+    of REAL APNG payloads (spec-conformant acTL/fcTL/fdAT frame decode;
+    rows-only check)."""
     from tokrle.functions.multimodal import VideoFrameSampler, synth_media_table
 
     media = synth_media_table(32, kind="video")
