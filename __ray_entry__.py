@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample_stats": Q.mixture_sample_stats,
         "decontam_stats": Q.decontam_stats,
         "dup_span_stats": Q.dup_span_stats,
+        "redact_stats": Q.redact_stats,
         "lang_id": Q.lang_id,               # rows-only (heuristic model)
         "simhash_signatures": Q.simhash_signatures,  # rows-only
         "ngram_dup_pairs": Q.ngram_dup_pairs,        # rows-only (blocked)
@@ -231,6 +232,22 @@ def oracle_sql() -> dict[str, str]:
                cast(coalesce(sum(d.c), 0) AS bigint) AS dup_words
         FROM w LEFT JOIN dup d USING (doc_id)
         GROUP BY w.source ORDER BY w.source
+    """
+
+    from tokrle.pipelines.queries import (REDACT_PATTERN,
+                                          REDACT_REPLACEMENT)
+
+    sql["redact_stats"] = f"""
+        SELECT source,
+               cast(count(*) AS bigint) AS n_docs,
+               cast(sum(CASE WHEN regexp_matches(text, '{REDACT_PATTERN}')
+                             THEN 1 ELSE 0 END) AS bigint) AS docs_redacted,
+               cast(sum(len(regexp_extract_all(text, '{REDACT_PATTERN}')))
+                    AS bigint)                             AS n_matches,
+               cast(sum(strlen(regexp_replace(text, '{REDACT_PATTERN}',
+                                              '{REDACT_REPLACEMENT}', 'g')))
+                    AS bigint)                             AS bytes_after
+        FROM documents GROUP BY source ORDER BY source
     """
 
     sql["columnar_encode_documents"] = """

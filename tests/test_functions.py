@@ -854,3 +854,49 @@ def test_dup_span_stats_matches_duckdb(ray_session):
     cols = sorted(got.columns)
     assert got[cols].astype(str).sort_values(cols).reset_index(drop=True) \
         .equals(want[cols].astype(str).sort_values(cols).reset_index(drop=True))
+
+
+def test_redact_default_pii_patterns(ray_session):
+    import ray.data
+
+    from tokrle.functions.redact import redact
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "contact alice.smith+x@example.co.uk or bob@test.org today",
+            "call +1 (555) 123-4567 about server 192.168.001.200 now",
+            "no sensitive content in this row at all",
+            "",
+        ],
+    })
+    out = redact(ray.data.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert out["text"].tolist() == [
+        "contact [REDACTED] or [REDACTED] today",
+        "call [REDACTED] about server [REDACTED] now",
+        "no sensitive content in this row at all",
+        "",
+    ]
+    assert out["n_redactions"].tolist() == [2, 2, 0, 0]
+
+
+def test_redact_invalid_pattern_raises():
+    from tokrle.functions.redact import Redactor
+
+    with pytest.raises(ValueError, match="not valid RE2"):
+        Redactor({"bad": r"(unclosed"})
+
+
+def test_redact_stats_matches_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    got = E.queries()["redact_stats"](sf)
+    want = con.sql(E.oracle_sql()["redact_stats"]).df()
+    cols = sorted(got.columns)
+    assert got[cols].astype(str).sort_values(cols).reset_index(drop=True) \
+        .equals(want[cols].astype(str).sort_values(cols).reset_index(drop=True))

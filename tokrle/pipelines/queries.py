@@ -1173,3 +1173,20 @@ def dup_span_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
     return dup_span_source_stats(ds, k=DUPSPAN_K,
                                  min_count=DUPSPAN_MIN_COUNT)
+
+
+REDACT_PATTERN = r"\b(customer|spark|window)\b"
+REDACT_REPLACEMENT = "[REDACTED]"
+
+
+def redact_stats(sf_dir: str) -> pd.DataFrame:
+    """Sensitive-term redaction summary (the PII-scrubbing machinery with
+    a term list that actually occurs in this corpus): per source, docs
+    touched, total matches, and the byte length of the REWRITTEN text —
+    the oracle recomputes the rewrite with DuckDB's RE2 regexp_replace,
+    so the scrub itself is value-checked, not just counted."""
+    from tokrle.functions.redact import redaction_source_stats
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    return redaction_source_stats(ds, {"terms": REDACT_PATTERN},
+                                  replacement=REDACT_REPLACEMENT)
