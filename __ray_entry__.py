@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_stats": Q.decontam_stats,
         "dup_span_stats": Q.dup_span_stats,
         "redact_stats": Q.redact_stats,
+        "asof_attribution_stats": Q.asof_attribution_stats,
         "lang_id": Q.lang_id,               # rows-only (heuristic model)
         "simhash_signatures": Q.simhash_signatures,  # rows-only
         "ngram_dup_pairs": Q.ngram_dup_pairs,        # rows-only (blocked)
@@ -248,6 +249,18 @@ def oracle_sql() -> dict[str, str]:
                                               '{REDACT_REPLACEMENT}', 'g')))
                     AS bigint)                             AS bytes_after
         FROM documents GROUP BY source ORDER BY source
+    """
+
+    sql["asof_attribution_stats"] = """
+        SELECT cast(count(*) AS bigint)                    AS n_clicks,
+               cast(count(i.event_id) AS bigint)           AS n_matched,
+               cast(sum(c.event_id) AS bigint)             AS sum_click_id,
+               cast(coalesce(sum(i.event_id), 0) AS bigint) AS sum_view_id,
+               cast(coalesce(sum(epoch_us(c.ts) - epoch_us(i.ts)), 0)
+                    AS bigint)                             AS sum_lag_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') i
+          ON c.user_id = i.user_id AND c.ts >= i.ts
     """
 
     sql["columnar_encode_documents"] = """

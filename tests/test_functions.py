@@ -900,3 +900,49 @@ def test_redact_stats_matches_duckdb(ray_session):
     cols = sorted(got.columns)
     assert got[cols].astype(str).sort_values(cols).reset_index(drop=True) \
         .equals(want[cols].astype(str).sort_values(cols).reset_index(drop=True))
+
+
+def test_asof_join_semantics(ray_session):
+    """Backward as-of: latest right ts <= left ts within the key; equal
+    timestamps match; no prior right row -> nulls; keys never leak."""
+    import ray.data
+
+    from tokrle.functions.asof import asof_join
+
+    left = ray.data.from_pandas(pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [7, 7, 7, 9],
+        "ts": pd.to_datetime(["2024-01-01 00:00:05",
+                              "2024-01-01 00:00:10",
+                              "2024-01-01 00:00:02",
+                              "2024-01-01 00:00:30"]),
+    }))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "event_id": [100, 101, 102],
+        "user_id": [7, 7, 8],
+        "ts": pd.to_datetime(["2024-01-01 00:00:05",   # == left ts: matches
+                              "2024-01-01 00:00:07",
+                              "2024-01-01 00:00:01"]),  # other user
+    }))
+    out = asof_join(left, right, on="user_id", ts_col="ts",
+                    right_cols=("event_id",)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert out["right_event_id"].tolist() == [100.0, 101.0, None, None] \
+        or out["right_event_id"].astype("object").where(
+            out["right_event_id"].notna(), None).tolist() == \
+        [100, 101, None, None]
+
+
+def test_asof_attribution_matches_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    got = E.queries()["asof_attribution_stats"](sf)
+    want = con.sql(E.oracle_sql()["asof_attribution_stats"]).df()
+    cols = sorted(got.columns)
+    assert got[cols].astype("int64").reset_index(drop=True) \
+        .equals(want[cols].astype("int64").reset_index(drop=True))

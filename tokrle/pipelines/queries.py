@@ -1190,3 +1190,50 @@ def redact_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["source", "text"])
     return redaction_source_stats(ds, {"terms": REDACT_PATTERN},
                                   replacement=REDACT_REPLACEMENT)
+
+
+def asof_attribution_stats(sf_dir: str) -> pd.DataFrame:
+    """Event attribution via the distributed as-of join: every click is
+    matched to the SAME USER's latest prior view (LEFT ASOF backward).
+    Both reads push the event-type filter into the Parquet scan; one
+    hash exchange co-locates users, one vectorized pass per block.
+    Aggregates are integer-exact (ids + microsecond lags), so the DuckDB
+    ASOF LEFT JOIN oracle must match value-for-value."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from tokrle.functions.asof import asof_join
+
+    path = f"{sf_dir}/events.parquet"
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    clicks = ray.data.read_parquet(
+        path, columns=cols, filter=(pc.field("event_type") == "click"))
+    views = ray.data.read_parquet(
+        path, columns=cols, filter=(pc.field("event_type") == "view"))
+    joined = asof_join(clicks, views, on="user_id", ts_col="ts",
+                       right_cols=("event_id",))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rid = batch.column("right_event_id")
+        matched = pc.is_valid(rid)
+        lag = pc.subtract(
+            batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            batch.column("right_ts").cast(pa.timestamp("us"))
+            .cast(pa.int64()))
+        return pa.table({
+            "one": pa.array(np.ones(len(batch), np.int64)),
+            "m": pc.cast(matched, pa.int64()),
+            "cid": batch.column("event_id").cast(pa.int64()),
+            "vid": pc.coalesce(rid.cast(pa.int64()), pa.scalar(0)),
+            "lag": pc.coalesce(lag, pa.scalar(0, pa.int64())),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = joined.map_batches(partials, batch_format="pyarrow").aggregate(
+        Sum("one", alias_name="n_clicks"),
+        Sum("m", alias_name="n_matched"),
+        Sum("cid", alias_name="sum_click_id"),
+        Sum("vid", alias_name="sum_view_id"),
+        Sum("lag", alias_name="sum_lag_us"))
+    return pd.DataFrame({k: [int(v)] for k, v in agg.items()})
