@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": Q.dup_span_stats,
         "redact_stats": Q.redact_stats,
         "asof_attribution_stats": Q.asof_attribution_stats,
+        "range_overlap_stats": Q.range_overlap_stats,
         "lang_id": Q.lang_id,               # rows-only (heuristic model)
         "simhash_signatures": Q.simhash_signatures,  # rows-only
         "ngram_dup_pairs": Q.ngram_dup_pairs,        # rows-only (blocked)
@@ -261,6 +262,23 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT * FROM events WHERE event_type = 'click') c
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') i
           ON c.user_id = i.user_id AND c.ts >= i.ts
+    """
+
+    sql["range_overlap_stats"] = """
+        WITH ivl AS (
+            SELECT event_type,
+                   user_id % 16                        AS shard,
+                   user_id % 1000                      AS s,
+                   user_id % 1000 + 1 + event_id % 97  AS e
+            FROM events)
+        SELECT a.shard,
+               cast(count(*) AS bigint)                          AS n_pairs,
+               cast(sum(least(a.e, b.e) - greatest(a.s, b.s))
+                    AS bigint)                                   AS overlap_sum
+        FROM (SELECT * FROM ivl WHERE event_type = 'click') a
+        JOIN (SELECT * FROM ivl WHERE event_type = 'view') b
+          ON a.shard = b.shard AND a.s < b.e AND b.s < a.e
+        GROUP BY a.shard ORDER BY a.shard
     """
 
     sql["columnar_encode_documents"] = """

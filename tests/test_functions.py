@@ -946,3 +946,50 @@ def test_asof_attribution_matches_duckdb(ray_session):
     cols = sorted(got.columns)
     assert got[cols].astype("int64").reset_index(drop=True) \
         .equals(want[cols].astype("int64").reset_index(drop=True))
+
+
+def test_range_join_pairs_exact(ray_session):
+    """Enumerated pairs vs a brute-force double loop, incl. touching
+    (non-overlapping) intervals and cross-key isolation."""
+    import ray.data
+
+    from tokrle.functions.rangejoin import range_join_pairs
+
+    a = pd.DataFrame({"key": ["k1", "k1", "k2", "k3"],
+                      "start": [0, 10, 0, 5],
+                      "end": [5, 20, 3, 6],
+                      "aid": [1, 2, 3, 4]})
+    b = pd.DataFrame({"key": ["k1", "k1", "k2", "k1"],
+                      "start": [4, 5, 100, 19],
+                      "end": [12, 10, 200, 30],
+                      "bid": [10, 11, 12, 13]})
+    got = range_join_pairs(ray.data.from_pandas(a), ray.data.from_pandas(b),
+                           key="key", a_id="aid", b_id="bid").to_pandas()
+    want = set()
+    for _, ra in a.iterrows():
+        for _, rb in b.iterrows():
+            if ra["key"] == rb["key"] and ra["start"] < rb["end"] \
+                    and rb["start"] < ra["end"]:
+                want.add((ra["aid"], rb["bid"],
+                          min(ra["end"], rb["end"])
+                          - max(ra["start"], rb["start"])))
+    assert set(zip(got["aid"], got["bid"], got["overlap"])) == want
+    # interval [0,5) does NOT overlap [5,10) (half-open, touching)
+    assert (1, 11, 0) not in want
+
+
+def test_range_overlap_stats_matches_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    got = E.queries()["range_overlap_stats"](sf)
+    want = con.sql(E.oracle_sql()["range_overlap_stats"]).df()
+    cols = sorted(got.columns)
+    assert got[cols].astype("int64").sort_values(cols) \
+        .reset_index(drop=True) \
+        .equals(want[cols].astype("int64").sort_values(cols)
+                .reset_index(drop=True))

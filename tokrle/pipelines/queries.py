@@ -1237,3 +1237,39 @@ def asof_attribution_stats(sf_dir: str) -> pd.DataFrame:
         Sum("vid", alias_name="sum_view_id"),
         Sum("lag", alias_name="sum_lag_us"))
     return pd.DataFrame({k: [int(v)] for k, v in agg.items()})
+
+
+def range_overlap_stats(sf_dir: str) -> pd.DataFrame:
+    """Range-overlap join (the PyRanges-family core query) between click
+    and view interval sets, per shard: one key-co-locating exchange, one
+    vectorized bounded-length sweep per block, pair enumeration REDUCED
+    in-task (the quadratic pair set never enters the object store)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from tokrle.functions.rangejoin import range_join_overlap_stats
+
+    path = f"{sf_dir}/events.parquet"
+    cols = ["event_id", "user_id", "event_type"]
+
+    def mk(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        start = uid % 1000
+        return pa.table({
+            "shard": pa.array(uid % 16, type=pa.int64()),
+            "start": pa.array(start, type=pa.int64()),
+            "end": pa.array(start + 1 + eid % 97, type=pa.int64()),
+        })
+
+    a = ray.data.read_parquet(
+        path, columns=cols,
+        filter=(pc.field("event_type") == "click")) \
+        .map_batches(mk, batch_format="pyarrow")
+    b = ray.data.read_parquet(
+        path, columns=cols,
+        filter=(pc.field("event_type") == "view")) \
+        .map_batches(mk, batch_format="pyarrow")
+    df = range_join_overlap_stats(a, b, key="shard")
+    df["shard"] = df["shard"].astype("int64")
+    return df
