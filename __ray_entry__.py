@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_stats": Q.redact_stats,
         "asof_attribution_stats": Q.asof_attribution_stats,
         "range_overlap_stats": Q.range_overlap_stats,
+        "tfidf_top_terms_stats": Q.tfidf_top_terms_stats,
         "lang_id": Q.lang_id,               # rows-only (heuristic model)
         "simhash_signatures": Q.simhash_signatures,  # rows-only
         "ngram_dup_pairs": Q.ngram_dup_pairs,        # rows-only (blocked)
@@ -279,6 +280,25 @@ def oracle_sql() -> dict[str, str]:
         JOIN (SELECT * FROM ivl WHERE event_type = 'view') b
           ON a.shard = b.shard AND a.s < b.e AND b.s < a.e
         GROUP BY a.shard ORDER BY a.shard
+    """
+
+    sql["tfidf_top_terms_stats"] = """
+        WITH words AS (SELECT doc_id, source,
+                              unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+        tf AS (SELECT doc_id, source, w, count(*) AS tf
+               FROM words GROUP BY doc_id, source, w),
+        dft AS (SELECT w, count(DISTINCT doc_id) AS df
+                FROM words GROUP BY w),
+        ranked AS (
+            SELECT tf.doc_id, tf.source, tf.w,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY (tf.tf * 1.0 / dft.df) DESC, tf.w ASC) AS rn
+            FROM tf JOIN dft USING (w))
+        SELECT source, w AS top_term, cast(count(*) AS bigint) AS n_docs
+        FROM ranked WHERE rn = 1
+        GROUP BY source, w ORDER BY source, w
     """
 
     sql["columnar_encode_documents"] = """

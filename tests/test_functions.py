@@ -993,3 +993,41 @@ def test_range_overlap_stats_matches_duckdb(ray_session):
         .reset_index(drop=True) \
         .equals(want[cols].astype("int64").sort_values(cols)
                 .reset_index(drop=True))
+
+
+def test_tfidf_top_terms_explicit(ray_session):
+    """Known-score example incl. the term-ASC tie-break."""
+    import ray.data
+
+    from tokrle.functions.tfidf import (document_frequencies,
+                                        top_tfidf_terms)
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "source": ["s"] * 3,
+        # "rare" appears in 1 doc (df=1); "common" in all 3 (df=3)
+        "text": ["rare common common",          # rare: 1/1 > common: 2/3
+                 "common common common",        # only common
+                 "alpha beta common"],          # tie 1/1 vs 1/1 -> alpha
+    })
+    ds = ray.data.from_pandas(df)
+    dft = document_frequencies(ds).set_index("w")["df"]
+    assert dft["rare"] == 1 and dft["common"] == 3
+    top = top_tfidf_terms(ds).to_pandas()
+    assert sorted(top["top_term"]) == ["alpha", "common", "rare"]
+
+
+def test_tfidf_stats_match_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    got = E.queries()["tfidf_top_terms_stats"](sf)
+    want = con.sql(E.oracle_sql()["tfidf_top_terms_stats"]).df()
+    cols = sorted(got.columns)
+    assert got[cols].astype(str).sort_values(cols).reset_index(drop=True) \
+        .equals(want[cols].astype(str).sort_values(cols)
+                .reset_index(drop=True))

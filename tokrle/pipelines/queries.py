@@ -1273,3 +1273,14 @@ def range_overlap_stats(sf_dir: str) -> pd.DataFrame:
     df = range_join_overlap_stats(a, b, key="shard")
     df["shard"] = df["shard"].astype("int64")
     return df
+
+
+def tfidf_top_terms_stats(sf_dir: str) -> pd.DataFrame:
+    """Per (source, top_term): docs whose highest-scoring term (tf/df,
+    term-ASC ties — cross-engine-deterministic scoring, see
+    functions.tfidf) is that term.  df table is vocabulary-bounded and
+    broadcast; the scoring pass never shuffles text."""
+    from tokrle.functions.tfidf import top_term_source_stats
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    return top_term_source_stats(ds)
