@@ -169,7 +169,13 @@ def main() -> None:
                      ("dedup_exact", Q.dedup_exact),
                      ("text_quality", Q.text_quality),
                      ("ann_top1", Q.ann_top1),
-                     ("encode_roundtrip_stats", Q.encode_roundtrip_stats)]:
+                     ("encode_roundtrip_stats", Q.encode_roundtrip_stats),
+                     # round-3 operators (excluded from the r1-comparable
+                     # core subtotal below)
+                     ("decontam_stats", Q.decontam_stats),
+                     ("dup_span_stats", Q.dup_span_stats),
+                     ("asof_attribution_stats", Q.asof_attribution_stats),
+                     ("range_overlap_stats", Q.range_overlap_stats)]:
         # best of two passes: the host shows minutes-long steal episodes
         # that swing a single reading 2-3x (see BASELINE.md host caveat);
         # the better pass is what a steady-state job sustains.  The FIRST
@@ -203,9 +209,12 @@ def main() -> None:
         pass
 
     # round-1-comparable subtotal: the r2 suite ADDED the (deliberately
-    # redundant, known-slower) hashgroup variant; excluding it from the
-    # core figure keeps round-over-round totals apples-to-apples
-    core = {k: v for k, v in timings.items() if k != "encode_hashgroup"}
+    # redundant, known-slower) hashgroup variant and r3 added four new
+    # operators; excluding them keeps round-over-round totals
+    # apples-to-apples
+    _NOT_CORE = {"encode_hashgroup", "decontam_stats", "dup_span_stats",
+                 "asof_attribution_stats", "range_overlap_stats"}
+    core = {k: v for k, v in timings.items() if k not in _NOT_CORE}
     core_first = {k: first_pass.get(k, v) for k, v in core.items()}
     out = {
         "metric": "token encode+decode wall time (headline) + query suite",
