@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_attribution_stats": Q.asof_attribution_stats,
         "range_overlap_stats": Q.range_overlap_stats,
         "tfidf_top_terms_stats": Q.tfidf_top_terms_stats,
+        "stratified_sample_stats": Q.stratified_sample_stats,
         "lang_id": Q.lang_id,               # rows-only (heuristic model)
         "simhash_signatures": Q.simhash_signatures,  # rows-only
         "ngram_dup_pairs": Q.ngram_dup_pairs,        # rows-only (blocked)
@@ -299,6 +300,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, w AS top_term, cast(count(*) AS bigint) AS n_docs
         FROM ranked WHERE rn = 1
         GROUP BY source, w ORDER BY source, w
+    """
+
+    from tokrle.functions.sampling import rank_sql_expr
+    from tokrle.pipelines.queries import STRATIFIED_K, STRATIFIED_SEED
+
+    rank = rank_sql_expr("doc_id", seed=STRATIFIED_SEED)
+    sql["stratified_sample_stats"] = f"""
+        WITH ranked AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY {rank}, doc_id) AS rn
+            FROM documents)
+        SELECT source,
+               cast(count(*) AS bigint)       AS n_kept,
+               cast(sum(doc_id) AS bigint)    AS sum_doc_id,
+               cast(sum(n_chars) AS bigint)   AS sum_n_chars
+        FROM ranked WHERE rn <= {STRATIFIED_K}
+        GROUP BY source ORDER BY source
     """
 
     sql["columnar_encode_documents"] = """

@@ -1031,3 +1031,48 @@ def test_tfidf_stats_match_duckdb(ray_session):
     assert got[cols].astype(str).sort_values(cols).reset_index(drop=True) \
         .equals(want[cols].astype(str).sort_values(cols)
                 .reset_index(drop=True))
+
+
+def test_stratified_sample_partitioning_invariant(ray_session):
+    """Same row set regardless of block layout; exact quotas; keys with
+    fewer rows than k keep everything."""
+    import ray.data
+
+    from tokrle.functions.sampling import stratified_sample
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(100),
+        "source": (["a"] * 60 + ["b"] * 37 + ["c"] * 3),
+        "n_chars": np.arange(100) * 3,
+    })
+    k = 5
+    got1 = stratified_sample(ray.data.from_pandas(df), k=k, seed=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got8 = stratified_sample(ray.data.from_pandas(df).repartition(8),
+                             k=k, seed=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got1.equals(got8)
+    counts = got1.groupby("source").size()
+    assert counts["a"] == k and counts["b"] == k and counts["c"] == 3
+    # reference selection: k smallest hash ranks per source
+    from tokrle.functions.sampling import sample_rank
+
+    df["h"] = sample_rank(df["doc_id"].to_numpy(), 2)
+    want = df.sort_values(["h", "doc_id"]).groupby("source").head(k)
+    assert sorted(got1["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_stratified_sample_stats_matches_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    got = E.queries()["stratified_sample_stats"](sf)
+    want = con.sql(E.oracle_sql()["stratified_sample_stats"]).df()
+    cols = sorted(got.columns)
+    assert got[cols].astype(str).sort_values(cols).reset_index(drop=True) \
+        .equals(want[cols].astype(str).sort_values(cols)
+                .reset_index(drop=True))

@@ -1,0 +1,69 @@
+"""Deterministic stratified sampling: keep the ``k`` rows per key with
+the smallest multiplicative-hash rank (Knuth hash on the row id, ties
+on the id) — exact per-group quotas without a random state, exactly
+reproducible across runs and partitionings, and SQL-expressible so the
+oracle re-derives the IDENTICAL row set (a ``row_number() OVER
+(PARTITION BY key ORDER BY hash, id) <= k`` in DuckDB).
+
+Scale shape: a map stage first reduces every batch to its own top-k per
+key (each batch forwards at most k × keys_in_batch rows), then ONE hash
+exchange co-locates keys and the same kernel finalizes per block —
+payload rows beyond the local quota never enter the exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from tokrle.functions.mixture import KNUTH, MOD
+
+
+def sample_rank(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """The Knuth-hash rank shared with the SQL oracle (bitand reduction,
+    see mixture.mixture_mask for the negative-id rationale)."""
+    return (((ids.astype(np.int64) & (MOD - np.int64(1)))
+             * np.int64(KNUTH) + np.int64(seed)) % MOD)
+
+
+def rank_sql_expr(id_col: str = "doc_id", *, seed: int = 0) -> str:
+    return (f"((({id_col} & {(1 << 31) - 1}) * {KNUTH} + {seed})"
+            f" % {1 << 31})")
+
+
+def _topk_kernel(batch: pa.Table, *, key: str, k: int, id_col: str,
+                 seed: int) -> pa.Table:
+    """Keep each key's k smallest (rank, id) rows — one factorize +
+    lexsort, rank-within-group via a repeated-group-start subtraction."""
+    import pandas as pd
+
+    if len(batch) == 0:
+        return batch
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    keys = batch.column(key).to_numpy(zero_copy_only=False)
+    h = sample_rank(ids, seed)
+    codes, _ = pd.factorize(keys)
+    order = np.lexsort((ids, h, codes))
+    c = codes[order]
+    starts = np.flatnonzero(np.concatenate(([True], c[1:] != c[:-1])))
+    group_sizes = np.diff(np.concatenate((starts, [len(c)])))
+    pos_in_group = (np.arange(len(c), dtype=np.int64)
+                    - np.repeat(starts, group_sizes))
+    keep = order[pos_in_group < k]
+    return batch.take(pa.array(np.sort(keep), type=pa.int64()))
+
+
+def stratified_sample(ds, *, key: str = "source", k: int = 10,
+                      id_col: str = "doc_id", seed: int = 0,
+                      num_partitions: int | None = None):
+    """Exactly k rows per key (fewer when the key has < k rows),
+    deterministically chosen by hash rank."""
+    from tokrle.functions.dedup import _group_blocks
+
+    kw = {"key": key, "k": k, "id_col": id_col, "seed": seed}
+    pruned = ds.map_batches(lambda b: _topk_kernel(b, **kw),
+                            batch_format="pyarrow")
+    grouped = _group_blocks(pruned, keys=[key],
+                            num_partitions=num_partitions)
+    return grouped.map_batches(lambda b: _topk_kernel(b, **kw),
+                               batch_size=None, batch_format="pyarrow")

@@ -1284,3 +1284,28 @@ def tfidf_top_terms_stats(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", columns=["source", "text"])
     return top_term_source_stats(ds)
+
+
+STRATIFIED_K = 7
+STRATIFIED_SEED = 11
+
+
+def stratified_sample_stats(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-source quota sample (k smallest hash ranks per
+    source): per source, rows kept plus the exact sum of kept doc_ids
+    and n_chars — the oracle re-derives the IDENTICAL row set with a
+    window rank over the same hash."""
+    from ray.data.aggregate import Count, Sum
+
+    from tokrle.functions.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    kept = stratified_sample(ds, key="source", k=STRATIFIED_K,
+                             id_col="doc_id", seed=STRATIFIED_SEED)
+    df = kept.groupby("source").aggregate(
+        Count(alias_name="n_kept"),
+        Sum("doc_id", alias_name="sum_doc_id"),
+        Sum("n_chars", alias_name="sum_n_chars")).to_pandas()
+    for c in ("n_kept", "sum_doc_id", "sum_n_chars"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
