@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_overlap_stats": Q.range_overlap_stats,
         "tfidf_top_terms_stats": Q.tfidf_top_terms_stats,
         "stratified_sample_stats": Q.stratified_sample_stats,
+        "semantic_cluster_stats": Q.semantic_cluster_stats,  # rows-only (kmeans)
         "lang_id": Q.lang_id,               # rows-only (heuristic model)
         "simhash_signatures": Q.simhash_signatures,  # rows-only
         "ngram_dup_pairs": Q.ngram_dup_pairs,        # rows-only (blocked)

@@ -1076,3 +1076,43 @@ def test_stratified_sample_stats_matches_duckdb(ray_session):
     assert got[cols].astype(str).sort_values(cols).reset_index(drop=True) \
         .equals(want[cols].astype(str).sort_values(cols)
                 .reset_index(drop=True))
+
+
+def test_kmeans_recovers_planted_clusters(ray_session):
+    """Three well-separated planted clusters: every member lands with its
+    own centroid, semdedup finds within-cluster planted dups only."""
+    import ray.data
+
+    from tokrle.functions.kmeans import (kmeans_assign, kmeans_fit,
+                                         semdedup_pairs)
+
+    rng = np.random.default_rng(5)
+    centers = np.eye(3, 16) * 10
+    vecs, labels = [], []
+    for c in range(3):
+        pts = centers[c] + rng.standard_normal((30, 16)) * 1.0
+        vecs.extend(pts)
+        labels.extend([c] * 30)
+    # planted near-dup inside cluster 0: copy of vec 0 with id 900
+    vecs.append(vecs[0] * 1.0001)
+    labels.append(0)
+    df = pd.DataFrame({"vec_id": np.arange(len(vecs)),
+                       "embedding": [v.astype(np.float32) for v in vecs]})
+    ds = ray.data.from_pandas(df)
+    centroids = kmeans_fit(ds, k=3, iters=4, seed=1)
+    assigned = kmeans_assign(ds, centroids).to_pandas() \
+        .sort_values("vec_id")
+    # same planted label <=> same cluster id (bijection check)
+    got = assigned["cluster_id"].to_numpy()
+    mapping = {}
+    for lab, cid in zip(labels, got):
+        assert mapping.setdefault(lab, cid) == cid
+    assert len(set(mapping.values())) == 3
+    # partitioning invariance
+    assigned8 = kmeans_assign(ds.repartition(8), centroids).to_pandas() \
+        .sort_values("vec_id")
+    assert np.array_equal(got, assigned8["cluster_id"].to_numpy())
+    pairs = semdedup_pairs(ds, centroids, threshold=0.999).to_pandas()
+    assert {frozenset((int(a), int(b)))
+            for a, b in zip(pairs["id_a"], pairs["id_b"])} == \
+        {frozenset((0, 90))}

@@ -1309,3 +1309,23 @@ def stratified_sample_stats(sf_dir: str) -> pd.DataFrame:
     for c in ("n_kept", "sum_doc_id", "sum_n_chars"):
         df[c] = df[c].astype("int64")
     return df.sort_values("source").reset_index(drop=True)
+
+
+def semantic_cluster_stats(sf_dir: str) -> pd.DataFrame:
+    """Distributed spherical k-means over the embeddings table (SemDeDup
+    building block): per cluster, member count and exact sum of vec_ids
+    (deterministic seeded init + argmax assignment, so the output is
+    partitioning-invariant; no SQL analog — rows-only check)."""
+    from ray.data.aggregate import Count, Sum
+
+    from tokrle.functions.kmeans import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = kmeans_fit(ds, k=8, iters=3)
+    assigned = kmeans_assign(ds, centroids)
+    df = assigned.groupby("cluster_id").aggregate(
+        Count(alias_name="n_vecs"),
+        Sum("vec_id", alias_name="sum_vec_id")).to_pandas()
+    df["n_vecs"] = df["n_vecs"].astype("int64")
+    df["sum_vec_id"] = df["sum_vec_id"].astype("int64")
+    return df.sort_values("cluster_id").reset_index(drop=True)
