@@ -89,7 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_video_frames": Q.multimodal_video_frames,      # rows-only
         "hll_unique_tokens": Q.hll_unique_tokens,  # rows-only (approximate)
     }
-    for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "fsst"):
+    for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "pfor",
+                  "fsst"):
         d[f"codec_roundtrip_{codec}"] = partial(Q.codec_roundtrip, codec=codec)
     d["fsst_text_roundtrip"] = Q.fsst_text_roundtrip
     d["fsstg_text_roundtrip"] = partial(Q.fsst_text_roundtrip, codec="fsstg")
@@ -345,7 +346,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE source = 'src0')
     """
 
-    for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "fsst"):
+    for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "pfor",
+                  "fsst"):
         sql[f"codec_roundtrip_{codec}"] = _CODEC_ROUNDTRIP_SQL
 
     sql["fsst_text_roundtrip"] = """

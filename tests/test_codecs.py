@@ -26,6 +26,11 @@ CORPORA = {
     "single": np.array([123456], dtype=np.int32),
     "two_values": RNG.choice([17, 9000000], size=10000).astype(np.int32),
     "sorted_ids": np.sort(RNG.integers(0, 10**9, size=20000)).astype(np.int64),
+    # mostly-narrow ids + rare huge outliers: FOR's span width blows up,
+    # cardinality too high for dict, entropy too high for rle -> pfor
+    "outlier_patched": np.where(RNG.random(20000) < 0.003,
+                                RNG.integers(1 << 20, 1 << 30, size=20000),
+                                RNG.integers(0, 1024, size=20000)).astype(np.int64),
     "timestamps": (np.cumsum(RNG.integers(0, 1000, size=20000)) + 10**15).astype(np.int64),
 }
 
@@ -68,6 +73,16 @@ def test_selector_picks_sensible_codecs():
     assert select_codec(profile_chunk(CORPORA["timestamps"])) == "delta"
     # high-entropy tokens: the exact delta diff pass is skipped entirely
     assert not profile_chunk(CORPORA["zipf_tokens"].repeat(3)[:70000]).delta_exact
+    # narrow values + rare huge outliers -> pfor (patched exceptions beat
+    # FOR's single span width; verify it actually compresses >3x vs FOR)
+    x = CORPORA["outlier_patched"]
+    assert select_codec(profile_chunk(x)) == "pfor"
+    assert len(encode("pfor", x)) * 2.9 < len(encode("for", x))
+    # sampled width-histogram path (n > _SAMPLE => strided) picks pfor too
+    x_big = np.tile(x, 8)
+    p = profile_chunk(x_big)
+    assert p.width_hist_n < len(x_big)
+    assert select_codec(p) == "pfor"
 
 
 def test_estimates_close_to_actual():

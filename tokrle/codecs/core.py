@@ -237,6 +237,95 @@ class Delta(Codec):
         return out.astype(np.int64).astype(dtype)
 
 
+# 2^0 .. 2^63 — searchsorted(_POW2, d, side="right") == bit_width(d) for
+# uint64 d (0 -> 0, 1 -> 1, 2..3 -> 2, ...): one vectorized pass replaces
+# a per-element bit_length loop.
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
+def best_pfor_width(width_hist: np.ndarray, n: int, span_w: int,
+                    sample_n: int | None = None) -> tuple[int, float]:
+    """Exact cost-minimizing main-stream width for PFOR given the histogram
+    of per-delta bit widths (``width_hist[b]`` = #deltas needing b bits).
+
+    Returns ``(w, payload_bytes)``.  When the histogram comes from a sample
+    of ``sample_n`` deltas, exception counts are scaled to ``n`` (the cost
+    is then an estimate; encode always recomputes on the full chunk).
+    """
+    scale = n / sample_n if sample_n else 1.0
+    hist = np.zeros(span_w + 2, dtype=np.int64)
+    h = np.asarray(width_hist, dtype=np.int64)[: span_w + 2]
+    hist[: len(h)] = h
+    # n_exc_at[w] = #deltas whose width > w = sum(hist[w+1:])
+    n_exc_at = np.cumsum(hist[::-1])[::-1]
+    pos_w = bit_width(max(n - 1, 0))
+    ws = np.arange(span_w + 1)
+    exc = np.append(n_exc_at[1:], 0)[: span_w + 1] * scale
+    costs = 15 + n * ws / 8 + exc * (pos_w + (span_w - ws)) / 8
+    i = int(np.argmin(costs))
+    return int(ws[i]), float(costs[i])
+
+
+class PatchedFor(Codec):
+    """PFOR (patched frame-of-reference): width-``w`` ``(x - ref)`` codes
+    for the common case plus an exception stream for outliers, after
+    Zukowski et al., "Super-Scalar RAM-CPU Cache Compression" (ICDE 2006).
+    Wins where a few large outliers blow up FOR's single span width but
+    cardinality is too high for dict and entropy too high for rle — e.g.
+    token streams that are mostly common ids plus rare specials.
+
+    The main stream stores the low ``w`` bits of every delta; for the
+    ``n_exc`` deltas needing more than ``w`` bits the exception stream
+    stores (position, remaining high bits), so decode is one unpack plus
+    one scatter-OR.  ``w`` is chosen exactly from the per-delta bit-width
+    histogram (:func:`best_pfor_width`); ``w == span_w`` degenerates to
+    FOR with a 6-byte-larger header, so PFOR never loses to FOR by more.
+
+    Layout: ``<q ref><B w><I n_exc><B pos_w><B high_w>`` + n ``w``-bit main
+    codes + n_exc ``pos_w``-bit positions + n_exc ``high_w``-bit high bits.
+    """
+
+    name = "pfor"
+
+    def encode(self, x, vmin=None, vmax=None):
+        if len(x) == 0:
+            return struct.pack("<qBIBB", 0, 0, 0, 0, 0)
+        ref, vmax = _bounds(x, vmin, vmax)
+        span = vmax - ref
+        span_w = bit_width(span)
+        deltas = _span_to_unsigned(x, ref)
+        widths = np.searchsorted(_POW2, deltas, side="right")
+        hist = np.bincount(widths, minlength=span_w + 1)
+        w, _ = best_pfor_width(hist, len(x), span_w)
+        if w == span_w:
+            exc_pos = np.empty(0, dtype=np.uint64)
+            main = deltas
+        else:
+            exc_pos = np.flatnonzero(widths > w).astype(np.uint64)
+            main = deltas & np.uint64((1 << w) - 1)
+        n_exc = len(exc_pos)
+        high = deltas[exc_pos.astype(np.int64)] >> np.uint64(w)
+        pos_w = bit_width(len(x) - 1) if n_exc else 0
+        high_w = (span_w - w) if n_exc else 0
+        header = struct.pack("<qBIBB", ref, w, n_exc, pos_w, high_w)
+        return header + pack_uints(main, w) + pack_uints(exc_pos, pos_w) + \
+            pack_uints(high, high_w)
+
+    def decode(self, payload, n, dtype):
+        ref, w, n_exc, pos_w, high_w = struct.unpack_from("<qBIBB", payload, 0)
+        off = 15
+        main_nbytes = (n * w + 7) // 8
+        out = unpack_uints(payload[off:off + main_nbytes], n, w)
+        off += main_nbytes
+        if n_exc:
+            pos_nbytes = (n_exc * pos_w + 7) // 8
+            pos = unpack_uints(payload[off:off + pos_nbytes],
+                               n_exc, pos_w).astype(np.int64)
+            high = unpack_uints(payload[off + pos_nbytes:], n_exc, high_w)
+            out[pos] |= high << np.uint64(w)
+        return (out.astype(np.int64) + ref).astype(dtype)
+
+
 class Fsst(Codec):
     """FSST-style trained multi-byte symbol codec (Boncz/Neumann/Leis,
     "FSST: Fast Random Access String Compression", VLDB 2020) with
@@ -647,7 +736,7 @@ class FsstGreedy(Codec):
 CODECS: dict[str, Codec] = {
     c.name: c
     for c in [Plain(), BitPack(), FrameOfReference(), Dictionary(),
-              RunLength(), Delta(), Fsst(), FsstGreedy()]
+              RunLength(), Delta(), PatchedFor(), Fsst(), FsstGreedy()]
 }
 
 

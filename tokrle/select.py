@@ -19,7 +19,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from tokrle.codecs._bits import bit_width
-from tokrle.codecs.core import Fsst, encode
+from tokrle.codecs.core import _POW2, Fsst, best_pfor_width, encode
 
 _SAMPLE = 1 << 16
 
@@ -38,6 +38,11 @@ class ChunkProfile:
     fsst_hit_ratio: float     # estimated fraction of 16-bit words covered by table
     delta_width: int = 64     # bit width of the largest zigzag delta
     delta_exact: bool = False  # True only after an exact diff pass
+    # histogram of per-delta (x - vmin) bit widths for PFOR width/cost
+    # estimation; from a strided sample of width_hist_n deltas (exact when
+    # width_hist_n == n).  None when the span is 0 (pfor can't beat rle).
+    width_hist: np.ndarray | None = None
+    width_hist_n: int = 0
 
     @property
     def raw_bytes(self) -> int:
@@ -126,6 +131,17 @@ def profile_chunk(x: np.ndarray) -> ChunkProfile:
             delta_w, delta_exact = _zigzag_width(x), True
         else:
             delta_w, delta_exact = dw_sample, False
+    # pfor: per-delta bit-width histogram from a strided sample (exact for
+    # small chunks) — one searchsorted pass over <=_SAMPLE values
+    if span > 0:
+        ps = x if n <= (1 << 15) else x[:: max(1, n // _SAMPLE)]
+        pd_ = (ps.astype(np.int64) - np.int64(vmin)).astype(np.uint64)
+        width_hist = np.bincount(
+            np.searchsorted(_POW2, pd_, side="right"),
+            minlength=bit_width(span) + 1)
+        width_hist_n = len(ps)
+    else:
+        width_hist, width_hist_n = None, 0
     # fsst: estimated top-254 16-bit-word coverage from a strided sample of
     # the value buffer viewed as uint16 words (zero-copy view, no tobytes)
     words = x.view(np.uint16) if x.dtype.itemsize % 2 == 0 else \
@@ -140,7 +156,7 @@ def profile_chunk(x: np.ndarray) -> ChunkProfile:
         hit_ratio = 0.0
     return ChunkProfile(n, x.dtype.itemsize, vmin, vmax, n_runs, max_run,
                         runs_exact, card, card_exact, hit_ratio,
-                        delta_w, delta_exact)
+                        delta_w, delta_exact, width_hist, width_hist_n)
 
 
 def estimate_sizes(p: ChunkProfile) -> dict[str, float]:
@@ -162,6 +178,13 @@ def estimate_sizes(p: ChunkProfile) -> dict[str, float]:
     if p.delta_exact:
         est["delta"] = 9 + (p.n - 1) * p.delta_width / 8
     # sampled delta width (wide-delta chunk): delta cannot beat FOR, skip it
+    if p.width_hist is not None:
+        # exception counts scale from the sample; encode recomputes the
+        # width exactly on the full chunk, so a sampling miss costs at most
+        # a slightly-off size estimate, never a wrong payload
+        est["pfor"] = best_pfor_width(
+            p.width_hist, p.n, bit_width(p.vmax - p.vmin),
+            sample_n=p.width_hist_n if p.width_hist_n != p.n else None)[1]
     nwords = p.raw_bytes // 2
     est["fsst"] = (10 + 2 * Fsst.MAX_SYMBOLS + nwords / 8
                    + nwords * (p.fsst_hit_ratio + 2 * (1 - p.fsst_hit_ratio)))
