@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                            rounds=1),  # rows-only (LSH)
         "packed_sequences_stats": Q.packed_sequences_stats,
         "mixture_sample_stats": Q.mixture_sample_stats,
+        "epoch_shuffle_head": Q.epoch_shuffle_head,
+        "epoch_shuffle_bucket_stats": Q.epoch_shuffle_bucket_stats,
         "decontam_stats": Q.decontam_stats,
         "dup_span_stats": Q.dup_span_stats,
         "redact_stats": Q.redact_stats,
@@ -160,6 +162,26 @@ def oracle_sql() -> dict[str, str]:
     # padded with pad=0], sum over packed ids = sum_tokens + eos*n_docs
     from tokrle.functions.mixture import mixture_sql_predicate
     from tokrle.pipelines.queries import MIXTURE_WEIGHTS
+
+    from tokrle.functions.shuffle import epoch_hash_sql
+
+    key = epoch_hash_sql("doc_id", seed=11)
+    sql["epoch_shuffle_head"] = f"""
+        SELECT cast(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1
+                    AS bigint)                  AS rank,
+               doc_id, shuffle_key, source
+        FROM (SELECT doc_id, source, {key} AS shuffle_key FROM documents)
+        ORDER BY rank LIMIT 20
+    """
+    sql["epoch_shuffle_bucket_stats"] = f"""
+        SELECT shuffle_key >> 27                    AS bucket,
+               cast(count(*) AS bigint)             AS n_docs,
+               cast(sum(doc_id) AS bigint)          AS sum_doc_id,
+               cast(min(shuffle_key) AS bigint)     AS min_key,
+               cast(max(shuffle_key) AS bigint)     AS max_key
+        FROM (SELECT doc_id, {key} AS shuffle_key FROM documents)
+        GROUP BY bucket ORDER BY bucket
+    """
 
     pred = mixture_sql_predicate(MIXTURE_WEIGHTS, seed=7,
                                  default_weight=0.75)

@@ -1116,3 +1116,29 @@ def test_kmeans_recovers_planted_clusters(ray_session):
     assert {frozenset((int(a), int(b)))
             for a, b in zip(pairs["id_a"], pairs["id_b"])} == \
         {frozenset((0, 90))}
+
+
+def test_epoch_shuffle_is_seeded_permutation(ray_session):
+    import ray.data
+
+    from tokrle.functions.shuffle import epoch_hash, shuffle_epoch
+
+    ids = np.arange(500, dtype=np.int64) * 37 + 3
+    df = pd.DataFrame({"doc_id": ids, "payload": ids * 2})
+    ds = ray.data.from_pandas(df).repartition(7)
+
+    out = shuffle_epoch(ds, seed=3).to_pandas()
+    # a permutation: same multiset of rows, payload still attached to its id
+    assert sorted(out["doc_id"]) == sorted(ids)
+    assert (out["payload"].to_numpy() == out["doc_id"].to_numpy() * 2).all()
+    # order matches the dense NumPy oracle (stable sort on (hash, id))
+    h = epoch_hash(ids, 3)
+    want = ids[np.lexsort((ids, h))]
+    assert np.array_equal(out["doc_id"].to_numpy(), want)
+    # partitioning-invariant: same order from a different block layout
+    out2 = shuffle_epoch(ds.repartition(2), seed=3).to_pandas()
+    assert np.array_equal(out2["doc_id"].to_numpy(), want)
+    # a different seed is a genuinely different permutation (not a
+    # rotation): substantial disagreement in every region of the order
+    out5 = shuffle_epoch(ds, seed=5).to_pandas()["doc_id"].to_numpy()
+    assert (out5 != out["doc_id"].to_numpy()).mean() > 0.9

@@ -1115,6 +1115,50 @@ def mixture_sample_stats(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("source").reset_index(drop=True)
 
 
+def epoch_shuffle_head(sf_dir: str) -> pd.DataFrame:
+    """First 20 documents of the seed-11 epoch shuffle, with their global
+    rank — exercises the distributed range-partition sort end to end and
+    pins the exact head of the permutation against the SQL oracle
+    (row_number over the identical integer hash)."""
+    from tokrle.functions.shuffle import shuffle_epoch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    head = shuffle_epoch(ds, seed=11).limit(20).to_pandas()
+    head["rank"] = np.arange(len(head), dtype=np.int64)
+    return head[["rank", "doc_id", "shuffle_key", "source"]]
+
+
+def epoch_shuffle_bucket_stats(sf_dir: str) -> pd.DataFrame:
+    """Validates the WHOLE epoch permutation (not just its head): the
+    2^31 key space is cut into 16 equal buckets and each bucket's count /
+    id-sum / key-extrema must match the oracle exactly.  Shuffle-free
+    except the 16-group aggregate — the check never sorts."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from tokrle.functions.shuffle import epoch_hash
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        key = epoch_hash(ids, seed=11)
+        batch = batch.append_column("shuffle_key",
+                                    pa.array(key, type=pa.int64()))
+        return batch.append_column("bucket",
+                                   pa.array(key >> 27, type=pa.int64()))
+
+    agg = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("doc_id", alias_name="sum_doc_id"),
+            Min("shuffle_key", alias_name="min_key"),
+            Max("shuffle_key", alias_name="max_key"))
+    df = agg.to_pandas()
+    for c in ("n_docs", "sum_doc_id", "min_key", "max_key"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("bucket").reset_index(drop=True)
+
+
 # decontamination split: doc_id & DECONTAM_EVAL_MASK == 0 is the held-out
 # eval set (power-of-two mask so the parquet filter pushes down via
 # bit_wise_and AND the SQL oracle is the identical predicate)
