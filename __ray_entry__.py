@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample_stats": Q.mixture_sample_stats,
         "epoch_shuffle_head": Q.epoch_shuffle_head,
         "epoch_shuffle_bucket_stats": Q.epoch_shuffle_bucket_stats,
+        "token_rarity_stats": Q.token_rarity_stats,
         "decontam_stats": Q.decontam_stats,
         "dup_span_stats": Q.dup_span_stats,
         "redact_stats": Q.redact_stats,
@@ -181,6 +182,35 @@ def oracle_sql() -> dict[str, str]:
                cast(max(shuffle_key) AS bigint)     AS max_key
         FROM (SELECT doc_id, {key} AS shuffle_key FROM documents)
         GROUP BY bucket ORDER BY bucket
+    """
+
+    from tokrle.functions.lm import RARITY_SCALE
+
+    sql["token_rarity_stats"] = f"""
+        WITH toks AS (
+            SELECT doc_id, source, ascii(w) * 32 + length(w) AS tok
+            FROM (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+        ), cnt AS (
+            SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ), tot AS (
+            SELECT count(*) AS n FROM toks
+        ), doc AS (
+            SELECT t.doc_id, t.source,
+                   sum(c.c)  AS sum_c,
+                   count(*)  AS n_tok
+            FROM toks t JOIN cnt c ON t.tok = c.tok
+            GROUP BY t.doc_id, t.source
+        )
+        SELECT source,
+               cast(count(*) AS bigint)     AS n_docs,
+               cast(sum(n_tok) AS bigint)   AS n_tokens,
+               cast(sum(sum_c) AS bigint)   AS sum_counts,
+               cast(sum(CASE WHEN {RARITY_SCALE} * sum_c
+                                  < n_tok * (SELECT n FROM tot)
+                             THEN 1 ELSE 0 END) AS bigint) AS n_rare
+        FROM doc GROUP BY source ORDER BY source
     """
 
     pred = mixture_sql_predicate(MIXTURE_WEIGHTS, seed=7,

@@ -1142,3 +1142,48 @@ def test_epoch_shuffle_is_seeded_permutation(ray_session):
     # rotation): substantial disagreement in every region of the order
     out5 = shuffle_epoch(ds, seed=5).to_pandas()["doc_id"].to_numpy()
     assert (out5 != out["doc_id"].to_numpy()).mean() > 0.9
+
+
+def test_unigram_rarity_matches_dense_oracle(ray_session):
+    import ray.data
+
+    from tokrle.functions.lm import (RARITY_SCALE, score_nll, score_rarity,
+                                     train_unigram_counts)
+
+    rng = np.random.default_rng(4)
+    docs = [rng.integers(0, 40, rng.integers(1, 30)).astype(np.int32)
+            for _ in range(60)]
+    docs[7] = np.empty(0, dtype=np.int32)     # empty doc mid-stream
+    docs[-1] = np.empty(0, dtype=np.int32)    # empty doc at the tail
+    import pyarrow as pa
+
+    tbl = pa.table({
+        "doc_id": pa.array([str(i) for i in range(len(docs))]),
+        "tokens": pa.array([d.tolist() for d in docs],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(d) for d in docs], type=pa.int32()),
+        "source": pa.array(["s"] * len(docs)),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(5)
+
+    counts = train_unigram_counts(ds)
+    flat = np.concatenate([d for d in docs if len(d)])
+    want_counts = np.bincount(flat)
+    assert np.array_equal(counts, want_counts)
+
+    out = score_rarity(ds, counts).to_pandas().sort_values(
+        "doc_id", key=lambda s: s.astype(int)).reset_index(drop=True)
+    total = int(counts.sum())
+    for i, d in enumerate(docs):
+        want_sum = int(counts[d].sum()) if len(d) else 0
+        assert out.loc[i, "sum_counts"] == want_sum, i
+        want_rare = int(len(d) > 0
+                        and RARITY_SCALE * want_sum < len(d) * total)
+        assert out.loc[i, "is_rare"] == want_rare, i
+
+    nll = score_nll(ds, counts).to_pandas().sort_values(
+        "doc_id", key=lambda s: s.astype(int)).reset_index(drop=True)
+    logp = np.log((counts + 0.5) / (counts.sum() + 0.5 * len(counts)))
+    for i, d in enumerate(docs):
+        want = -logp[d].mean() if len(d) else 0.0
+        assert abs(nll.loc[i, "nll"] - want) < 1e-9, i

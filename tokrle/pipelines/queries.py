@@ -1159,6 +1159,31 @@ def epoch_shuffle_bucket_stats(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("bucket").reset_index(drop=True)
 
 
+def token_rarity_stats(sf_dir: str) -> pd.DataFrame:
+    """Unigram-frequency quality scoring: train a corpus-wide token count
+    model (pass 1, vocab-bounded bincount partials), broadcast it once,
+    score every document (pass 2, gather + reduceat), and flag docs whose
+    mean token frequency is below 1/RARITY_SCALE of uniform.  The rarity
+    rule is pure int64 comparison, so the oracle re-derives the flagged
+    set exactly."""
+    from ray.data.aggregate import Count, Sum
+
+    from tokrle.functions.lm import score_rarity, train_unigram_counts
+    from tokrle.sources.tokens import documents_to_tokens
+
+    counts = train_unigram_counts(documents_to_tokens(sf_dir))
+    scored = score_rarity(documents_to_tokens(sf_dir), counts)
+    agg = scored.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tok", alias_name="n_tokens"),
+        Sum("sum_counts", alias_name="sum_counts"),
+        Sum("is_rare", alias_name="n_rare"))
+    df = agg.to_pandas()
+    for c in ("n_docs", "n_tokens", "sum_counts", "n_rare"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
 # decontamination split: doc_id & DECONTAM_EVAL_MASK == 0 is the held-out
 # eval set (power-of-two mask so the parquet filter pushes down via
 # bit_wise_and AND the SQL oracle is the identical predicate)
