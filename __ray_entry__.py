@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle_head": Q.epoch_shuffle_head,
         "epoch_shuffle_bucket_stats": Q.epoch_shuffle_bucket_stats,
         "token_rarity_stats": Q.token_rarity_stats,
+        "split_sequences_stats": Q.split_sequences_stats,
         "decontam_stats": Q.decontam_stats,
         "dup_span_stats": Q.dup_span_stats,
         "redact_stats": Q.redact_stats,
@@ -182,6 +183,31 @@ def oracle_sql() -> dict[str, str]:
                cast(max(shuffle_key) AS bigint)     AS max_key
         FROM (SELECT doc_id, {key} AS shuffle_key FROM documents)
         GROUP BY bucket ORDER BY bucket
+    """
+
+    from tokrle.pipelines.queries import SPLIT_MAX_LEN, SPLIT_OVERLAP
+
+    L, S = SPLIT_MAX_LEN, SPLIT_MAX_LEN - SPLIT_OVERLAP
+    sql["split_sequences_stats"] = f"""
+        WITH doc AS (
+            SELECT doc_id, source, string_split(text, ' ') AS ws,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ), chunk AS (
+            SELECT source, ws, n,
+                   unnest(generate_series(
+                       0, CASE WHEN n > {L} THEN (n - {L} + {S} - 1) // {S}
+                               ELSE 0 END)) AS ci
+            FROM doc WHERE n > 0
+        )
+        SELECT source,
+               cast(count(*) AS bigint)                    AS n_chunks,
+               cast(sum(least({L}, n - ci * {S})) AS bigint)
+                                                           AS sum_chunk_tokens,
+               cast(sum(ascii(ws[ci * {S} + 1]) * 32
+                        + length(ws[ci * {S} + 1])) AS bigint)
+                                                           AS sum_first_tok
+        FROM chunk GROUP BY source ORDER BY source
     """
 
     from tokrle.functions.lm import RARITY_SCALE

@@ -1187,3 +1187,40 @@ def test_unigram_rarity_matches_dense_oracle(ray_session):
     for i, d in enumerate(docs):
         want = -logp[d].mean() if len(d) else 0.0
         assert abs(nll.loc[i, "nll"] - want) < 1e-9, i
+
+
+def test_split_sequences_matches_dense_oracle(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from tokrle.functions.chunking import split_sequences
+
+    rng = np.random.default_rng(6)
+    lens = [0, 1, 7, 8, 9, 16, 17, 25, 100, 3]   # around the window edges
+    docs = [rng.integers(0, 1000, n).astype(np.int32) for n in lens]
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(docs))]),
+        "tokens": pa.array([d.tolist() for d in docs],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array(lens, type=pa.int32()),
+        "source": pa.array(["s"] * len(docs)),
+    })
+    out = split_sequences(ray.data.from_arrow(tbl).repartition(3),
+                          max_len=8, overlap=3).to_pandas()
+    # dense python oracle
+    want = []
+    for i, d in enumerate(docs):
+        start, ci = 0, 0
+        while start < len(d):
+            want.append((f"d{i}", ci, d[start:start + 8].tolist()))
+            if start + 8 >= len(d):
+                break
+            start += 5
+            ci += 1
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], list(r["tokens"]))
+        for _, r in out.iterrows())
+    assert got == sorted(want)
+    # n_tok column matches each chunk's true length; source passed through
+    assert (out["n_tok"] == out["tokens"].map(len)).all()
+    assert (out["source"] == "s").all()

@@ -1159,6 +1159,41 @@ def epoch_shuffle_bucket_stats(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("bucket").reset_index(drop=True)
 
 
+SPLIT_MAX_LEN = 32
+SPLIT_OVERLAP = 8
+
+
+def split_sequences_stats(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window document chunking summarized per source: chunk
+    count, total chunk tokens (> total doc tokens by the overlap), and
+    the sum of each chunk's FIRST token — which pins every window's
+    start position exactly against the closed-form SQL oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    from tokrle.functions._arrays import list_rows
+    from tokrle.functions.chunking import split_sequences
+    from tokrle.sources.tokens import documents_to_tokens
+
+    chunks = split_sequences(documents_to_tokens(sf_dir),
+                             max_len=SPLIT_MAX_LEN, overlap=SPLIT_OVERLAP)
+
+    def first_tok(batch: pa.Table) -> pa.Table:
+        flat, offs = list_rows(batch.column("tokens"))
+        first = flat[offs[:-1]] if len(batch) else flat[:0]
+        return batch.append_column(
+            "first_tok", pa.array(first.astype(np.int64), pa.int64()))
+
+    agg = chunks.map_batches(first_tok, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Count(alias_name="n_chunks"),
+            Sum("n_tok", alias_name="sum_chunk_tokens"),
+            Sum("first_tok", alias_name="sum_first_tok"))
+    df = agg.to_pandas()
+    for c in ("n_chunks", "sum_chunk_tokens", "sum_first_tok"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
 def token_rarity_stats(sf_dir: str) -> pd.DataFrame:
     """Unigram-frequency quality scoring: train a corpus-wide token count
     model (pass 1, vocab-bounded bincount partials), broadcast it once,
