@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle_bucket_stats": Q.epoch_shuffle_bucket_stats,
         "token_rarity_stats": Q.token_rarity_stats,
         "split_sequences_stats": Q.split_sequences_stats,
+        "zonemap_pruned_scan_stats": Q.zonemap_pruned_scan_stats,
         "decontam_stats": Q.decontam_stats,
         "dup_span_stats": Q.dup_span_stats,
         "redact_stats": Q.redact_stats,
@@ -183,6 +184,16 @@ def oracle_sql() -> dict[str, str]:
                cast(max(shuffle_key) AS bigint)     AS max_key
         FROM (SELECT doc_id, {key} AS shuffle_key FROM documents)
         GROUP BY bucket ORDER BY bucket
+    """
+
+    from tokrle.pipelines.queries import ZONEMAP_HI, ZONEMAP_LO
+
+    sql["zonemap_pruned_scan_stats"] = f"""
+        SELECT cast(count(*) AS bigint)        AS n_rows,
+               cast(sum(l_orderkey) AS bigint) AS sum_orderkey,
+               cast(sum(l_partkey) AS bigint)  AS sum_partkey
+        FROM lineitem
+        WHERE l_suppkey BETWEEN {ZONEMAP_LO} AND {ZONEMAP_HI}
     """
 
     from tokrle.pipelines.queries import SPLIT_MAX_LEN, SPLIT_OVERLAP

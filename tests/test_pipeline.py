@@ -386,3 +386,35 @@ def pd_isna(x):
     import pandas as pd
 
     return pd.isna(x)
+
+
+def test_zonemap_lineage_and_pruned_scan(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (decode_table_columns,
+                                               encode_table_columns)
+
+    # clustered table: sorted key -> tight, disjoint chunk zone maps
+    n = 20000
+    df = pd.DataFrame({"k": np.sort(np.arange(n) % 100),
+                       "v": np.arange(n, dtype=np.int64)})
+    ds = ray.data.from_pandas(df)
+    enc = encode_table_columns(ds, ["k", "v"], batch_size=2048)
+    out_dir = str(tmp_path / "zm")
+    enc.write_parquet(out_dir)
+
+    et = ray.data.read_parquet(out_dir).to_pandas()
+    # zone maps recorded and consistent per chunk
+    assert {"k__vmin", "k__vmax", "v__vmin", "v__vmax"} <= set(et.columns)
+    assert (et["k__vmin"] <= et["k__vmax"]).all()
+
+    keep = (pc.field("k__vmax") >= 10) & (pc.field("k__vmin") <= 13)
+    kept = ray.data.read_parquet(out_dir, filter=keep)
+    assert kept.count() < len(et), "sorted layout must prune chunks"
+    dec = decode_table_columns(kept, ["k", "v"]).to_pandas()
+    got = dec[(dec["k"] >= 10) & (dec["k"] <= 13)]
+    want = df[(df["k"] >= 10) & (df["k"] <= 13)]
+    assert len(got) == len(want)
+    assert got["v"].sum() == want["v"].sum()

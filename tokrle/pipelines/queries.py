@@ -1159,6 +1159,71 @@ def epoch_shuffle_bucket_stats(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("bucket").reset_index(drop=True)
 
 
+# l_suppkey spans [0, ~10*sf_scale); [2, 4] is non-empty at
+# every SF and a small key fraction at sf>=0.01 (heavy pruning)
+ZONEMAP_LO, ZONEMAP_HI = 2, 4
+
+
+def zonemap_pruned_scan_stats(sf_dir: str) -> pd.DataFrame:
+    """Cluster + zone-map scan on the encoded table: sort lineitem by
+    l_suppkey (the layout-optimization step), table-encode so every chunk
+    carries its column extrema, then answer a range query by pushing the
+    zone-map predicate (vmax >= lo AND vmin <= hi) into the Parquet scan
+    — non-overlapping chunks' payloads never leave storage, and only the
+    surviving chunks are decoded and row-filtered.  Asserts that pruning
+    actually skipped chunks before returning the SQL-comparable row."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from tokrle.pipelines.table_encode import (decode_table_columns,
+                                               encode_table_columns)
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    lo, hi = ZONEMAP_LO, ZONEMAP_HI
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"), "zonemap")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
+
+    keep = (pc.field("l_suppkey__vmax") >= lo) \
+        & (pc.field("l_suppkey__vmin") <= hi)
+    n_total = ray.data.read_parquet(enc_dir, columns=["n_rows"]).count()
+    n_kept = ray.data.read_parquet(enc_dir, columns=["n_rows"],
+                                   filter=keep).count()
+    if n_total > 4:
+        assert n_kept < n_total, \
+            f"zone-map filter pruned nothing ({n_kept}/{n_total} chunks)"
+
+    dec = decode_table_columns(
+        ray.data.read_parquet(enc_dir, filter=keep), cols)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        m = (sk >= lo) & (sk <= hi)
+        ok = batch.filter(pa.array(m))
+        return pa.table({
+            "n_rows": pa.array([len(ok)], type=pa.int64()),
+            "sum_orderkey": pa.array(
+                [int(ok.column("l_orderkey").to_numpy().sum())
+                 if len(ok) else 0], type=pa.int64()),
+            "sum_partkey": pa.array(
+                [int(ok.column("l_partkey").to_numpy().sum())
+                 if len(ok) else 0], type=pa.int64()),
+        })
+
+    row = dec.map_batches(per_batch, batch_format="pyarrow").aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("sum_orderkey", alias_name="sum_orderkey"),
+        Sum("sum_partkey", alias_name="sum_partkey"))
+    return pd.DataFrame({k: [int(row[k] or 0)]
+                         for k in ("n_rows", "sum_orderkey", "sum_partkey")})
+
+
 SPLIT_MAX_LEN = 32
 SPLIT_OVERLAP = 8
 

@@ -125,6 +125,16 @@ def encode_table_columns(ds, columns: list[str], *,
             out[f"{c}__codec"] = pa.array([codec], type=pa.string())
             out[f"{c}__dtype"] = pa.array([str(x.dtype)], type=pa.string())
             out[f"{c}__payload"] = pa.array([payload], type=pa.binary())
+            # zone map: the profile's chunk extrema, free at encode time.
+            # A range scan pushes (vmax >= lo AND vmin <= hi) into the
+            # Parquet read and never decodes non-overlapping chunks —
+            # effective when the table is clustered (sorted) on the column.
+            # Integer columns only: the profile truncates float extrema.
+            if np.issubdtype(x.dtype, np.integer):
+                out[f"{c}__vmin"] = pa.array([int(prof.vmin)],
+                                             type=pa.int64())
+                out[f"{c}__vmax"] = pa.array([int(prof.vmax)],
+                                             type=pa.int64())
         out["raw_bytes"] = pa.array([raw_bytes], type=pa.int64())
         out["encoded_bytes"] = pa.array([enc_bytes], type=pa.int64())
         return pa.table(out)
