@@ -175,7 +175,11 @@ def main() -> None:
                      ("decontam_stats", Q.decontam_stats),
                      ("dup_span_stats", Q.dup_span_stats),
                      ("asof_attribution_stats", Q.asof_attribution_stats),
-                     ("range_overlap_stats", Q.range_overlap_stats)]:
+                     ("range_overlap_stats", Q.range_overlap_stats),
+                     ("epoch_shuffle", Q.epoch_shuffle_bucket_stats),
+                     ("token_rarity_stats", Q.token_rarity_stats),
+                     ("split_sequences_stats", Q.split_sequences_stats),
+                     ("zonemap_pruned_scan", Q.zonemap_pruned_scan_stats)]:
         # best of two passes: the host shows minutes-long steal episodes
         # that swing a single reading 2-3x (see BASELINE.md host caveat);
         # the better pass is what a steady-state job sustains.  The FIRST
@@ -209,11 +213,13 @@ def main() -> None:
         pass
 
     # round-1-comparable subtotal: the r2 suite ADDED the (deliberately
-    # redundant, known-slower) hashgroup variant and r3 added four new
+    # redundant, known-slower) hashgroup variant and r3 added new
     # operators; excluding them keeps round-over-round totals
     # apples-to-apples
     _NOT_CORE = {"encode_hashgroup", "decontam_stats", "dup_span_stats",
-                 "asof_attribution_stats", "range_overlap_stats"}
+                 "asof_attribution_stats", "range_overlap_stats",
+                 "epoch_shuffle", "token_rarity_stats",
+                 "split_sequences_stats", "zonemap_pruned_scan"}
     core = {k: v for k, v in timings.items() if k not in _NOT_CORE}
     core_first = {k: first_pass.get(k, v) for k, v in core.items()}
     out = {
