@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_rarity_stats": Q.token_rarity_stats,
         "split_sequences_stats": Q.split_sequences_stats,
         "zonemap_pruned_scan_stats": Q.zonemap_pruned_scan_stats,
+        "zorder_scan_stats": Q.zorder_scan_stats,
         "decontam_stats": Q.decontam_stats,
         "dup_span_stats": Q.dup_span_stats,
         "redact_stats": Q.redact_stats,
@@ -194,6 +195,16 @@ def oracle_sql() -> dict[str, str]:
                cast(sum(l_partkey) AS bigint)  AS sum_partkey
         FROM lineitem
         WHERE l_suppkey BETWEEN {ZONEMAP_LO} AND {ZONEMAP_HI}
+    """
+
+    from tokrle.pipelines.queries import ZORDER_PART, ZORDER_SUPP
+
+    sql["zorder_scan_stats"] = f"""
+        SELECT cast(count(*) AS bigint)        AS n_rows,
+               cast(sum(l_orderkey) AS bigint) AS sum_orderkey
+        FROM lineitem
+        WHERE l_suppkey BETWEEN {ZORDER_SUPP[0]} AND {ZORDER_SUPP[1]}
+          AND l_partkey BETWEEN {ZORDER_PART[0]} AND {ZORDER_PART[1]}
     """
 
     from tokrle.pipelines.queries import SPLIT_MAX_LEN, SPLIT_OVERLAP

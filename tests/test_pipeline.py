@@ -418,3 +418,43 @@ def test_zonemap_lineage_and_pruned_scan(ray_session, tmp_path):
     want = df[(df["k"] >= 10) & (df["k"] <= 13)]
     assert len(got) == len(want)
     assert got["v"].sum() == want["v"].sum()
+
+
+def test_zorder_key_and_clustering(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from tokrle.functions.layout import cluster_zorder, zorder_key
+
+    # bit-interleave vs a literal per-bit reference
+    rng = np.random.default_rng(8)
+    a = rng.integers(0, 1 << 31, 200).astype(np.int64)
+    b = rng.integers(0, 1 << 31, 200).astype(np.int64)
+    got = zorder_key(a, b)
+    for i in range(20):
+        want = 0
+        for bit in range(32):
+            want |= ((int(a[i]) >> bit) & 1) << (2 * bit)
+            want |= ((int(b[i]) >> bit) & 1) << (2 * bit + 1)
+        assert int(got[i]) == want
+    with pytest.raises(ValueError):
+        zorder_key(np.array([-1]), np.array([0]))
+    with pytest.raises(ValueError):
+        zorder_key(np.array([1 << 31]), np.array([0]))
+
+    # clustering: after the sort, contiguous chunks have tighter per-chunk
+    # extents on BOTH columns than the unsorted layout
+    n = 8192
+    df = pd.DataFrame({"x": rng.integers(0, 256, n),
+                       "y": rng.integers(0, 256, n)})
+    ds = cluster_zorder(ray.data.from_pandas(df), "x", "y")
+    out = ds.to_pandas()
+    assert sorted(out["x"] * 1000 + out["y"]) == \
+        sorted(df["x"] * 1000 + df["y"])     # a permutation
+    spans = []
+    for s in range(0, n, 512):
+        w = out.iloc[s:s + 512]
+        spans.append((w["x"].max() - w["x"].min())
+                     * (w["y"].max() - w["y"].min()))
+    # mean chunk area far below the full 256x256 space
+    assert np.mean(spans) < 256 * 256 / 4

@@ -1224,6 +1224,71 @@ def zonemap_pruned_scan_stats(sf_dir: str) -> pd.DataFrame:
                          for k in ("n_rows", "sum_orderkey", "sum_partkey")})
 
 
+# 2-D window for the Z-order scan: non-empty at every SF (l_partkey max
+# is 199 at sf0.001), a small fraction of the space at sf >= 0.01
+ZORDER_SUPP = (2, 4)
+ZORDER_PART = (20, 79)
+
+
+def zorder_scan_stats(sf_dir: str) -> pd.DataFrame:
+    """Z-ORDER layout optimization: cluster lineitem by the Morton key of
+    (l_suppkey, l_partkey), table-encode with zone maps, and answer a
+    2-D range query by pruning on BOTH columns' chunk extrema — a
+    single-column sort can only prune one of them.  The surviving chunks
+    decode and row-filter; the result matches the plain SQL aggregate."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from tokrle.functions.layout import cluster_zorder
+    from tokrle.pipelines.table_encode import (decode_table_columns,
+                                               encode_table_columns)
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    (slo, shi), (plo, phi) = ZORDER_SUPP, ZORDER_PART
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"), "zorder")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = cluster_zorder(_read(sf_dir, "lineitem", columns=cols),
+                        "l_suppkey", "l_partkey")
+    encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
+
+    keep = ((pc.field("l_suppkey__vmax") >= slo)
+            & (pc.field("l_suppkey__vmin") <= shi)
+            & (pc.field("l_partkey__vmax") >= plo)
+            & (pc.field("l_partkey__vmin") <= phi))
+    n_total = ray.data.read_parquet(enc_dir, columns=["n_rows"]).count()
+    n_kept = ray.data.read_parquet(enc_dir, columns=["n_rows"],
+                                   filter=keep).count()
+    if n_total > 4:
+        assert n_kept < n_total, \
+            f"z-order zone maps pruned nothing ({n_kept}/{n_total})"
+
+    dec = decode_table_columns(
+        ray.data.read_parquet(enc_dir, filter=keep), cols)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        m = (sk >= slo) & (sk <= shi) & (pk >= plo) & (pk <= phi)
+        ok = batch.filter(pa.array(m))
+        return pa.table({
+            "n_rows": pa.array([len(ok)], type=pa.int64()),
+            "sum_orderkey": pa.array(
+                [int(ok.column("l_orderkey").to_numpy().sum())
+                 if len(ok) else 0], type=pa.int64()),
+        })
+
+    row = dec.map_batches(per_batch, batch_format="pyarrow").aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("sum_orderkey", alias_name="sum_orderkey"))
+    return pd.DataFrame({k: [int(row[k] or 0)]
+                         for k in ("n_rows", "sum_orderkey")})
+
+
 SPLIT_MAX_LEN = 32
 SPLIT_OVERLAP = 8
 
