@@ -80,7 +80,24 @@ def main(argv=None) -> int:
     te.add_argument("--batch-size", type=int, default=65536)
     te.add_argument("--text-codec", default="auto",
                     choices=["fsst", "fsstg", "auto"])
+    te.add_argument("--cluster-by", default=None,
+                    help="sort by this column before encoding (tight "
+                         "zone maps for 1-D range scans)")
+    te.add_argument("--zorder", default=None,
+                    help="colA,colB: Z-order (Morton) cluster before "
+                         "encoding (zone maps prune 2-D range scans)")
     te.add_argument("--num-cpus", type=int, default=None)
+
+    ts = sub.add_parser("table-scan",
+                        help="zone-map pruned range scan over a "
+                             "table-encode dir")
+    ts.add_argument("--encoded", required=True)
+    ts.add_argument("--columns", required=True,
+                    help="comma-separated columns to decode")
+    ts.add_argument("--where", required=True, action="append",
+                    help="col:lo:hi inclusive range (repeatable; "
+                         "conjunction)")
+    ts.add_argument("--num-cpus", type=int, default=None)
 
     tv = sub.add_parser("table-verify",
                         help="decode a table-encode dir and checksum "
@@ -148,6 +165,13 @@ def main(argv=None) -> int:
 
             cols = args.columns.split(",")
             ds = ray.data.read_parquet(args.in_dir, columns=cols)
+            if args.zorder:
+                from tokrle.functions.layout import cluster_zorder
+
+                za, zb = args.zorder.split(",")
+                ds = cluster_zorder(ds, za, zb)
+            elif args.cluster_by:
+                ds = ds.sort(args.cluster_by)
             enc = encode_table_columns(ds, cols, batch_size=args.batch_size,
                                        text_codec=args.text_codec)
             enc.write_parquet(args.out_dir)
@@ -163,6 +187,17 @@ def main(argv=None) -> int:
                 "encoded_bytes": int(stats["enc"]),
                 "ratio": round(stats["raw"] / max(stats["enc"], 1), 3),
             }))
+        elif args.cmd == "table-scan":
+            from tokrle.pipelines.table_encode import range_scan
+
+            cols = args.columns.split(",")
+            preds = []
+            for w in args.where:
+                c, lo, hi = w.rsplit(":", 2)
+                preds.append((c, int(lo), int(hi)))
+            scan, stats = range_scan(args.encoded, cols, preds)
+            print(json.dumps({"status": "ok", "n_rows": scan.count(),
+                              **stats}))
         elif args.cmd == "table-verify":
             import ray.data
 

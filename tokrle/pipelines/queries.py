@@ -1175,12 +1175,10 @@ def zonemap_pruned_scan_stats(sf_dir: str) -> pd.DataFrame:
     import os
     import shutil
 
-    import pyarrow.compute as pc
-    import ray.data
     from ray.data.aggregate import Sum
 
-    from tokrle.pipelines.table_encode import (decode_table_columns,
-                                               encode_table_columns)
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               range_scan)
 
     cols = ["l_orderkey", "l_partkey", "l_suppkey"]
     lo, hi = ZONEMAP_LO, ZONEMAP_HI
@@ -1190,33 +1188,23 @@ def zonemap_pruned_scan_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
     encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
 
-    keep = (pc.field("l_suppkey__vmax") >= lo) \
-        & (pc.field("l_suppkey__vmin") <= hi)
-    n_total = ray.data.read_parquet(enc_dir, columns=["n_rows"]).count()
-    n_kept = ray.data.read_parquet(enc_dir, columns=["n_rows"],
-                                   filter=keep).count()
-    if n_total > 4:
-        assert n_kept < n_total, \
-            f"zone-map filter pruned nothing ({n_kept}/{n_total} chunks)"
-
-    dec = decode_table_columns(
-        ray.data.read_parquet(enc_dir, filter=keep), cols)
+    scan, stats = range_scan(enc_dir, cols, [("l_suppkey", lo, hi)])
+    if stats["chunks_total"] > 4:
+        assert stats["chunks_scanned"] < stats["chunks_total"], \
+            f"zone-map filter pruned nothing ({stats})"
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
-        m = (sk >= lo) & (sk <= hi)
-        ok = batch.filter(pa.array(m))
         return pa.table({
-            "n_rows": pa.array([len(ok)], type=pa.int64()),
+            "n_rows": pa.array([len(batch)], type=pa.int64()),
             "sum_orderkey": pa.array(
-                [int(ok.column("l_orderkey").to_numpy().sum())
-                 if len(ok) else 0], type=pa.int64()),
+                [int(batch.column("l_orderkey").to_numpy().sum())
+                 if len(batch) else 0], type=pa.int64()),
             "sum_partkey": pa.array(
-                [int(ok.column("l_partkey").to_numpy().sum())
-                 if len(ok) else 0], type=pa.int64()),
+                [int(batch.column("l_partkey").to_numpy().sum())
+                 if len(batch) else 0], type=pa.int64()),
         })
 
-    row = dec.map_batches(per_batch, batch_format="pyarrow").aggregate(
+    row = scan.map_batches(per_batch, batch_format="pyarrow").aggregate(
         Sum("n_rows", alias_name="n_rows"),
         Sum("sum_orderkey", alias_name="sum_orderkey"),
         Sum("sum_partkey", alias_name="sum_partkey"))
@@ -1239,13 +1227,11 @@ def zorder_scan_stats(sf_dir: str) -> pd.DataFrame:
     import os
     import shutil
 
-    import pyarrow.compute as pc
-    import ray.data
     from ray.data.aggregate import Sum
 
     from tokrle.functions.layout import cluster_zorder
-    from tokrle.pipelines.table_encode import (decode_table_columns,
-                                               encode_table_columns)
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               range_scan)
 
     cols = ["l_orderkey", "l_partkey", "l_suppkey"]
     (slo, shi), (plo, phi) = ZORDER_SUPP, ZORDER_PART
@@ -1256,33 +1242,21 @@ def zorder_scan_stats(sf_dir: str) -> pd.DataFrame:
                         "l_suppkey", "l_partkey")
     encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
 
-    keep = ((pc.field("l_suppkey__vmax") >= slo)
-            & (pc.field("l_suppkey__vmin") <= shi)
-            & (pc.field("l_partkey__vmax") >= plo)
-            & (pc.field("l_partkey__vmin") <= phi))
-    n_total = ray.data.read_parquet(enc_dir, columns=["n_rows"]).count()
-    n_kept = ray.data.read_parquet(enc_dir, columns=["n_rows"],
-                                   filter=keep).count()
-    if n_total > 4:
-        assert n_kept < n_total, \
-            f"z-order zone maps pruned nothing ({n_kept}/{n_total})"
-
-    dec = decode_table_columns(
-        ray.data.read_parquet(enc_dir, filter=keep), cols)
+    scan, stats = range_scan(enc_dir, cols, [("l_suppkey", slo, shi),
+                                             ("l_partkey", plo, phi)])
+    if stats["chunks_total"] > 4:
+        assert stats["chunks_scanned"] < stats["chunks_total"], \
+            f"z-order zone maps pruned nothing ({stats})"
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
-        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        m = (sk >= slo) & (sk <= shi) & (pk >= plo) & (pk <= phi)
-        ok = batch.filter(pa.array(m))
         return pa.table({
-            "n_rows": pa.array([len(ok)], type=pa.int64()),
+            "n_rows": pa.array([len(batch)], type=pa.int64()),
             "sum_orderkey": pa.array(
-                [int(ok.column("l_orderkey").to_numpy().sum())
-                 if len(ok) else 0], type=pa.int64()),
+                [int(batch.column("l_orderkey").to_numpy().sum())
+                 if len(batch) else 0], type=pa.int64()),
         })
 
-    row = dec.map_batches(per_batch, batch_format="pyarrow").aggregate(
+    row = scan.map_batches(per_batch, batch_format="pyarrow").aggregate(
         Sum("n_rows", alias_name="n_rows"),
         Sum("sum_orderkey", alias_name="sum_orderkey"))
     return pd.DataFrame({k: [int(row[k] or 0)]

@@ -186,6 +186,42 @@ def decode_table_columns(encoded_ds, columns: list[str]):
                                   batch_format="pyarrow")
 
 
+def range_scan(enc_dir: str, columns: list[str],
+               preds: list[tuple[str, int, int]]):
+    """Zone-map pruned range scan over a table-encode directory.
+
+    ``preds`` is a conjunction of inclusive ranges ``(col, lo, hi)`` on
+    integer columns.  The chunk-level predicate ``vmax >= lo AND vmin <=
+    hi`` (per range) is pushed into the Parquet scan, so non-overlapping
+    chunks' payloads never leave storage; surviving chunks decode and
+    row-filter.  Returns ``(Dataset, {"chunks_total", "chunks_scanned"})``
+    — the counts come from two metadata-column reads, cheap relative to
+    payload decode, and let callers assert the layout actually pruned.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+
+    keep = None
+    for c, lo, hi in preds:
+        e = (pc.field(f"{c}__vmax") >= lo) & (pc.field(f"{c}__vmin") <= hi)
+        keep = e if keep is None else keep & e
+    n_total = ray.data.read_parquet(enc_dir, columns=["n_rows"]).count()
+    n_kept = ray.data.read_parquet(enc_dir, columns=["n_rows"],
+                                   filter=keep).count()
+    dec = decode_table_columns(
+        ray.data.read_parquet(enc_dir, filter=keep), columns)
+
+    def row_filter(batch: pa.Table) -> pa.Table:
+        m = np.ones(len(batch), dtype=bool)
+        for c, lo, hi in preds:
+            x = batch.column(c).to_numpy(zero_copy_only=False)
+            m &= (x >= lo) & (x <= hi)
+        return batch.filter(pa.array(m))
+
+    return dec.map_batches(row_filter, batch_format="pyarrow"), \
+        {"chunks_total": n_total, "chunks_scanned": n_kept}
+
+
 def _column_checksums(ds, columns: list[str]) -> dict:
     """Order-independent per-column checksums, computed distributed: row
     count plus a sum of vectorized 64-bit content hashes per column (so
