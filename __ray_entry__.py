@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_sequences_stats": Q.split_sequences_stats,
         "zonemap_pruned_scan_stats": Q.zonemap_pruned_scan_stats,
         "zorder_scan_stats": Q.zorder_scan_stats,
+        "fetch_docs_stats": Q.fetch_docs_stats,
         "decontam_stats": Q.decontam_stats,
         "dup_span_stats": Q.dup_span_stats,
         "redact_stats": Q.redact_stats,
@@ -195,6 +196,14 @@ def oracle_sql() -> dict[str, str]:
                cast(sum(l_partkey) AS bigint)  AS sum_partkey
         FROM lineitem
         WHERE l_suppkey BETWEEN {ZONEMAP_LO} AND {ZONEMAP_HI}
+    """
+
+    sql["fetch_docs_stats"] = """
+        SELECT cast(count(DISTINCT doc_id) AS bigint)          AS n_docs,
+               cast(count(*) AS bigint)                        AS n_tokens,
+               cast(sum(ascii(w) * 32 + length(w)) AS bigint)  AS sum_tokens
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id % 97 = 0)
     """
 
     from tokrle.pipelines.queries import ZORDER_PART, ZORDER_SUPP

@@ -239,3 +239,22 @@ def test_fsstg_beats_aligned_fsst_on_text():
     aligned = len(encode("fsst", x))
     greedy = len(encode("fsstg", x))
     assert greedy < aligned * 0.8, (greedy, aligned)
+
+
+@pytest.mark.parametrize("codec", list(CODECS))
+def test_decode_range_matches_slice(codec):
+    from tokrle.codecs.core import decode_range
+
+    for name in ("zipf_tokens", "runs_heavy", "outlier_patched",
+                 "negative", "empty", "single"):
+        x = CORPORA[name]
+        if codec == "bitpack" and len(x) and x.min() < 0:
+            continue
+        payload = encode(codec, x)
+        for a, b in ((0, 0), (0, 7), (3, 11), (8, 4096), (5, len(x)),
+                     (-2, 3), (0, 10**9)):
+            got = decode_range(codec, payload, len(x), x.dtype, a, b)
+            b2 = min(len(x), b)
+            a2 = min(max(0, a), b2)
+            assert got.dtype == x.dtype
+            assert np.array_equal(got, x[a2:b2]), (name, a, b)

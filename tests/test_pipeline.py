@@ -458,3 +458,28 @@ def test_zorder_key_and_clustering(ray_session):
                      * (w["y"].max() - w["y"].min()))
     # mean chunk area far below the full 256x256 space
     assert np.mean(spans) < 256 * 256 / 4
+
+
+def test_fetch_docs_point_lookup(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.encode import encode_tokens, fetch_docs
+    from tokrle.sources.tokens import documents_to_tokens
+
+    enc_dir = str(tmp_path / "fetch_enc")
+    tok = documents_to_tokens(SF)
+    encode_tokens(tok, batch_size=64).write_parquet(enc_dir)
+    want = tok.to_pandas()
+    want["doc_id"] = want["doc_id"].astype(str)
+
+    wanted = want["doc_id"].iloc[[0, 3, 3, 117, 499]].tolist()  # dup ok
+    got = fetch_docs(enc_dir, wanted).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert sorted(got["doc_id"]) == sorted(set(wanted))
+    for _, r in got.iterrows():
+        ref = want[want["doc_id"] == r["doc_id"]].iloc[0]
+        assert list(r["tokens"]) == list(ref["tokens"])
+        assert r["source"] == ref["source"]
+    # unknown ids return nothing rather than erroring
+    assert fetch_docs(enc_dir, ["no-such-doc"]).count() == 0

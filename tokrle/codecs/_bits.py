@@ -75,3 +75,23 @@ def unpack_uints(buf: bytes, n: int, width: int) -> np.ndarray:
         out[s:s + c] = np.packbits(full[:c].ravel(),
                                    bitorder="little").view(_ALIGNED[sw])
     return out
+
+
+def unpack_uints_range(buf, n: int, width: int, start: int,
+                       stop: int) -> np.ndarray:
+    """``values[start:stop]`` of a :func:`pack_uints` stream, touching
+    only the bytes that cover the 8-value-aligned window around the
+    range — any multiple of 8 values begins exactly at a byte boundary
+    for every width, so random access needs no bit-offset arithmetic."""
+    if width == 0 or stop <= start:
+        return np.zeros(max(stop - start, 0), dtype=np.uint64)
+    s8 = start & ~7
+    e8 = min(n, (stop + 7) & ~7)
+    if width in _ALIGNED:
+        it = np.dtype(_ALIGNED[width]).itemsize
+        vals = np.frombuffer(buf, dtype=_ALIGNED[width], count=e8 - s8,
+                             offset=s8 * it).astype(np.uint64)
+    else:
+        sub = buf[s8 * width // 8: (e8 * width + 7) // 8]
+        vals = unpack_uints(sub, e8 - s8, width)
+    return vals[start - s8: stop - s8]

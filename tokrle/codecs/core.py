@@ -21,7 +21,8 @@ import struct
 
 import numpy as np
 
-from tokrle.codecs._bits import bit_width, pack_uints, unpack_uints
+from tokrle.codecs._bits import (bit_width, pack_uints, unpack_uints,
+                                 unpack_uints_range)
 
 __all__ = ["CODECS", "encode", "decode", "Codec"]
 
@@ -74,6 +75,11 @@ class Plain(Codec):
     def decode(self, payload, n, dtype):
         return np.frombuffer(payload, dtype=dtype, count=n).copy()
 
+    def decode_range(self, payload, n, dtype, start, stop):
+        it = np.dtype(dtype).itemsize
+        return np.frombuffer(payload, dtype=dtype, count=stop - start,
+                             offset=start * it).copy()
+
 
 class BitPack(Codec):
     """Zero-referenced bit packing: ``<B width>`` + width-bit codes.
@@ -95,6 +101,11 @@ class BitPack(Codec):
         (w,) = struct.unpack_from("<B", payload, 0)
         return unpack_uints(payload[1:], n, w).astype(dtype)
 
+    def decode_range(self, payload, n, dtype, start, stop):
+        (w,) = struct.unpack_from("<B", payload, 0)
+        return unpack_uints_range(payload[1:], n, w, start,
+                                  stop).astype(dtype)
+
 
 class FrameOfReference(Codec):
     """Frame-of-reference: ``<q ref><B width>`` + width-bit (x - ref) codes."""
@@ -113,6 +124,12 @@ class FrameOfReference(Codec):
     def decode(self, payload, n, dtype):
         ref, w = struct.unpack_from("<qB", payload, 0)
         out = unpack_uints(payload[9:], n, w).astype(np.int64) + ref
+        return out.astype(dtype)
+
+    def decode_range(self, payload, n, dtype, start, stop):
+        ref, w = struct.unpack_from("<qB", payload, 0)
+        out = unpack_uints_range(payload[9:], n, w, start,
+                                 stop).astype(np.int64) + ref
         return out.astype(dtype)
 
 
@@ -160,6 +177,16 @@ class Dictionary(Codec):
         off = 18
         uniq = unpack_uints(payload[off:off + dict_len], k, dict_w).astype(np.int64) + ref
         codes = unpack_uints(payload[off + dict_len:], n, code_w)
+        return uniq[codes].astype(dtype)
+
+    def decode_range(self, payload, n, dtype, start, stop):
+        k, code_w, ref, dict_w = struct.unpack_from("<IBqB", payload, 0)
+        (dict_len,) = struct.unpack_from("<I", payload, 14)
+        off = 18
+        uniq = unpack_uints(payload[off:off + dict_len], k,
+                            dict_w).astype(np.int64) + ref
+        codes = unpack_uints_range(payload[off + dict_len:], n, code_w,
+                                   start, stop)
         return uniq[codes].astype(dtype)
 
 
@@ -323,6 +350,26 @@ class PatchedFor(Codec):
                                n_exc, pos_w).astype(np.int64)
             high = unpack_uints(payload[off + pos_nbytes:], n_exc, high_w)
             out[pos] |= high << np.uint64(w)
+        return (out.astype(np.int64) + ref).astype(dtype)
+
+    def decode_range(self, payload, n, dtype, start, stop):
+        ref, w, n_exc, pos_w, high_w = struct.unpack_from("<qBIBB",
+                                                          payload, 0)
+        off = 15
+        main_nbytes = (n * w + 7) // 8
+        out = unpack_uints_range(payload[off:off + main_nbytes], n, w,
+                                 start, stop)
+        off += main_nbytes
+        if n_exc:
+            # the exception streams are small by construction (the width
+            # chooser charged every exception pos_w+high_w bits); decode
+            # them whole and patch only the in-range ones
+            pos_nbytes = (n_exc * pos_w + 7) // 8
+            pos = unpack_uints(payload[off:off + pos_nbytes],
+                               n_exc, pos_w).astype(np.int64)
+            high = unpack_uints(payload[off + pos_nbytes:], n_exc, high_w)
+            sel = (pos >= start) & (pos < stop)
+            out[pos[sel] - start] |= high[sel] << np.uint64(w)
         return (out.astype(np.int64) + ref).astype(dtype)
 
 
@@ -747,3 +794,21 @@ def encode(codec: str, x: np.ndarray, vmin: int | None = None,
 
 def decode(codec: str, payload: bytes, n: int, dtype) -> np.ndarray:
     return CODECS[codec].decode(payload, n, np.dtype(dtype))
+
+
+def decode_range(codec: str, payload: bytes, n: int, dtype,
+                 start: int, stop: int) -> np.ndarray:
+    """Decode only flat positions ``[start, stop)`` of a chunk — random
+    access into the compressed payload.  O(stop - start) bytes touched
+    for the bit-addressable codecs (plain/bitpack/for/dict/pfor: every
+    8-value group starts on a byte boundary); the sequential codecs
+    (rle/delta/fsst*) fall back to full decode + slice."""
+    stop = min(n, stop)
+    start = min(max(0, start), stop)
+    if stop <= start:
+        return np.empty(0, dtype=np.dtype(dtype))
+    c = CODECS[codec]
+    fn = getattr(c, "decode_range", None)
+    if fn is not None:
+        return fn(payload, n, np.dtype(dtype), start, stop)
+    return c.decode(payload, n, np.dtype(dtype))[start:stop].copy()

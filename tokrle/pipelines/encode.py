@@ -191,3 +191,85 @@ def roundtrip_check(src_ds, decoded_ds) -> dict:
         }
 
     return {"source": agg(src_ds), "decoded": agg(decoded_ds)}
+
+
+def fetch_docs(enc_dir: str, doc_ids):
+    """Point lookups on the encoded corpus WITHOUT full decode.
+
+    Pass 1 reads only the (chunk_id, doc_id) metadata columns — column
+    pruning keeps every payload byte in storage — and finds the chunks
+    holding requested docs with one vectorized is_in + segment-any per
+    batch.  Pass 2 reads just those chunks (``chunk_id isin`` pushed to
+    the Parquet scan) and decodes ONLY each requested doc's row range via
+    codec random access (:func:`tokrle.codecs.core.decode_range` —
+    O(doc tokens) for the bit-addressable codecs, full-chunk fallback for
+    the sequential ones).  Returns a token-table Dataset of the requested
+    docs; the per-doc Python loop in pass 2 runs over the REQUESTED set
+    only, which is small by the definition of a point lookup.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+
+    from tokrle.codecs.core import decode_range
+
+    wanted_arr = pa.array(sorted({str(d) for d in doc_ids}),
+                          type=pa.string())
+
+    def find(batch: pa.Table) -> pa.Table:
+        col = batch.column("doc_id").combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = col.flatten()
+        hit = pc.is_in(flat, value_set=wanted_arr).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(hit)))
+        ends = np.cumsum(lens)
+        keep = (cs[ends] - cs[ends - lens]) > 0
+        return batch.select(["chunk_id"]).filter(pa.array(keep))
+
+    hits = ray.data.read_parquet(enc_dir, columns=["chunk_id", "doc_id"]) \
+        .map_batches(find, batch_format="pyarrow").to_pandas()
+    # a no-hit lookup yields a 0-row frame that may drop its schema
+    chunk_ids = hits["chunk_id"].tolist() if len(hits) else []
+    if not chunk_ids:       # empty isin set is a null-typed Arrow error
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.string()),
+            "tokens": pa.array([], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([], type=pa.int32()),
+            "source": pa.array([], type=pa.string()),
+        }))
+
+    enc = ray.data.read_parquet(
+        enc_dir, filter=pc.field("chunk_id").isin(chunk_ids))
+
+    def extract(batch: pa.Table) -> pa.Table:
+        out_ids, out_srcs, out_toks = [], [], []
+        for i in range(len(batch)):
+            ids = batch.column("doc_id")[i].values
+            mask = pc.is_in(ids, value_set=wanted_arr).to_numpy(
+                zero_copy_only=False)
+            rows = np.flatnonzero(mask)
+            if not len(rows):
+                continue
+            offs = np.asarray(batch.column("row_offsets")[i].as_py(),
+                              dtype=np.int64)
+            codec = batch.column("codec")[i].as_py()
+            payload = memoryview(batch.column("payload")[i].as_buffer())
+            n = batch.column("n_tokens")[i].as_py()
+            srcs = batch.column("doc_source")[i].values
+            for r in rows:
+                out_ids.append(ids[int(r)].as_py())
+                out_srcs.append(srcs[int(r)].as_py())
+                out_toks.append(decode_range(codec, payload, n, np.int32,
+                                             int(offs[r]),
+                                             int(offs[r + 1])))
+        return pa.table({
+            "doc_id": pa.array(out_ids, type=pa.string()),
+            "tokens": pa.array([t.tolist() for t in out_toks],
+                               type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(t) for t in out_toks],
+                              type=pa.int32()),
+            "source": pa.array(out_srcs, type=pa.string()),
+        })
+
+    return enc.map_batches(extract, batch_format="pyarrow")

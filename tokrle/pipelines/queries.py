@@ -1212,6 +1212,53 @@ def zonemap_pruned_scan_stats(sf_dir: str) -> pd.DataFrame:
                          for k in ("n_rows", "sum_orderkey", "sum_partkey")})
 
 
+def fetch_docs_stats(sf_dir: str) -> pd.DataFrame:
+    """Point lookups on the encoded corpus: every ~97th document is
+    fetched by id through chunk-metadata location + codec random access
+    (decode_range) — payloads of unrelated chunks never leave storage and
+    unrelated rows of touched chunks are never decoded.  The aggregate
+    over the fetched docs must match SQL over the raw text."""
+    import os
+    import shutil
+
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from tokrle.functions._arrays import list_rows
+    from tokrle.kernels.segments import segment_sums
+    from tokrle.pipelines.encode import encode_tokens, fetch_docs
+    from tokrle.sources.tokens import documents_to_tokens
+
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"), "fetch_enc")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    encode_tokens(documents_to_tokens(sf_dir), batch_size=256) \
+        .write_parquet(enc_dir)
+
+    # the requested-id set: a point lookup's ids come from the caller;
+    # here the test set is every doc_id divisible by 97 (id column only)
+    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"]).to_pandas()["doc_id"]
+    wanted = [str(i) for i in ids if i % 97 == 0]
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        flat, offs = list_rows(batch.column("tokens"))
+        return pa.table({
+            "n_tok": batch.column("n_tok").cast(pa.int64()),
+            "tok_sum": pa.array(
+                segment_sums(flat.astype(np.int64), offs, dtype=np.int64),
+                type=pa.int64()),
+        })
+
+    row = fetch_docs(enc_dir, wanted) \
+        .map_batches(per_doc, batch_format="pyarrow").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tok", alias_name="n_tokens"),
+            Sum("tok_sum", alias_name="sum_tokens"))
+    return pd.DataFrame({k: [int(row[k] or 0)]
+                         for k in ("n_docs", "n_tokens", "sum_tokens")})
+
+
 # 2-D window for the Z-order scan: non-empty at every SF (l_partkey max
 # is 199 at sf0.001), a small fraction of the space at sf >= 0.01
 ZORDER_SUPP = (2, 4)
