@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonemap_pruned_scan_stats": Q.zonemap_pruned_scan_stats,
         "zorder_scan_stats": Q.zorder_scan_stats,
         "fetch_docs_stats": Q.fetch_docs_stats,
+        "columnar_encode_floats": Q.columnar_encode_floats,
         "decontam_stats": Q.decontam_stats,
         "dup_span_stats": Q.dup_span_stats,
         "redact_stats": Q.redact_stats,
@@ -196,6 +197,18 @@ def oracle_sql() -> dict[str, str]:
                cast(sum(l_partkey) AS bigint)  AS sum_partkey
         FROM lineitem
         WHERE l_suppkey BETWEEN {ZONEMAP_LO} AND {ZONEMAP_HI}
+    """
+
+    sql["columnar_encode_floats"] = """
+        SELECT cast(count(*) AS bigint)                          AS n,
+               cast(sum(cast(l_quantity AS bigint)) AS bigint)   AS sum_qty,
+               cast(sum(cast(round(l_discount * 100) AS bigint))
+                    AS bigint)                                   AS sum_disc100,
+               cast(sum(cast(round(l_tax * 100) AS bigint))
+                    AS bigint)                                   AS sum_tax100,
+               cast(min(cast(l_quantity AS bigint)) AS bigint)   AS min_qty,
+               cast(max(cast(l_quantity AS bigint)) AS bigint)   AS max_qty
+        FROM lineitem
     """
 
     sql["fetch_docs_stats"] = """

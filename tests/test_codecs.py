@@ -258,3 +258,28 @@ def test_decode_range_matches_slice(codec):
             a2 = min(max(0, a), b2)
             assert got.dtype == x.dtype
             assert np.array_equal(got, x[a2:b2]), (name, a, b)
+
+
+def test_float_auto_encode_bit_exact_regression():
+    """auto_encode used to pick delta on float64 and corrupt values via
+    int casts; floats must now round-trip bit-exactly through EVERY
+    selected codec (encoded as same-width integer bit patterns) and
+    repeated-value float columns must actually compress."""
+    from tokrle.codecs.core import decode_range
+
+    cases = {
+        "mixed": np.array([1.5, -2.25, 3.75, 1e300, -0.0, 7.5] * 100),
+        "repeated": np.repeat(np.array([0.07, 0.01, 0.05, 0.0]), 500),
+        "special": np.array([np.nan, np.inf, -np.inf, -0.0, 1e-310] * 40),
+        "f32": RNG.standard_normal(1500).astype(np.float32),
+    }
+    for name, x in cases.items():
+        iv = {4: np.int32, 8: np.int64}[x.dtype.itemsize]
+        c, payload, _ = auto_encode(x)
+        out = decode(c, payload, len(x), x.dtype)
+        assert out.dtype == x.dtype
+        assert np.array_equal(out.view(iv), x.view(iv)), (name, c)
+        r = decode_range(c, payload, len(x), x.dtype, 5, 23)
+        assert np.array_equal(r.view(iv), x[5:23].view(iv)), (name, c)
+    c, payload, _ = auto_encode(cases["repeated"])
+    assert len(payload) * 100 < cases["repeated"].nbytes  # rle on bits

@@ -787,13 +787,29 @@ CODECS: dict[str, Codec] = {
 }
 
 
+# float inputs are encoded as their integer BIT PATTERNS (same width), so
+# every codec round-trips them exactly (NaN payloads, -0.0, infinities)
+# and repeated-value float columns still get rle/dict compression.  The
+# numeric codecs' arithmetic (deltas, refs) is meaningless on float bits
+# EXCEPT as a reversible transform — which is all a round-trip needs.
+_FLOAT_VIEW = {2: np.int16, 4: np.int32, 8: np.int64}
+
+
 def encode(codec: str, x: np.ndarray, vmin: int | None = None,
            vmax: int | None = None) -> bytes:
-    return CODECS[codec].encode(np.ascontiguousarray(x), vmin, vmax)
+    x = np.ascontiguousarray(x)
+    if x.dtype.kind == "f":
+        x = x.view(_FLOAT_VIEW[x.dtype.itemsize])
+        vmin = vmax = None      # caller bounds were numeric, not bit-view
+    return CODECS[codec].encode(x, vmin, vmax)
 
 
 def decode(codec: str, payload: bytes, n: int, dtype) -> np.ndarray:
-    return CODECS[codec].decode(payload, n, np.dtype(dtype))
+    dtype = np.dtype(dtype)
+    if dtype.kind == "f":
+        return CODECS[codec].decode(
+            payload, n, np.dtype(_FLOAT_VIEW[dtype.itemsize])).view(dtype)
+    return CODECS[codec].decode(payload, n, dtype)
 
 
 def decode_range(codec: str, payload: bytes, n: int, dtype,
@@ -803,12 +819,17 @@ def decode_range(codec: str, payload: bytes, n: int, dtype,
     for the bit-addressable codecs (plain/bitpack/for/dict/pfor: every
     8-value group starts on a byte boundary); the sequential codecs
     (rle/delta/fsst*) fall back to full decode + slice."""
+    dtype = np.dtype(dtype)
     stop = min(n, stop)
     start = min(max(0, start), stop)
     if stop <= start:
-        return np.empty(0, dtype=np.dtype(dtype))
+        return np.empty(0, dtype=dtype)
+    if dtype.kind == "f":
+        return decode_range(codec, payload, n,
+                            _FLOAT_VIEW[dtype.itemsize], start,
+                            stop).view(dtype)
     c = CODECS[codec]
     fn = getattr(c, "decode_range", None)
     if fn is not None:
-        return fn(payload, n, np.dtype(dtype), start, stop)
-    return c.decode(payload, n, np.dtype(dtype))[start:stop].copy()
+        return fn(payload, n, dtype, start, stop)
+    return c.decode(payload, n, dtype)[start:stop].copy()

@@ -200,7 +200,16 @@ def auto_encode(x: np.ndarray) -> tuple[str, bytes, ChunkProfile]:
     """Profile -> select -> encode; returns (codec, payload, profile).
 
     The profile's bounds are passed into the codec so it skips its own
-    min/max reduction passes (two fewer full-array scans per chunk)."""
+    min/max reduction passes (two fewer full-array scans per chunk).
+
+    Floats are profiled and encoded as their same-width integer BIT
+    PATTERNS (see codecs.core.encode): every codec round-trips them
+    exactly, repeated-value float columns still win rle/dict, and the
+    selector never sees non-integer arithmetic."""
+    if x.dtype.kind == "f":
+        from tokrle.codecs.core import _FLOAT_VIEW
+
+        x = np.ascontiguousarray(x).view(_FLOAT_VIEW[x.dtype.itemsize])
     p = profile_chunk(x)
     codec = select_codec(p)
     payload = encode(codec, x, p.vmin, p.vmax)
