@@ -62,6 +62,15 @@ def frequent_grams(ds, *, k: int = 8, min_count: int = 2,
     One hash aggregate over map-side-combined counts."""
     import pyarrow.compute as pc
 
+    from tokrle.functions.dedup import _join_partitions, _upstream_size_hint
+
+    # this groupby is the PIPELINE'S FIRST exchange, so it doesn't inherit
+    # the byte-aware parallelism _group_blocks pins later; pin it so the
+    # finalize emits CPU-sized output partitions instead of Ray's 200
+    # (A/B at sf0.1: 6.9 -> ~5.9 s; the sort exchange itself dominates —
+    # the hash-shuffle strategy was also tried and measured WORSE, 17 s)
+    ds.context.default_hash_shuffle_parallelism = _join_partitions(
+        None, size_bytes=_upstream_size_hint(ds))
     counts = ds.map_batches(
         lambda b: _gram_count_partials(b, k=k, text_col=text_col),
         batch_format="pyarrow") \

@@ -55,9 +55,13 @@ def _key_type(ds, key: str):
     return dict(_arrow_fields(ds.schema()))[key]
 
 
-def _block_pairs(batch: pa.Table, key: str, start: str, end: str):
-    """Vectorized sweep over one co-located block -> (a_idx, b_idx)
-    original-row index pairs of overlapping A/B intervals (same key)."""
+def _sweep(batch: pa.Table, key: str, start: str, end: str):
+    """Shared sweep prologue over one co-located block: sort B by
+    key-offset start, bound every A interval's candidate window.
+
+    Returns ``(a, b_sorted, lo, cnt, s, e, k)`` — A row indices, B row
+    indices in start order, per-A window starts and widths — or None
+    when either side is empty."""
     side = batch.column("_side").to_numpy(zero_copy_only=False)
     k = batch.column(key).to_numpy(zero_copy_only=False)
     s = batch.column(start).to_numpy(zero_copy_only=False)
@@ -66,31 +70,50 @@ def _block_pairs(batch: pa.Table, key: str, start: str, end: str):
     a = np.flatnonzero(side == 0)
     b = np.flatnonzero(side == 1)
     if len(a) == 0 or len(b) == 0:
-        return (np.empty(0, np.int64),) * 2
+        return None
     # key-offset coordinates keep the sweep key-local in one pass: with
     # positions < 2^32 and max length L, stride 2^33 guarantees windows
-    # never cross keys
+    # never cross keys (a window reaches at most L below its key's base,
+    # and the previous key's intervals end > 2^32 below it)
     stride = np.int64(1) << np.int64(33)
     xa_s = codes[a].astype(np.int64) * stride + s[a]
     xa_e = codes[a].astype(np.int64) * stride + e[a]
     xb_s = codes[b].astype(np.int64) * stride + s[b]
     border = np.argsort(xb_s, kind="stable")
-    xb_s_sorted = xb_s[border]
-    b_sorted = b[border]
     b_len_max = int((e[b] - s[b]).max())
-    lo = np.searchsorted(xb_s_sorted, xa_s - b_len_max, side="right")
-    hi = np.searchsorted(xb_s_sorted, xa_e, side="left")
-    cnt = hi - lo
-    if cnt.sum() == 0:
+    lo = np.searchsorted(xb_s[border], xa_s - b_len_max, side="right")
+    hi = np.searchsorted(xb_s[border], xa_e, side="left")
+    return a, b[border], lo, hi - lo, s, e, k
+
+
+def _expand(a, b_sorted, lo, cnt, s, e):
+    """Candidate expansion + exact overlap test.  Index arrays stay
+    int32 (blocks are far below 2^31 rows), one repeat builds the
+    candidate positions, and the key-equality recheck is omitted — the
+    stride construction in :func:`_sweep` already guarantees windows
+    never cross keys.  Returns (ai, bi, ok) aligned to the candidate
+    order (grouped by A row)."""
+    total = int(cnt.sum())
+    a_rep = np.repeat(np.arange(len(a), dtype=np.int32), cnt)
+    # (lo - running_base) is bounded by +-total < 2^31, so the int32 cast
+    # happens BEFORE the repeat and the full-size temp stays 4 B/elem
+    cand = np.repeat((lo - (np.cumsum(cnt) - cnt)).astype(np.int32),
+                     cnt) + np.arange(total, dtype=np.int32)
+    ai = a[a_rep].astype(np.int32)
+    bi = b_sorted[cand].astype(np.int32)
+    ok = (s[bi] < e[ai]) & (s[ai] < e[bi])
+    return ai, bi, ok
+
+
+def _block_pairs(batch: pa.Table, key: str, start: str, end: str):
+    """Vectorized sweep over one co-located block -> (a_idx, b_idx)
+    original-row index pairs of overlapping A/B intervals (same key)."""
+    sw = _sweep(batch, key, start, end)
+    if sw is None or sw[3].sum() == 0:
         return (np.empty(0, np.int64),) * 2
-    a_rep = np.repeat(np.arange(len(a)), cnt)
-    cand = (np.arange(int(cnt.sum()), dtype=np.int64)
-            - np.repeat(np.cumsum(cnt) - cnt, cnt)
-            + np.repeat(lo, cnt))
-    ai = a[a_rep]
-    bi = b_sorted[cand]
-    ok = (k[ai] == k[bi]) & (s[bi] < e[ai]) & (s[ai] < e[bi])
-    return ai[ok], bi[ok]
+    a, b_sorted, lo, cnt, s, e, _ = sw
+    ai, bi, ok = _expand(a, b_sorted, lo, cnt, s, e)
+    return ai[ok].astype(np.int64), bi[ok].astype(np.int64)
 
 
 def range_join_pairs(a_ds, b_ds, *, key: str, start: str = "start",
@@ -146,17 +169,25 @@ def range_join_overlap_stats(a_ds, b_ds, *, key: str, start: str = "start",
             batch.column_names else pa.string()
         schema = pa.schema([(key, key_type), ("n", pa.int64()),
                             ("ov", pa.int64())])
-        ai, bi = _block_pairs(batch, key, start, end)
-        if len(ai) == 0:
+        sw = _sweep(batch, key, start, end)
+        if sw is None or sw[3].sum() == 0:
             return schema.empty_table()
-        k = batch.column(key).to_numpy(zero_copy_only=False)[ai]
-        s = batch.column(start).to_numpy(zero_copy_only=False)
-        e = batch.column(end).to_numpy(zero_copy_only=False)
-        overlap = np.minimum(e[ai], e[bi]) - np.maximum(s[ai], s[bi])
-        codes, uniques = pd.factorize(k)
-        n = np.bincount(codes).astype(np.int64)
-        ov = np.zeros(len(uniques), dtype=np.int64)
-        np.add.at(ov, codes, overlap)
+        a, b_sorted, lo, cnt, s, e, k = sw
+        ai, bi, ok = _expand(a, b_sorted, lo, cnt, s, e)
+        # fold candidates -> per-A-ROW partials first (one cumsum-diff
+        # per quantity over the candidate stream, which is grouped by A
+        # row), THEN per-key over the much smaller A set — no
+        # per-candidate key gather, no factorize/add.at on the pair set
+        ov_c = (np.minimum(e[bi], e[ai])
+                - np.maximum(s[bi], s[ai])) * ok
+        ends = np.cumsum(cnt)
+        cs_n = np.concatenate(([0], np.cumsum(ok)))
+        cs_o = np.concatenate(([0], np.cumsum(ov_c)))
+        n_row = cs_n[ends] - cs_n[ends - cnt]
+        ov_row = cs_o[ends] - cs_o[ends - cnt]
+        codes, uniques = pd.factorize(k[a])
+        n = np.bincount(codes, weights=n_row).astype(np.int64)
+        ov = np.bincount(codes, weights=ov_row).astype(np.int64)
         return pa.table({key: pa.array(uniques).cast(key_type),
                          "n": pa.array(n, pa.int64()),
                          "ov": pa.array(ov, pa.int64())})
