@@ -94,6 +94,12 @@ def _expand(a, b_sorted, lo, cnt, s, e):
     never cross keys.  Returns (ai, bi, ok) aligned to the candidate
     order (grouped by A row)."""
     total = int(cnt.sum())
+    if total >= (1 << 31):
+        # int32 candidate indices would wrap; a block this dense (>17 GB
+        # of expansion) needs smaller partitions, not a silent overflow
+        raise ValueError(
+            f"range-join block expands to {total} candidates; raise "
+            "num_partitions to split the key space")
     a_rep = np.repeat(np.arange(len(a), dtype=np.int32), cnt)
     # (lo - running_base) is bounded by +-total < 2^31, so the int32 cast
     # happens BEFORE the repeat and the full-size temp stays 4 B/elem
