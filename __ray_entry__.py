@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     d["fsst_text_roundtrip"] = Q.fsst_text_roundtrip
     d["fsstg_text_roundtrip"] = partial(Q.fsst_text_roundtrip, codec="fsstg")
     d["codec_roundtrip_fsstg"] = partial(Q.codec_roundtrip, codec="fsstg")
+    d["codec_roundtrip_alp"] = partial(Q.codec_roundtrip_float, codec="alp")
     d["columnar_encode_lineitem"] = Q.columnar_encode_lineitem
     d["columnar_encode_documents"] = Q.columnar_encode_documents
     return d
@@ -479,6 +480,17 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["fsstg_text_roundtrip"] = sql["fsst_text_roundtrip"]
     sql["codec_roundtrip_fsstg"] = _CODEC_ROUNDTRIP_SQL
+
+    sql["codec_roundtrip_alp"] = """
+        SELECT cast(count(*) AS bigint) AS n,
+               cast(sum(cast(round(l_extendedprice * 100) AS bigint))
+                    AS bigint)          AS sum_cents,
+               cast(min(cast(round(l_extendedprice * 100) AS bigint))
+                    AS bigint)          AS min_cents,
+               cast(max(cast(round(l_extendedprice * 100) AS bigint))
+                    AS bigint)          AS max_cents
+        FROM lineitem
+    """
 
     sql["coverage_total"] = _COV_AGG.format(ivl=_IVL)
     sql["coverage_add"] = _COV_AGG.format(ivl=_IVL)  # a+b == all intervals

@@ -283,3 +283,72 @@ def test_float_auto_encode_bit_exact_regression():
         assert np.array_equal(r.view(iv), x[5:23].view(iv)), (name, c)
     c, payload, _ = auto_encode(cases["repeated"])
     assert len(payload) * 100 < cases["repeated"].nbytes  # rle on bits
+
+
+def test_alp_decimal_floats_win_and_roundtrip_bit_exact():
+    """ALP (scaled-decimal digits, division decode) must win selection on
+    decimal-like float columns and round-trip bit-exactly with ZERO loss
+    through NaN / inf / -0.0 exceptions (raw-bits stream)."""
+    from tokrle.codecs.core import decode_range
+
+    rng = np.random.default_rng(11)
+    prices = np.round(rng.uniform(0, 1000, 60000), 2)
+    prices[::97] = np.nan      # aliases a naive stride-97 sampler
+    prices[5] = -0.0
+    prices[17] = np.inf
+    prices[23] = -np.inf
+    c, payload, _ = auto_encode(prices)
+    assert c == "alp"
+    assert len(payload) * 3 < prices.nbytes  # >3x on 2-decimal data
+    out = decode(c, payload, len(prices), prices.dtype)
+    assert np.array_equal(out.view(np.int64), prices.view(np.int64))
+    r = decode_range(c, payload, len(prices), prices.dtype, 90, 200)
+    assert np.array_equal(r.view(np.int64), prices[90:200].view(np.int64))
+
+
+def test_alp_division_decode_exact_on_parsed_decimals():
+    """String-parsed decimals (the real-world shape: CSV/JSON floats) must
+    produce ZERO exceptions — IEEE division by the exact power of ten is
+    correctly rounded, unlike the reciprocal multiply (~14% 1-ulp
+    exceptions measured)."""
+    from tokrle.codecs.core import _alp_digits
+
+    rng = np.random.default_rng(3)
+    parsed = np.array([float(f"{v:.2f}") for v in rng.uniform(0, 1000, 4000)])
+    digits, exact = _alp_digits(parsed, parsed.view(np.int64), 2, 0, 8)
+    assert exact.all()
+
+
+def test_alp_float32_and_integer_valued_floats():
+    rng = np.random.default_rng(5)
+    f32 = np.round(rng.uniform(0, 100, 30000), 1).astype(np.float32)
+    c, payload, _ = auto_encode(f32)
+    assert c == "alp"
+    out = decode(c, payload, len(f32), f32.dtype)
+    assert np.array_equal(out.view(np.int32), f32.view(np.int32))
+    # integer-valued float64s: e=0 probe, digits sub-encode
+    iv = rng.integers(0, 5000, 30000).astype(np.float64)
+    c2, pl2, _ = auto_encode(iv)
+    assert c2 == "alp" and len(pl2) * 4 < iv.nbytes
+    assert np.array_equal(decode(c2, pl2, len(iv), iv.dtype), iv)
+
+
+def test_alp_never_selected_for_random_floats():
+    """High-entropy doubles have no decimal structure: every value is an
+    exception, the estimate is raw-size-plus, and alp must lose."""
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(20000)
+    c, payload, _ = auto_encode(x)
+    assert c != "alp"
+    out = decode(c, payload, len(x), x.dtype)
+    assert np.array_equal(out.view(np.int64), x.view(np.int64))
+
+
+@settings(max_examples=60)
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64),
+                min_size=0, max_size=200))
+def test_hypothesis_alp_roundtrip_float64(vals):
+    x = np.array(vals, dtype=np.float64)
+    payload = encode("alp", x)
+    out = decode("alp", payload, len(x), x.dtype)
+    assert np.array_equal(out.view(np.int64), x.view(np.int64))

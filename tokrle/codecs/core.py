@@ -373,6 +373,198 @@ class PatchedFor(Codec):
         return (out.astype(np.int64) + ref).astype(dtype)
 
 
+# powers of ten 10^0..10^18 are exactly representable in float64 (every
+# integer < 2^53 is, and 10^18 < 2^60 has <= 53 significant bits).  The
+# decode expression divides by 10^e rather than multiplying by the
+# inexact reciprocal (the classic ALP implementations multiply for
+# speed): IEEE division by the exact power of ten is correctly rounded,
+# so digits/100 reproduces string-parsed / round()-produced decimals
+# bit-exactly — measured 0% exceptions on 2-decimal data vs ~14% for the
+# reciprocal multiply, at the cost of one vectorized divide per chunk.
+# Encode's bit-equality check runs against this same expression, so any
+# value it can't reproduce becomes a raw-bits exception regardless.
+_ALP_F10 = 10.0 ** np.arange(19)
+_ALP_IF10 = 1.0 / _ALP_F10
+_ALP_MAX_E = {8: 18, 4: 10}          # float32 has < 11 significant digits
+_ALP_FLOAT = {8: np.float64, 4: np.float32}
+_ALP_SAFE = float(1 << 51)           # |digits| bound: int64-safe w/ margin
+_ALP_SAMPLE = 1024
+
+
+def _alp_sample_idx(n: int) -> np.ndarray:
+    """Deterministic sorted sample positions via Fibonacci hashing — a
+    fixed stride (n // 1024) aliases with periodic data (e.g. a NaN
+    every k rows lands on every sampled slot); the multiplicative
+    scatter is stride-free and still reproducible."""
+    if n <= _ALP_SAMPLE:
+        return np.arange(n, dtype=np.int64)
+    idx = (np.arange(_ALP_SAMPLE, dtype=np.uint64)
+           * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n)
+    return np.unique(idx.astype(np.int64))
+
+
+def _alp_reconstruct(digits: np.ndarray, e: int, f: int,
+                     itemsize: int) -> np.ndarray:
+    """The ONE decode expression (int view of digits * 10^f / 10^e); encode
+    tests exactness against exactly this, so encode/decode can never
+    disagree."""
+    v = digits.astype(np.float64) * _ALP_F10[f] / _ALP_F10[e]
+    if itemsize == 4:
+        return v.astype(np.float32).view(np.int32)
+    return v.view(np.int64)
+
+
+def _alp_digits(v: np.ndarray, bits: np.ndarray, e: int, f: int,
+                itemsize: int) -> tuple[np.ndarray, np.ndarray]:
+    """(int64 digits, bool exact-mask) for candidate exponents (e, f)."""
+    with np.errstate(over="ignore", invalid="ignore"):
+        d = np.round(v * _ALP_F10[e] * _ALP_IF10[f])
+    ok = np.isfinite(d) & (np.abs(d) < _ALP_SAFE)
+    di = np.where(ok, d, 0.0).astype(np.int64)
+    exact = ok & (_alp_reconstruct(di, e, f, itemsize) == bits)
+    return di, exact
+
+
+def _alp_search(v: np.ndarray, bits: np.ndarray, n_total: int,
+                itemsize: int) -> tuple[int, int, float]:
+    """Best (e, f) over a sample + estimated full-chunk payload bytes.
+
+    In ALP's decode expression (digits * 10^f / 10^e) only the net decimal
+    exponent e - f decides which values reproduce exactly — (e, f) pairs
+    with equal difference differ only in rounding edge cases — so the
+    search walks e with f = 0 (the payload format still carries both
+    fields).  Once some e yields ZERO sample exceptions, every larger e
+    multiplies the digit span by 10 (+3.3 bits/value) with exceptions
+    already at the floor, so the walk stops — integer-valued floats cost
+    one probe, d-decimal values d+1 probes.  After Afroozeh & Boncz,
+    "ALP: Adaptive Lossless floating-Point compression" (SIGMOD 2024);
+    the exactness check is per-value, so a mis-sampled e still yields a
+    correct (merely larger) payload."""
+    m = len(v)
+    scale = n_total / max(m, 1)
+    best = (0, 0, float("inf"))
+    for e in range(_ALP_MAX_E[itemsize] + 1):
+        di, exact = _alp_digits(v, bits, e, 0, itemsize)
+        n_ok = int(np.count_nonzero(exact))
+        n_exc = m - n_ok
+        if n_ok:
+            dv = di[exact]
+            w = bit_width(int(dv.max()) - int(dv.min()))
+        else:
+            w = 0
+        cost = (24 + n_total * w / 8
+                + n_exc * scale * (4 + itemsize))
+        if cost < best[2]:
+            best = (e, 0, cost)
+        if n_exc == 0:
+            break
+    return best
+
+
+class Alp(Codec):
+    """ALP-style adaptive lossless floating-point codec (after Afroozeh &
+    Boncz, SIGMOD 2024): values that are really scaled decimals — prices,
+    rates, measurements — are stored as the integers ``round(x * 10^e) /
+    10^f``, sub-encoded with this module's integer codecs (FOR/PFOR/RLE/
+    dict via the auto-selector), plus a raw-bit-pattern exception stream
+    for values the (e, f) transform can't reproduce BIT-exactly (NaN
+    payloads, -0.0, true binary fractions).  Decode is one integer decode,
+    one fused multiply, one exception scatter.
+
+    Like every codec here it receives the column as its integer BIT
+    PATTERN (see module ``encode``) and views back to float internally;
+    non-float-origin input still round-trips (everything lands in the
+    exception stream) but never wins selection.
+
+    Layout: ``<B e><B f><B clen><I n_exc><Q inner_len>`` + inner-codec
+    name + inner digit payload + n_exc uint32 positions + n_exc raw
+    bit-pattern values.
+    """
+
+    name = "alp"
+
+    _HDR = struct.Struct("<BBBIQ")
+
+    def encode(self, x, vmin=None, vmax=None):
+        it = x.dtype.itemsize
+        if it not in _ALP_FLOAT:
+            raise ValueError("alp supports 4/8-byte (float-view) input")
+        n = len(x)
+        if n == 0:
+            return self._HDR.pack(0, 0, 5, 0, 0) + b"plain"
+        bits = x.astype(np.int64) if it == 8 else x.astype(np.int32)
+        v = bits.view(_ALP_FLOAT[it]).astype(np.float64)
+        sidx = _alp_sample_idx(n)
+        e, f, _ = _alp_search(v[sidx], bits[sidx], n, it)
+        digits, exact = _alp_digits(v, bits, e, f, it)
+        exc_pos = np.flatnonzero(~exact).astype(np.uint32)
+        if len(exc_pos):
+            # park exceptions on a valid digit so they don't widen the
+            # inner codec's span
+            fill = digits[exact][0] if exact.any() else np.int64(0)
+            exc_raw = np.ascontiguousarray(bits[exc_pos.astype(np.int64)])
+            digits[exc_pos.astype(np.int64)] = fill
+        else:
+            exc_raw = bits[:0]
+        from tokrle.select import auto_encode  # runtime import: no cycle
+
+        inner_codec, inner, _prof = auto_encode(digits)
+        head = self._HDR.pack(e, f, len(inner_codec), len(exc_pos),
+                              len(inner))
+        return (head + inner_codec.encode("ascii") + inner
+                + exc_pos.tobytes() + exc_raw.tobytes())
+
+    def _parse(self, payload):
+        e, f, clen, n_exc, inner_len = self._HDR.unpack_from(payload, 0)
+        off = self._HDR.size
+        codec = bytes(payload[off:off + clen]).decode("ascii")
+        off += clen
+        inner = payload[off:off + inner_len]
+        off += inner_len
+        pos = np.frombuffer(payload, dtype=np.uint32, count=n_exc,
+                            offset=off).astype(np.int64)
+        off += 4 * n_exc
+        return e, f, codec, inner, pos, off
+
+    def decode(self, payload, n, dtype):
+        dtype = np.dtype(dtype)
+        if n == 0:
+            return np.empty(0, dtype=dtype)
+        e, f, codec, inner, pos, off = self._parse(payload)
+        digits = decode(codec, inner, n, np.int64)
+        out = _alp_reconstruct(digits, e, f, dtype.itemsize)
+        if len(pos):
+            raw = np.frombuffer(payload, dtype=out.dtype, count=len(pos),
+                                offset=off)
+            out[pos] = raw
+        return out.astype(dtype)
+
+    def decode_range(self, payload, n, dtype, start, stop):
+        dtype = np.dtype(dtype)
+        e, f, codec, inner, pos, off = self._parse(payload)
+        digits = decode_range(codec, inner, n, np.int64, start, stop)
+        out = _alp_reconstruct(digits, e, f, dtype.itemsize)
+        if len(pos):
+            lo, hi = np.searchsorted(pos, [start, stop])
+            raw = np.frombuffer(payload, dtype=out.dtype, count=len(pos),
+                                offset=off)
+            out[pos[lo:hi] - start] = raw[lo:hi]
+        return out.astype(dtype)
+
+
+def alp_estimate(x_bits: np.ndarray) -> float:
+    """Sample-estimated ALP payload bytes for a float column given as its
+    integer bit-pattern view; used by the auto-selector's float branch."""
+    it = x_bits.dtype.itemsize
+    n = len(x_bits)
+    if it not in _ALP_FLOAT or n == 0:
+        return float("inf")
+    bits = x_bits.astype(np.int64) if it == 8 else x_bits.astype(np.int32)
+    v = bits.view(_ALP_FLOAT[it]).astype(np.float64)
+    sidx = _alp_sample_idx(n)
+    return _alp_search(v[sidx], bits[sidx], n, it)[2]
+
+
 class Fsst(Codec):
     """FSST-style trained multi-byte symbol codec (Boncz/Neumann/Leis,
     "FSST: Fast Random Access String Compression", VLDB 2020) with
@@ -783,7 +975,8 @@ class FsstGreedy(Codec):
 CODECS: dict[str, Codec] = {
     c.name: c
     for c in [Plain(), BitPack(), FrameOfReference(), Dictionary(),
-              RunLength(), Delta(), PatchedFor(), Fsst(), FsstGreedy()]
+              RunLength(), Delta(), PatchedFor(), Alp(), Fsst(),
+              FsstGreedy()]
 }
 
 

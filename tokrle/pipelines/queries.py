@@ -124,6 +124,43 @@ def codec_roundtrip(sf_dir: str, codec: str) -> pd.DataFrame:
     })
 
 
+def codec_roundtrip_float(sf_dir: str, codec: str) -> pd.DataFrame:
+    """Encode a decimal-like double column (l_extendedprice: 2-decimal
+    prices, ALP's home turf) with one forced codec per batch, decode,
+    assert BIT-exactness in-task, and aggregate integer cents — the one
+    float reduction whose value is association-order-independent, so the
+    SQL oracle reproduces it exactly."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def enc_dec(batch: pa.Table) -> pa.Table:
+        x = np.ascontiguousarray(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        payload = codec_encode(codec, x)
+        out = codec_decode(codec, payload, len(x), x.dtype)
+        assert np.array_equal(out.view(np.int64), x.view(np.int64))
+        if codec == "alp" and len(x) >= 1024:
+            # prices are scaled decimals: ALP must actually compress
+            assert len(payload) * 2 < x.nbytes
+        cents = np.round(out * 100).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(out)], type=pa.int64()),
+            "sum_cents": pa.array([int(cents.sum())], type=pa.int64()),
+            "min_cents": pa.array([int(cents.min()) if len(out) else 0],
+                                  type=pa.int64()),
+            "max_cents": pa.array([int(cents.max()) if len(out) else 0],
+                                  type=pa.int64()),
+        })
+
+    parts = ds.map_batches(enc_dec, batch_size=8192,
+                           batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "n": [int(parts["n"].sum())],
+        "sum_cents": [int(parts["sum_cents"].sum())],
+        "min_cents": [int(parts["min_cents"].min())],
+        "max_cents": [int(parts["max_cents"].max())],
+    })
+
+
 def recompress_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
     """encode -> RECOMPRESS (codec/chunking migration) -> decode -> per
     source aggregates; the oracle recomputes from the raw text, so the

@@ -205,13 +205,23 @@ def auto_encode(x: np.ndarray) -> tuple[str, bytes, ChunkProfile]:
     Floats are profiled and encoded as their same-width integer BIT
     PATTERNS (see codecs.core.encode): every codec round-trips them
     exactly, repeated-value float columns still win rle/dict, and the
-    selector never sees non-integer arithmetic."""
+    selector never sees non-integer arithmetic.  float32/float64 columns
+    additionally enter the ALP codec (scaled-decimal digits + raw-bits
+    exceptions) in the size race — decimal-like floats (prices, rates)
+    drop from 64 raw bits to the digit span's width."""
+    is_float = x.dtype.kind == "f" and x.dtype.itemsize in (4, 8)
     if x.dtype.kind == "f":
         from tokrle.codecs.core import _FLOAT_VIEW
 
         x = np.ascontiguousarray(x).view(_FLOAT_VIEW[x.dtype.itemsize])
     p = profile_chunk(x)
-    codec = select_codec(p)
+    est = estimate_sizes(p)
+    codec = min(est, key=est.__getitem__)
+    if is_float:
+        from tokrle.codecs.core import alp_estimate
+
+        if alp_estimate(x) < est[codec]:
+            codec = "alp"
     payload = encode(codec, x, p.vmin, p.vmax)
     # the analytic estimate can rarely lose to plain on adversarial input;
     # never ship a payload larger than raw
