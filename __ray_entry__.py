@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     d["fsstg_text_roundtrip"] = partial(Q.fsst_text_roundtrip, codec="fsstg")
     d["codec_roundtrip_fsstg"] = partial(Q.codec_roundtrip, codec="fsstg")
     d["codec_roundtrip_alp"] = partial(Q.codec_roundtrip_float, codec="alp")
+    d["columnar_encode_timestamps"] = Q.columnar_encode_timestamps
     d["columnar_encode_lineitem"] = Q.columnar_encode_lineitem
     d["columnar_encode_documents"] = Q.columnar_encode_documents
     return d
@@ -480,6 +481,15 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["fsstg_text_roundtrip"] = sql["fsst_text_roundtrip"]
     sql["codec_roundtrip_fsstg"] = _CODEC_ROUNDTRIP_SQL
+
+    sql["columnar_encode_timestamps"] = """
+        SELECT cast(count(*) AS bigint)                          AS n,
+               cast(sum(epoch_us(ts) % 1000000000) AS bigint)    AS sum_us_mod,
+               cast(min(epoch_us(ts)) AS bigint)                 AS min_us,
+               cast(max(epoch_us(ts)) AS bigint)                 AS max_us,
+               cast(sum(event_id) AS bigint)                     AS sum_eid
+        FROM events
+    """
 
     sql["codec_roundtrip_alp"] = """
         SELECT cast(count(*) AS bigint) AS n,

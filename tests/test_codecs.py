@@ -352,3 +352,36 @@ def test_hypothesis_alp_roundtrip_float64(vals):
     payload = encode("alp", x)
     out = decode("alp", payload, len(x), x.dtype)
     assert np.array_equal(out.view(np.int64), x.view(np.int64))
+
+
+def test_datetime64_all_codecs_roundtrip_and_range():
+    """Timestamps/durations encode as their int64 counts through the
+    module boundary; every codec round-trips them exactly and ranged
+    decode honors the logical dtype."""
+    from tokrle.codecs.core import decode_range
+
+    rng = np.random.default_rng(7)
+    base = np.int64(1_704_067_200_000_000)
+    us = base + np.sort(rng.integers(0, 10**12, 4000))
+    for logical in ("datetime64[us]", "datetime64[ns]", "timedelta64[ms]"):
+        x = us.view(logical)
+        for name in ("plain", "rle", "dict", "bitpack", "for", "delta",
+                     "pfor"):
+            payload = encode(name, x)
+            out = decode(name, payload, len(x), x.dtype)
+            assert out.dtype == x.dtype and np.array_equal(out, x), name
+        r = decode_range("delta", encode("delta", x), len(x), x.dtype,
+                         37, 1201)
+        assert r.dtype == x.dtype and np.array_equal(r, x[37:1201])
+
+
+def test_datetime64_auto_encode_compresses_sorted_events():
+    rng = np.random.default_rng(3)
+    us = np.int64(1_704_067_200_000_000) + np.cumsum(
+        rng.integers(0, 2000, 60000))
+    x = us.astype("datetime64[us]")
+    c, payload, _ = auto_encode(x)
+    out = decode(c, payload, len(x), x.dtype)
+    assert np.array_equal(out, x)
+    # sorted event times: small deltas must beat 8 raw bytes/value
+    assert len(payload) * 3 < x.nbytes

@@ -483,3 +483,35 @@ def test_fetch_docs_point_lookup(ray_session, tmp_path):
         assert r["source"] == ref["source"]
     # unknown ids return nothing rather than erroring
     assert fetch_docs(enc_dir, ["no-such-doc"]).count() == 0
+
+
+def test_table_timestamp_roundtrip_with_nulls(ray_session):
+    """timestamp[us] columns through the generic table encode: encoded as
+    int64 counts, decoded to the same logical type, nulls preserved via
+    the validity bitmap, and zone-map extrema recorded."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (decode_table_columns,
+                                               encode_table_columns)
+
+    n = 600
+    base = 1_704_067_200_000_000
+    us = [None if i % 13 == 0 else base + i * 977_131 for i in range(n)]
+    t = pa.table({
+        "id": pa.array(range(n), type=pa.int64()),
+        "ts": pa.array(us, type=pa.timestamp("us")),
+    })
+    enc_ds = encode_table_columns(ray.data.from_arrow(t), ["id", "ts"],
+                                  batch_size=200)
+    enc = enc_ds.to_pandas()
+    assert "ts__vmin" in enc.columns and "ts__vmax" in enc.columns
+    present = [v for v in us if v is not None]
+    assert int(enc["ts__vmax"].max()) == max(present)
+    dec = decode_table_columns(
+        ray.data.from_pandas(enc), ["id", "ts"]).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    got = [None if pd_isna(x) else int(x.value // 1000)
+           for x in dec["ts"].tolist()]
+    assert got == us

@@ -994,6 +994,9 @@ def encode(codec: str, x: np.ndarray, vmin: int | None = None,
     if x.dtype.kind == "f":
         x = x.view(_FLOAT_VIEW[x.dtype.itemsize])
         vmin = vmax = None      # caller bounds were numeric, not bit-view
+    elif x.dtype.kind in "mM":
+        # datetime64/timedelta64 ARE int64 counts; delta/FOR apply directly
+        x = x.view(np.int64)
     return CODECS[codec].encode(x, vmin, vmax)
 
 
@@ -1002,6 +1005,8 @@ def decode(codec: str, payload: bytes, n: int, dtype) -> np.ndarray:
     if dtype.kind == "f":
         return CODECS[codec].decode(
             payload, n, np.dtype(_FLOAT_VIEW[dtype.itemsize])).view(dtype)
+    if dtype.kind in "mM":
+        return CODECS[codec].decode(payload, n, np.int64).view(dtype)
     return CODECS[codec].decode(payload, n, dtype)
 
 
@@ -1020,6 +1025,9 @@ def decode_range(codec: str, payload: bytes, n: int, dtype,
     if dtype.kind == "f":
         return decode_range(codec, payload, n,
                             _FLOAT_VIEW[dtype.itemsize], start,
+                            stop).view(dtype)
+    if dtype.kind in "mM":
+        return decode_range(codec, payload, n, np.int64, start,
                             stop).view(dtype)
     c = CODECS[codec]
     fn = getattr(c, "decode_range", None)

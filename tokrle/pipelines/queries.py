@@ -161,6 +161,47 @@ def codec_roundtrip_float(sf_dir: str, codec: str) -> pd.DataFrame:
     })
 
 
+def columnar_encode_timestamps(sf_dir: str) -> pd.DataFrame:
+    """Timestamp columns through the generic table encode: datetime64[us]
+    encodes as its int64 microsecond counts (delta/FOR on near-sorted
+    event times), decodes exactly, and is checked via modulo-folded epoch
+    aggregates (a raw sum of ~1.7e15-us epochs overflows int64)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from tokrle.pipelines.table_encode import (decode_table_columns,
+                                               encode_table_columns)
+
+    cols = ["ts", "event_id"]
+    ds = _read(sf_dir, "events", columns=cols)
+    dec = decode_table_columns(
+        encode_table_columns(ds, cols, batch_size=65536), cols)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .view(np.int64)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(batch)], type=pa.int64()),
+            "sum_us_mod": pa.array([int((us % 10**9).sum())],
+                                   type=pa.int64()),
+            "min_us": pa.array([int(us.min()) if len(us) else 0],
+                               type=pa.int64()),
+            "max_us": pa.array([int(us.max()) if len(us) else 0],
+                               type=pa.int64()),
+            "sum_eid": pa.array([int(eid.sum())], type=pa.int64()),
+        })
+
+    row = dec.map_batches(per_batch, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_us_mod", alias_name="sum_us_mod"),
+        Min("min_us", alias_name="min_us"),
+        Max("max_us", alias_name="max_us"),
+        Sum("sum_eid", alias_name="sum_eid"))
+    return pd.DataFrame({k: [int(row[k])]
+                         for k in ("n", "sum_us_mod", "min_us", "max_us",
+                                   "sum_eid")})
+
+
 def recompress_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
     """encode -> RECOMPRESS (codec/chunking migration) -> decode -> per
     source aggregates; the oracle recomputes from the raw text, so the

@@ -117,7 +117,7 @@ def encode_table_columns(ds, columns: list[str], *,
                 continue
             if vbits:
                 import pyarrow.compute as pc
-                col = pc.fill_null(col, 0)
+                col = pc.fill_null(col, pa.scalar(0, type=col.type))
             x = np.ascontiguousarray(col.to_numpy(zero_copy_only=False))
             codec, payload, prof = auto_encode(x)
             raw_bytes += prof.raw_bytes
@@ -129,8 +129,9 @@ def encode_table_columns(ds, columns: list[str], *,
             # A range scan pushes (vmax >= lo AND vmin <= hi) into the
             # Parquet read and never decodes non-overlapping chunks —
             # effective when the table is clustered (sorted) on the column.
-            # Integer columns only: the profile truncates float extrema.
-            if np.issubdtype(x.dtype, np.integer):
+            # Integer/timestamp columns only (timestamps profile as their
+            # exact int64 counts): the profile truncates float extrema.
+            if np.issubdtype(x.dtype, np.integer) or x.dtype.kind == "M":
                 out[f"{c}__vmin"] = pa.array([int(prof.vmin)],
                                              type=pa.int64())
                 out[f"{c}__vmax"] = pa.array([int(prof.vmax)],

@@ -214,6 +214,10 @@ def auto_encode(x: np.ndarray) -> tuple[str, bytes, ChunkProfile]:
         from tokrle.codecs.core import _FLOAT_VIEW
 
         x = np.ascontiguousarray(x).view(_FLOAT_VIEW[x.dtype.itemsize])
+    elif x.dtype.kind in "mM":
+        # timestamps/durations profile as their int64 counts (near-sorted
+        # event times make delta/FOR the usual winners)
+        x = np.ascontiguousarray(x).view(np.int64)
     p = profile_chunk(x)
     est = estimate_sizes(p)
     codec = min(est, key=est.__getitem__)
