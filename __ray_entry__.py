@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     d["codec_roundtrip_fsstg"] = partial(Q.codec_roundtrip, codec="fsstg")
     d["codec_roundtrip_alp"] = partial(Q.codec_roundtrip_float, codec="alp")
     d["columnar_encode_timestamps"] = Q.columnar_encode_timestamps
+    d["columnar_encode_embeddings"] = Q.columnar_encode_embeddings
     d["columnar_encode_lineitem"] = Q.columnar_encode_lineitem
     d["columnar_encode_documents"] = Q.columnar_encode_documents
     return d
@@ -489,6 +490,18 @@ def oracle_sql() -> dict[str, str]:
                cast(max(epoch_us(ts)) AS bigint)                 AS max_us,
                cast(sum(event_id) AS bigint)                     AS sum_eid
         FROM events
+    """
+
+    sql["columnar_encode_embeddings"] = """
+        SELECT cast(count(*) AS bigint)      AS n,
+               cast(sum(len(embedding)) AS bigint) AS sum_len,
+               (SELECT cast(sum(cast(floor(cast(e AS double) * 1000)
+                                     AS bigint)) AS bigint)
+                FROM (SELECT unnest(embedding) AS e
+                      FROM embeddings))      AS sum_mil,
+               cast(sum(vec_id) AS bigint)   AS sum_vec_id,
+               cast(sum(label) AS bigint)    AS sum_label
+        FROM embeddings
     """
 
     sql["codec_roundtrip_alp"] = """

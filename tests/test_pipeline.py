@@ -515,3 +515,44 @@ def test_table_timestamp_roundtrip_with_nulls(ray_session):
     got = [None if pd_isna(x) else int(x.value // 1000)
            for x in dec["ts"].tolist()]
     assert got == us
+
+
+def test_table_list_columns_roundtrip(ray_session):
+    """list<numeric> columns through the generic table encode: lengths +
+    flat child each auto-selected; null LISTS preserved via from_arrays
+    mask; float32 children bit-exact; nested lists / null elements
+    rejected honestly."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (decode_table_columns,
+                                               encode_table_columns)
+
+    rng = np.random.default_rng(5)
+    lists = [[1, 2, 3], None, [], [7], None, [5, 5, 5, 5], [2**31 - 1]]
+    fl = [list(rng.standard_normal(rng.integers(0, 9)).astype(np.float32))
+          for _ in range(7)]
+    t = pa.table({
+        "id": pa.array(range(7), type=pa.int64()),
+        "toks": pa.array(lists, type=pa.list_(pa.int32())),
+        "emb": pa.array(fl, type=pa.list_(pa.float32())),
+    })
+    enc = encode_table_columns(ray.data.from_arrow(t), ["id", "toks", "emb"],
+                               batch_size=4)
+    rows = {r["id"]: r for r in
+            decode_table_columns(enc, ["id", "toks", "emb"]).take_all()}
+    got_toks = [None if rows[i]["toks"] is None else list(rows[i]["toks"])
+                for i in range(7)]
+    assert got_toks == lists
+    for i in range(7):
+        a = np.asarray(rows[i]["emb"], dtype=np.float32)
+        b = np.asarray(fl[i], dtype=np.float32)
+        assert np.array_equal(a.view(np.int32), b.view(np.int32))
+
+    bad = pa.table({"x": pa.array([[[1]]], type=pa.list_(pa.list_(pa.int64())))})
+    with pytest.raises(Exception, match="nested|Nested"):
+        encode_table_columns(ray.data.from_arrow(bad), ["x"],
+                             batch_size=4).materialize()

@@ -202,6 +202,53 @@ def columnar_encode_timestamps(sf_dir: str) -> pd.DataFrame:
                                    "sum_eid")})
 
 
+def columnar_encode_embeddings(sf_dir: str) -> pd.DataFrame:
+    """list<float> embedding vectors through the generic table encode:
+    per-row lengths + the flat float32 child (bit-pattern codecs), both
+    auto-selected, decoded bit-exactly; checked via floor-scaled integer
+    aggregates (floor has no rounding-tie ambiguity cross-engine, and
+    float32 -> float64 promotion is exact in both engines)."""
+    from ray.data.aggregate import Sum
+
+    from tokrle.pipelines.table_encode import (decode_table_columns,
+                                               encode_table_columns)
+
+    cols = ["vec_id", "embedding", "label"]
+    ds = _read(sf_dir, "embeddings", columns=cols)
+    dec = decode_table_columns(
+        encode_table_columns(ds, cols, batch_size=8192), cols)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        flat = pc.list_flatten(batch.column("embedding"))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        v = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "n": pa.array([len(batch)], type=pa.int64()),
+            "sum_len": pa.array([len(v)], type=pa.int64()),
+            "sum_mil": pa.array(
+                [int(np.floor(v * 1000).astype(np.int64).sum())],
+                type=pa.int64()),
+            "sum_vec_id": pa.array(
+                [int(batch.column("vec_id").to_numpy().sum())],
+                type=pa.int64()),
+            "sum_label": pa.array(
+                [int(batch.column("label").to_numpy().sum())],
+                type=pa.int64()),
+        })
+
+    row = dec.map_batches(per_batch, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_len", alias_name="sum_len"),
+        Sum("sum_mil", alias_name="sum_mil"),
+        Sum("sum_vec_id", alias_name="sum_vec_id"),
+        Sum("sum_label", alias_name="sum_label"))
+    return pd.DataFrame({k: [int(row[k])]
+                         for k in ("n", "sum_len", "sum_mil",
+                                   "sum_vec_id", "sum_label")})
+
+
 def recompress_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
     """encode -> RECOMPRESS (codec/chunking migration) -> decode -> per
     source aggregates; the oracle recomputes from the raw text, so the

@@ -66,9 +66,12 @@ def encode_table_columns(ds, columns: list[str], *,
     """Dataset -> encoded Dataset with one row per input batch and, per
     column, ``{col}__codec/__payload/__dtype`` plus byte lineage.
 
-    Integer columns go through codec auto-selection.  STRING columns
-    split into their Arrow buffers: per-row byte lengths (an int column —
-    auto-selected, usually for/bitpack) and the flat UTF-8 bytes through
+    Integer/float/timestamp columns go through codec auto-selection.
+    LIST<numeric> columns (embeddings, token sequences) split into
+    per-row lengths and the flat child values, each auto-selected.
+    STRING columns split into their Arrow buffers: per-row byte lengths
+    (an int column — auto-selected, usually for/bitpack) and the flat
+    UTF-8 bytes through
     ``text_codec`` ('fsst' aligned tables, 'fsstg' for the greedy
     arbitrary-offset parse: ~1.5x better ratio at ~5x the encode cost, or
     'auto' to pick per chunk from a 64 KiB sample encode of each)."""
@@ -94,6 +97,38 @@ def encode_table_columns(ds, columns: list[str], *,
             vbits = _validity_bits(col)
             out[f"{c}__valid"] = pa.array([vbits], type=pa.binary())
             enc_bytes += len(vbits)
+            if pa.types.is_list(col.type) or pa.types.is_large_list(
+                    col.type):
+                # list<numeric> (embeddings, token sequences): per-row
+                # lengths and the flat child values each go through codec
+                # auto-selection — same split as strings, typed child
+                import pyarrow.compute as pc
+                lens = pc.fill_null(pc.list_value_length(col), 0) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                flat = pc.list_flatten(col)   # skips null slots
+                if isinstance(flat, pa.ChunkedArray):
+                    flat = flat.combine_chunks()
+                if flat.null_count:
+                    raise NotImplementedError(
+                        f"column {c!r}: null list ELEMENTS not supported")
+                v = np.ascontiguousarray(
+                    flat.to_numpy(zero_copy_only=False))
+                if v.dtype == object:
+                    raise NotImplementedError(
+                        f"column {c!r}: nested list types not supported")
+                lcodec, lpayload, _ = auto_encode(lens)
+                vcodec, vpayload, _ = auto_encode(v)
+                raw_bytes += v.nbytes + 4 * len(batch)
+                enc_bytes += len(lpayload) + len(vpayload)
+                out[f"{c}__codec"] = pa.array(
+                    [f"list:{lcodec}:{vcodec}"], type=pa.string())
+                out[f"{c}__dtype"] = pa.array([f"list:{v.dtype}"],
+                                              type=pa.string())
+                out[f"{c}__lens_payload"] = pa.array([lpayload],
+                                                     type=pa.binary())
+                out[f"{c}__payload"] = pa.array([vpayload],
+                                                type=pa.binary())
+                continue
             if pa.types.is_string(col.type) or pa.types.is_large_string(
                     col.type):
                 if vbits:
@@ -158,6 +193,31 @@ def decode_table_columns(encoded_ds, columns: list[str]):
                     batch.column(f"{c}__payload")[i].as_buffer())
                 vbits = (batch.column(f"{c}__valid")[i].as_py()
                          if f"{c}__valid" in batch.column_names else b"")
+                if codec.startswith("list:"):
+                    _, lcodec, vcodec = codec.split(":")
+                    child = np.dtype(batch.column(f"{c}__dtype")[i]
+                                     .as_py().split(":", 1)[1])
+                    lpayload = memoryview(
+                        batch.column(f"{c}__lens_payload")[i].as_buffer())
+                    lens = codec_decode(lcodec, lpayload, n, np.int64)
+                    v = codec_decode(vcodec, payload, int(lens.sum()),
+                                     child)
+                    offs = np.zeros(n + 1, dtype=np.int64)
+                    np.cumsum(lens, out=offs[1:])
+                    mask = None
+                    if vbits:
+                        valid = np.unpackbits(
+                            np.frombuffer(vbits, dtype=np.uint8),
+                            count=n, bitorder="little").astype(bool)
+                        mask = pa.array(~valid)
+                    if offs[-1] < 2**31:
+                        cols[c] = pa.ListArray.from_arrays(
+                            pa.array(offs.astype(np.int32)), pa.array(v),
+                            mask=mask)
+                    else:
+                        cols[c] = pa.LargeListArray.from_arrays(
+                            pa.array(offs), pa.array(v), mask=mask)
+                    continue
                 if codec.startswith("str:"):
                     _, lcodec, tcodec = codec.split(":")
                     lpayload = memoryview(
