@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_scan_stats": Q.zorder_scan_stats,
         "fetch_docs_stats": Q.fetch_docs_stats,
         "columnar_encode_floats": Q.columnar_encode_floats,
+        "encoded_agg_stats": Q.encoded_agg_stats,
         "decontam_stats": Q.decontam_stats,
         "dup_span_stats": Q.dup_span_stats,
         "redact_stats": Q.redact_stats,
@@ -212,6 +213,22 @@ def oracle_sql() -> dict[str, str]:
                cast(min(cast(l_quantity AS bigint)) AS bigint)   AS min_qty,
                cast(max(cast(l_quantity AS bigint)) AS bigint)   AS max_qty
         FROM lineitem
+    """
+
+    sql["encoded_agg_stats"] = """
+        SELECT col, cast(count(*) AS bigint) AS n,
+               cast(sum(v) AS bigint) AS sum_val,
+               cast(min(v) AS bigint) AS min_val,
+               cast(max(v) AS bigint) AS max_val
+        FROM (
+            SELECT 'l_orderkey' AS col, l_orderkey AS v FROM lineitem
+            UNION ALL
+            SELECT 'l_partkey', l_partkey FROM lineitem
+            UNION ALL
+            SELECT 'l_suppkey', l_suppkey FROM lineitem
+            UNION ALL
+            SELECT 'l_linenumber', l_linenumber FROM lineitem
+        ) GROUP BY col
     """
 
     sql["fetch_docs_stats"] = """

@@ -385,3 +385,65 @@ def test_datetime64_auto_encode_compresses_sorted_events():
     assert np.array_equal(out, x)
     # sorted event times: small deltas must beat 8 raw bytes/value
     assert len(payload) * 3 < x.nbytes
+
+
+# ---------------------------------------------------------------------------
+# compressed-domain aggregation: agg_sum(payload) == exact sum of decode()
+
+
+def _exact_py_sum(x: np.ndarray) -> int:
+    return sum(int(v) for v in x)
+
+
+@pytest.mark.parametrize("codec", list(CODECS))
+def test_agg_sum_matches_decode_on_corpora(codec):
+    from tokrle.codecs.core import agg_sum
+
+    for name, x in CORPORA.items():
+        if codec == "bitpack" and len(x) and x.min() < 0:
+            continue
+        payload = encode(codec, x)
+        want = _exact_py_sum(decode(codec, payload, len(x), x.dtype))
+        assert agg_sum(codec, payload, len(x), x.dtype) == want, name
+
+
+def test_agg_sum_extreme_values_use_exact_arithmetic():
+    """Sums near (and beyond) int64 range: the split-sum / guarded-dot
+    paths must stay exact where a naive int64 accumulation would wrap."""
+    from tokrle.codecs.core import agg_sum
+
+    cases = [
+        np.full(5000, 2**62, dtype=np.int64),             # wraps int64 sum
+        np.full(5000, -(2**62), dtype=np.int64),
+        np.repeat(np.array([2**62 - 3, -(2**62) + 7], dtype=np.int64), 999),
+        np.array([2**63 - 1] * 300 + [-(2**63)] * 100, dtype=np.int64),
+        np.sort(RNG.integers(-2**62, 2**62, size=4000)),  # delta, big span
+    ]
+    for x in cases:
+        for codec in ("plain", "rle", "dict", "for", "delta", "pfor"):
+            payload = encode(codec, x)
+            want = _exact_py_sum(decode(codec, payload, len(x), x.dtype))
+            got = agg_sum(codec, payload, len(x), x.dtype)
+            assert got == want, (codec, x[:3])
+
+
+@given(st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                max_size=400))
+@settings(max_examples=120, deadline=None)
+def test_hypothesis_agg_sum_all_codecs(vals):
+    from tokrle.codecs.core import agg_sum
+
+    x = np.array(vals, dtype=np.int64)
+    for codec in ("plain", "rle", "dict", "for", "delta", "pfor"):
+        payload = encode(codec, x)
+        want = _exact_py_sum(decode(codec, payload, len(x), x.dtype))
+        assert agg_sum(codec, payload, len(x), x.dtype) == want, codec
+
+
+def test_agg_sum_rejects_floats():
+    from tokrle.codecs.core import agg_sum
+
+    x = np.array([1.5, 2.5])
+    payload = encode("plain", x.view(np.int64))
+    with pytest.raises(TypeError):
+        agg_sum("plain", payload, 2, np.float64)

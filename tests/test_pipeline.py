@@ -556,3 +556,50 @@ def test_table_list_columns_roundtrip(ray_session):
     with pytest.raises(Exception, match="nested|Nested"):
         encode_table_columns(ray.data.from_arrow(bad), ["x"],
                              batch_size=4).materialize()
+
+
+def test_encoded_column_agg_compressed_domain(ray_session, tmp_path):
+    """COUNT/SUM/MIN/MAX answered from the payloads + zone maps of an
+    encoded table (no decode) must equal direct NumPy aggregates over
+    the raw columns, across a codec-diverse column mix."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_column_agg)
+
+    rng = np.random.default_rng(11)
+    n = 30000
+    df = pd.DataFrame({
+        "sorted_id": np.sort(rng.integers(0, 10**9, n)),      # delta
+        "runs": np.repeat(rng.integers(-50, 50, 300), 100),   # rle
+        "lowcard": rng.choice([3, 17, 9000], n),              # dict
+        "uniform": rng.integers(0, 1 << 20, n),               # bitpack/for
+    })
+    cols = list(df.columns)
+    ds = ray.data.from_pandas(df)
+    out_dir = str(tmp_path / "agg")
+    encode_table_columns(ds, cols, batch_size=4096).write_parquet(out_dir)
+
+    got = encoded_column_agg(out_dir, cols).set_index("col")
+    for c in cols:
+        assert got.loc[c, "n"] == n
+        assert got.loc[c, "sum_val"] == int(df[c].sum()), c
+        assert got.loc[c, "min_val"] == int(df[c].min()), c
+        assert got.loc[c, "max_val"] == int(df[c].max()), c
+
+
+def test_encoded_column_agg_rejects_nullable(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_column_agg)
+
+    df = pd.DataFrame({"x": pd.array([1, None, 3] * 100,
+                                     dtype=pd.Int64Dtype())})
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(df["x"])}))
+    out_dir = str(tmp_path / "agg_null")
+    encode_table_columns(ds, ["x"], batch_size=64).write_parquet(out_dir)
+    with pytest.raises(Exception, match="nullable"):
+        encoded_column_agg(out_dir, ["x"])

@@ -32,6 +32,40 @@ def _span_to_unsigned(x: np.ndarray, ref: int) -> np.ndarray:
     return (x.astype(np.int64) - np.int64(ref)).astype(np.uint64)
 
 
+def _exact_sum_u64(u: np.ndarray) -> int:
+    """Exact sum of a uint64 array as a Python int.
+
+    Splits each value into 32-bit halves and sums the halves in uint64:
+    each partial is < n * 2^32, so nothing wraps for n < 2^32 (far above
+    any chunk size)."""
+    if len(u) == 0:
+        return 0
+    lo = int((u & np.uint64(0xFFFFFFFF)).sum(dtype=np.uint64))
+    hi = int((u >> np.uint64(32)).sum(dtype=np.uint64))
+    return lo + (hi << 32)
+
+
+def exact_sum_int(x: np.ndarray) -> int:
+    """Exact sum of any integer array as a Python int (no int64 overflow):
+    unsigned 32/32-split sum of the two's-complement bits, then each
+    negative element's +2^64 bias is subtracted back out."""
+    if len(x) == 0:
+        return 0
+    if x.dtype == np.uint64:
+        return _exact_sum_u64(x)
+    x64 = x.astype(np.int64, copy=False)
+    total = _exact_sum_u64(x64.view(np.uint64))
+    neg = int(np.count_nonzero(x64 < 0))
+    return total - (neg << 64)
+
+
+def _dot_fits_i64(span: int, n: int) -> bool:
+    """True when sum_i(delta_i * weight_i) with delta <= span and
+    sum(weights) == n is provably < 2^62, so an int64 dot is exact."""
+    return span >= 0 and n >= 0 and \
+        span.bit_length() + n.bit_length() <= 62
+
+
 class Codec:
     name: str
 
@@ -45,6 +79,17 @@ class Codec:
 
     def decode(self, payload: bytes, n: int, dtype: np.dtype) -> np.ndarray:
         raise NotImplementedError
+
+    def agg_sum(self, payload: bytes, n: int, dtype: np.dtype) -> int:
+        """Exact integer SUM of the encoded chunk as a Python int.
+
+        Codecs override this with closed forms over their own streams
+        (runs x values for RLE, code histogram x dictionary for dict,
+        ref*n + code sum for FOR/PFOR) so an aggregate over an encoded
+        table touches orders of magnitude fewer values than a decode.
+        This default is the always-correct fallback: full decode + exact
+        split-sum."""
+        return exact_sum_int(self.decode(payload, n, dtype))
 
 
 def _bounds(x: np.ndarray, vmin, vmax) -> tuple[int, int]:
@@ -80,6 +125,12 @@ class Plain(Codec):
         return np.frombuffer(payload, dtype=dtype, count=stop - start,
                              offset=start * it).copy()
 
+    def agg_sum(self, payload, n, dtype):
+        x = np.frombuffer(payload, dtype=dtype, count=n)
+        if not np.issubdtype(x.dtype, np.integer):
+            raise TypeError(f"agg_sum is integer-only, got {x.dtype}")
+        return exact_sum_int(x)
+
 
 class BitPack(Codec):
     """Zero-referenced bit packing: ``<B width>`` + width-bit codes.
@@ -106,6 +157,10 @@ class BitPack(Codec):
         return unpack_uints_range(payload[1:], n, w, start,
                                   stop).astype(dtype)
 
+    def agg_sum(self, payload, n, dtype):
+        (w,) = struct.unpack_from("<B", payload, 0)
+        return _exact_sum_u64(unpack_uints(payload[1:], n, w))
+
 
 class FrameOfReference(Codec):
     """Frame-of-reference: ``<q ref><B width>`` + width-bit (x - ref) codes."""
@@ -131,6 +186,10 @@ class FrameOfReference(Codec):
         out = unpack_uints_range(payload[9:], n, w, start,
                                  stop).astype(np.int64) + ref
         return out.astype(dtype)
+
+    def agg_sum(self, payload, n, dtype):
+        ref, w = struct.unpack_from("<qB", payload, 0)
+        return ref * n + _exact_sum_u64(unpack_uints(payload[9:], n, w))
 
 
 class Dictionary(Codec):
@@ -189,6 +248,24 @@ class Dictionary(Codec):
                                    start, stop)
         return uniq[codes].astype(dtype)
 
+    def agg_sum(self, payload, n, dtype):
+        # sum = ref*n + sum_k(dict_delta_k * count_k): one bincount over
+        # the unpacked codes + a k-element dot, k = dictionary cardinality
+        k, code_w, ref, dict_w = struct.unpack_from("<IBqB", payload, 0)
+        if n == 0:
+            return 0
+        (dict_len,) = struct.unpack_from("<I", payload, 14)
+        off = 18
+        deltas = unpack_uints(payload[off:off + dict_len], k, dict_w)
+        codes = unpack_uints(payload[off + dict_len:], n, code_w)
+        counts = np.bincount(codes.astype(np.int64), minlength=k)
+        max_delta = int(deltas[-1]) if k else 0      # dict is sorted
+        if _dot_fits_i64(max_delta, n):
+            part = int(np.dot(deltas.astype(np.int64), counts))
+        else:   # exact object-dtype dot; k is small relative to n
+            part = int(np.dot(deltas.astype(object), counts.astype(object)))
+        return ref * n + part
+
 
 class RunLength(Codec):
     """RLE: exact-equality run detection (integer-native find_runs idiom,
@@ -223,6 +300,24 @@ class RunLength(Codec):
         runs = unpack_uints(payload[off:off + runs_nbytes], nruns, run_w) + np.uint64(1)
         values = unpack_uints(payload[off + runs_nbytes:], nruns, val_w).astype(np.int64) + vref
         return np.repeat(values.astype(dtype), runs.astype(np.int64))
+
+    def agg_sum(self, payload, n, dtype):
+        # sum = vref*n + sum_i(vdelta_i * run_i) over nruns elements —
+        # the decoded array is never materialized
+        nruns, run_w, vref, val_w = struct.unpack_from("<IBqB", payload, 0)
+        if n == 0 or nruns == 0:
+            return 0
+        off = 14
+        runs_nbytes = (nruns * run_w + 7) // 8
+        runs = unpack_uints(payload[off:off + runs_nbytes], nruns,
+                            run_w).astype(np.int64) + 1
+        vdeltas = unpack_uints(payload[off + runs_nbytes:], nruns, val_w)
+        max_delta = int(vdeltas.max())
+        if _dot_fits_i64(max_delta, n):
+            part = int(np.dot(vdeltas.astype(np.int64), runs))
+        else:
+            part = int(np.dot(vdeltas.astype(object), runs.astype(object)))
+        return vref * n + part
 
 
 class Delta(Codec):
@@ -262,6 +357,28 @@ class Delta(Codec):
         np.cumsum(d, out=out[1:])
         out[1:] += np.uint64(first)
         return out.astype(np.int64).astype(dtype)
+
+    def agg_sum(self, payload, n, dtype):
+        # sum_j(x_j) = n*first + sum_i((n-1-i) * d_i): one (n-1)-element
+        # dot instead of cumsum + materialized decode.  Only valid when
+        # no prefix can leave int64 (decode's modular arithmetic would
+        # diverge from exact arithmetic otherwise) and the dot itself is
+        # int64-provable — both guards fall back to decode.
+        first, w = struct.unpack_from("<qB", payload, 0)
+        if n == 0:
+            return 0
+        if n == 1:
+            return first
+        max_abs_d = 1 << max(w - 1, 0)           # zigzag: |d| <= 2^(w-1)
+        prefix_bound = abs(first) + (n - 1) * max_abs_d
+        dot_bound = (n - 1) * (n - 1) * max_abs_d
+        if prefix_bound >= (1 << 62) or dot_bound >= (1 << 62):
+            return super().agg_sum(payload, n, dtype)
+        z = unpack_uints(payload[9:], n - 1, w)
+        d = ((z >> np.uint64(1)) ^ (np.uint64(0) - (z & np.uint64(1)))) \
+            .view(np.int64)
+        weights = np.arange(n - 1, 0, -1, dtype=np.int64)
+        return n * first + int(np.dot(weights, d))
 
 
 # 2^0 .. 2^63 — searchsorted(_POW2, d, side="right") == bit_width(d) for
@@ -371,6 +488,21 @@ class PatchedFor(Codec):
             sel = (pos >= start) & (pos < stop)
             out[pos[sel] - start] |= high[sel] << np.uint64(w)
         return (out.astype(np.int64) + ref).astype(dtype)
+
+    def agg_sum(self, payload, n, dtype):
+        # main codes already hold each exception's LOW w bits, so
+        # sum = ref*n + sum(main) + (sum(high) << w) — no patch scatter
+        ref, w, n_exc, pos_w, high_w = struct.unpack_from("<qBIBB",
+                                                          payload, 0)
+        off = 15
+        main_nbytes = (n * w + 7) // 8
+        total = ref * n + _exact_sum_u64(
+            unpack_uints(payload[off:off + main_nbytes], n, w))
+        if n_exc:
+            off += main_nbytes + (n_exc * pos_w + 7) // 8
+            high = unpack_uints(payload[off:], n_exc, high_w)
+            total += _exact_sum_u64(high) << w
+        return total
 
 
 # powers of ten 10^0..10^18 are exactly representable in float64 (every
@@ -1034,3 +1166,19 @@ def decode_range(codec: str, payload: bytes, n: int, dtype,
     if fn is not None:
         return fn(payload, n, dtype, start, stop)
     return c.decode(payload, n, dtype)[start:stop].copy()
+
+
+def agg_sum(codec: str, payload: bytes, n: int, dtype) -> int:
+    """Exact integer SUM of an encoded chunk, computed in the compressed
+    domain where the codec's streams allow it (rle: runs x values over
+    nruns elements; dict: code histogram x dictionary; for/pfor: ref*n +
+    code sums; delta: a weighted dot over the deltas) and by decode +
+    exact split-sum otherwise.  Integer dtypes only — float sums are not
+    associativity-stable across engines, so they stay out of the exact
+    aggregate contract (use decode + your own float reduction)."""
+    dtype = np.dtype(dtype)
+    if dtype.kind not in "iu":
+        raise TypeError(f"agg_sum is integer-only, got {dtype}")
+    if n == 0:
+        return 0
+    return CODECS[codec].agg_sum(payload, n, dtype)

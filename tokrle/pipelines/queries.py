@@ -1337,6 +1337,30 @@ def zonemap_pruned_scan_stats(sf_dir: str) -> pd.DataFrame:
                          for k in ("n_rows", "sum_orderkey", "sum_partkey")})
 
 
+def encoded_agg_stats(sf_dir: str) -> pd.DataFrame:
+    """Compressed-domain aggregation: four lineitem integer columns are
+    table-encoded to Parquet, then COUNT/SUM/MIN/MAX are answered from
+    the codec payloads alone (rle: runs x values; dict: code histogram x
+    dictionary; for/pfor: ref*n + code sums; delta: weighted delta dot)
+    plus the zone-map extrema — no decoded column is ever materialized.
+    The four columns deliberately land on different codecs (sorted keys
+    -> delta, low-cardinality -> dict/rle, uniform keys -> bitpack/for),
+    so the oracle exercises every closed-form sum path end to end."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_column_agg)
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"), "enc_agg")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols)
+    encode_table_columns(ds, cols, batch_size=8192).write_parquet(enc_dir)
+    return encoded_column_agg(enc_dir, cols)
+
+
 def columnar_encode_floats(sf_dir: str) -> pd.DataFrame:
     """Float columns through the generic table encode: doubles are
     encoded as their int64 bit patterns (repeated-value columns like

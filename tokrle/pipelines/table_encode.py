@@ -283,6 +283,81 @@ def range_scan(enc_dir: str, columns: list[str],
         {"chunks_total": n_total, "chunks_scanned": n_kept}
 
 
+def encoded_column_agg(enc_dir: str, columns: list[str]):
+    """COUNT/SUM/MIN/MAX over encoded integer columns WITHOUT decoding.
+
+    Reads only the metadata + payload columns of a table-encode directory
+    (column-pruned Parquet scan), answers SUM per chunk in the compressed
+    domain via :func:`tokrle.codecs.core.agg_sum` (rle: runs x values
+    over nruns elements; dict: code histogram x dictionary; for/pfor:
+    ref*n + code sums) and MIN/MAX from the zone-map extrema recorded at
+    encode time — the decoded column is never materialized anywhere.
+
+    Exactness: per-chunk sums are Python-int exact; cross-chunk partials
+    travel as Arrow int64, so a |partial| >= 2^63 raises loudly instead
+    of wrapping.  Nullable chunks raise (encode fills nulls with 0, which
+    would silently skew SUM/MIN/MAX).  Returns one row per column:
+    ``(col, n, sum_val, min_val, max_val)``.
+    """
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    from tokrle.codecs.core import agg_sum
+
+    need = ["n_rows"]
+    for c in columns:
+        need += [f"{c}__codec", f"{c}__payload", f"{c}__dtype",
+                 f"{c}__vmin", f"{c}__vmax", f"{c}__valid"]
+    ds = ray.data.read_parquet(enc_dir, columns=need)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        out = {"n": pa.array([int(nrows.sum())], type=pa.int64())}
+        for c in columns:
+            codecs = batch.column(f"{c}__codec").to_pylist()
+            dtypes = batch.column(f"{c}__dtype").to_pylist()
+            payloads = batch.column(f"{c}__payload")
+            valids = batch.column(f"{c}__valid")
+            total = 0
+            for i, codec in enumerate(codecs):
+                if len(valids[i].as_py() or b""):
+                    raise ValueError(
+                        f"column {c!r}: nullable chunks not supported by "
+                        "the compressed-domain aggregate (encode fills "
+                        "nulls with 0)")
+                total += agg_sum(codec,
+                                 memoryview(payloads[i].as_buffer()),
+                                 int(nrows[i]), np.dtype(dtypes[i]))
+            vmin = batch.column(f"{c}__vmin").to_numpy(
+                zero_copy_only=False)
+            vmax = batch.column(f"{c}__vmax").to_numpy(
+                zero_copy_only=False)
+            keep = nrows > 0
+            out[f"sum_{c}"] = pa.array([total], type=pa.int64())
+            out[f"min_{c}"] = pa.array(
+                [int(vmin[keep].min()) if keep.any() else None],
+                type=pa.int64())
+            out[f"max_{c}"] = pa.array(
+                [int(vmax[keep].max()) if keep.any() else None],
+                type=pa.int64())
+        return pa.table(out)
+
+    aggs = [Sum("n", alias_name="n")]
+    for c in columns:
+        aggs += [Sum(f"sum_{c}", alias_name=f"sum_{c}"),
+                 Min(f"min_{c}", alias_name=f"min_{c}"),
+                 Max(f"max_{c}", alias_name=f"max_{c}")]
+    row = ds.map_batches(partial, batch_format="pyarrow").aggregate(*aggs)
+    return pd.DataFrame({
+        "col": columns,
+        "n": [int(row["n"])] * len(columns),
+        "sum_val": [int(row[f"sum_{c}"]) for c in columns],
+        "min_val": [int(row[f"min_{c}"]) for c in columns],
+        "max_val": [int(row[f"max_{c}"]) for c in columns],
+    })
+
+
 def _column_checksums(ds, columns: list[str]) -> dict:
     """Order-independent per-column checksums, computed distributed: row
     count plus a sum of vectorized 64-bit content hashes per column (so

@@ -4,8 +4,11 @@ entry at the given sf and compare to its oracle_sql() via DuckDB
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import numpy as np
