@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_docs_stats": Q.fetch_docs_stats,
         "columnar_encode_floats": Q.columnar_encode_floats,
         "encoded_agg_stats": Q.encoded_agg_stats,
+        "bpe_first_merge": Q.bpe_first_merge,
+        "bpe_roundtrip_stats": Q.bpe_roundtrip_stats,
         "decontam_stats": Q.decontam_stats,
         "dup_span_stats": Q.dup_span_stats,
         "redact_stats": Q.redact_stats,
@@ -213,6 +215,33 @@ def oracle_sql() -> dict[str, str]:
                cast(min(cast(l_quantity AS bigint)) AS bigint)   AS min_qty,
                cast(max(cast(l_quantity AS bigint)) AS bigint)   AS max_qty
         FROM lineitem
+    """
+
+    sql["bpe_first_merge"] = """
+        WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        pairs AS (
+            SELECT unnest([{'a': ascii(ws[i]) * 32 + length(ws[i]),
+                            'b': ascii(ws[i+1]) * 32 + length(ws[i+1])}
+                           for i in range(1, len(ws))],
+                          recursive := true)
+            FROM w)
+        SELECT cast(a AS bigint) AS pair_a,
+               cast(b AS bigint) AS pair_b,
+               cast(count(*) AS bigint) AS pair_count
+        FROM pairs
+        GROUP BY a, b
+        ORDER BY pair_count DESC, pair_a, pair_b
+        LIMIT 1
+    """
+
+    # the oracle checks the EXPANDED (merge-table round-tripped) corpus
+    # against the untouched documents — losslessness, not the merges
+    sql["bpe_roundtrip_stats"] = """
+        SELECT cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
+               cast(count(*) AS bigint)               AS n_tokens,
+               cast(sum(ascii(w) * 32 + length(w)) AS bigint) AS sum_tokens
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
     """
 
     sql["encoded_agg_stats"] = """

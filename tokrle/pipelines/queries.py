@@ -1337,6 +1337,68 @@ def zonemap_pruned_scan_stats(sf_dir: str) -> pd.DataFrame:
                          for k in ("n_rows", "sum_orderkey", "sum_partkey")})
 
 
+BPE_MERGES = 6
+
+
+def bpe_first_merge(sf_dir: str) -> pd.DataFrame:
+    """One round of distributed BPE: the globally most frequent adjacent
+    token pair (count desc, then smallest pair — a pure integer
+    tie-break).  The exchange moves per-batch (pair, count) partials,
+    never tokens; SQL reproduces it with a list comprehension over the
+    word arrays."""
+    from tokrle.functions.bpe import train_bpe
+    from tokrle.sources.tokens import documents_to_tokens
+
+    merges, _ = train_bpe(documents_to_tokens(sf_dir), 1,
+                          first_new_id=1 << 20)
+    m = merges[0]
+    return pd.DataFrame({"pair_a": [m["pair_a"]],
+                         "pair_b": [m["pair_b"]],
+                         "pair_count": [m["pair_count"]]})
+
+
+def bpe_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
+    """Train a BPE merge table (6 rounds), then EXPAND the merged corpus
+    back and aggregate it: the merge table is lossless, so the round-trip
+    must reproduce the original corpus aggregates exactly (the oracle
+    never sees the merge table — it checks the untouched corpus).  Also
+    asserts in-pipeline that the merges actually shrank the corpus."""
+    from ray.data.aggregate import Sum
+
+    from tokrle.functions.bpe import expand_bpe, train_bpe
+    from tokrle.sources.tokens import documents_to_tokens
+    from tokrle.stages.encoder import _flat_tokens
+
+    ds = documents_to_tokens(sf_dir)
+    merges, merged = train_bpe(ds, BPE_MERGES, first_new_id=1 << 20)
+    assert len(merges) == BPE_MERGES
+
+    def agg(d):
+        def per_batch(batch: pa.Table) -> pa.Table:
+            values, _ = _flat_tokens(batch)
+            return pa.table({
+                "n_docs": pa.array([len(batch)], type=pa.int64()),
+                "n_tokens": pa.array([len(values)], type=pa.int64()),
+                "sum_tokens": pa.array(
+                    [int(values.astype(np.int64).sum())
+                     if len(values) else 0], type=pa.int64()),
+            })
+
+        row = d.map_batches(per_batch, batch_format="pyarrow").aggregate(
+            *[Sum(c, alias_name=c)
+              for c in ("n_docs", "n_tokens", "sum_tokens")])
+        return {k: int(row[k]) for k in row}
+
+    merged_stats = agg(merged)
+    back_stats = agg(expand_bpe(merged, merges))
+    # pair_count counts overlapping occurrences (runs of a==b merge
+    # fewer times than their count), so shrinkage is bounded, not equal
+    saved = sum(m["pair_count"] for m in merges)
+    assert back_stats["n_tokens"] - saved <= merged_stats["n_tokens"] \
+        < back_stats["n_tokens"], "merge bookkeeping diverged"
+    return pd.DataFrame({k: [v] for k, v in back_stats.items()})
+
+
 def encoded_agg_stats(sf_dir: str) -> pd.DataFrame:
     """Compressed-domain aggregation: four lineitem integer columns are
     table-encoded to Parquet, then COUNT/SUM/MIN/MAX are answered from
