@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_overlap_stats": Q.range_overlap_stats,
         "tfidf_top_terms_stats": Q.tfidf_top_terms_stats,
         "stratified_sample_stats": Q.stratified_sample_stats,
+        "curriculum_topk_stats": Q.curriculum_topk_stats,
         "semantic_cluster_stats": Q.semantic_cluster_stats,  # rows-only (kmeans)
         "lang_id": Q.lang_id,               # rows-only (heuristic model)
         "simhash_signatures": Q.simhash_signatures,  # rows-only
@@ -490,6 +491,25 @@ def oracle_sql() -> dict[str, str]:
                cast(sum(doc_id) AS bigint)    AS sum_doc_id,
                cast(sum(n_chars) AS bigint)   AS sum_n_chars
         FROM ranked WHERE rn <= {STRATIFIED_K}
+        GROUP BY source ORDER BY source
+    """
+
+    from tokrle.pipelines.queries import TOPK_K
+
+    sql["curriculum_topk_stats"] = f"""
+        WITH ranked AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC,
+                                               doc_id) AS rn
+            FROM documents)
+        SELECT source,
+               cast(count(*) AS bigint)       AS n_kept,
+               cast(sum(doc_id) AS bigint)    AS sum_doc_id,
+               cast(sum(n_chars) AS bigint)   AS sum_n_chars,
+               cast(min(n_chars) AS bigint)   AS min_n_chars,
+               cast(max(n_chars) AS bigint)   AS max_n_chars
+        FROM ranked WHERE rn <= {TOPK_K}
         GROUP BY source ORDER BY source
     """
 

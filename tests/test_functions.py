@@ -1224,3 +1224,52 @@ def test_split_sequences_matches_dense_oracle(ray_session):
     # n_tok column matches each chunk's true length; source passed through
     assert (out["n_tok"] == out["tokens"].map(len)).all()
     assert (out["source"] == "s").all()
+
+
+def test_top_k_by_score_partitioning_invariant(ray_session):
+    """Exact best-k per key by score (ties on id), identical row set
+    across block layouts, small keys keep everything."""
+    import ray.data
+
+    from tokrle.functions.sampling import top_k_by_score
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "doc_id": np.arange(200),
+        "source": (["a"] * 120 + ["b"] * 77 + ["c"] * 3),
+        "score": rng.integers(0, 50, 200),   # dense scores -> real ties
+    })
+    k = 6
+    sel = dict(key="source", score_col="score", k=k, id_col="doc_id")
+    got1 = top_k_by_score(ray.data.from_pandas(df), **sel) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got8 = top_k_by_score(ray.data.from_pandas(df).repartition(8), **sel) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got1.equals(got8)
+    counts = got1.groupby("source").size()
+    assert counts["a"] == k and counts["b"] == k and counts["c"] == 3
+    want = df.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).groupby("source").head(k)
+    assert sorted(got1["doc_id"]) == sorted(want["doc_id"])
+    # ascending variant: k smallest scores
+    asc = top_k_by_score(ray.data.from_pandas(df), descending=False,
+                         **sel).to_pandas()
+    want_asc = df.sort_values(["score", "doc_id"]).groupby("source").head(k)
+    assert sorted(asc["doc_id"]) == sorted(want_asc["doc_id"])
+
+
+def test_curriculum_topk_stats_matches_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    got = E.queries()["curriculum_topk_stats"](sf)
+    want = con.sql(E.oracle_sql()["curriculum_topk_stats"]).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].reset_index(drop=True).astype(str),
+        want[cols].reset_index(drop=True).astype(str))

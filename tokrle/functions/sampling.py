@@ -53,6 +53,56 @@ def _topk_kernel(batch: pa.Table, *, key: str, k: int, id_col: str,
     return batch.take(pa.array(np.sort(keep), type=pa.int64()))
 
 
+def _topk_score_kernel(batch: pa.Table, *, key: str, k: int,
+                       score_col: str, id_col: str,
+                       descending: bool) -> pa.Table:
+    """Keep each key's k best (score, id) rows — same one-lexsort shape
+    as :func:`_topk_kernel` with the hash rank swapped for a real score
+    column (ties broken by ascending id, so the row set is total-ordered
+    and SQL-reproducible)."""
+    import pandas as pd
+
+    if len(batch) == 0:
+        return batch
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    keys = batch.column(key).to_numpy(zero_copy_only=False)
+    s = batch.column(score_col).to_numpy(zero_copy_only=False)
+    if descending:
+        s = -s.astype(np.int64) if s.dtype.kind in "iu" else -s
+    codes, _ = pd.factorize(keys)
+    order = np.lexsort((ids, s, codes))
+    c = codes[order]
+    starts = np.flatnonzero(np.concatenate(([True], c[1:] != c[:-1])))
+    group_sizes = np.diff(np.concatenate((starts, [len(c)])))
+    pos_in_group = (np.arange(len(c), dtype=np.int64)
+                    - np.repeat(starts, group_sizes))
+    keep = order[pos_in_group < k]
+    return batch.take(pa.array(np.sort(keep), type=pa.int64()))
+
+
+def top_k_by_score(ds, *, key: str = "source", score_col: str,
+                   k: int = 10, id_col: str = "doc_id",
+                   descending: bool = True,
+                   num_partitions: int | None = None):
+    """Curriculum-style selection: the k best rows per key by a score
+    column (exact, deterministic — ties on ascending id).  Same scale
+    shape as :func:`stratified_sample`: a map stage prunes every batch
+    to its local top-k per key, ONE hash exchange co-locates keys, and
+    the same kernel finalizes per block — rows beyond the local quota
+    never enter the exchange, so the shuffle volume is bounded by
+    k x keys x blocks regardless of input size."""
+    from tokrle.functions.dedup import _group_blocks
+
+    kw = {"key": key, "k": k, "score_col": score_col, "id_col": id_col,
+          "descending": descending}
+    pruned = ds.map_batches(lambda b: _topk_score_kernel(b, **kw),
+                            batch_format="pyarrow")
+    grouped = _group_blocks(pruned, keys=[key],
+                            num_partitions=num_partitions)
+    return grouped.map_batches(lambda b: _topk_score_kernel(b, **kw),
+                               batch_size=None, batch_format="pyarrow")
+
+
 def stratified_sample(ds, *, key: str = "source", k: int = 10,
                       id_col: str = "doc_id", seed: int = 0,
                       num_partitions: int | None = None):

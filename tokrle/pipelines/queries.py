@@ -1825,6 +1825,33 @@ def stratified_sample_stats(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("source").reset_index(drop=True)
 
 
+TOPK_K = 7
+
+
+def curriculum_topk_stats(sf_dir: str) -> pd.DataFrame:
+    """Curriculum selection: the k longest documents per source (score =
+    n_chars desc, ties on doc_id asc).  Local per-batch top-k prune ->
+    one key-co-locating exchange -> block-local finalize; the oracle
+    re-derives the IDENTICAL row set with a window rank."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from tokrle.functions.sampling import top_k_by_score
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    kept = top_k_by_score(ds, key="source", score_col="n_chars",
+                          k=TOPK_K, id_col="doc_id")
+    df = kept.groupby("source").aggregate(
+        Count(alias_name="n_kept"),
+        Sum("doc_id", alias_name="sum_doc_id"),
+        Sum("n_chars", alias_name="sum_n_chars"),
+        Min("n_chars", alias_name="min_n_chars"),
+        Max("n_chars", alias_name="max_n_chars")).to_pandas()
+    for c in ("n_kept", "sum_doc_id", "sum_n_chars", "min_n_chars",
+              "max_n_chars"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
 def semantic_cluster_stats(sf_dir: str) -> pd.DataFrame:
     """Distributed spherical k-means over the embeddings table (SemDeDup
     building block): per cluster, member count and exact sum of vec_ids
