@@ -102,8 +102,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_unique_tokens": Q.hll_unique_tokens,  # rows-only (approximate)
     }
     for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "pfor",
-                  "fsst"):
+                  "xor", "fsst"):
         d[f"codec_roundtrip_{codec}"] = partial(Q.codec_roundtrip, codec=codec)
+    d["codec_roundtrip_xor_float"] = partial(Q.codec_roundtrip_float,
+                                             codec="xor")
     d["fsst_text_roundtrip"] = Q.fsst_text_roundtrip
     d["fsstg_text_roundtrip"] = partial(Q.fsst_text_roundtrip, codec="fsstg")
     d["codec_roundtrip_fsstg"] = partial(Q.codec_roundtrip, codec="fsstg")
@@ -538,7 +540,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "pfor",
-                  "fsst"):
+                  "xor", "fsst"):
         sql[f"codec_roundtrip_{codec}"] = _CODEC_ROUNDTRIP_SQL
 
     sql["fsst_text_roundtrip"] = """
@@ -580,6 +582,8 @@ def oracle_sql() -> dict[str, str]:
                     AS bigint)          AS max_cents
         FROM lineitem
     """
+
+    sql["codec_roundtrip_xor_float"] = sql["codec_roundtrip_alp"]
 
     sql["coverage_total"] = _COV_AGG.format(ivl=_IVL)
     sql["coverage_add"] = _COV_AGG.format(ivl=_IVL)  # a+b == all intervals

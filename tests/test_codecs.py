@@ -447,3 +447,48 @@ def test_agg_sum_rejects_floats():
     payload = encode("plain", x.view(np.int64))
     with pytest.raises(TypeError):
         agg_sum("plain", payload, 2, np.float64)
+
+
+def test_xor_wins_on_truncated_precision_floats():
+    """xor's unique niche: HIGH-cardinality float64 streams with shared
+    high bits AND trailing-zero low bits (float32-upcast / quantized
+    data) — dict loses to cardinality, delta/FOR can't trim the 29 zero
+    mantissa bits, xor's chunk trim removes them.  Smooth full-precision
+    streams stay with delta (IEEE bit patterns are order-preserving, so
+    integer deltas are already narrow — xor must NOT displace it)."""
+    rng = np.random.default_rng(21)
+    sensor = (50 + np.cumsum(rng.standard_normal(20000) * 0.01)) \
+        .astype(np.float32).astype(np.float64)
+    c, payload, _ = auto_encode(sensor)
+    assert c == "xor", c
+    out = decode(c, payload, len(sensor), sensor.dtype)
+    assert np.array_equal(out.view(np.int64), sensor.view(np.int64))
+    assert len(payload) * 2 < sensor.nbytes     # > 2x on upcast data
+
+    smooth = 1000.0 + np.cumsum(rng.standard_normal(20000) * 1e-4)
+    c2, p2, _ = auto_encode(smooth)
+    assert c2 == "delta", c2                    # xor must not displace it
+    out2 = decode(c2, p2, len(smooth), smooth.dtype)
+    assert np.array_equal(out2.view(np.int64), smooth.view(np.int64))
+
+    # specials round-trip through the forced codec too
+    weird = np.array([np.nan, -np.inf, -0.0, 1e-310, 5.5] * 50)
+    pw = encode("xor", weird)
+    assert np.array_equal(decode("xor", pw, len(weird),
+                                 weird.dtype).view(np.int64),
+                          weird.view(np.int64))
+
+
+def test_xor_never_selected_when_it_loses():
+    """Random doubles (mantissa entropy ~ full width) must NOT pick xor
+    over plain; decimal columns must still pick alp."""
+    rng = np.random.default_rng(4)
+    noise = rng.standard_normal(8000) * np.exp(rng.integers(-300, 300, 8000))
+    c, payload, _ = auto_encode(noise)
+    out = decode(c, payload, len(noise), noise.dtype)
+    assert np.array_equal(out.view(np.int64), noise.view(np.int64))
+    assert len(payload) <= noise.nbytes + 16
+
+    decimals = np.round(rng.uniform(0, 1000, 8000), 2)
+    c2, _, _ = auto_encode(decimals)
+    assert c2 == "alp", c2

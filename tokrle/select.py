@@ -222,10 +222,18 @@ def auto_encode(x: np.ndarray) -> tuple[str, bytes, ChunkProfile]:
     est = estimate_sizes(p)
     codec = min(est, key=est.__getitem__)
     if is_float:
-        from tokrle.codecs.core import alp_estimate
+        from tokrle.codecs.core import alp_estimate, xor_estimate
 
         if alp_estimate(x) < est[codec]:
             codec = "alp"
+            est[codec] = alp_estimate(x)
+        # XOR-of-previous competes on smooth non-decimal float streams
+        # (sensor-like series, sorted floats): sign/exponent/high-mantissa
+        # bits cancel where integer-domain deltas of the BIT PATTERNS
+        # explode.  64-bit inputs only: xor trims bits from the uint64
+        # view, which is a pure win only at full width.
+        if x.dtype.itemsize == 8 and xor_estimate(x) < est[codec]:
+            codec = "xor"
     payload = encode(codec, x, p.vmin, p.vmax)
     # the analytic estimate can rarely lose to plain on adversarial input;
     # never ship a payload larger than raw
