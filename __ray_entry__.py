@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_docs_stats": Q.fetch_docs_stats,
         "columnar_encode_floats": Q.columnar_encode_floats,
         "encoded_agg_stats": Q.encoded_agg_stats,
+        "encoded_range_agg_stats": Q.encoded_range_agg_stats,
         "bpe_first_merge": Q.bpe_first_merge,
         "bpe_roundtrip_stats": Q.bpe_roundtrip_stats,
         "decontam_stats": Q.decontam_stats,
@@ -261,6 +262,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'l_linenumber', l_linenumber FROM lineitem
         ) GROUP BY col
+    """
+
+    from tokrle.pipelines.queries import RANGE_AGG_HI, RANGE_AGG_LO
+
+    sql["encoded_range_agg_stats"] = f"""
+        SELECT cast(count(*) AS bigint)         AS n_rows,
+               cast(sum(l_orderkey) AS bigint)  AS sum_l_orderkey,
+               cast(sum(l_partkey) AS bigint)   AS sum_l_partkey
+        FROM lineitem
+        WHERE l_suppkey BETWEEN {RANGE_AGG_LO} AND {RANGE_AGG_HI}
     """
 
     sql["fetch_docs_stats"] = """

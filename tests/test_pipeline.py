@@ -603,3 +603,48 @@ def test_encoded_column_agg_rejects_nullable(ray_session, tmp_path):
     encode_table_columns(ds, ["x"], batch_size=64).write_parquet(out_dir)
     with pytest.raises(Exception, match="nullable"):
         encoded_column_agg(out_dir, ["x"])
+
+
+def test_encoded_range_agg_three_way_split(ray_session, tmp_path):
+    """Clustered table: filtered SUM must split chunks into skipped /
+    interior (compressed-domain) / boundary (decode) classes and match
+    a direct pandas aggregate exactly."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_range_agg)
+
+    rng = np.random.default_rng(13)
+    n = 40000
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 1000, n)),
+        "v1": rng.integers(-500, 500, n),
+        "v2": np.repeat(rng.integers(0, 9, 400), 100),   # rle-friendly
+    })
+    out_dir = str(tmp_path / "ra")
+    encode_table_columns(ray.data.from_pandas(df), ["k", "v1", "v2"],
+                         batch_size=2048).write_parquet(out_dir)
+
+    lo, hi = 200, 700
+    got, counters = encoded_range_agg(out_dir, "k", lo, hi, ["v1", "v2"])
+    sel = df[(df["k"] >= lo) & (df["k"] <= hi)]
+    assert got.loc[0, "n_rows"] == len(sel)
+    assert got.loc[0, "sum_v1"] == int(sel["v1"].sum())
+    assert got.loc[0, "sum_v2"] == int(sel["v2"].sum())
+    assert counters["chunks_skipped"] > 0, counters
+    assert counters["chunks_interior"] > 0, counters
+    assert counters["chunks_boundary"] > 0, counters
+    assert sum(counters[k] for k in
+               ("chunks_skipped", "chunks_interior",
+                "chunks_boundary")) == counters["chunks_total"]
+
+    # unclustered table: still exact, everything lands in boundary
+    shuf = df.sample(frac=1, random_state=0).reset_index(drop=True)
+    out2 = str(tmp_path / "ra2")
+    encode_table_columns(ray.data.from_pandas(shuf), ["k", "v1"],
+                         batch_size=2048).write_parquet(out2)
+    got2, c2 = encoded_range_agg(out2, "k", lo, hi, ["v1"])
+    assert got2.loc[0, "n_rows"] == len(sel)
+    assert got2.loc[0, "sum_v1"] == int(sel["v1"].sum())
+    assert c2["chunks_interior"] == 0 and c2["chunks_skipped"] == 0

@@ -1423,6 +1423,41 @@ def encoded_agg_stats(sf_dir: str) -> pd.DataFrame:
     return encoded_column_agg(enc_dir, cols)
 
 
+RANGE_AGG_LO, RANGE_AGG_HI = 3, 6
+
+
+def encoded_range_agg_stats(sf_dir: str) -> pd.DataFrame:
+    """Filtered aggregation pushed into the encoded layout: lineitem is
+    clustered (sorted) on l_suppkey and table-encoded; SUM/COUNT over a
+    key range then splits chunks three ways — outside chunks' payloads
+    never leave storage, INTERIOR chunks aggregate in the compressed
+    domain (agg_sum over codec streams, no decode), and only the two
+    cluster-boundary chunks decode.  Asserts all three classes are
+    non-empty before returning the SQL-comparable row."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_range_agg)
+
+    cols = ["l_suppkey", "l_orderkey", "l_partkey"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "range_agg")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
+
+    df, counters = encoded_range_agg(
+        enc_dir, "l_suppkey", RANGE_AGG_LO, RANGE_AGG_HI,
+        ["l_orderkey", "l_partkey"])
+    if counters["chunks_total"] > 8:
+        assert counters["chunks_skipped"] > 0, counters
+        assert counters["chunks_interior"] > 0, \
+            f"compressed-domain path never ran: {counters}"
+    return df
+
+
 def columnar_encode_floats(sf_dir: str) -> pd.DataFrame:
     """Float columns through the generic table encode: doubles are
     encoded as their int64 bit patterns (repeated-value columns like

@@ -358,6 +358,123 @@ def encoded_column_agg(enc_dir: str, columns: list[str]):
     })
 
 
+def encoded_range_agg(enc_dir: str, key_col: str, lo: int, hi: int,
+                      agg_cols: list[str]):
+    """COUNT/SUM of ``agg_cols`` over rows with ``key_col`` in
+    ``[lo, hi]``, answered from a clustered table-encode directory with
+    a three-way chunk split:
+
+    - chunks whose zone map lies OUTSIDE the range: payloads never leave
+      storage (predicate pushed into the Parquet scan);
+    - INTERIOR chunks (``vmin >= lo and vmax <= hi``): every row
+      qualifies, so SUM comes from :func:`tokrle.codecs.core.agg_sum`
+      in the compressed domain — neither the key nor the agg column is
+      decoded;
+    - BOUNDARY chunks: decode the key, mask, decode + mask-sum the agg
+      columns (the only decode in the whole query, proportional to the
+      cluster boundary, not the selected volume).
+
+    Returns ``(DataFrame, counters)`` where counters report the chunk
+    split so callers can assert the layout actually pruned and the
+    compressed-domain path actually ran.  Integer columns only; the
+    table should be clustered (sorted / z-ordered) on ``key_col`` for
+    the split to be effective — on an unclustered table everything
+    lands in the boundary class, which is correct but decodes."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from tokrle.codecs.core import agg_sum, decode as codec_decode
+
+    inside = (pc.field(f"{key_col}__vmin") >= lo) & \
+        (pc.field(f"{key_col}__vmax") <= hi)
+    overlap = (pc.field(f"{key_col}__vmax") >= lo) & \
+        (pc.field(f"{key_col}__vmin") <= hi)
+    boundary = overlap & ~inside
+
+    meta_cols = ["n_rows", f"{key_col}__vmin", f"{key_col}__vmax"]
+    n_total = ray.data.read_parquet(enc_dir, columns=meta_cols).count()
+    agg_payload_cols = ["n_rows"] + [
+        f"{c}__{part}" for c in agg_cols
+        for part in ("codec", "payload", "dtype", "valid")]
+
+    def _check_valid(batch: pa.Table, c: str, i: int) -> None:
+        if len(batch.column(f"{c}__valid")[i].as_py() or b""):
+            raise ValueError(
+                f"column {c!r}: nullable chunks not supported by the "
+                "compressed-domain aggregate")
+
+    def interior_partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        out = {"n": pa.array([int(nrows.sum())], type=pa.int64()),
+               "chunks": pa.array([len(batch)], type=pa.int64())}
+        for c in agg_cols:
+            total = 0
+            for i in range(len(batch)):
+                _check_valid(batch, c, i)
+                total += agg_sum(
+                    batch.column(f"{c}__codec")[i].as_py(),
+                    memoryview(batch.column(f"{c}__payload")[i]
+                               .as_buffer()),
+                    int(nrows[i]),
+                    np.dtype(batch.column(f"{c}__dtype")[i].as_py()))
+            out[f"sum_{c}"] = pa.array([total], type=pa.int64())
+        return pa.table(out)
+
+    def boundary_partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        n_sel = 0
+        sums = dict.fromkeys(agg_cols, 0)
+        for i in range(len(batch)):
+            n = int(nrows[i])
+            key = codec_decode(
+                batch.column(f"{key_col}__codec")[i].as_py(),
+                memoryview(batch.column(f"{key_col}__payload")[i]
+                           .as_buffer()),
+                n, np.dtype(batch.column(f"{key_col}__dtype")[i].as_py()))
+            mask = (key >= lo) & (key <= hi)
+            n_sel += int(np.count_nonzero(mask))
+            for c in agg_cols:
+                _check_valid(batch, c, i)
+                v = codec_decode(
+                    batch.column(f"{c}__codec")[i].as_py(),
+                    memoryview(batch.column(f"{c}__payload")[i]
+                               .as_buffer()),
+                    n, np.dtype(batch.column(f"{c}__dtype")[i].as_py()))
+                sums[c] += int(v[mask].astype(np.int64).sum())
+        out = {"n": pa.array([n_sel], type=pa.int64()),
+               "chunks": pa.array([len(batch)], type=pa.int64())}
+        for c in agg_cols:
+            out[f"sum_{c}"] = pa.array([sums[c]], type=pa.int64())
+        return pa.table(out)
+
+    def _run(filt, cols, fn):
+        ds = ray.data.read_parquet(enc_dir, columns=cols, filter=filt)
+        aggs = [Sum("n", alias_name="n"),
+                Sum("chunks", alias_name="chunks")] + \
+            [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in agg_cols]
+        row = ds.map_batches(fn, batch_format="pyarrow").aggregate(*aggs)
+        return {k: int(row[k] or 0) for k in
+                ["n", "chunks"] + [f"sum_{c}" for c in agg_cols]}
+
+    ri = _run(inside, agg_payload_cols, interior_partial)
+    rb = _run(boundary, list(dict.fromkeys(
+        agg_payload_cols + [f"{key_col}__{p}"
+                            for p in ("codec", "payload", "dtype")])),
+        boundary_partial)
+    counters = {"chunks_total": n_total,
+                "chunks_interior": ri["chunks"],
+                "chunks_boundary": rb["chunks"],
+                "chunks_skipped": n_total - ri["chunks"] - rb["chunks"]}
+    df = pd.DataFrame({
+        "n_rows": [ri["n"] + rb["n"]],
+        **{f"sum_{c}": [ri[f"sum_{c}"] + rb[f"sum_{c}"]]
+           for c in agg_cols},
+    })
+    return df, counters
+
+
 def _column_checksums(ds, columns: list[str]) -> dict:
     """Order-independent per-column checksums, computed distributed: row
     count plus a sum of vectorized 64-bit content hashes per column (so
