@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "columnar_encode_floats": Q.columnar_encode_floats,
         "encoded_agg_stats": Q.encoded_agg_stats,
         "encoded_range_agg_stats": Q.encoded_range_agg_stats,
+        "encoded_group_agg_stats": Q.encoded_group_agg_stats,
         "bpe_first_merge": Q.bpe_first_merge,
         "bpe_roundtrip_stats": Q.bpe_roundtrip_stats,
         "decontam_stats": Q.decontam_stats,
@@ -272,6 +273,14 @@ def oracle_sql() -> dict[str, str]:
                cast(sum(l_partkey) AS bigint)   AS sum_l_partkey
         FROM lineitem
         WHERE l_suppkey BETWEEN {RANGE_AGG_LO} AND {RANGE_AGG_HI}
+    """
+
+    sql["encoded_group_agg_stats"] = """
+        SELECT cast(l_suppkey AS bigint)         AS l_suppkey,
+               cast(count(*) AS bigint)          AS n,
+               cast(sum(l_orderkey) AS bigint)   AS sum_l_orderkey,
+               cast(sum(l_linenumber) AS bigint) AS sum_l_linenumber
+        FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
     """
 
     sql["fetch_docs_stats"] = """

@@ -648,3 +648,37 @@ def test_encoded_range_agg_three_way_split(ray_session, tmp_path):
     assert got2.loc[0, "n_rows"] == len(sel)
     assert got2.loc[0, "sum_v1"] == int(sel["v1"].sum())
     assert c2["chunks_interior"] == 0 and c2["chunks_skipped"] == 0
+
+
+def test_encoded_group_agg_pure_and_mixed(ray_session, tmp_path):
+    """Clustered grouped aggregate: group-pure chunks fold in the
+    compressed domain, boundary chunks via reduceat; result must equal
+    a direct pandas groupby exactly, on clustered AND shuffled layouts."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_group_agg)
+
+    rng = np.random.default_rng(17)
+    n = 30000
+    df = pd.DataFrame({
+        "g": np.sort(rng.integers(0, 12, n)),
+        "v": rng.integers(-1000, 1000, n),
+    })
+    want = df.groupby("g").agg(n=("v", "size"), sum_v=("v", "sum")) \
+        .reset_index()
+
+    for layout, frame in (("clustered", df),
+                          ("shuffled",
+                           df.sample(frac=1, random_state=1)
+                           .reset_index(drop=True))):
+        out_dir = str(tmp_path / layout)
+        encode_table_columns(ray.data.from_pandas(frame), ["g", "v"],
+                             batch_size=1024).write_parquet(out_dir)
+        got, counters = encoded_group_agg(out_dir, "g", ["v"])
+        assert list(got["g"]) == list(want["g"]), layout
+        assert list(got["n"]) == list(want["n"]), layout
+        assert list(got["sum_v"]) == list(want["sum_v"]), layout
+        if layout == "clustered":
+            assert counters["pure_chunks"] > 0, counters

@@ -1458,6 +1458,35 @@ def encoded_range_agg_stats(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def encoded_group_agg_stats(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY pushed into the encoded layout: lineitem clustered on
+    l_suppkey, per-supplier COUNT/SUM answered from zone maps + codec
+    payloads for group-pure chunks (no decode) and a reduceat fold for
+    the cluster-boundary chunks; the exchange carries per-chunk
+    (group, partial) rows only.  Asserts the compressed-domain path
+    actually covered chunks before returning."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_group_agg)
+
+    cols = ["l_suppkey", "l_orderkey", "l_linenumber"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "group_agg")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=1024).write_parquet(enc_dir)
+
+    df, counters = encoded_group_agg(enc_dir, "l_suppkey",
+                                     ["l_orderkey", "l_linenumber"])
+    if counters["groups"] >= 4:
+        assert counters["pure_chunks"] > 0, \
+            f"compressed-domain path never ran: {counters}"
+    return df
+
+
 def columnar_encode_floats(sf_dir: str) -> pd.DataFrame:
     """Float columns through the generic table encode: doubles are
     encoded as their int64 bit patterns (repeated-value columns like

@@ -475,6 +475,115 @@ def encoded_range_agg(enc_dir: str, key_col: str, lo: int, hi: int,
     return df, counters
 
 
+def encoded_group_agg(enc_dir: str, group_col: str, agg_cols: list[str]):
+    """GROUP BY ``group_col`` with COUNT/SUM of ``agg_cols`` over a
+    table-encode directory, split per chunk on the group column's zone
+    map:
+
+    - PURE chunks (``vmin == vmax``: one group spans the whole chunk —
+      the common case when the table is clustered on the group key):
+      the group id comes from the zone map and each SUM from
+      :func:`tokrle.codecs.core.agg_sum` — neither column decodes;
+    - MIXED chunks decode and fold with one lexsort + ``add.reduceat``
+      per chunk (only the cluster boundaries, on a clustered layout).
+
+    Partials from both classes meet in one small ``groupby(group).sum``
+    over per-chunk rows — the exchange carries (group, partial sums),
+    never table rows.  Returns ``(DataFrame, counters)``; integer
+    columns only, nullable chunks raise."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from tokrle.codecs.core import agg_sum, decode as codec_decode
+
+    pure = pc.field(f"{group_col}__vmin") == pc.field(f"{group_col}__vmax")
+    base_cols = ["n_rows", f"{group_col}__vmin"] + [
+        f"{c}__{part}" for c in agg_cols
+        for part in ("codec", "payload", "dtype", "valid")]
+
+    def _chunk_col(batch, c, i, n):
+        if len(batch.column(f"{c}__valid")[i].as_py() or b""):
+            raise ValueError(
+                f"column {c!r}: nullable chunks not supported by the "
+                "compressed-domain aggregate")
+        return (batch.column(f"{c}__codec")[i].as_py(),
+                memoryview(batch.column(f"{c}__payload")[i].as_buffer()),
+                n, np.dtype(batch.column(f"{c}__dtype")[i].as_py()))
+
+    def pure_partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        groups = batch.column(f"{group_col}__vmin").to_numpy(
+            zero_copy_only=False)
+        out = {"grp": pa.array(groups.astype(np.int64), type=pa.int64()),
+               "n": pa.array(nrows.astype(np.int64), type=pa.int64()),
+               "pure_chunks": pa.array(np.ones(len(batch), np.int64),
+                                       type=pa.int64())}
+        for c in agg_cols:
+            sums = [agg_sum(*_chunk_col(batch, c, i, int(nrows[i])))
+                    for i in range(len(batch))]
+            out[f"sum_{c}"] = pa.array(sums, type=pa.int64())
+        return pa.table(out)
+
+    def mixed_partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        grp_parts, n_parts, sum_parts = [], [], {c: [] for c in agg_cols}
+        for i in range(len(batch)):
+            n = int(nrows[i])
+            g = codec_decode(*_chunk_col(batch, group_col, i, n)) \
+                .astype(np.int64)
+            order = np.argsort(g, kind="mergesort")
+            gs = g[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], gs[1:] != gs[:-1])))
+            grp_parts.append(gs[starts])
+            n_parts.append(np.diff(np.concatenate((starts, [n]))))
+            for c in agg_cols:
+                v = codec_decode(*_chunk_col(batch, c, i, n)) \
+                    .astype(np.int64)[order]
+                sum_parts[c].append(np.add.reduceat(v, starts))
+        grp = np.concatenate(grp_parts) if grp_parts else \
+            np.empty(0, np.int64)
+        out = {"grp": pa.array(grp, type=pa.int64()),
+               "n": pa.array(np.concatenate(n_parts).astype(np.int64)
+                             if n_parts else np.empty(0, np.int64),
+                             type=pa.int64()),
+               "pure_chunks": pa.array(np.zeros(len(grp), np.int64),
+                                       type=pa.int64())}
+        for c in agg_cols:
+            out[f"sum_{c}"] = pa.array(
+                np.concatenate(sum_parts[c]) if sum_parts[c]
+                else np.empty(0, np.int64), type=pa.int64())
+        return pa.table(out)
+
+    pure_ds = ray.data.read_parquet(enc_dir, columns=base_cols,
+                                    filter=pure) \
+        .map_batches(pure_partial, batch_format="pyarrow")
+    mixed_ds = ray.data.read_parquet(
+        enc_dir,
+        columns=list(dict.fromkeys(base_cols + [
+            f"{group_col}__{p}" for p in ("codec", "payload", "dtype",
+                                          "valid")])),
+        filter=~pure).map_batches(mixed_partial, batch_format="pyarrow")
+
+    aggs = [Sum("n", alias_name="n"),
+            Sum("pure_chunks", alias_name="pure_chunks")] + \
+        [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in agg_cols]
+    df = pure_ds.union(mixed_ds).groupby("grp").aggregate(*aggs) \
+        .to_pandas()
+    pure_chunks = int(df["pure_chunks"].sum())
+    counters = {"pure_chunks": pure_chunks,
+                "groups": len(df)}
+    df = df.drop(columns=["pure_chunks"]) \
+        .rename(columns={"grp": group_col}) \
+        .sort_values(group_col).reset_index(drop=True)
+    for c in df.columns:
+        if c != group_col:
+            df[c] = df[c].astype("int64")
+    return df, counters
+
+
 def _column_checksums(ds, columns: list[str]) -> dict:
     """Order-independent per-column checksums, computed distributed: row
     count plus a sum of vectorized 64-bit content hashes per column (so
