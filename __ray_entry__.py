@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_agg_stats": Q.encoded_agg_stats,
         "encoded_range_agg_stats": Q.encoded_range_agg_stats,
         "encoded_group_agg_stats": Q.encoded_group_agg_stats,
+        "token_remap_stats": Q.token_remap_stats,
         "bpe_first_merge": Q.bpe_first_merge,
         "bpe_roundtrip_stats": Q.bpe_roundtrip_stats,
         "decontam_stats": Q.decontam_stats,
@@ -273,6 +274,22 @@ def oracle_sql() -> dict[str, str]:
                cast(sum(l_partkey) AS bigint)   AS sum_l_partkey
         FROM lineitem
         WHERE l_suppkey BETWEEN {RANGE_AGG_LO} AND {RANGE_AGG_HI}
+    """
+
+    sql["token_remap_stats"] = """
+        WITH toks AS (
+            SELECT ascii(w) * 32 + length(w) AS t
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)),
+        ranks AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        m AS (SELECT t, row_number() OVER (ORDER BY c DESC, t) - 1
+                     AS new_id
+              FROM ranks)
+        SELECT cast(count(*) AS bigint)           AS n_tokens,
+               cast(sum(m.new_id) AS bigint)      AS sum_new_ids,
+               cast(max(m.new_id) AS bigint)      AS max_new_id,
+               cast(count(DISTINCT m.new_id) AS bigint) AS vocab_size
+        FROM toks JOIN m ON toks.t = m.t
     """
 
     sql["encoded_group_agg_stats"] = """

@@ -1273,3 +1273,38 @@ def test_curriculum_topk_stats_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         got[cols].reset_index(drop=True).astype(str),
         want[cols].reset_index(drop=True).astype(str))
+
+
+def test_token_remap_frequency_ranked_and_invertible(ray_session):
+    """new_id must equal rank by (count desc, old id asc); apply+invert
+    must be the identity; strict mode rejects out-of-vocab ids."""
+    import pyarrow as pa
+    import ray.data
+
+    from tokrle.functions.vocab import (apply_token_remap,
+                                        build_token_remap, invert_remap)
+
+    docs = [[7, 7, 7, 3, 3, 100], [3, 7, 100, 100, 100, 100], [7]]
+    tbl = pa.table({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "tokens": pa.array(docs, type=pa.list_(pa.int32())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    old_of_new, new_of_old = build_token_remap(ds)
+    # counts: 7 -> 5, 100 -> 5, 3 -> 3; tie between 7 and 100 -> old asc
+    assert list(old_of_new) == [7, 100, 3]
+    assert new_of_old[7] == 0 and new_of_old[100] == 1 and new_of_old[3] == 2
+
+    remapped = apply_token_remap(ds, new_of_old)
+    got = {r["doc_id"]: list(r["tokens"]) for r in remapped.take_all()}
+    assert got["a"] == [0, 0, 0, 2, 2, 1]
+    back = apply_token_remap(remapped, invert_remap(old_of_new))
+    got_back = {r["doc_id"]: list(r["tokens"]) for r in back.take_all()}
+    assert got_back == {"a": docs[0], "b": docs[1], "c": docs[2]}
+
+    oov = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["x"]),
+        "tokens": pa.array([[7, 999]], type=pa.list_(pa.int32())),
+    }))
+    with pytest.raises(Exception, match="vocabulary"):
+        apply_token_remap(oov, new_of_old).take_all()

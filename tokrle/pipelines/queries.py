@@ -1399,6 +1399,84 @@ def bpe_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({k: [v] for k, v in back_stats.items()})
 
 
+def token_remap_stats(sf_dir: str) -> pd.DataFrame:
+    """Frequency-ranked token remapping: learn new_id = rank(count desc,
+    old id asc), rewrite the corpus through one broadcast gather, and
+    aggregate the REMAPPED stream — the SQL oracle re-derives the exact
+    mapping with a window rank, so every remapped id is value-checked.
+    Also asserts in-pipeline that the remap round-trips (inverse gather
+    restores the original sum) and that the remapped corpus encodes
+    SMALLER (the point of the rank assignment)."""
+    from ray.data.aggregate import Max, Sum
+
+    from tokrle.functions.vocab import (apply_token_remap,
+                                        build_token_remap, invert_remap)
+    from tokrle.sources.tokens import documents_to_tokens
+    from tokrle.stages.encoder import _flat_tokens
+
+    ds = documents_to_tokens(sf_dir).materialize()
+    old_of_new, new_of_old = build_token_remap(ds)
+    remapped = apply_token_remap(ds, new_of_old).materialize()
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        values, _ = _flat_tokens(batch)
+        v = values.astype(np.int64)
+        return pa.table({
+            "n_tokens": pa.array([len(v)], type=pa.int64()),
+            "sum_new_ids": pa.array([int(v.sum()) if len(v) else 0],
+                                    type=pa.int64()),
+            "max_new_id": pa.array([int(v.max()) if len(v) else -1],
+                                   type=pa.int64()),
+        })
+
+    row = remapped.map_batches(per_batch, batch_format="pyarrow") \
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                   Sum("sum_new_ids", alias_name="sum_new_ids"),
+                   Max("max_new_id", alias_name="max_new_id"))
+
+    # invertibility: inverse gather restores the original token sum
+    back = apply_token_remap(remapped, invert_remap(old_of_new))
+    orig_sum = _token_sum(ds)
+    assert _token_sum(back) == orig_sum, "remap round-trip diverged"
+
+    # the remap must actually help compression on the zipfy corpus
+    from tokrle.pipelines.encode import encode_tokens
+    enc_bytes = _encoded_bytes(encode_tokens(ds, batch_size=512))
+    enc_bytes_remapped = _encoded_bytes(
+        encode_tokens(remapped, batch_size=512))
+    assert enc_bytes_remapped < enc_bytes, \
+        (enc_bytes_remapped, enc_bytes)
+
+    return pd.DataFrame({
+        "n_tokens": [int(row["n_tokens"])],
+        "sum_new_ids": [int(row["sum_new_ids"])],
+        "max_new_id": [int(row["max_new_id"])],
+        "vocab_size": [len(old_of_new)],
+    })
+
+
+def _token_sum(ds) -> int:
+    from ray.data.aggregate import Sum
+
+    from tokrle.stages.encoder import _flat_tokens
+
+    def s(batch: pa.Table) -> pa.Table:
+        values, _ = _flat_tokens(batch)
+        return pa.table({"s": pa.array(
+            [int(values.astype(np.int64).sum()) if len(values) else 0],
+            type=pa.int64())})
+
+    return int(ds.map_batches(s, batch_format="pyarrow")
+               .aggregate(Sum("s", alias_name="s"))["s"])
+
+
+def _encoded_bytes(enc_ds) -> int:
+    from ray.data.aggregate import Sum
+
+    return int(enc_ds.aggregate(Sum("encoded_bytes",
+                                    alias_name="b"))["b"])
+
+
 def encoded_agg_stats(sf_dir: str) -> pd.DataFrame:
     """Compressed-domain aggregation: four lineitem integer columns are
     table-encoded to Parquet, then COUNT/SUM/MIN/MAX are answered from
