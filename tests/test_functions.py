@@ -1308,3 +1308,28 @@ def test_token_remap_frequency_ranked_and_invertible(ray_session):
     }))
     with pytest.raises(Exception, match="vocabulary"):
         apply_token_remap(oov, new_of_old).take_all()
+
+
+def test_dup_span_broadcast_and_join_paths_agree(ray_session):
+    """The size-guarded broadcast path and the co-group join path must
+    produce identical per-source stats (join path forced via
+    max_index_rows=0)."""
+    import ray.data
+
+    from tokrle.functions.dupspan import dup_span_source_stats
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(words, rng.integers(5, 40)))
+             for _ in range(40)]
+    texts += [texts[0], texts[1], texts[2] + " extra tail here"]
+    base = pd.DataFrame({
+        "doc_id": np.arange(len(texts)),
+        "source": [f"s{i % 3}" for i in range(len(texts))],
+        "text": texts,
+    })
+    ds = ray.data.from_pandas(base).repartition(4)
+    a = dup_span_source_stats(ds, k=5, min_count=2)
+    b = dup_span_source_stats(ds, k=5, min_count=2, max_index_rows=0)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["dup_words"].sum() > 0          # the corpus has real dups

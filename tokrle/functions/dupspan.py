@@ -287,16 +287,119 @@ def remove_dup_spans(ds, *, k: int = 8, min_count: int = 2,
         batch_format="pyarrow", concurrency=concurrency)
 
 
+class _SpanStatsCounter:
+    """Stateful stage for the broadcast path of
+    :func:`dup_span_source_stats`: frequent-pair index pulled once per
+    actor; each batch does ONE pass — gram hashes, index hits, the same
+    +1/-1 delta coverage union as :class:`_SpanRemover`, then per-source
+    partials (n_docs, total_words, dup_words) via factorize+bincount."""
+
+    def __init__(self, index_ref, *, k: int, text_col: str,
+                 source_col: str) -> None:
+        import ray
+
+        h1, h2 = ray.get(index_ref) if not isinstance(index_ref, tuple) \
+            else index_ref
+        self._index = pd.DataFrame({"h1": h1, "h2": h2})
+        self._k = k
+        self._text_col = text_col
+        self._source_col = source_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from tokrle.kernels.segments import segment_sums
+
+        texts = batch.column(self._text_col)
+        texts = texts.combine_chunks() if isinstance(
+            texts, pa.ChunkedArray) else texts
+        n_words = (pc.count_substring(texts, " ").to_numpy(
+            zero_copy_only=False) + 1).astype(np.int64)
+        word_offs = np.concatenate(([0], np.cumsum(n_words)))
+        dup_per_doc = np.zeros(len(batch), dtype=np.int64)
+        h1, h2, offs = word_ngram_hashes(texts, self._k)
+        if len(h1) and len(self._index):
+            per_doc = np.diff(offs)
+            doc_idx = np.repeat(
+                np.arange(len(batch), dtype=np.int64), per_doc)
+            p_local = (np.arange(len(h1), dtype=np.int64)
+                       - np.repeat(offs[:-1], per_doc))
+            q = pd.DataFrame({"h1": h1.view(np.int64),
+                              "h2": h2.view(np.int64),
+                              "g": np.arange(len(h1), dtype=np.int64)})
+            hits = q.merge(self._index, on=["h1", "h2"], how="inner")
+            if len(hits):
+                g = hits["g"].to_numpy()
+                starts = word_offs[doc_idx[g]] + p_local[g]
+                delta = np.zeros(int(word_offs[-1]) + 1, dtype=np.int64)
+                np.add.at(delta, starts, 1)
+                np.add.at(delta, starts + self._k, -1)
+                covered = np.cumsum(delta[:-1]) > 0
+                dup_per_doc = segment_sums(covered.astype(np.int64),
+                                           word_offs)
+        src = batch.column(self._source_col).to_numpy(
+            zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        return pa.table({
+            self._source_col: pa.array(uniq),
+            "n_docs": pa.array(np.bincount(codes, minlength=len(uniq))
+                               .astype(np.int64), pa.int64()),
+            "total_words": pa.array(
+                np.bincount(codes, weights=n_words,
+                            minlength=len(uniq)).astype(np.int64),
+                pa.int64()),
+            "dup_words": pa.array(
+                np.bincount(codes, weights=dup_per_doc,
+                            minlength=len(uniq)).astype(np.int64),
+                pa.int64()),
+        })
+
+
 def dup_span_source_stats(ds, *, k: int = 8, min_count: int = 2,
                           text_col: str = "text", id_col: str = "doc_id",
-                          source_col: str = "source") -> pd.DataFrame:
-    """Per-source (n_docs, total_words, dup_words) — the all-join path:
-    two passes over the text, exchanges move only fixed-width int rows."""
-    import pyarrow.compute as pc
+                          source_col: str = "source",
+                          max_index_rows: int = 50_000_000,
+                          concurrency=(1, 8)) -> pd.DataFrame:
+    """Per-source (n_docs, total_words, dup_words).
 
+    Two execution paths, picked by the frequent-pair index size:
+
+    - BROADCAST (index <= ``max_index_rows``, ~800 MB): the index is
+      pulled to the driver once and ``ray.put``; everything after the
+      ``frequent_grams`` exchange is ONE stateful pass over the text
+      (hits + coverage union + per-source partials batch-local) and a
+      source-cardinality groupby.  Measured at sf0.1/32cpu this halves
+      the query (the occurrence exchange it removes carried one int row
+      per gram).
+    - JOIN (index too large for a broadcast): the original
+      tagged-union co-group semi-join over (h1, h2) plus the doc-group
+      interval union — exchanges move only fixed-width int rows, never
+      text."""
     from ray.data.aggregate import Count, Sum
 
-    freq = frequent_grams(ds, k=k, min_count=min_count, text_col=text_col)
+    freq = frequent_grams(ds, k=k, min_count=min_count,
+                          text_col=text_col).materialize()
+    if freq.count() <= max_index_rows:
+        import ray
+
+        t = freq.to_pandas()
+        index_ref = ray.put((t["h1"].to_numpy(), t["h2"].to_numpy()))
+        out = ds.map_batches(
+            _SpanStatsCounter,
+            fn_constructor_kwargs={"index_ref": index_ref, "k": k,
+                                   "text_col": text_col,
+                                   "source_col": source_col},
+            batch_format="pyarrow", concurrency=concurrency) \
+            .groupby(source_col).aggregate(
+                Sum("n_docs", alias_name="n_docs"),
+                Sum("total_words", alias_name="total_words"),
+                Sum("dup_words", alias_name="dup_words")).to_pandas()
+        for c in ("n_docs", "total_words", "dup_words"):
+            out[c] = out[c].astype("int64")
+        return out.sort_values(source_col).reset_index(drop=True)
+
+    import pyarrow.compute as pc
+
     covered = covered_gram_starts(ds, freq, k=k, text_col=text_col,
                                   id_col=id_col, carry=source_col)
     per_doc = dup_span_word_counts(covered, k=k, id_col=id_col,
