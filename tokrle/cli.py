@@ -122,6 +122,38 @@ def main(argv=None) -> int:
     ver.add_argument("--encoded", required=True)
     ver.add_argument("--num-cpus", type=int, default=None)
 
+    ta = sub.add_parser("table-agg",
+                        help="COUNT/SUM/MIN/MAX from codec payloads + "
+                             "zone maps of a table-encode dir (no "
+                             "decode; add --where / --group-by for "
+                             "pushdown variants)")
+    ta.add_argument("--encoded", required=True)
+    ta.add_argument("--columns", required=True,
+                    help="comma-separated integer columns to aggregate")
+    ta.add_argument("--where", default=None,
+                    help="col:lo:hi inclusive key range (zone-map "
+                         "split: interior chunks never decode)")
+    ta.add_argument("--group-by", default=None,
+                    help="integer group column (group-pure chunks "
+                         "never decode)")
+    ta.add_argument("--num-cpus", type=int, default=None)
+
+    bt = sub.add_parser("bpe-train",
+                        help="learn BPE merges over a token parquet "
+                             "dir; write merges.json")
+    bt.add_argument("--in-dir", required=True)
+    bt.add_argument("--merges", type=int, default=16)
+    bt.add_argument("--out", required=True, help="merge-table JSON path")
+    bt.add_argument("--num-cpus", type=int, default=None)
+
+    rm = sub.add_parser("remap",
+                        help="frequency-ranked token id remap: learn + "
+                             "apply; write remapped token parquet + "
+                             "rank table")
+    rm.add_argument("--in-dir", required=True)
+    rm.add_argument("--out-dir", required=True)
+    rm.add_argument("--num-cpus", type=int, default=None)
+
     args = ap.parse_args(argv)
     _ray_up(args.num_cpus)
     import ray
@@ -224,6 +256,59 @@ def main(argv=None) -> int:
             match = res["source"] == res["decoded"]
             print(json.dumps({"match": match, **res}))
             return 0 if match else 1
+        elif args.cmd == "table-agg":
+            cols = args.columns.split(",")
+            if args.where is not None:
+                from tokrle.pipelines.table_encode import encoded_range_agg
+
+                c, lo, hi = args.where.rsplit(":", 2)
+                df, counters = encoded_range_agg(args.encoded, c,
+                                                 int(lo), int(hi), cols)
+                print(json.dumps({"status": "ok", **counters,
+                                  "rows": df.to_dict("records")}))
+            elif args.group_by is not None:
+                from tokrle.pipelines.table_encode import encoded_group_agg
+
+                df, counters = encoded_group_agg(args.encoded,
+                                                 args.group_by, cols)
+                print(json.dumps({"status": "ok", **counters,
+                                  "rows": df.to_dict("records")}))
+            else:
+                from tokrle.pipelines.table_encode import encoded_column_agg
+
+                df = encoded_column_agg(args.encoded, cols)
+                print(json.dumps({"status": "ok",
+                                  "rows": df.to_dict("records")}))
+        elif args.cmd == "bpe-train":
+            import ray.data
+
+            from tokrle.functions.bpe import train_bpe
+
+            ds = ray.data.read_parquet(args.in_dir)
+            merges, _ = train_bpe(ds, args.merges)
+            with open(args.out, "w") as f:
+                json.dump(merges, f, indent=1)
+            print(json.dumps({"status": "ok", "n_merges": len(merges),
+                              "out": args.out}))
+        elif args.cmd == "remap":
+            import os
+
+            import numpy as np
+            import ray.data
+
+            from tokrle.functions.vocab import (apply_token_remap,
+                                                build_token_remap)
+
+            ds = ray.data.read_parquet(args.in_dir)
+            old_of_new, new_of_old = build_token_remap(ds)
+            os.makedirs(args.out_dir, exist_ok=True)
+            np.save(os.path.join(args.out_dir, "old_of_new.npy"),
+                    old_of_new)
+            apply_token_remap(ds, new_of_old).write_parquet(
+                os.path.join(args.out_dir, "tokens"))
+            print(json.dumps({"status": "ok",
+                              "vocab_size": len(old_of_new),
+                              "out": args.out_dir}))
     finally:
         ray.shutdown()
     return 0
