@@ -124,3 +124,35 @@ def test_train_bpe_deterministic_tiebreak(ray_session):
     merges, _ = train_bpe(ray.data.from_arrow(tbl), 1, first_new_id=10)
     assert (merges[0]["pair_a"], merges[0]["pair_b"]) == (1, 2)
     assert merges[0]["pair_count"] == 2
+
+
+def test_train_bpe_checkpoint_resume(ray_session, tmp_path):
+    """Training 3 rounds, then resuming to 6 from the checkpoint, must
+    produce the identical merge table and corpus as an uninterrupted
+    6-round run; mixing id spaces must be refused."""
+    import ray.data
+
+    from tokrle.functions.bpe import train_bpe
+
+    rng = np.random.default_rng(8)
+    docs = [rng.integers(0, 5, rng.integers(2, 30)).tolist()
+            for _ in range(50)]
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(docs))]),
+        "tokens": pa.array(docs, type=pa.list_(pa.int32())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    ckpt = str(tmp_path / "merges.json")
+
+    full, full_ds = train_bpe(ds, 6, first_new_id=100)
+    part, _ = train_bpe(ds, 3, first_new_id=100, checkpoint_path=ckpt)
+    assert part == full[:3]
+    resumed, resumed_ds = train_bpe(ds, 6, first_new_id=100,
+                                    checkpoint_path=ckpt)
+    assert resumed == full
+    a = {r["doc_id"]: list(r["tokens"]) for r in full_ds.take_all()}
+    b = {r["doc_id"]: list(r["tokens"]) for r in resumed_ds.take_all()}
+    assert a == b
+
+    with pytest.raises(ValueError, match="id spaces"):
+        train_bpe(ds, 6, first_new_id=999, checkpoint_path=ckpt)

@@ -153,14 +153,25 @@ def _top_pair(pair_ds):
 
 
 def train_bpe(ds, n_merges: int, *, first_new_id: int | None = None,
-              min_count: int = 2):
+              min_count: int = 2, checkpoint_path: str | None = None):
     """Learn ``n_merges`` BPE merges over a token-table Dataset.
 
     Returns ``(merges, merged_ds)`` where ``merges`` is the ordered list
     of ``{rank, pair_a, pair_b, new_id, pair_count}`` and ``merged_ds``
     is the corpus with all merges applied.  Stops early when no pair
     reaches ``min_count``.  ``first_new_id`` defaults to one past the
-    corpus max token (computed distributed)."""
+    corpus max token (computed distributed).
+
+    ``checkpoint_path``: JSON file the merge table is rewritten to after
+    EVERY round; if it already exists, training resumes after its last
+    recorded merge (the recorded rounds re-apply as one cheap vectorized
+    pass — no pair counting — so an interrupted k-round job repeats none
+    of its k exchanges).  The merge table IS the whole training state:
+    merge application is deterministic given the table, which is what
+    makes round-granular resume sound."""
+    import json as _json
+    import os as _os
+
     from ray.data.aggregate import Sum
 
     from tokrle.stages.encoder import _flat_tokens
@@ -186,8 +197,17 @@ def train_bpe(ds, n_merges: int, *, first_new_id: int | None = None,
     import functools
 
     merges: list[dict] = []
+    if checkpoint_path and _os.path.exists(checkpoint_path):
+        with open(checkpoint_path) as f:
+            merges = _json.load(f)
+        if merges:
+            if first_new_id != merges[0]["new_id"] - merges[0]["rank"]:
+                raise ValueError(
+                    "checkpoint was trained with a different "
+                    "first_new_id; refusing to mix id spaces")
+            ds = apply_bpe(ds, merges)
     ds = ds.materialize()
-    for rank in range(n_merges):
+    for rank in range(len(merges), n_merges):
         counts = ds.map_batches(partial_counts, batch_format="pyarrow") \
             .groupby("pair").aggregate(Sum("cnt", alias_name="n"))
         top = _top_pair(counts)
@@ -197,6 +217,11 @@ def train_bpe(ds, n_merges: int, *, first_new_id: int | None = None,
         new_id = first_new_id + rank
         merges.append({"rank": rank, "pair_a": a, "pair_b": b,
                        "new_id": new_id, "pair_count": cnt})
+        if checkpoint_path:
+            tmp = checkpoint_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(merges, f)
+            _os.replace(tmp, checkpoint_path)       # atomic per round
         ds = ds.map_batches(
             functools.partial(_apply_one_merge, a=a, b=b, new_id=new_id),
             batch_format="pyarrow").materialize()
