@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_first_merge": Q.bpe_first_merge,
         "bpe_roundtrip_stats": Q.bpe_roundtrip_stats,
         "decontam_stats": Q.decontam_stats,
+        "decontam_bloom_stats": Q.decontam_bloom_stats,  # rows-only (FPR varies)
         "dup_span_stats": Q.dup_span_stats,
         "redact_stats": Q.redact_stats,
         "asof_attribution_stats": Q.asof_attribution_stats,

@@ -1815,6 +1815,47 @@ def decontam_stats(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("source").reset_index(drop=True)
 
 
+def decontam_bloom_stats(sf_dir: str) -> pd.DataFrame:
+    """Bloom-broadcast contamination prefilter vs the exact index: the
+    filter ships ~1.2 bytes/key instead of 16, at the price of false
+    POSITIVES only.  The query runs BOTH paths and asserts the one-sided
+    contract end-to-end (bloom flags a superset of exact; zero false
+    negatives), then reports the sizes — rows-only for the driver, but
+    the invariant is machine-checked in-pipeline."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from tokrle.functions.bloom import flag_contaminated_bloom
+    from tokrle.functions.decontam import flag_contaminated
+
+    idmask = pc.Expression._call(
+        "bit_wise_and", [pc.field("doc_id"), pc.scalar(DECONTAM_EVAL_MASK)])
+    path = f"{sf_dir}/documents.parquet"
+    eval_ds = ray.data.read_parquet(path, columns=["doc_id", "text"],
+                                    filter=(idmask == 0))
+    train_ds = ray.data.read_parquet(
+        path, columns=["doc_id", "source", "text"], filter=(idmask != 0))
+
+    def flagged_ids(ds) -> set:
+        out = set()
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            f = b.column("contaminated").to_numpy(zero_copy_only=False)
+            out.update(ids[f].tolist())
+        return out
+
+    exact = flagged_ids(flag_contaminated(train_ds, eval_ds,
+                                          k=DECONTAM_K))
+    bloom = flagged_ids(flag_contaminated_bloom(train_ds, eval_ds,
+                                                k=DECONTAM_K))
+    assert exact <= bloom, "Bloom dropped a contaminated doc (false negative)"
+    return pd.DataFrame({
+        "n_exact": [len(exact)],
+        "n_bloom": [len(bloom)],
+        "false_positives": [len(bloom - exact)],
+    })
+
+
 DUPSPAN_K = 8
 DUPSPAN_MIN_COUNT = 2
 
