@@ -106,7 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_unique_tokens": Q.hll_unique_tokens,  # rows-only (approximate)
     }
     for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "pfor",
-                  "xor", "fsst"):
+                  "dpfor", "xor", "fsst"):
         d[f"codec_roundtrip_{codec}"] = partial(Q.codec_roundtrip, codec=codec)
     d["codec_roundtrip_xor_float"] = partial(Q.codec_roundtrip_float,
                                              codec="xor")
@@ -578,7 +578,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "pfor",
-                  "xor", "fsst"):
+                  "dpfor", "xor", "fsst"):
         sql[f"codec_roundtrip_{codec}"] = _CODEC_ROUNDTRIP_SQL
 
     sql["fsst_text_roundtrip"] = """

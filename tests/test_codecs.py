@@ -32,6 +32,11 @@ CORPORA = {
                                 RNG.integers(1 << 20, 1 << 30, size=20000),
                                 RNG.integers(0, 1024, size=20000)).astype(np.int64),
     "timestamps": (np.cumsum(RNG.integers(0, 1000, size=20000)) + 10**15).astype(np.int64),
+    # sorted ids whose gaps are mostly tiny with rare huge jumps: plain
+    # delta's single width blows up on the jumps -> delta->pfor cascade
+    "postings": np.cumsum(np.where(RNG.random(20000) < 0.002,
+                                   RNG.integers(1 << 24, 1 << 32, size=20000),
+                                   RNG.integers(1, 16, size=20000))).astype(np.int64),
 }
 
 
@@ -68,8 +73,10 @@ def test_selector_picks_sensible_codecs():
     # negative values -> for beats plain
     p = profile_chunk(CORPORA["negative"])
     assert select_codec(p) in ("for", "dict")
-    # sorted / smooth series -> delta (narrow zigzag deltas beat FOR's span)
-    assert select_codec(profile_chunk(CORPORA["sorted_ids"])) == "delta"
+    # sorted / smooth series -> delta family (narrow zigzag deltas beat
+    # FOR's span); exponential-ish gaps give dpfor's patched width the
+    # edge on sorted_ids, uniform gaps keep plain delta on timestamps
+    assert select_codec(profile_chunk(CORPORA["sorted_ids"])) == "dpfor"
     assert select_codec(profile_chunk(CORPORA["timestamps"])) == "delta"
     # high-entropy tokens: the exact delta diff pass is skipped entirely
     assert not profile_chunk(CORPORA["zipf_tokens"].repeat(3)[:70000]).delta_exact
@@ -83,6 +90,22 @@ def test_selector_picks_sensible_codecs():
     p = profile_chunk(x_big)
     assert p.width_hist_n < len(x_big)
     assert select_codec(p) == "pfor"
+    # postings-style sorted stream (tiny gaps + rare huge jumps): the
+    # delta->pfor cascade beats plain delta by the jump width ratio
+    x = CORPORA["postings"]
+    assert select_codec(profile_chunk(x)) == "dpfor"
+    assert len(encode("dpfor", x)) * 3 < len(encode("delta", x))
+    # sampled delta-histogram path (n > 2^15 skips the exact diff pass
+    # when the windowed width already reaches span width) still estimates
+    # dpfor from the scaled window histogram and the payload round-trips
+    x_big = np.tile(x, 4)
+    p = profile_chunk(x_big)
+    est = estimate_sizes(p)
+    assert "dpfor" in est
+    payload = encode("dpfor", x_big)
+    from tokrle.codecs.core import decode as _dec
+    assert np.array_equal(_dec("dpfor", payload, len(x_big), x_big.dtype),
+                          x_big)
 
 
 def test_estimates_close_to_actual():
@@ -420,7 +443,8 @@ def test_agg_sum_extreme_values_use_exact_arithmetic():
         np.sort(RNG.integers(-2**62, 2**62, size=4000)),  # delta, big span
     ]
     for x in cases:
-        for codec in ("plain", "rle", "dict", "for", "delta", "pfor"):
+        for codec in ("plain", "rle", "dict", "for", "delta", "pfor",
+                      "dpfor"):
             payload = encode(codec, x)
             want = _exact_py_sum(decode(codec, payload, len(x), x.dtype))
             got = agg_sum(codec, payload, len(x), x.dtype)
@@ -434,7 +458,8 @@ def test_hypothesis_agg_sum_all_codecs(vals):
     from tokrle.codecs.core import agg_sum
 
     x = np.array(vals, dtype=np.int64)
-    for codec in ("plain", "rle", "dict", "for", "delta", "pfor"):
+    for codec in ("plain", "rle", "dict", "for", "delta", "pfor",
+                      "dpfor"):
         payload = encode(codec, x)
         want = _exact_py_sum(decode(codec, payload, len(x), x.dtype))
         assert agg_sum(codec, payload, len(x), x.dtype) == want, codec
@@ -467,7 +492,8 @@ def test_xor_wins_on_truncated_precision_floats():
 
     smooth = 1000.0 + np.cumsum(rng.standard_normal(20000) * 1e-4)
     c2, p2, _ = auto_encode(smooth)
-    assert c2 == "delta", c2                    # xor must not displace it
+    # xor must not displace the delta family (plain or delta->pfor cascade)
+    assert c2 in ("delta", "dpfor"), c2
     out2 = decode(c2, p2, len(smooth), smooth.dtype)
     assert np.array_equal(out2.view(np.int64), smooth.view(np.int64))
 

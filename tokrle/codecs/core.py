@@ -505,6 +505,113 @@ class PatchedFor(Codec):
         return total
 
 
+class DeltaPfor(Codec):
+    """Delta->PFOR cascade: zigzag successive differences, then PFOR's
+    patched low-bits + exception-stream scheme over the deltas — the
+    classic postings-list / timestamp encoding (cf. Lemire & Boytsov,
+    "Decoding billions of integers per second through vectorization",
+    SPE 2015, whose FastPFOR operates on d-gaps exactly like this).
+
+    Wins where plain Delta's single width is blown up by RARE large
+    jumps in an otherwise smooth/sorted stream: sorted doc-id gap lists
+    (many small gaps, a few cross-segment jumps), event timestamps with
+    session gaps, auto-increment keys with deletion holes.  ``w`` is
+    chosen exactly from the per-delta bit-width histogram
+    (:func:`best_pfor_width`); with no exceptions it degenerates to
+    Delta at a 6-byte-larger header, so it never loses to Delta by more.
+
+    All delta arithmetic is modular uint64 (any int64 input round-trips
+    even when differences overflow the signed range — same contract as
+    :class:`Delta`).
+
+    Layout: ``<q first><B w><I n_exc><B pos_w><B high_w>`` + (n-1)
+    ``w``-bit main zigzag-delta codes + n_exc ``pos_w``-bit positions +
+    n_exc ``high_w``-bit high bits.
+    """
+
+    name = "dpfor"
+
+    def encode(self, x, vmin=None, vmax=None):
+        if len(x) == 0:
+            return struct.pack("<qBIBB", 0, 0, 0, 0, 0)
+        first = int(x[0])
+        if len(x) == 1:
+            return struct.pack("<qBIBB", first, 0, 0, 0, 0)
+        u = x.astype(np.uint64)
+        d = (u[1:] - u[:-1]).view(np.int64)       # wrapping differences
+        z = ((d << np.int64(1)) ^ (d >> np.int64(63))).view(np.uint64)
+        span_w = bit_width(int(z.max()))
+        widths = np.searchsorted(_POW2, z, side="right")
+        hist = np.bincount(widths, minlength=span_w + 1)
+        w, _ = best_pfor_width(hist, len(z), span_w)
+        if w == span_w:
+            exc_pos = np.empty(0, dtype=np.uint64)
+            main = z
+        else:
+            exc_pos = np.flatnonzero(widths > w).astype(np.uint64)
+            main = z & np.uint64((1 << w) - 1)
+        n_exc = len(exc_pos)
+        high = z[exc_pos.astype(np.int64)] >> np.uint64(w)
+        pos_w = bit_width(len(z) - 1) if n_exc else 0
+        high_w = (span_w - w) if n_exc else 0
+        header = struct.pack("<qBIBB", first, w, n_exc, pos_w, high_w)
+        return header + pack_uints(main, w) + pack_uints(exc_pos, pos_w) + \
+            pack_uints(high, high_w)
+
+    def decode(self, payload, n, dtype):
+        first, w, n_exc, pos_w, high_w = struct.unpack_from("<qBIBB",
+                                                            payload, 0)
+        if n == 0:
+            return np.empty(0, dtype=dtype)
+        off = 15
+        main_nbytes = ((n - 1) * w + 7) // 8
+        z = unpack_uints(payload[off:off + main_nbytes], n - 1, w)
+        off += main_nbytes
+        if n_exc:
+            pos_nbytes = (n_exc * pos_w + 7) // 8
+            pos = unpack_uints(payload[off:off + pos_nbytes],
+                               n_exc, pos_w).astype(np.int64)
+            high = unpack_uints(payload[off + pos_nbytes:], n_exc, high_w)
+            z[pos] |= high << np.uint64(w)
+        d = (z >> np.uint64(1)) ^ (np.uint64(0) - (z & np.uint64(1)))
+        out = np.empty(n, dtype=np.uint64)
+        out[0] = np.uint64(first)
+        np.cumsum(d, out=out[1:])
+        out[1:] += np.uint64(first)
+        return out.astype(np.int64).astype(dtype)
+
+    def agg_sum(self, payload, n, dtype):
+        # same weighted-dot identity as Delta.agg_sum; the exception
+        # stream bounds |d| <= 2^(w + high_w - 1), and both guards fall
+        # back to decode + exact split-sum
+        first, w, n_exc, pos_w, high_w = struct.unpack_from("<qBIBB",
+                                                            payload, 0)
+        if n == 0:
+            return 0
+        if n == 1:
+            return first
+        zw = w + high_w if n_exc else w
+        max_abs_d = 1 << max(zw - 1, 0)
+        prefix_bound = abs(first) + (n - 1) * max_abs_d
+        dot_bound = (n - 1) * (n - 1) * max_abs_d
+        if prefix_bound >= (1 << 62) or dot_bound >= (1 << 62):
+            return super().agg_sum(payload, n, dtype)
+        off = 15
+        main_nbytes = ((n - 1) * w + 7) // 8
+        z = unpack_uints(payload[off:off + main_nbytes], n - 1, w)
+        off += main_nbytes
+        if n_exc:
+            pos_nbytes = (n_exc * pos_w + 7) // 8
+            pos = unpack_uints(payload[off:off + pos_nbytes],
+                               n_exc, pos_w).astype(np.int64)
+            high = unpack_uints(payload[off + pos_nbytes:], n_exc, high_w)
+            z[pos] |= high << np.uint64(w)
+        d = ((z >> np.uint64(1)) ^ (np.uint64(0) - (z & np.uint64(1)))) \
+            .view(np.int64)
+        weights = np.arange(n - 1, 0, -1, dtype=np.int64)
+        return n * first + int(np.dot(weights, d))
+
+
 class XorDelta(Codec):
     """XOR-of-previous with chunk-global bit trimming, after the float
     compression scheme in Pelkonen et al., "Gorilla: A Fast, Scalable,
@@ -1189,8 +1296,8 @@ class FsstGreedy(Codec):
 CODECS: dict[str, Codec] = {
     c.name: c
     for c in [Plain(), BitPack(), FrameOfReference(), Dictionary(),
-              RunLength(), Delta(), PatchedFor(), XorDelta(), Alp(),
-              Fsst(), FsstGreedy()]
+              RunLength(), Delta(), PatchedFor(), DeltaPfor(), XorDelta(),
+              Alp(), Fsst(), FsstGreedy()]
 }
 
 

@@ -43,6 +43,14 @@ class ChunkProfile:
     # width_hist_n == n).  None when the span is 0 (pfor can't beat rle).
     width_hist: np.ndarray | None = None
     width_hist_n: int = 0
+    # histogram of per-SUCCESSIVE-DIFFERENCE zigzag bit widths for the
+    # delta->pfor cascade's width/cost estimation; exact for small chunks,
+    # else accumulated over adjacency-preserving windows (delta_hist_n =
+    # #diffs observed; exceptions scale like pfor's sampled estimate — the
+    # codec recomputes exactly on encode, so a miss only skews the size
+    # estimate, never the payload)
+    delta_hist: np.ndarray | None = None
+    delta_hist_n: int = 0
 
     @property
     def raw_bytes(self) -> int:
@@ -72,6 +80,17 @@ def _zigzag_width(x: np.ndarray) -> int:
     d = (u[1:] - u[:-1]).view(np.int64)
     z = ((d << np.int64(1)) ^ (d >> np.int64(63))).view(np.uint64)
     return bit_width(int(z.max()))
+
+
+def _zigzag_hist(x: np.ndarray) -> np.ndarray | None:
+    """Histogram of zigzag-delta bit widths (hist[b] = #diffs needing b
+    bits); None for <2 elements.  Same modular arithmetic as Delta."""
+    if len(x) < 2:
+        return None
+    u = x.astype(np.uint64)
+    d = (u[1:] - u[:-1]).view(np.int64)
+    z = ((d << np.int64(1)) ^ (d >> np.int64(63))).view(np.uint64)
+    return np.bincount(np.searchsorted(_POW2, z, side="right"))
 
 
 def profile_chunk(x: np.ndarray) -> ChunkProfile:
@@ -122,15 +141,26 @@ def profile_chunk(x: np.ndarray) -> ChunkProfile:
     # that underestimates the true max would corrupt the encoding.
     span_w = bit_width(span) if span >= 0 else 64
     if n <= (1 << 15):
-        delta_w, delta_exact = _zigzag_width(x), True
+        delta_hist = _zigzag_hist(x)
+        delta_w = len(delta_hist) - 1 if delta_hist is not None else 0
+        delta_exact = True
+        delta_hist_n = n - 1
     else:
-        dw_sample = 0
+        dh = np.zeros(65, dtype=np.int64)
         for s in np.linspace(0, n - 512, 16).astype(np.int64):
-            dw_sample = max(dw_sample, _zigzag_width(x[s:s + 512]))
+            h = _zigzag_hist(x[s:s + 512])
+            if h is not None:
+                dh[: len(h)] += h
+        dw_sample = int(np.flatnonzero(dh).max()) if dh.any() else 0
         if dw_sample < span_w:
-            delta_w, delta_exact = _zigzag_width(x), True
+            delta_hist = _zigzag_hist(x)
+            delta_w = len(delta_hist) - 1 if delta_hist is not None else 0
+            delta_exact = True
+            delta_hist_n = n - 1
         else:
             delta_w, delta_exact = dw_sample, False
+            delta_hist = dh[: dw_sample + 1].copy() if dh.any() else None
+            delta_hist_n = int(dh.sum())
     # pfor: per-delta bit-width histogram from a strided sample (exact for
     # small chunks) — one searchsorted pass over <=_SAMPLE values
     if span > 0:
@@ -156,7 +186,8 @@ def profile_chunk(x: np.ndarray) -> ChunkProfile:
         hit_ratio = 0.0
     return ChunkProfile(n, x.dtype.itemsize, vmin, vmax, n_runs, max_run,
                         runs_exact, card, card_exact, hit_ratio,
-                        delta_w, delta_exact, width_hist, width_hist_n)
+                        delta_w, delta_exact, width_hist, width_hist_n,
+                        delta_hist, delta_hist_n)
 
 
 def estimate_sizes(p: ChunkProfile) -> dict[str, float]:
@@ -185,6 +216,13 @@ def estimate_sizes(p: ChunkProfile) -> dict[str, float]:
         est["pfor"] = best_pfor_width(
             p.width_hist, p.n, bit_width(p.vmax - p.vmin),
             sample_n=p.width_hist_n if p.width_hist_n != p.n else None)[1]
+    if p.delta_hist is not None and p.n >= 2:
+        # delta->pfor cascade: PFOR's width chooser over the zigzag-delta
+        # width histogram; same scaled-sample contract as pfor above
+        est["dpfor"] = best_pfor_width(
+            p.delta_hist, p.n - 1, len(p.delta_hist) - 1,
+            sample_n=p.delta_hist_n if p.delta_hist_n != p.n - 1 else
+            None)[1]
     nwords = p.raw_bytes // 2
     est["fsst"] = (10 + 2 * Fsst.MAX_SYMBOLS + nwords / 8
                    + nwords * (p.fsst_hit_ratio + 2 * (1 - p.fsst_hit_ratio)))
