@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_attribution_stats": Q.asof_attribution_stats,
         "range_overlap_stats": Q.range_overlap_stats,
         "tfidf_top_terms_stats": Q.tfidf_top_terms_stats,
+        "inverted_index_stats": Q.inverted_index_stats,
         "stratified_sample_stats": Q.stratified_sample_stats,
         "curriculum_topk_stats": Q.curriculum_topk_stats,
         "semantic_cluster_stats": Q.semantic_cluster_stats,  # rows-only (kmeans)
@@ -243,6 +244,27 @@ def oracle_sql() -> dict[str, str]:
 
     # the oracle checks the EXPANDED (merge-table round-tripped) corpus
     # against the untouched documents — losslessness, not the merges
+    from tokrle.pipelines.queries import INVINDEX_AND_TERMS
+
+    t_a, t_b = INVINDEX_AND_TERMS
+    sql["inverted_index_stats"] = f"""
+        WITH p AS (
+            SELECT DISTINCT did, w
+            FROM (SELECT cast(doc_id AS bigint) AS did,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents)),
+        a AS (SELECT did FROM p WHERE w = '{t_a}'
+              INTERSECT SELECT did FROM p WHERE w = '{t_b}'),
+        o AS (SELECT did FROM p WHERE w = '{t_a}'
+              UNION SELECT did FROM p WHERE w = '{t_b}')
+        SELECT (SELECT cast(count(DISTINCT w) AS bigint) FROM p) AS n_terms,
+               (SELECT cast(count(*) AS bigint) FROM p) AS total_postings,
+               (SELECT cast(count(*) AS bigint) FROM a) AS and_count,
+               (SELECT cast(coalesce(sum(did), 0) AS bigint) FROM a)
+                   AS and_sum_did,
+               (SELECT cast(count(*) AS bigint) FROM o) AS or_count
+    """
+
     sql["bpe_roundtrip_stats"] = """
         SELECT cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
                cast(count(*) AS bigint)               AS n_tokens,

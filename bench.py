@@ -179,7 +179,8 @@ def main() -> None:
                      ("epoch_shuffle", Q.epoch_shuffle_bucket_stats),
                      ("token_rarity_stats", Q.token_rarity_stats),
                      ("split_sequences_stats", Q.split_sequences_stats),
-                     ("zonemap_pruned_scan", Q.zonemap_pruned_scan_stats)]:
+                     ("zonemap_pruned_scan", Q.zonemap_pruned_scan_stats),
+                     ("inverted_index_stats", Q.inverted_index_stats)]:
         # best of two passes: the host shows minutes-long steal episodes
         # that swing a single reading 2-3x (see BASELINE.md host caveat);
         # the better pass is what a steady-state job sustains.  The FIRST

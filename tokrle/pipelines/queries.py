@@ -2053,3 +2053,41 @@ def semantic_cluster_stats(sf_dir: str) -> pd.DataFrame:
     df["n_vecs"] = df["n_vecs"].astype("int64")
     df["sum_vec_id"] = df["sum_vec_id"].astype("int64")
     return df.sort_values("cluster_id").reset_index(drop=True)
+
+
+INVINDEX_AND_TERMS = ("data", "table")
+
+
+def inverted_index_stats(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index build + boolean retrieval: documents -> term ->
+    codec-compressed sorted posting lists (hive-partitioned by term-hash
+    bucket), then AND/OR search via pruned partition reads.  Sorted
+    doc-id gaps make the posting payloads the delta->pfor cascade's home
+    turf.  Aggregates are exact and SQL-reproducible: term count, total
+    postings, and the AND/OR match counts + id sum for a fixed term pair.
+    """
+    import os
+    import shutil
+
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from tokrle.functions.invindex import build_inverted_index, search
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    index_dir = os.path.join("/tmp/tokrle_invindex",
+                             sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(index_dir, ignore_errors=True)
+    build_inverted_index(ds, index_dir)
+    stats = ray.data.read_parquet(os.path.join(index_dir, "data")) \
+        .aggregate(Count(alias_name="n_terms"),
+                   Sum("df", alias_name="total_postings"))
+    and_ids = search(index_dir, list(INVINDEX_AND_TERMS), mode="and")
+    or_ids = search(index_dir, list(INVINDEX_AND_TERMS), mode="or")
+    return pd.DataFrame({
+        "n_terms": [int(stats["n_terms"])],
+        "total_postings": [int(stats["total_postings"])],
+        "and_count": [len(and_ids)],
+        "and_sum_did": [int(and_ids.sum())],
+        "or_count": [len(or_ids)],
+    }).astype("int64")
