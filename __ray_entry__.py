@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_overlap_stats": Q.range_overlap_stats,
         "tfidf_top_terms_stats": Q.tfidf_top_terms_stats,
         "inverted_index_stats": Q.inverted_index_stats,
+        "rollup_lineitem_stats": Q.rollup_lineitem_stats,
         "stratified_sample_stats": Q.stratified_sample_stats,
         "curriculum_topk_stats": Q.curriculum_topk_stats,
         "semantic_cluster_stats": Q.semantic_cluster_stats,  # rows-only (kmeans)
@@ -263,6 +264,18 @@ def oracle_sql() -> dict[str, str]:
                (SELECT cast(coalesce(sum(did), 0) AS bigint) FROM a)
                    AS and_sum_did,
                (SELECT cast(count(*) AS bigint) FROM o) AS or_count
+    """
+
+    sql["rollup_lineitem_stats"] = """
+        SELECT coalesce(l_returnflag, 'ALL')  AS l_returnflag,
+               coalesce(l_linestatus, 'ALL')  AS l_linestatus,
+               cast(count(*) AS bigint)       AS n,
+               cast(sum(cast(l_quantity AS bigint)) AS bigint) AS sum_qty,
+               cast(sum(cast(round(l_extendedprice * 100) AS bigint))
+                    AS bigint)                AS sum_price_cents
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY 1, 2
     """
 
     sql["bpe_roundtrip_stats"] = """

@@ -1333,3 +1333,36 @@ def test_dup_span_broadcast_and_join_paths_agree(ray_session):
     b = dup_span_source_stats(ds, k=5, min_count=2, max_index_rows=0)
     pd.testing.assert_frame_equal(a, b)
     assert a["dup_words"].sum() > 0          # the corpus has real dups
+
+
+def test_rollup_aggregate_matches_pandas(ray_session):
+    """rollup_aggregate == pandas groupby at every level, partitioning-
+    invariant, with the 'ALL' sentinel on rolled-up keys."""
+    import ray
+
+    from tokrle.functions.rollup import rollup_aggregate, with_ones
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], n),
+        "b": rng.choice(["p", "q"], n),
+        "v": rng.integers(-100, 100, n).astype("int64"),
+    })
+    want_rows = []
+    g2 = df.groupby(["a", "b"], as_index=False).agg(
+        n=("v", "size"), sum_v=("v", "sum"))
+    want_rows.append(g2)
+    g1 = df.groupby(["a"], as_index=False).agg(
+        n=("v", "size"), sum_v=("v", "sum"))
+    g1["b"] = "ALL"
+    want_rows.append(g1[["a", "b", "n", "sum_v"]])
+    want_rows.append(pd.DataFrame({"a": ["ALL"], "b": ["ALL"],
+                                   "n": [n], "sum_v": [df["v"].sum()]}))
+    want = pd.concat(want_rows, ignore_index=True).astype(
+        {"n": "int64", "sum_v": "int64"})
+    want = want.sort_values(["a", "b", "n", "sum_v"]).reset_index(drop=True)
+    for parts in (1, 7):
+        ds = with_ones(ray.data.from_pandas(df).repartition(parts))
+        got = rollup_aggregate(ds, ["a", "b"], ["v"])
+        assert got.equals(want), parts

@@ -1,0 +1,74 @@
+"""ROLLUP / grouping-sets aggregation with one data-scale shuffle.
+
+``GROUP BY ROLLUP(k1, .., kn)`` over a 100-TB table must NOT shuffle the
+data once per level: only the FINEST level touches the input (Ray's
+hash aggregate already computes per-block partials, so the exchange
+carries (key-combo, partial) rows); every coarser level re-aggregates
+the previous LEVEL's aggregate rows — a dataset whose size is the
+distinct-key-combo count, not the row count.  SUM/COUNT/MIN/MAX are
+re-aggregable exactly (COUNT folds as a SUM of counts), which is why
+this decomposition is lossless.
+
+Rolled-up key columns are filled with the sentinel ``'ALL'`` (not NULL)
+so the result hash-compares bit-for-bit with a
+``coalesce(col, 'ALL') .. GROUP BY ROLLUP(..)`` SQL oracle across
+engines with different null orderings.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+ALL = "ALL"
+
+
+def rollup_aggregate(ds, keys: list[str], sum_cols: list[str],
+                     count_alias: str = "n") -> pd.DataFrame:
+    """Distributed ROLLUP over ``keys``: exact COUNT(*) plus SUM of each
+    ``sum_cols`` (pre-cast integer columns) at every rollup level.
+
+    Returns the concatenated levels as pandas (aggregate rows only — the
+    driver never sees input rows); rolled-up keys read ``'ALL'``.
+    """
+    from ray.data.aggregate import Sum
+
+    finest = ds.groupby(keys).aggregate(
+        Sum("__one", alias_name=count_alias),
+        *[Sum(c, alias_name=f"sum_{c}") for c in sum_cols])
+    vals = [count_alias] + [f"sum_{c}" for c in sum_cols]
+    out: list[pd.DataFrame] = []
+    level = finest
+    df = level.to_pandas()
+    out.append(df.copy())
+    # coarser levels: re-aggregate the AGGREGATE dataset (sum of sums /
+    # sum of counts); each is a distributed groupby over aggregate rows
+    for i in range(len(keys) - 1, 0, -1):
+        sub = keys[:i]
+        level = level.groupby(sub).aggregate(
+            *[Sum(v, alias_name=v) for v in vals])
+        df = level.to_pandas()
+        for k in keys[i:]:
+            df[k] = ALL
+        out.append(df[keys + vals])
+    # grand total from the finest pandas frame (exact integer sums)
+    total = {k: [ALL] for k in keys}
+    for v in vals:
+        total[v] = [int(out[0][v].sum())]
+    out.append(pd.DataFrame(total))
+    res = pd.concat([d[keys + vals] for d in out], ignore_index=True)
+    for v in vals:
+        res[v] = res[v].astype("int64")
+    return res.sort_values(keys + vals).reset_index(drop=True)
+
+
+def with_ones(ds):
+    """Append the ``__one`` counting column (COUNT(*) as a re-aggregable
+    SUM) as a zero-copy Arrow transform."""
+    import numpy as np
+    import pyarrow as pa
+
+    def add(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__one", pa.array(np.ones(len(batch), dtype=np.int64)))
+
+    return ds.map_batches(add, batch_format="pyarrow")

@@ -2091,3 +2091,31 @@ def inverted_index_stats(sf_dir: str) -> pd.DataFrame:
         "and_sum_did": [int(and_ids.sum())],
         "or_count": [len(or_ids)],
     }).astype("int64")
+
+
+def rollup_lineitem_stats(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP over (l_returnflag, l_linestatus): one data-scale
+    shuffle at the finest level (Ray hash aggregate with per-block
+    partials), coarser levels re-aggregated from the AGGREGATE rows —
+    never a second pass over the input.  Rolled-up keys read 'ALL' so
+    the hash compare is null-ordering-proof."""
+    from tokrle.functions.rollup import rollup_aggregate, with_ones
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty": pa.array(qty.astype(np.int64)),
+            "price_cents": pa.array(np.round(price * 100).astype(np.int64)),
+        })
+
+    ds = with_ones(ds.map_batches(derive, batch_format="pyarrow"))
+    return rollup_aggregate(ds, ["l_returnflag", "l_linestatus"],
+                            ["qty", "price_cents"])
