@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_stats": Q.tfidf_top_terms_stats,
         "inverted_index_stats": Q.inverted_index_stats,
         "rollup_lineitem_stats": Q.rollup_lineitem_stats,
+        "window_orders_stats": Q.window_orders_stats,
         "stratified_sample_stats": Q.stratified_sample_stats,
         "curriculum_topk_stats": Q.curriculum_topk_stats,
         "semantic_cluster_stats": Q.semantic_cluster_stats,  # rows-only (kmeans)
@@ -276,6 +277,29 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY 1, 2
+    """
+
+    month_us = 30 * 86400 * 10**6
+    sql["window_orders_stats"] = f"""
+        WITH w AS (
+            SELECT o_custkey,
+                   row_number() OVER win                        AS rn,
+                   cast(round(o_totalprice * 100) AS bigint)    AS cents,
+                   epoch_us(o_orderdate)
+                     - lag(epoch_us(o_orderdate)) OVER win      AS gap_us,
+                   sum(cast(round(o_totalprice * 100) AS bigint))
+                     OVER (win ROWS UNBOUNDED PRECEDING)        AS run_cents
+            FROM orders
+            WINDOW win AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey))
+        SELECT cast(count(*) AS bigint)                   AS n_rows,
+               cast(count(DISTINCT o_custkey) AS bigint)  AS n_keys,
+               cast(sum(rn) AS bigint)                    AS sum_rn,
+               cast(sum(rn * cents) AS bigint)            AS sum_rn_cents,
+               cast(sum(run_cents) AS bigint)             AS sum_run_cents,
+               cast(sum(CASE WHEN gap_us > {month_us} THEN 1 ELSE 0 END)
+                    AS bigint)                            AS long_gaps
+        FROM w
     """
 
     sql["bpe_roundtrip_stats"] = """

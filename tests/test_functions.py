@@ -1366,3 +1366,34 @@ def test_rollup_aggregate_matches_pandas(ray_session):
         ds = with_ones(ray.data.from_pandas(df).repartition(parts))
         got = rollup_aggregate(ds, ["a", "b"], ["v"])
         assert got.equals(want), parts
+
+
+def test_add_window_columns_matches_pandas(ray_session):
+    """row_number / running sum / lag gap vs a pandas groupby-apply
+    oracle, partitioning-invariant, ties broken by the trailing order
+    column."""
+    import ray
+
+    from tokrle.functions.window_fns import LAG_NULL, add_window_columns
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n).astype("int64"),
+        "t": rng.integers(0, 50, n).astype("int64"),   # heavy ties
+        "uid": np.arange(n, dtype="int64"),
+        "v": rng.integers(-50, 50, n).astype("int64"),
+    })
+    s = df.sort_values(["k", "t", "uid"]).reset_index(drop=True)
+    g = s.groupby("k")
+    s["rn"] = g.cumcount() + 1
+    s["run_value"] = g["v"].cumsum()
+    s["lag_gap"] = s["t"] - g["t"].shift(1)
+    s["lag_gap"] = s["lag_gap"].fillna(float(LAG_NULL)).astype("int64")
+    want = s.sort_values("uid").reset_index(drop=True)
+    for parts in (1, 6):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = add_window_columns(ds, "k", ["t", "uid"], "v") \
+            .to_pandas().sort_values("uid").reset_index(drop=True)
+        for c in ("rn", "run_value", "lag_gap"):
+            assert got[c].equals(want[c]), (parts, c)

@@ -2119,3 +2119,55 @@ def rollup_lineitem_stats(sf_dir: str) -> pd.DataFrame:
     ds = with_ones(ds.map_batches(derive, batch_format="pyarrow"))
     return rollup_aggregate(ds, ["l_returnflag", "l_linestatus"],
                             ["qty", "price_cents"])
+
+
+def window_orders_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-customer SQL window functions (row_number / running sum / lag
+    gap over order timestamps) via one co-locating exchange + one
+    vectorized pass per block, then distributed integer aggregates the
+    DuckDB window oracle reproduces exactly."""
+    from ray.data.aggregate import Sum
+
+    from tokrle.functions.window_fns import LAG_NULL, add_window_columns
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").to_numpy(
+            zero_copy_only=False).view(np.int64)
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "o_orderkey": batch.column("o_orderkey"),
+            "ts_us": pa.array(ts),
+            "cents": pa.array(np.round(price * 100).astype(np.int64)),
+        })
+
+    win = add_window_columns(ds.map_batches(derive, batch_format="pyarrow"),
+                             "o_custkey", ["ts_us", "o_orderkey"], "cents")
+    month_us = 30 * 86400 * 10**6
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        rn = batch.column("rn").to_numpy(zero_copy_only=False)
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)
+        run = batch.column("run_value").to_numpy(zero_copy_only=False)
+        gap = batch.column("lag_gap").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_rows": pa.array([len(batch)], pa.int64()),
+            "n_keys": pa.array([int((rn == 1).sum())], pa.int64()),
+            "sum_rn": pa.array([int(rn.sum())], pa.int64()),
+            "sum_rn_cents": pa.array([int((rn * cents).sum())], pa.int64()),
+            "sum_run_cents": pa.array([int(run.sum())], pa.int64()),
+            "long_gaps": pa.array(
+                [int(((gap != int(LAG_NULL)) & (gap > month_us)).sum())],
+                pa.int64()),
+        })
+
+    parts = win.map_batches(per_batch, batch_format="pyarrow")
+    agg = parts.aggregate(*[Sum(c, alias_name=c)
+                            for c in ("n_rows", "n_keys", "sum_rn",
+                                      "sum_rn_cents", "sum_run_cents",
+                                      "long_gaps")])
+    return pd.DataFrame({k: [int(v)] for k, v in agg.items()})
