@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_stats": Q.inverted_index_stats,
         "rollup_lineitem_stats": Q.rollup_lineitem_stats,
         "window_orders_stats": Q.window_orders_stats,
+        "skew_join_stats": Q.skew_join_stats,
         "stratified_sample_stats": Q.stratified_sample_stats,
         "curriculum_topk_stats": Q.curriculum_topk_stats,
         "semantic_cluster_stats": Q.semantic_cluster_stats,  # rows-only (kmeans)
@@ -300,6 +301,15 @@ def oracle_sql() -> dict[str, str]:
                cast(sum(CASE WHEN gap_us > {month_us} THEN 1 ELSE 0 END)
                     AS bigint)                            AS long_gaps
         FROM w
+    """
+
+    sql["skew_join_stats"] = """
+        SELECT o_orderpriority,
+               cast(count(*) AS bigint)                        AS n_items,
+               cast(sum(cast(l_quantity AS bigint)) AS bigint) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
     """
 
     sql["bpe_roundtrip_stats"] = """

@@ -1397,3 +1397,47 @@ def test_add_window_columns_matches_pandas(ray_session):
             .to_pandas().sort_values("uid").reset_index(drop=True)
         for c in ("rn", "run_value", "lag_gap"):
             assert got[c].equals(want[c]), (parts, c)
+
+
+def test_skew_join_both_paths_match_pandas(ray_session):
+    """skew_join == pandas merge on a 40%-one-key skewed input through
+    BOTH hot mechanisms (broadcast map-join, salted replicate join) and
+    the no-hot-keys native fallback."""
+    import ray
+
+    from tokrle.functions.skewjoin import skew_join
+
+    rng = np.random.default_rng(3)
+    n = 8000
+    keys = rng.integers(0, 300, n).astype("int64")
+    keys[rng.random(n) < 0.4] = 7
+    left = pd.DataFrame({"k": keys,
+                         "lv": rng.integers(0, 100, n).astype("int64")})
+    right = pd.DataFrame({"rk": np.arange(300, dtype="int64"),
+                          "rv": rng.integers(0, 100, 300).astype("int64")})
+    want = left.merge(right, left_on="k", right_on="rk") \
+        .drop(columns=["rk"]).sort_values(["k", "lv", "rv"]) \
+        .reset_index(drop=True)
+    lds = ray.data.from_pandas(left).repartition(6)
+    rds = ray.data.from_pandas(right).repartition(3)
+    for path in ("broadcast", "salted"):
+        got = skew_join(lds, rds, left_key="k", right_key="rk",
+                        hot_threshold=1000, stride=8, force_path=path) \
+            .to_pandas().sort_values(["k", "lv", "rv"]) \
+            .reset_index(drop=True)
+        assert got[["k", "lv", "rv"]].equals(want[["k", "lv", "rv"]]), path
+    # threshold nothing reaches -> pure native join, still exact
+    got = skew_join(lds, rds, left_key="k", right_key="rk",
+                    hot_threshold=10**9).to_pandas() \
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    assert got[["k", "lv", "rv"]].equals(want[["k", "lv", "rv"]])
+    # hot keys with NO right-side match must drop cleanly (inner join)
+    right2 = right[right["rk"] != 7].reset_index(drop=True)
+    want2 = left.merge(right2, left_on="k", right_on="rk") \
+        .drop(columns=["rk"]).sort_values(["k", "lv", "rv"]) \
+        .reset_index(drop=True)
+    got2 = skew_join(lds, ray.data.from_pandas(right2).repartition(3),
+                     left_key="k", right_key="rk", hot_threshold=1000,
+                     stride=8, force_path="broadcast").to_pandas() \
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    assert got2[["k", "lv", "rv"]].equals(want2[["k", "lv", "rv"]])

@@ -1,0 +1,184 @@
+"""Skew-aware inner join: sampled hot-key detection, then cold keys
+through the native hash join and hot keys through a broadcast map-join
+or a salted replicate join.
+
+A hash join's exchange sends every row of a key to ONE partition; a hot
+key (power-law join keys are the norm in web-scale tables) turns that
+partition into the straggler that sets the whole stage's wall time.
+The classic fixes, both here:
+
+- **broadcast-hot**: when the hot keys' RIGHT rows are small, ship them
+  once (``ray.put``) and map-join the hot LEFT rows in place — the hot
+  keys never enter an exchange at all;
+- **salted**: otherwise append ``salt = arange % S`` to hot left rows,
+  replicate each hot right row S times (one per salt), and run the
+  native join on ``(key, salt)`` — the hot key's rows now spread over S
+  partitions.  Any salt assignment is correct for an inner join; only
+  uniformity matters.
+
+Detection is sampled (per-block key-count partials over a stride
+sample, combined on the driver) — a full exact count would itself be a
+key-shuffle.  Misclassification is SAFE either way: a missed hot key
+just rides the native join (slow, correct), a false positive pays one
+extra broadcast row.  The split is one broadcast-membership filter per
+side; results are the exact multiset union of the two paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+#: right-side hot rows above this take the salted path, below it the
+#: broadcast map-join (same kind of size guard as dupspan's rewrite)
+BROADCAST_MAX_BYTES = 256 << 20
+SALT_FANOUT = 16
+
+
+def sample_hot_keys(ds, key: str, *, threshold: int,
+                    stride: int = 64) -> np.ndarray:
+    """Estimate per-key frequencies from a per-block stride sample and
+    return keys whose ESTIMATED count >= threshold.  The exchange ships
+    (key, count) partials for sampled keys only."""
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)[::stride]
+        uniq, cnt = np.unique(k, return_counts=True)
+        return pa.table({"k": pa.array(uniq),
+                         "c": pa.array(cnt * stride, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    est = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("c", alias_name="c")).to_pandas()
+    return est.loc[est["c"] >= threshold, "k"].to_numpy()
+
+
+def _split(ds, key: str, hot_ref):
+    """(hot rows, cold rows) by broadcast membership — one filter pass,
+    no shuffle."""
+    import ray
+
+    def part(batch: pa.Table, want_hot: bool) -> pa.Table:
+        hot = ray.get(hot_ref)
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        m = np.isin(k, hot)
+        return batch.filter(pa.array(m if want_hot else ~m))
+
+    import functools
+
+    return (ds.map_batches(functools.partial(part, want_hot=True),
+                           batch_format="pyarrow"),
+            ds.map_batches(functools.partial(part, want_hot=False),
+                           batch_format="pyarrow"))
+
+
+def _broadcast_join_hot(left_hot, right_hot_tbl: pa.Table,
+                        left_key: str, right_key: str):
+    """Map-join hot left rows against the broadcast right rows: one
+    searchsorted + repeat-gather per batch, no exchange."""
+    import ray
+
+    order = np.argsort(right_hot_tbl.column(right_key)
+                       .to_numpy(zero_copy_only=False), kind="mergesort")
+    right_sorted = right_hot_tbl.take(pa.array(order))
+    right_ref = ray.put(right_sorted)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        right = ray.get(right_ref)
+        rk = right.column(right_key).to_numpy(zero_copy_only=False)
+        lk = batch.column(left_key).to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(rk, lk, side="left")
+        hi = np.searchsorted(rk, lk, side="right")
+        cnt = hi - lo
+        l_idx = np.repeat(np.arange(len(batch), dtype=np.int64), cnt)
+        r_idx = (np.arange(int(cnt.sum()), dtype=np.int64)
+                 - np.repeat(np.concatenate(([0], np.cumsum(cnt[:-1])))
+                             if len(cnt) else np.empty(0, np.int64), cnt)
+                 + np.repeat(lo, cnt))
+        out = batch.take(pa.array(l_idx))
+        rtaken = right.take(pa.array(r_idx))
+        for name in rtaken.schema.names:
+            if name != right_key:
+                out = out.append_column(name, rtaken.column(name))
+        return out
+
+    return left_hot.map_batches(join_batch, batch_format="pyarrow")
+
+
+def _salted_join_hot(left_hot, right_hot, left_key: str, right_key: str,
+                     num_partitions: int):
+    """Salt hot left rows over SALT_FANOUT partitions and replicate hot
+    right rows once per salt; native join on (key, salt)."""
+    def salt_left(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__salt", pa.array(
+            np.arange(len(batch), dtype=np.int64) % SALT_FANOUT))
+
+    def replicate_right(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        idx = np.repeat(np.arange(n, dtype=np.int64), SALT_FANOUT)
+        out = batch.take(pa.array(idx))
+        return out.append_column("__rsalt", pa.array(
+            np.tile(np.arange(SALT_FANOUT, dtype=np.int64), n)))
+
+    lh = left_hot.map_batches(salt_left, batch_format="pyarrow")
+    rh = right_hot.map_batches(replicate_right, batch_format="pyarrow")
+    joined = lh.join(rh, "inner", num_partitions,
+                     on=(left_key, "__salt"),
+                     right_on=(right_key, "__rsalt"))
+    # the native join keeps only the LEFT join keys; __rsalt is gone
+    return joined.drop_columns(["__salt"])
+
+
+def skew_join(left, right, *, left_key: str, right_key: str,
+              hot_threshold: int = 10_000, stride: int = 64,
+              force_path: str | None = None):
+    """Inner join ``left`` x ``right`` on ``left_key == right_key``,
+    skew-split as module docstring describes.  Returns the joined
+    Dataset (cold-path native join unioned with the hot-path join);
+    output columns = left columns + right columns minus ``right_key``.
+
+    ``force_path`` ('broadcast' | 'salted') pins the hot mechanism for
+    tests; default picks by the hot right rows' byte size.
+    """
+    import ray
+
+    from tokrle.functions.dedup import (_combined_size_hint,
+                                        _join_partitions)
+
+    hot = sample_hot_keys(left, left_key, threshold=hot_threshold,
+                          stride=stride)
+    n = _join_partitions(None,
+                         size_bytes=_combined_size_hint(left, right))
+    if len(hot) == 0:
+        return left.join(right, "inner", n,
+                         on=(left_key,), right_on=(right_key,))
+    hot_ref = ray.put(hot)
+    left_hot, left_cold = _split(left, left_key, hot_ref)
+    right_hot, right_cold = _split(right, right_key, hot_ref)
+    cold = left_cold.join(right_cold, "inner", n,
+                          on=(left_key,), right_on=(right_key,))
+    if force_path == "broadcast":
+        use_broadcast = True
+    elif force_path == "salted":
+        use_broadcast = False
+    else:
+        # hot-key count x a sampled row width bounds the broadcast size;
+        # take_all on the HOT RIGHT rows only happens on the broadcast
+        # path, where smallness is the precondition being tested
+        est = right.limit(1024).to_pandas().memory_usage(deep=True).sum()
+        per_row = max(int(est) // 1024, 1)
+        use_broadcast = len(hot) * per_row * 4 <= BROADCAST_MAX_BYTES
+    if use_broadcast:
+        tables = [ray.get(r) for r in right_hot.to_arrow_refs()]
+        tables = [t for t in tables if len(t)]
+        if not tables:
+            # no hot right rows: the hot-left rows have no match
+            return cold
+        hot_joined = _broadcast_join_hot(left_hot, pa.concat_tables(tables),
+                                         left_key, right_key)
+    else:
+        hot_joined = _salted_join_hot(left_hot, right_hot,
+                                      left_key, right_key, n)
+    # align column order before union (join output orders can differ)
+    cols = cold.schema().names
+    return cold.union(hot_joined.select_columns(cols))

@@ -2171,3 +2171,36 @@ def window_orders_stats(sf_dir: str) -> pd.DataFrame:
                                       "sum_rn_cents", "sum_run_cents",
                                       "long_gaps")])
     return pd.DataFrame({k: [int(v)] for k, v in agg.items()})
+
+
+def skew_join_stats(sf_dir: str) -> pd.DataFrame:
+    """Skew-aware inner join (lineitem x orders on orderkey): sampled
+    hot-key detection splits the input; cold keys ride the native hash
+    join, hot keys a broadcast map-join / salted replicate join (auto by
+    size guard).  The low threshold at test scale forces a real hot set
+    so both paths' union is exercised; classification never affects the
+    result — the oracle is the plain SQL join."""
+    from ray.data.aggregate import Count, Sum
+
+    from tokrle.functions.skewjoin import skew_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "qty": pa.array(qty.astype(np.int64)),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+    joined = skew_join(li.map_batches(derive, batch_format="pyarrow"),
+                       orders, left_key="l_orderkey",
+                       right_key="o_orderkey", hot_threshold=6, stride=2)
+    df = joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_items"),
+        Sum("qty", alias_name="sum_qty")).to_pandas()
+    df["n_items"] = df["n_items"].astype("int64")
+    df["sum_qty"] = df["sum_qty"].astype("int64")
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
