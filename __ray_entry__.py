@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_lineitem_stats": Q.rollup_lineitem_stats,
         "window_orders_stats": Q.window_orders_stats,
         "skew_join_stats": Q.skew_join_stats,
+        "above_mean_docs_stats": Q.above_mean_docs_stats,
         "stratified_sample_stats": Q.stratified_sample_stats,
         "curriculum_topk_stats": Q.curriculum_topk_stats,
         "semantic_cluster_stats": Q.semantic_cluster_stats,  # rows-only (kmeans)
@@ -310,6 +311,18 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
+    """
+
+    sql["above_mean_docs_stats"] = """
+        WITH s AS (SELECT source, count(*) AS n_g, sum(n_chars) AS sum_g
+                   FROM documents GROUP BY source)
+        SELECT d.source,
+               cast(count(*) AS bigint)       AS n_above,
+               cast(sum(n_chars) AS bigint)   AS sum_above
+        FROM documents d JOIN s USING (source)
+        WHERE n_chars * n_g > sum_g
+        GROUP BY d.source
+        ORDER BY d.source
     """
 
     sql["bpe_roundtrip_stats"] = """

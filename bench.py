@@ -180,7 +180,10 @@ def main() -> None:
                      ("token_rarity_stats", Q.token_rarity_stats),
                      ("split_sequences_stats", Q.split_sequences_stats),
                      ("zonemap_pruned_scan", Q.zonemap_pruned_scan_stats),
-                     ("inverted_index_stats", Q.inverted_index_stats)]:
+                     ("inverted_index_stats", Q.inverted_index_stats),
+                     ("rollup_lineitem_stats", Q.rollup_lineitem_stats),
+                     ("window_orders_stats", Q.window_orders_stats),
+                     ("skew_join_stats", Q.skew_join_stats)]:
         # best of two passes: the host shows minutes-long steal episodes
         # that swing a single reading 2-3x (see BASELINE.md host caveat);
         # the better pass is what a steady-state job sustains.  The FIRST

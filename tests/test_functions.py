@@ -1441,3 +1441,28 @@ def test_skew_join_both_paths_match_pandas(ray_session):
                      stride=8, force_path="broadcast").to_pandas() \
         .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
     assert got2[["k", "lv", "rv"]].equals(want2[["k", "lv", "rv"]])
+
+
+def test_group_mean_filter_matches_pandas(ray_session):
+    import ray
+
+    from tokrle.functions.normalize import group_mean_filter
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 2000),
+        "v": rng.integers(0, 1000, 2000).astype("int64"),
+    })
+    mean = df.groupby("g")["v"].transform("mean")
+    want_above = df[df["v"] > mean].sort_values(["g", "v"]) \
+        .reset_index(drop=True)
+    want_below = df[df["v"] <= mean].sort_values(["g", "v"]) \
+        .reset_index(drop=True)
+    ds = ray.data.from_pandas(df).repartition(4)
+    got_a = group_mean_filter(ds, "g", "v").to_pandas() \
+        .sort_values(["g", "v"]).reset_index(drop=True)
+    got_b = group_mean_filter(ds, "g", "v", above=False).to_pandas() \
+        .sort_values(["g", "v"]).reset_index(drop=True)
+    assert got_a.equals(want_above)
+    assert got_b.equals(want_below)
+    assert len(got_a) + len(got_b) == len(df)

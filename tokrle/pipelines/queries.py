@@ -2204,3 +2204,22 @@ def skew_join_stats(sf_dir: str) -> pd.DataFrame:
     df["n_items"] = df["n_items"].astype("int64")
     df["sum_qty"] = df["sum_qty"].astype("int64")
     return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def above_mean_docs_stats(sf_dir: str) -> pd.DataFrame:
+    """Group-normalized filter: docs strictly longer than their SOURCE's
+    mean length, via one tiny per-group aggregate broadcast + a
+    shuffle-free filter (exact integer compare value*n > sum, no float
+    division anywhere)."""
+    from ray.data.aggregate import Count, Sum
+
+    from tokrle.functions.normalize import group_mean_filter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    kept = group_mean_filter(ds, "source", "n_chars")
+    df = kept.groupby("source").aggregate(
+        Count(alias_name="n_above"),
+        Sum("n_chars", alias_name="sum_above")).to_pandas()
+    df["n_above"] = df["n_above"].astype("int64")
+    df["sum_above"] = df["sum_above"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
