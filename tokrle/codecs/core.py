@@ -21,8 +21,8 @@ import struct
 
 import numpy as np
 
-from tokrle.codecs._bits import (bit_width, pack_uints, unpack_uints,
-                                 unpack_uints_range)
+from tokrle.codecs._bits import (bit_width, bit_widths, pack_uints,
+                                 unpack_uints, unpack_uints_range)
 
 __all__ = ["CODECS", "encode", "decode", "Codec"]
 
@@ -438,7 +438,7 @@ class PatchedFor(Codec):
         span = vmax - ref
         span_w = bit_width(span)
         deltas = _span_to_unsigned(x, ref)
-        widths = np.searchsorted(_POW2, deltas, side="right")
+        widths = bit_widths(deltas)
         hist = np.bincount(widths, minlength=span_w + 1)
         w, _ = best_pfor_width(hist, len(x), span_w)
         if w == span_w:
@@ -541,7 +541,7 @@ class DeltaPfor(Codec):
         d = (u[1:] - u[:-1]).view(np.int64)       # wrapping differences
         z = ((d << np.int64(1)) ^ (d >> np.int64(63))).view(np.uint64)
         span_w = bit_width(int(z.max()))
-        widths = np.searchsorted(_POW2, z, side="right")
+        widths = bit_widths(z)
         hist = np.bincount(widths, minlength=span_w + 1)
         w, _ = best_pfor_width(hist, len(z), span_w)
         if w == span_w:

@@ -90,7 +90,9 @@ def _zigzag_hist(x: np.ndarray) -> np.ndarray | None:
     u = x.astype(np.uint64)
     d = (u[1:] - u[:-1]).view(np.int64)
     z = ((d << np.int64(1)) ^ (d >> np.int64(63))).view(np.uint64)
-    return np.bincount(np.searchsorted(_POW2, z, side="right"))
+    from tokrle.codecs._bits import bit_widths
+
+    return np.bincount(bit_widths(z))
 
 
 def profile_chunk(x: np.ndarray) -> ChunkProfile:
@@ -166,9 +168,10 @@ def profile_chunk(x: np.ndarray) -> ChunkProfile:
     if span > 0:
         ps = x if n <= (1 << 15) else x[:: max(1, n // _SAMPLE)]
         pd_ = (ps.astype(np.int64) - np.int64(vmin)).astype(np.uint64)
-        width_hist = np.bincount(
-            np.searchsorted(_POW2, pd_, side="right"),
-            minlength=bit_width(span) + 1)
+        from tokrle.codecs._bits import bit_widths
+
+        width_hist = np.bincount(bit_widths(pd_),
+                                 minlength=bit_width(span) + 1)
         width_hist_n = len(ps)
     else:
         width_hist, width_hist_n = None, 0
