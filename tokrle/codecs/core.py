@@ -381,6 +381,11 @@ class Delta(Codec):
         return n * first + int(np.dot(weights, d))
 
 
+# strided-sample size for the pfor/dpfor width choice inside encode —
+# matches the selector's _SAMPLE so encode-time and estimate-time
+# histograms see the same resolution
+_W_SAMPLE = 1 << 16
+
 # 2^0 .. 2^63 — searchsorted(_POW2, d, side="right") == bit_width(d) for
 # uint64 d (0 -> 0, 1 -> 1, 2..3 -> 2, ...): one vectorized pass replaces
 # a per-element bit_length loop.
@@ -438,14 +443,22 @@ class PatchedFor(Codec):
         span = vmax - ref
         span_w = bit_width(span)
         deltas = _span_to_unsigned(x, ref)
-        widths = bit_widths(deltas)
-        hist = np.bincount(widths, minlength=span_w + 1)
-        w, _ = best_pfor_width(hist, len(x), span_w)
+        # w is CHOSEN from a strided sample's width histogram (scaled
+        # exception counts) — any w is correct (exceptions are whatever
+        # the exact compare below exceeds), the sample only risks a
+        # slightly-off size optimum; the per-element width pass was the
+        # encode hot spot
+        ps = deltas[:: max(1, len(deltas) // _W_SAMPLE)]
+        hist = np.bincount(bit_widths(ps), minlength=span_w + 1)
+        w, _ = best_pfor_width(hist, len(x), span_w,
+                               sample_n=len(ps) if len(ps) != len(x)
+                               else None)
         if w == span_w:
             exc_pos = np.empty(0, dtype=np.uint64)
             main = deltas
         else:
-            exc_pos = np.flatnonzero(widths > w).astype(np.uint64)
+            exc_pos = np.flatnonzero(
+                deltas >= np.uint64(1 << w)).astype(np.uint64)
             main = deltas & np.uint64((1 << w) - 1)
         n_exc = len(exc_pos)
         high = deltas[exc_pos.astype(np.int64)] >> np.uint64(w)
@@ -541,14 +554,19 @@ class DeltaPfor(Codec):
         d = (u[1:] - u[:-1]).view(np.int64)       # wrapping differences
         z = ((d << np.int64(1)) ^ (d >> np.int64(63))).view(np.uint64)
         span_w = bit_width(int(z.max()))
-        widths = bit_widths(z)
-        hist = np.bincount(widths, minlength=span_w + 1)
-        w, _ = best_pfor_width(hist, len(z), span_w)
+        # sampled width-histogram w choice + exact compare for the
+        # exception set — same trade as PatchedFor.encode above
+        ps = z[:: max(1, len(z) // _W_SAMPLE)]
+        hist = np.bincount(bit_widths(ps), minlength=span_w + 1)
+        w, _ = best_pfor_width(hist, len(z), span_w,
+                               sample_n=len(ps) if len(ps) != len(z)
+                               else None)
         if w == span_w:
             exc_pos = np.empty(0, dtype=np.uint64)
             main = z
         else:
-            exc_pos = np.flatnonzero(widths > w).astype(np.uint64)
+            exc_pos = np.flatnonzero(
+                z >= np.uint64(1 << w)).astype(np.uint64)
             main = z & np.uint64((1 << w) - 1)
         n_exc = len(exc_pos)
         high = z[exc_pos.astype(np.int64)] >> np.uint64(w)
