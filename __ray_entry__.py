@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_windows": Q.multimodal_audio_windows,    # rows-only
         "multimodal_video_frames": Q.multimodal_video_frames,      # rows-only
         "hll_unique_tokens": Q.hll_unique_tokens,  # rows-only (approximate)
+        "cm_heavy_hitter_counts": Q.cm_heavy_hitter_counts,  # rows-only (sketch)
     }
     for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "pfor",
                   "dpfor", "xor", "fsst"):

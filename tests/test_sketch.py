@@ -78,3 +78,41 @@ def test_histogram_quantiles_match_numpy(ray_session):
         n = len(vals)
         assert r["q50"] == vals[int(np.ceil(0.5 * n)) - 1]
         assert r["q90"] == vals[int(np.ceil(0.9 * n)) - 1]
+
+
+def test_count_min_bounds_and_distributed_fold(ray_session):
+    """One-sided guarantee (never under-counts) on every item; estimates
+    for genuinely heavy items are tight; distributed fold == local
+    partial sum."""
+    import ray
+
+    from tokrle.functions.sketch import cm_partial, cm_query, cm_sketch_tokens
+
+    rng = np.random.default_rng(17)
+    values = np.concatenate([
+        rng.zipf(1.5, 50000).astype(np.int64) % 10000,
+        np.repeat(np.array([42, 7, 900], dtype=np.int64), 5000),
+    ])
+    true = {int(v): int(c) for v, c in
+            zip(*np.unique(values, return_counts=True))}
+    mat = cm_partial(values)
+    items = np.array(list(true), dtype=np.int64)
+    est = cm_query(mat, items)
+    assert (est >= np.array([true[int(i)] for i in items])).all()
+    # heavy items stay tight: overcount bounded well below epsilon*N
+    for hot in (42, 7, 900):
+        e = int(cm_query(mat, np.array([hot]))[0])
+        assert true[hot] <= e <= true[hot] + len(values) // 1000
+    # distributed: same multiset through Ray partials must give the SAME
+    # matrix (sums are associative)
+    docs = pa.table({
+        "doc_id": pa.array([str(i) for i in range(65)]),
+        "tokens": pa.array([values[i::65].tolist() for i in range(65)],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([len(values[i::65]) for i in range(65)],
+                          type=pa.int32()),
+        "source": pa.array(["s"] * 65),
+    })
+    ds = ray.data.from_arrow(docs).repartition(7)
+    mat2 = cm_sketch_tokens(ds)
+    assert np.array_equal(mat, mat2)

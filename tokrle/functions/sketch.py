@@ -157,3 +157,72 @@ def hll_distinct_by_key(ds, key_col: str, p: int = 12,
     out = _group_blocks(part_ds, [key_col]).map_batches(
         merge_block, batch_size=None, batch_format="pyarrow").to_pandas()
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: approximate per-item frequencies
+
+
+CM_DEPTH = 4
+
+
+def cm_partial(values: np.ndarray, width_log2: int = 14) -> np.ndarray:
+    """Count-min counter matrix (CM_DEPTH x 2^width_log2, int64) for one
+    batch — CM_DEPTH row hashes from independent splitmix streams, one
+    bincount per row, no Python per value.  Cormode & Muthukrishnan,
+    "An improved data stream summary: the count-min sketch" (J.
+    Algorithms 2005)."""
+    w = 1 << width_log2
+    mat = np.zeros((CM_DEPTH, w), dtype=np.int64)
+    if len(values) == 0:
+        return mat
+    u = values.astype(np.uint64)
+    for d in range(CM_DEPTH):
+        h = _mix64(u + np.uint64(d * 0x9E3779B9))
+        col = (h & np.uint64(w - 1)).astype(np.int64)
+        mat[d] = np.bincount(col, minlength=w)
+    return mat
+
+
+def cm_query(mat: np.ndarray, items: np.ndarray) -> np.ndarray:
+    """Point estimates (min over depth rows) — never under the true
+    count, over by at most ~N/width w.h.p."""
+    w = mat.shape[1]
+    u = np.asarray(items).astype(np.uint64)
+    est = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(CM_DEPTH):
+        h = _mix64(u + np.uint64(d * 0x9E3779B9))
+        col = (h & np.uint64(w - 1)).astype(np.int64)
+        est = np.minimum(est, mat[d, col])
+    return est
+
+
+def cm_sketch_tokens(ds, width_log2: int = 14) -> np.ndarray:
+    """Distributed count-min over the flat token stream: per-batch counter
+    matrices (CM_DEPTH x 2^w int64) fold by elementwise SUM — the
+    exchange ships fixed-size matrices, never tokens, and partials merge
+    associatively exactly like the HLL registers above."""
+    def partials(batch: pa.Table) -> pa.Table:
+        from tokrle.stages.encoder import _flat_tokens
+
+        values, _ = _flat_tokens(batch)
+        mat = cm_partial(values, width_log2)
+        return pa.table({"cm": pa.array([mat.ravel().tobytes()],
+                                        type=pa.large_binary())})
+
+    shape = (CM_DEPTH, 1 << width_log2)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(shape[0] * shape[1], dtype=np.int64)
+        for buf in batch.column("cm"):
+            acc += np.frombuffer(buf.as_py(), dtype=np.int64)
+        return pa.table({"cm": pa.array([acc.tobytes()],
+                                        type=pa.large_binary())})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow") \
+        .map_batches(fold, batch_size=64, batch_format="pyarrow") \
+        .take_all()
+    acc = np.zeros(shape[0] * shape[1], dtype=np.int64)
+    for row in parts:
+        acc += np.frombuffer(row["cm"], dtype=np.int64)
+    return acc.reshape(shape)

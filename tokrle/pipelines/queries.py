@@ -2223,3 +2223,24 @@ def above_mean_docs_stats(sf_dir: str) -> pd.DataFrame:
     df["n_above"] = df["n_above"].astype("int64")
     df["sum_above"] = df["sum_above"].astype("int64")
     return df.sort_values("source").reset_index(drop=True)
+
+
+def cm_heavy_hitter_counts(sf_dir: str) -> pd.DataFrame:
+    """Count-min sketch frequency estimates for the exact top-20 tokens
+    (rows-only: hash-dependent estimates; the one-sided guarantee
+    est >= exact is ASSERTED in-task for every row).  The exchange ships
+    fixed 4x16384 counter matrices, never tokens — the sketch shape for
+    frequency queries at 100 TB."""
+    from tokrle.functions.sketch import cm_query, cm_sketch_tokens
+    from tokrle.sources.tokens import documents_to_tokens
+
+    ds = documents_to_tokens(sf_dir)
+    mat = cm_sketch_tokens(ds)
+    exact = token_heavy_hitters(sf_dir)
+    items = exact["token"].to_numpy()
+    est = cm_query(mat, items)
+    true = exact["n"].to_numpy()
+    assert (est >= true).all(), "count-min under-counted"
+    return pd.DataFrame({"token": items.astype("int64"),
+                         "cm_count": est.astype("int64"),
+                         "exact_count": true.astype("int64")})
