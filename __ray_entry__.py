@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_roundtrip_stats_hashgroup": Q.encode_roundtrip_stats_hashgroup,
         "encoded_pruned_source_stats": Q.encoded_pruned_source_stats,
         "recompress_roundtrip_stats": Q.recompress_roundtrip_stats,
+        "upsert_corpus_stats": Q.upsert_corpus_stats,
         # keyed RLE (RleDict-equivalent) pipelines: coverage + run-merge ops
         "coverage_total": Q.coverage_total,
         "coverage_add": Q.coverage_add,
@@ -58,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "text_quality": Q.text_quality,
         "repetitive_docs": Q.repetitive_docs,
+        "gopher_repetition_stats": Q.gopher_repetition_stats,
         "clean_corpus_stats": Q.clean_corpus_stats,
         "dedup_exact": Q.dedup_exact,
         "unique_token_seqs": Q.unique_token_seqs,
@@ -105,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": Q.embedding_dups,          # rows-only (LSH-blocked)
         "lsh_ann_top1": Q.lsh_ann_top1,              # rows-only (approximate)
         "ivf_ann_top1": Q.ivf_ann_top1,              # rows-only (approximate)
+        "pq_ann_stats": Q.pq_ann_stats,              # rows-only (kmeans PQ)
         "multimodal_image_features": Q.multimodal_image_features,  # rows-only
         "multimodal_audio_windows": Q.multimodal_audio_windows,    # rows-only
         "multimodal_video_frames": Q.multimodal_video_frames,      # rows-only
@@ -181,6 +184,36 @@ def oracle_sql() -> dict[str, str]:
     sql["encode_roundtrip_stats_hashgroup"] = sql["encode_roundtrip_stats"]
 
     sql["recompress_roundtrip_stats"] = sql["encode_roundtrip_stats"]
+
+    # upsert: docs with doc_id % 10 == 3 get token 999 appended (update),
+    # one [1,2,3] doc per source appended (insert); aggregates must match
+    # the post-upsert decoded corpus exactly
+    sql["upsert_corpus_stats"] = """
+        WITH doc AS (
+            SELECT doc_id, source, count(*) AS n,
+                   sum(ascii(w) * 32 + length(w)) AS s
+            FROM (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY doc_id, source
+        ),
+        adj AS (
+            SELECT source,
+                   CASE WHEN doc_id % 10 = 3 THEN n + 1 ELSE n END AS n,
+                   CASE WHEN doc_id % 10 = 3 THEN s + 999 ELSE s END AS s
+            FROM doc
+        ),
+        ins AS (
+            SELECT source, 3 AS n, 6 AS s
+            FROM (SELECT DISTINCT source FROM documents)
+        ),
+        uni AS (SELECT * FROM adj UNION ALL SELECT * FROM ins)
+        SELECT source,
+               cast(count(*) AS bigint) AS n_docs,
+               cast(sum(n) AS bigint)   AS n_tokens,
+               cast(sum(s) AS bigint)   AS sum_tokens
+        FROM uni GROUP BY source ORDER BY source
+    """
 
     # packing aggregates are doc-order-independent: n_examples per source
     # = ceil((n_tokens + n_docs)/seq_len) [one EOS per doc, final example
@@ -902,6 +935,49 @@ def oracle_sql() -> dict[str, str]:
                    AS n_eligible,
                cast(count(*) FILTER (WHERE n >= 20 AND maxc * 5 >= n)
                     AS bigint) AS n_repetitive
+        FROM dm GROUP BY source ORDER BY source
+    """
+
+    sql["gopher_repetition_stats"] = """
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_transform(string_split(text, ' '),
+                                  w -> ascii(w) * 32 + length(w)) AS t
+            FROM documents
+        ),
+        base AS (SELECT doc_id, source, len(t) AS n, t FROM toks),
+        bg AS (
+            SELECT doc_id,
+                   unnest([t[i]::VARCHAR || ',' || t[i+1]::VARCHAR
+                           FOR i IN generate_series(1, len(t) - 1)]) AS g
+            FROM base WHERE n >= 2
+        ),
+        bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        bgm AS (SELECT doc_id, max(c) AS c2 FROM bgc GROUP BY doc_id),
+        tg AS (
+            SELECT doc_id,
+                   unnest([t[i]::VARCHAR || ',' || t[i+1]::VARCHAR || ','
+                           || t[i+2]::VARCHAR
+                           FOR i IN generate_series(1, len(t) - 2)]) AS g
+            FROM base WHERE n >= 3
+        ),
+        tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+        tgm AS (SELECT doc_id, sum(c) FILTER (WHERE c >= 2) AS dup3
+                FROM tgc GROUP BY doc_id),
+        dm AS (
+            SELECT b.doc_id, b.source, b.n,
+                   coalesce(bgm.c2, 0) AS c2, coalesce(tgm.dup3, 0) AS dup3
+            FROM base b LEFT JOIN bgm USING (doc_id)
+                        LEFT JOIN tgm USING (doc_id)
+        )
+        SELECT source,
+               cast(count(*) FILTER (WHERE n >= 20) AS bigint)
+                   AS n_eligible,
+               cast(count(*) FILTER (WHERE n >= 20 AND c2 * 18 >= n - 1)
+                    AS bigint) AS n_top_bigram,
+               cast(count(*) FILTER
+                        (WHERE n >= 20 AND dup3 * 50 >= n - 2)
+                    AS bigint) AS n_dup_trigram
         FROM dm GROUP BY source ORDER BY source
     """
 

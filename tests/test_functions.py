@@ -467,6 +467,66 @@ def test_doc_repetition_partials_oracle():
         assert (row["n_eligible"], row["n_repetitive"]) == exp[row["source"]]
 
 
+def test_gopher_ngram_stats_oracle():
+    """Vectorized per-doc bigram/trigram repetition stats vs a per-doc
+    Counter oracle, plus the partials' integer threshold rules — covering
+    empty docs, 1/2-word docs, and a planted all-repeats doc."""
+    import pyarrow as pa
+    from collections import Counter
+
+    from tokrle.functions.text import doc_ngram_stats, gopher_ngram_partials
+
+    rng = np.random.default_rng(11)
+    docs, srcs = [], []
+    for i in range(80):
+        n = int(rng.integers(0, 50))
+        docs.append(rng.integers(0, 7, size=n).astype(np.int32))
+        srcs.append(f"s{i % 3}")
+    for planted in ([], [3], [1, 2],
+                    [5, 6] * 15):                     # all-repeats, eligible
+        docs.append(np.asarray(planted, dtype=np.int32))
+        srcs.append("s0")
+    offsets = np.concatenate(([0], np.cumsum([len(d) for d in docs])))
+    batch = pa.table({
+        "doc_id": pa.array([str(i) for i in range(len(docs))]),
+        "tokens": pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(np.concatenate(docs) if offsets[-1] else
+                     np.zeros(0, dtype=np.int32), type=pa.int32())),
+        "source": pa.array(srcs),
+    })
+
+    s = doc_ngram_stats(batch)
+    exp = {}
+    for i, (d, src) in enumerate(zip(docs, srcs)):
+        d = d.tolist()
+        bg = Counter(zip(d[:-1], d[1:]))
+        tg = Counter(zip(d[:-2], d[1:-1], d[2:]))
+        c2 = max(bg.values()) if bg else 0
+        dup3 = sum(v for v in tg.values() if v >= 2)
+        assert s["n_words"][i] == len(d)
+        assert s["c2"][i] == c2
+        assert s["dup3"][i] == dup3
+        assert s["n2"][i] == max(len(d) - 1, 0)
+        assert s["n3"][i] == max(len(d) - 2, 0)
+        e = len(d) >= 20
+        t2 = e and c2 * 18 >= len(d) - 1
+        t3 = e and dup3 * 50 >= len(d) - 2
+        a, b, c = exp.get(src, (0, 0, 0))
+        exp[src] = (a + int(e), b + int(t2), c + int(t3))
+
+    out = gopher_ngram_partials(batch).to_pandas() \
+        .groupby("source", as_index=False).sum().sort_values("source")
+    for _, row in out.iterrows():
+        got = (row["n_eligible"], row["n_top_bigram"], row["n_dup_trigram"])
+        assert got == exp[row["source"]]
+    # the planted all-repeats doc must trip both rules
+    planted = docs[-1]
+    i = len(docs) - 1
+    assert s["c2"][i] * 18 >= len(planted) - 1
+    assert s["dup3"][i] * 50 >= len(planted) - 2
+
+
 def test_clean_corpus_pipeline(ray_session, tmp_path):
     """End-to-end cleaning: short docs and repetitive docs filtered,
     exact dups collapse to min doc_id, output hive-partitioned by
@@ -1466,3 +1526,71 @@ def test_group_mean_filter_matches_pandas(ray_session):
     assert got_a.equals(want_above)
     assert got_b.equals(want_below)
     assert len(got_a) + len(got_b) == len(df)
+
+
+def test_pq_encode_decode_exact_on_codebook_points():
+    """Vectors sitting exactly on codebook centroids reconstruct exactly
+    (per subspace), and codes pick the lowest index on ties."""
+    from tokrle.functions.pq import _encode_matrix, pq_decode_codes
+
+    rng = np.random.default_rng(3)
+    m, k, dsub = 4, 8, 4
+    books = rng.standard_normal((m, k, dsub))
+    picks = rng.integers(0, k, size=(20, m))
+    vecs = np.concatenate([books[j][picks[:, j]] for j in range(m)], axis=1)
+    codes = _encode_matrix(vecs, books)
+    assert np.array_equal(codes, picks.astype(np.uint8))
+    rec = pq_decode_codes(codes, books)
+    assert np.allclose(rec, vecs)
+
+
+def test_pq_ann_finds_planted_dups(ray_session):
+    """PQ codes + asymmetric-distance top-k: planted near-duplicates are
+    each query's distinctly-closest neighbour and PQ must surface them
+    top-1; recall@5 overlaps exact brute force; codes are
+    partitioning-invariant; the encoded column is 16x smaller.  (Exact
+    top-1 agreement WITHIN a tight cluster is not asserted — resolving
+    ties finer than the quantization cell is not what PQ promises.)"""
+    import ray.data
+
+    from tokrle.functions.ann import brute_force_topk
+    from tokrle.functions.pq import pq_encode, pq_topk, pq_train
+
+    rng = np.random.default_rng(9)
+    n_clusters, per, dim = 5, 40, 32
+    centers = rng.standard_normal((n_clusters, dim)) * 8
+    vecs = np.concatenate([
+        centers[c] + rng.standard_normal((per, dim)) * 2.0
+        for c in range(n_clusters)])
+    q_idx = np.arange(0, len(vecs), 10)
+    dups = vecs[q_idx] * 1.0005          # planted near-dup per query
+    allv = np.concatenate([vecs, dups])
+    dup_ids = np.arange(len(vecs), len(allv))
+    df = pd.DataFrame({"vec_id": np.arange(len(allv)),
+                       "embedding": [v.astype(np.float32) for v in allv]})
+    ds = ray.data.from_pandas(df)
+
+    books = pq_train(ds, m=8, k=64, iters=6, sample_size=256, seed=2)
+    assert books.shape == (8, 64, 4)
+    code_ds = pq_encode(ds, books)
+    codes = code_ds.to_pandas().sort_values("vec_id")
+    assert all(len(c) == 8 for c in codes["codes"])  # 8 B vs 128 B raw
+
+    # partitioning invariance of the encode
+    codes8 = pq_encode(ds.repartition(8), books).to_pandas() \
+        .sort_values("vec_id")
+    assert [list(a) for a in codes["codes"]] == \
+        [list(a) for a in codes8["codes"]]
+
+    queries = allv[q_idx]
+    res = pq_topk(code_ds, queries, q_idx, books, k=5)
+    top1 = res[res["rank"] == 1].sort_values("q_id")
+    assert len(top1) == len(q_idx)
+    hit = (top1["vec_id"].to_numpy() == dup_ids).mean()
+    assert hit >= 0.9, hit
+    # recall@5 overlap with exact brute force
+    exact = brute_force_topk(ds, queries, q_idx, k=5)
+    ex = exact.groupby("q_id")["vec_id"].agg(set)
+    ap = res.groupby("q_id")["vec_id"].agg(set)
+    overlap = np.mean([len(ex[q] & ap[q]) / 5 for q in ex.index])
+    assert overlap >= 0.4, overlap

@@ -111,6 +111,71 @@ def test_corpus_encode_resume(ray_session, tmp_path):
         assert np.array_equal(got[d], want[d])
 
 
+def test_upsert_corpus_replaces_and_appends(ray_session, tmp_path):
+    """Doc-level upsert: updated docs replaced, new docs appended,
+    untouched groups never rewritten (their files keep byte-identical
+    content), and re-running the same upsert is idempotent."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from tokrle.pipelines.corpus import encode_corpus, upsert_corpus
+    from tokrle.pipelines.encode import decode_tokens
+    from tokrle.sources.tokens import documents_to_tokens
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    df = documents_to_tokens(SF).to_pandas()
+    pq.write_table(pa.Table.from_pandas(df.iloc[:250]), f"{in_dir}/a.parquet")
+    pq.write_table(pa.Table.from_pandas(df.iloc[250:]), f"{in_dir}/b.parquet")
+    encode_corpus(in_dir, out_dir, batch_size=64, group_files=1)
+
+    # delta: replace two docs from the FIRST group only + insert one new
+    upd_ids = [int(df.iloc[0]["doc_id"]), int(df.iloc[1]["doc_id"])]
+    delta = pa.table({
+        "doc_id": pa.array(upd_ids + [999_999], type=pa.int64()),
+        "tokens": pa.array([[7, 7, 7], [8], [1, 2, 3]],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([3, 1, 3], type=pa.int32()),
+        "source": pa.array(["sX", "sX", "sY"]),
+    })
+    untouched = sorted(p for p in _glob.glob(f"{out_dir}/group=*/*.parquet"))
+    before = {}
+    for p in untouched:
+        with open(p, "rb") as f:
+            before[p] = f.read()
+
+    run = upsert_corpus(out_dir, ray.data.from_arrow(delta), batch_size=64)
+    assert run["docs_replaced"] == 2
+    assert run["docs_added"] == 3
+    assert run["groups_rewritten"] == 1
+
+    dec = decode_tokens(ray.data.read_parquet(out_dir)).to_pandas()
+    got = _tokens_by_doc(dec)
+    want = _tokens_by_doc(df)
+    want[str(upd_ids[0])] = np.array([7, 7, 7])
+    want[str(upd_ids[1])] = np.array([8])
+    want["999999"] = np.array([1, 2, 3])
+    assert set(got) == set(want)
+    for d in want:
+        assert np.array_equal(got[d], want[d]), d
+    # the group NOT holding the updated docs was not rewritten
+    n_same = sum(1 for p, blob in before.items()
+                 if os.path.exists(p) and open(p, "rb").read() == blob)
+    assert n_same >= 1
+
+    # idempotent re-run: same delta -> same final corpus
+    run2 = upsert_corpus(out_dir, ray.data.from_arrow(delta), batch_size=64)
+    assert run2["docs_replaced"] == 3  # the delta's own group now holds them
+    dec2 = decode_tokens(ray.data.read_parquet(out_dir)).to_pandas()
+    got2 = _tokens_by_doc(dec2)
+    assert set(got2) == set(want)
+    for d in want:
+        assert np.array_equal(got2[d], want[d]), d
+
+
 def test_synth_tokens_deterministic_any_partitioning(ray_session):
     from tokrle.sources.tokens import synth_tokens
 

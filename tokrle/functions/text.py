@@ -247,3 +247,106 @@ def doc_repetition_partials(batch: pa.Table, *, min_words: int = 20,
                         "n_repetitive": repetitive.astype(np.int64)}) \
         .groupby("source", sort=False, as_index=False).sum()
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def doc_ngram_stats(batch: pa.Table) -> dict[str, np.ndarray]:
+    """Per-doc word-n-gram repetition measures for the Gopher rules
+    (Rae et al. 2021 repetition filters, word-level variants): for every
+    token-table row return
+
+    - ``n_words``  — word count,
+    - ``c2`` / ``n2`` — count of the MOST FREQUENT word bigram and the
+      number of bigram positions (``n_words - 1``),
+    - ``dup3`` / ``n3`` — number of trigram positions whose trigram occurs
+      at least twice in the doc, and the number of trigram positions.
+
+    Fully vectorized across the whole batch: n-gram keys are the token
+    TUPLES themselves (no hash packing — token ids can exceed 2^21, so a
+    single-int64 pack could overflow; ``np.lexsort`` takes the columns
+    directly), one lexsort per n, run lengths from boundary diffs, per-doc
+    folds via ``reduceat``.  No per-doc Python loop.
+    """
+    from tokrle.stages.encoder import _flat_tokens
+
+    values, offsets = _flat_tokens(batch)
+    per_doc = np.diff(offsets)
+    n_docs = len(per_doc)
+    di = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
+
+    def max_run_per_doc(keys: tuple[np.ndarray, ...],
+                        d: np.ndarray) -> np.ndarray:
+        """Per-doc (max run length, duplicated-position count) over runs of
+        identical key tuples within a doc."""
+        top = np.zeros(n_docs, dtype=np.int64)
+        dup = np.zeros(n_docs, dtype=np.int64)
+        if not len(d):
+            return top, dup
+        # primary sort by doc, then the key tuple (np.lexsort: LAST key
+        # is the primary sort key)
+        order = np.lexsort(tuple(reversed(keys)) + (d,))
+        ks = [k[order] for k in keys]
+        ds = d[order]
+        change = ds[1:] != ds[:-1]
+        for k in ks:
+            change = change | (k[1:] != k[:-1])
+        starts = np.flatnonzero(np.concatenate(([True], change)))
+        runlen = np.diff(np.append(starts, len(ds)))
+        rd = ds[starts]
+        first = np.flatnonzero(np.concatenate(([True], rd[1:] != rd[:-1])))
+        docs = rd[first]
+        top[docs] = np.maximum.reduceat(runlen, first)
+        dup[docs] = np.add.reduceat(np.where(runlen >= 2, runlen, 0), first)
+        return top, dup
+
+    # bigrams: positions i where token i and i+1 are in the same doc
+    if len(values) >= 2:
+        m2 = di[1:] == di[:-1]
+        b0, b1, d2 = values[:-1][m2], values[1:][m2], di[:-1][m2]
+    else:
+        b0 = b1 = d2 = np.zeros(0, dtype=np.int64)
+    c2, _ = max_run_per_doc((b0, b1), d2)
+    # trigrams
+    if len(values) >= 3:
+        m3 = di[2:] == di[:-2]
+        t0, t1, t2 = values[:-2][m3], values[1:-1][m3], values[2:][m3]
+        d3 = di[:-2][m3]
+    else:
+        t0 = t1 = t2 = d3 = np.zeros(0, dtype=np.int64)
+    _, dup3 = max_run_per_doc((t0, t1, t2), d3)
+    return {
+        "n_words": per_doc,
+        "c2": c2, "n2": np.maximum(per_doc - 1, 0),
+        "dup3": dup3, "n3": np.maximum(per_doc - 2, 0),
+    }
+
+
+def gopher_ngram_partials(batch: pa.Table, *, min_words: int = 20,
+                          top2_den: int = 18,
+                          dup3_num: int = 1, dup3_den: int = 50) -> pa.Table:
+    """Per-batch PARTIALS for the Gopher word-n-gram repetition rules:
+    among docs with >= ``min_words`` words, count docs whose
+
+    - most frequent word BIGRAM covers >= 1/``top2_den`` of bigram
+      positions (``c2 * top2_den >= n2``), and
+    - duplicated word TRIGRAMS cover >= ``dup3_num``/``dup3_den`` of
+      trigram positions (``dup3 * dup3_den >= n3 * dup3_num``).
+
+    Default thresholds sit near this corpus's 90th percentile (Gopher's
+    published cut points flag nothing here), so the rule is exercised.
+
+    All compares are integer cross-multiplications — no float division, so
+    the DuckDB oracle reproduces the row set exactly.  Output: one
+    (source, n_eligible, n_top_bigram, n_dup_trigram) int64 row per source
+    per batch; the downstream shuffle moves these partials, never tokens.
+    """
+    s = doc_ngram_stats(batch)
+    eligible = s["n_words"] >= min_words
+    top2 = eligible & (s["c2"] * top2_den >= s["n2"])
+    dup3 = eligible & (s["dup3"] * dup3_den >= s["n3"] * dup3_num)
+    src = batch.column("source").to_pandas()
+    out = pd.DataFrame({"source": src,
+                        "n_eligible": eligible.astype(np.int64),
+                        "n_top_bigram": top2.astype(np.int64),
+                        "n_dup_trigram": dup3.astype(np.int64)}) \
+        .groupby("source", sort=False, as_index=False).sum()
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -246,3 +246,123 @@ def encode_corpus(in_dir: str, out_dir: str, *,
             run[k] += metrics[k]
         run["seconds"] += dt
     return run
+
+
+def upsert_corpus(enc_dir: str, delta_ds, *,
+                  batch_size: int = DEFAULT_BATCH_SIZE,
+                  by_source: bool = False) -> dict:
+    """Doc-level upsert into an encoded corpus (LSM-style merge): rows of
+    ``delta_ds`` (token-table schema: doc_id, tokens, n_tok, source)
+    REPLACE same-doc_id documents already in the corpus and append
+    otherwise.
+
+    Scale shape — the delta is the SMALL side by definition (an
+    incremental ingest batch against a 100-TB corpus):
+
+    - the delta's doc_id set is collected once, broadcast via ``ray.put``,
+      and matched against a metadata-only scan of the corpus's
+      (doc_id-list) column with ``include_paths`` — payload bytes of
+      untouched chunks never leave storage;
+    - only the AFFECTED resume groups (directories holding a replaced
+      doc) are decoded -> filtered -> re-encoded, and each is swapped in
+      via write-to-``.tmp`` + ``os.rename`` so a crash mid-rewrite leaves
+      either the old or the new group, not a half dir (the rename itself
+      is the only non-atomic instant, after the rmtree of the old dir);
+    - the delta encodes into ONE new group keyed by the hash of its
+      doc_id set, so re-running the same upsert is idempotent (the group
+      is rewritten in place, never duplicated).
+
+    Returns run metrics (groups_rewritten, docs_replaced, docs_added, ...).
+    """
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from tokrle.pipelines.encode import decode_tokens
+
+    manifest = Manifest(enc_dir)
+    delta = delta_ds.materialize()  # small side: ids are needed up front
+    ids = sorted(set(delta.select_columns(["doc_id"]).to_pandas()["doc_id"]
+                     .astype(str)))
+    run = {"groups_rewritten": 0, "docs_replaced": 0,
+           "docs_added": int(delta.count()), "seconds": 0.0}
+    t0 = time.perf_counter()
+    if not ids:
+        return run
+    wanted = pa.array(ids, type=pa.string())
+    ref = ray.put(wanted)
+
+    files = [p for p in glob.glob(os.path.join(enc_dir, "**", "*.parquet"),
+                                  recursive=True) if "_manifest" not in p]
+
+    def find(batch: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        col = batch.column("doc_id").combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = col.flatten()
+        hit = pc.is_in(flat, value_set=w).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(hit)))
+        ends = np.cumsum(lens)
+        per_chunk = cs[ends] - cs[ends - lens]
+        keep = per_chunk > 0
+        return pa.table({
+            "path": batch.column("path").filter(pa.array(keep)),
+            "n_hit": pa.array(per_chunk[keep], type=pa.int64()),
+        })
+
+    hits = pd.DataFrame(columns=["path", "n_hit"])
+    if files:
+        hits = ray.data.read_parquet(files, columns=["doc_id"],
+                                     include_paths=True) \
+            .map_batches(find, batch_format="pyarrow").to_pandas()
+    run["docs_replaced"] = int(hits["n_hit"].sum()) if len(hits) else 0
+    group_dirs = sorted({os.path.dirname(p) for p in hits["path"]}) \
+        if len(hits) else []
+
+    for gdir in group_dirs:
+        gfiles = sorted(glob.glob(os.path.join(gdir, "*.parquet")))
+        toks = decode_tokens(ray.data.read_parquet(
+            gfiles, override_num_blocks=len(gfiles)))
+
+        def drop(batch: pa.Table) -> pa.Table:
+            w = ray.get(ref)
+            return batch.filter(pc.invert(pc.is_in(
+                batch.column("doc_id"), value_set=w)))
+
+        kept = encode_tokens(toks.map_batches(drop, batch_format="pyarrow"),
+                             batch_size=batch_size, by_source=by_source)
+        tmp = gdir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        kept.write_parquet(tmp)
+        # a fully-replaced group encodes to zero rows; write_parquet may
+        # then emit no files — keep the (empty) dir so the swap still works
+        os.makedirs(tmp, exist_ok=True)
+        shutil.rmtree(gdir)
+        os.rename(tmp, gdir)
+        run["groups_rewritten"] += 1
+        gid = os.path.basename(gdir).split("=", 1)[-1]
+        manifest.mark_done(gid, {"n_files": len(gfiles),
+                                 "upsert_rewrite": True,
+                                 "seconds": time.perf_counter() - t0})
+
+    h = hashlib.blake2b(digest_size=10)
+    for i in ids:
+        h.update(i.encode())
+        h.update(b"\x00")
+    gid = f"upsert-{h.hexdigest()}"
+    unit_out = os.path.join(enc_dir, f"group={gid}")
+    shutil.rmtree(unit_out, ignore_errors=True)
+    encode_tokens(delta, batch_size=batch_size,
+                  by_source=by_source).write_parquet(unit_out)
+    dt = time.perf_counter() - t0
+    manifest.mark_done(gid, {"n_files": 0, "first_file": "<delta>",
+                             "upsert_delta": True, "seconds": dt})
+    run["seconds"] = dt
+    return run

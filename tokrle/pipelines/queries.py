@@ -278,6 +278,82 @@ def recompress_roundtrip_stats(sf_dir: str) -> pd.DataFrame:
     return _per_source_token_stats(dec)
 
 
+def upsert_corpus_stats(sf_dir: str) -> pd.DataFrame:
+    """Incremental ingest: encode the corpus, then UPSERT a delta — every
+    doc with doc_id % 10 == 3 gets one token (999) appended (an update),
+    plus one brand-new doc per source (an insert) — and recompute
+    per-source aggregates from the decoded post-upsert corpus.  The SQL
+    oracle applies the same update+insert to the raw text, so group
+    rewrite, replacement, and append must all be exact.
+
+    Scale shape: only groups holding an updated doc are decoded and
+    re-encoded (metadata-only affected-chunk scan, ray.put-broadcast id
+    set); the delta encodes as one new idempotent group."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from tokrle.pipelines.corpus import encode_corpus, upsert_corpus
+    from tokrle.pipelines.encode import decode_tokens
+    from tokrle.sources.tokens import documents_to_tokens
+
+    base = os.path.join("/tmp/tokrle_q",
+                        sf_dir.strip("/").replace("/", "_"))
+    tok_dir = os.path.join(base, "upsert_tokens")
+    enc = os.path.join(base, "upsert_enc")
+    for d in (tok_dir, enc):
+        shutil.rmtree(d, ignore_errors=True)
+    documents_to_tokens(sf_dir).write_parquet(tok_dir)
+    encode_corpus(tok_dir, enc, batch_size=256)
+
+    def modify(batch: pa.Table) -> pa.Table:
+        """Keep doc_id % 10 == 3 rows, append token 999 to each."""
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        batch = batch.filter(pa.array(ids % 10 == 3))
+        if len(batch) == 0:
+            return batch
+        from tokrle.stages.encoder import _flat_tokens
+
+        values, offsets = _flat_tokens(batch)
+        new_vals = np.insert(values, offsets[1:], np.int32(999))
+        new_offs = offsets + np.arange(len(offsets), dtype=np.int64)
+        toks = pa.ListArray.from_arrays(
+            pa.array(new_offs, type=pa.int32()),
+            pa.array(new_vals, type=pa.int32()))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "tokens": toks,
+            "n_tok": pc.add(batch.column("n_tok"), 1).cast(pa.int32()),
+            "source": batch.column("source"),
+        })
+
+    updates = documents_to_tokens(sf_dir).map_batches(
+        modify, batch_format="pyarrow")
+    sources = sorted(set(
+        pq_.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["source"]).column("source").to_pylist()))
+    inserts = pa.table({
+        "doc_id": pa.array([str(1_000_000 + i) for i in range(len(sources))],
+                           type=pa.string()),
+        "tokens": pa.array([[1, 2, 3]] * len(sources),
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([3] * len(sources), type=pa.int32()),
+        "source": pa.array(sources, type=pa.string()),
+    })
+    delta = updates.union(ray.data.from_arrow(inserts))
+    upsert_corpus(enc, delta, batch_size=256)
+
+    dec = decode_tokens(ray.data.read_parquet(
+        enc, columns=["codec", "payload", "n_tokens", "row_offsets",
+                      "doc_id", "doc_source"]))
+    return _per_source_token_stats(dec)
+
+
 def encoded_pruned_source_stats(sf_dir: str) -> pd.DataFrame:
     """Predicate pushdown on the ENCODED table: encode with local source
     grouping (chunks are source-pure, so the chunk-level ``source`` column
@@ -636,6 +712,47 @@ def ann_top1(sf_dir: str) -> pd.DataFrame:
     out = brute_force_topk(ds, queries, qdf["vec_id"].to_numpy(), k=1)
     out = out[["q_id", "vec_id"]].astype("int64")
     return out.sort_values("q_id").reset_index(drop=True)
+
+
+def pq_ann_stats(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ANN over the embeddings table (rows-only — PQ
+    codebooks come from k-means, not SQL-expressible): train 16x4-dim
+    codebooks on a hash sample, encode every vector to 16 uint8 codes
+    (16x smaller than the 64 float32s), asymmetric-distance top-5 for the
+    first 20 vectors, and report integer agreement counts vs exact brute
+    force — the in-query assertion that PQ actually ranks well."""
+    import pyarrow.compute as pc
+
+    from tokrle.functions.ann import brute_force_topk
+    from tokrle.functions.pq import pq_encode, pq_topk, pq_train
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("vec_id"), 20)),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].map(np.asarray).to_list())
+    q_ids = qdf["vec_id"].to_numpy()
+
+    books = pq_train(ds, m=16, k=256, iters=8, seed=31)
+    code_ds = pq_encode(ds, books)
+    approx = pq_topk(code_ds, queries, q_ids, books, k=5)
+    exact = brute_force_topk(ds, queries, q_ids, k=5)
+
+    a1 = approx[approx["rank"] == 1].set_index("q_id")["vec_id"]
+    e1 = exact[exact["rank"] == 1].set_index("q_id")["vec_id"]
+    top1_agree = int((a1.sort_index().to_numpy()
+                      == e1.sort_index().to_numpy()).sum())
+    ex_sets = exact.groupby("q_id")["vec_id"].agg(set)
+    ap_sets = approx.groupby("q_id")["vec_id"].agg(set)
+    recall5_hits = int(sum(len(ex_sets[q] & ap_sets[q]) for q in ex_sets.index))
+    dim = queries.shape[1]
+    return pd.DataFrame({
+        "n_queries": pd.array([len(q_ids)], dtype="int64"),
+        "top1_agree": pd.array([top1_agree], dtype="int64"),
+        "recall5_hits": pd.array([recall5_hits], dtype="int64"),
+        "bytes_per_vec_raw": pd.array([dim * 4], dtype="int64"),
+        "bytes_per_vec_pq": pd.array([books.shape[0]], dtype="int64"),
+    })
 
 
 def dedup_minhash(sf_dir: str) -> pd.DataFrame:
@@ -1100,6 +1217,31 @@ def repetitive_docs(sf_dir: str) -> pd.DataFrame:
         Sum("n_repetitive", alias_name="n_repetitive"))
     df = agg.to_pandas()
     for c in ("n_eligible", "n_repetitive"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
+def gopher_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher word-n-gram repetition rules per source (Rae et al. 2021):
+    among docs >= 20 words, count docs whose top word-BIGRAM covers >= 1/5
+    of bigram positions and docs whose duplicated word-TRIGRAMS cover
+    >= 15% of trigram positions.  Scale shape: per-batch vectorized
+    partials (functions.text.gopher_ngram_partials — one lexsort per n
+    over the batch's flat token stream, reduceat folds) -> tiny Sum
+    aggregate; the shuffle moves one int64 row per (source, batch)."""
+    from ray.data.aggregate import Sum
+
+    from tokrle.functions.text import gopher_ngram_partials
+    from tokrle.sources.tokens import documents_to_tokens
+
+    ds = documents_to_tokens(sf_dir)
+    parts = ds.map_batches(gopher_ngram_partials, batch_format="pyarrow")
+    agg = parts.groupby("source").aggregate(
+        Sum("n_eligible", alias_name="n_eligible"),
+        Sum("n_top_bigram", alias_name="n_top_bigram"),
+        Sum("n_dup_trigram", alias_name="n_dup_trigram"))
+    df = agg.to_pandas()
+    for c in ("n_eligible", "n_top_bigram", "n_dup_trigram"):
         df[c] = df[c].astype("int64")
     return df.sort_values("source").reset_index(drop=True)
 
