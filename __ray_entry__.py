@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_stats": Q.tfidf_top_terms_stats,
         "inverted_index_stats": Q.inverted_index_stats,
         "rollup_lineitem_stats": Q.rollup_lineitem_stats,
+        "cube_lineitem_stats": Q.cube_lineitem_stats,
         "window_orders_stats": Q.window_orders_stats,
         "skew_join_stats": Q.skew_join_stats,
         "above_mean_docs_stats": Q.above_mean_docs_stats,
@@ -312,6 +313,16 @@ def oracle_sql() -> dict[str, str]:
                     AS bigint)                AS sum_price_cents
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY 1, 2
+    """
+
+    sql["cube_lineitem_stats"] = """
+        SELECT coalesce(l_returnflag, 'ALL')  AS l_returnflag,
+               coalesce(l_linestatus, 'ALL')  AS l_linestatus,
+               cast(count(*) AS bigint)       AS n,
+               cast(sum(cast(l_quantity AS bigint)) AS bigint) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
         ORDER BY 1, 2
     """
 

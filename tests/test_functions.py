@@ -1428,6 +1428,46 @@ def test_rollup_aggregate_matches_pandas(ray_session):
         assert got.equals(want), parts
 
 
+def test_cube_aggregate_matches_pandas(ray_session):
+    """cube_aggregate == pandas groupby at every subset of the keys
+    (including the (b)-only set ROLLUP cannot produce), partitioning-
+    invariant; grouping_sets rejects non-derivable sets."""
+    import pytest
+    import ray
+
+    from tokrle.functions.rollup import (cube_aggregate,
+                                         grouping_sets_aggregate, with_ones)
+
+    rng = np.random.default_rng(29)
+    n = 4000
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], n),
+        "b": rng.choice(["p", "q"], n),
+        "v": rng.integers(-100, 100, n).astype("int64"),
+    })
+    want_rows = []
+    for s in (["a", "b"], ["a"], ["b"], []):
+        if s:
+            g = df.groupby(s, as_index=False).agg(
+                n=("v", "size"), sum_v=("v", "sum"))
+        else:
+            g = pd.DataFrame({"n": [n], "sum_v": [df["v"].sum()]})
+        for k in ("a", "b"):
+            if k not in s:
+                g[k] = "ALL"
+        want_rows.append(g[["a", "b", "n", "sum_v"]])
+    want = pd.concat(want_rows, ignore_index=True).astype(
+        {"n": "int64", "sum_v": "int64"})
+    want = want.sort_values(["a", "b", "n", "sum_v"]).reset_index(drop=True)
+    for parts in (1, 7):
+        ds = with_ones(ray.data.from_pandas(df).repartition(parts))
+        got = cube_aggregate(ds, ["a", "b"], ["v"])
+        assert got.equals(want), parts
+    ds = with_ones(ray.data.from_pandas(df))
+    with pytest.raises(ValueError):
+        grouping_sets_aggregate(ds, ["a", "b"], [["c"]], ["v"])
+
+
 def test_add_window_columns_matches_pandas(ray_session):
     """row_number / running sum / lag gap vs a pandas groupby-apply
     oracle, partitioning-invariant, ties broken by the trailing order

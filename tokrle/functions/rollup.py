@@ -72,3 +72,60 @@ def with_ones(ds):
             "__one", pa.array(np.ones(len(batch), dtype=np.int64)))
 
     return ds.map_batches(add, batch_format="pyarrow")
+
+
+def grouping_sets_aggregate(ds, keys: list[str], sets: list[list[str]],
+                            sum_cols: list[str],
+                            count_alias: str = "n") -> pd.DataFrame:
+    """Distributed GROUPING SETS: exact COUNT(*) + SUMs at every requested
+    subset of ``keys``, with ONE input-scale shuffle.
+
+    The finest level (the full key tuple) aggregates the input once and
+    is materialized (aggregate-sized: distinct-combo count, not row
+    count); every requested set then re-aggregates that AGGREGATE
+    dataset with its own small distributed groupby — sums of sums and
+    sums of counts are exact, so the decomposition is lossless.  A set
+    that is not a subset of ``keys`` is rejected (it could not be
+    derived without a second input pass).  Absent keys read ``'ALL'``.
+    """
+    from ray.data.aggregate import Sum
+
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s} not derivable from {keys}")
+    vals = [count_alias] + [f"sum_{c}" for c in sum_cols]
+    finest = ds.groupby(keys).aggregate(
+        Sum("__one", alias_name=count_alias),
+        *[Sum(c, alias_name=f"sum_{c}") for c in sum_cols]).materialize()
+    out: list[pd.DataFrame] = []
+    for s in sets:
+        s = list(s)
+        if s == list(keys):
+            df = finest.to_pandas()
+        elif s:
+            df = finest.groupby(s).aggregate(
+                *[Sum(v, alias_name=v) for v in vals]).to_pandas()
+        else:
+            fdf = finest.to_pandas()
+            df = pd.DataFrame({v: [int(fdf[v].sum())] for v in vals})
+        for k in keys:
+            if k not in s:
+                df[k] = ALL
+        out.append(df[keys + vals])
+    res = pd.concat(out, ignore_index=True)
+    for v in vals:
+        res[v] = res[v].astype("int64")
+    return res.sort_values(keys + vals).reset_index(drop=True)
+
+
+def cube_aggregate(ds, keys: list[str], sum_cols: list[str],
+                   count_alias: str = "n") -> pd.DataFrame:
+    """Distributed GROUP BY CUBE: every subset of ``keys`` (2^n grouping
+    sets), derived from one input-scale shuffle via
+    :func:`grouping_sets_aggregate`."""
+    from itertools import combinations
+
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets_aggregate(ds, keys, sets, sum_cols,
+                                   count_alias=count_alias)

@@ -2263,6 +2263,28 @@ def rollup_lineitem_stats(sf_dir: str) -> pd.DataFrame:
                             ["qty", "price_cents"])
 
 
+def cube_lineitem_stats(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE over (l_returnflag, l_linestatus): the input is
+    aggregated ONCE at the finest level; all four grouping sets derive
+    from those aggregate rows (sums of sums) — never a second input
+    pass.  Absent keys read 'ALL' (null-ordering-proof compare)."""
+    from tokrle.functions.rollup import cube_aggregate, with_ones
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty": pa.array(qty.astype(np.int64)),
+        })
+
+    ds = with_ones(ds.map_batches(derive, batch_format="pyarrow"))
+    return cube_aggregate(ds, ["l_returnflag", "l_linestatus"], ["qty"])
+
+
 def window_orders_stats(sf_dir: str) -> pd.DataFrame:
     """Per-customer SQL window functions (row_number / running sum / lag
     gap over order timestamps) via one co-locating exchange + one
