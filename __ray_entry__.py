@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_windows": Q.multimodal_audio_windows,    # rows-only
         "multimodal_video_frames": Q.multimodal_video_frames,      # rows-only
         "hll_unique_tokens": Q.hll_unique_tokens,  # rows-only (approximate)
+        # rows-only (sketch); <=1% drift vs exact asserted IN-query
+        "tdigest_price_quantiles": Q.tdigest_price_quantiles,
         "cm_heavy_hitter_counts": Q.cm_heavy_hitter_counts,  # rows-only (sketch)
     }
     for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "pfor",

@@ -116,3 +116,54 @@ def test_count_min_bounds_and_distributed_fold(ray_session):
     ds = ray.data.from_arrow(docs).repartition(7)
     mat2 = cm_sketch_tokens(ds)
     assert np.array_equal(mat, mat2)
+
+
+def test_tdigest_rank_error_bound_and_merge():
+    """Rank error of the vectorized scale-function t-digest stays under
+    0.5% across distributions, and chunk-merged digests keep the bound."""
+    from tokrle.functions.tdigest import tdigest_compress, tdigest_quantiles
+
+    rng = np.random.default_rng(1)
+    for data in (rng.uniform(0, 1, 100_000),
+                 rng.standard_normal(100_000),
+                 rng.lognormal(0, 2, 100_000)):
+        s = np.sort(data)
+        for q in (0.01, 0.5, 0.99):
+            est = tdigest_quantiles(data, np.ones(len(data)), (q,))[0]
+            assert abs(np.searchsorted(s, est) / len(s) - q) < 0.005
+        # merged chunks obey the same bound
+        vs, ws = [], []
+        for c in np.array_split(data, 23):
+            v, w = tdigest_compress(c, np.ones(len(c)))
+            assert len(v) <= 220          # bounded sketch size
+            vs.append(v)
+            ws.append(w)
+        for q in (0.01, 0.5, 0.99):
+            est = tdigest_quantiles(np.concatenate(vs), np.concatenate(ws),
+                                    (q,))[0]
+            assert abs(np.searchsorted(s, est) / len(s) - q) < 0.005
+
+
+def test_tdigest_by_key_distributed(ray_session):
+    """Per-key distributed t-digest: every key's p50/p99 is rank-accurate
+    vs the exact per-key sort, under two different partitionings."""
+    import ray
+
+    from tokrle.functions.tdigest import tdigest_quantiles_by_key
+
+    rng = np.random.default_rng(5)
+    n = 60_000
+    key = rng.choice(["a", "b", "c"], n)
+    val = np.where(key == "a", rng.lognormal(0, 1, n),
+                   np.where(key == "b", rng.standard_normal(n),
+                            rng.uniform(-5, 5, n)))
+    df = pd.DataFrame({"k": key, "x": val})
+    for parts in (2, 11):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = tdigest_quantiles_by_key(ds, "k", "x", qs=(0.5, 0.99))
+        assert list(got["k"]) == ["a", "b", "c"]
+        for _, row in got.iterrows():
+            s = np.sort(val[key == row["k"]])
+            for q, col in ((0.5, "q50"), (0.99, "q99")):
+                rank = np.searchsorted(s, row[col]) / len(s)
+                assert abs(rank - q) < 0.005, (parts, row["k"], q, rank)

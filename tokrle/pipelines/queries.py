@@ -2263,6 +2263,46 @@ def rollup_lineitem_stats(sf_dir: str) -> pd.DataFrame:
                             ["qty", "price_cents"])
 
 
+def tdigest_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-returnflag p50/p99 of l_extendedprice via the mergeable
+    t-digest sketch (rows-only — approximate by construction), CHECKED
+    in-query against the exact distributed histogram quantiles of the
+    same column in cents: the query raises if the sketch drifts more
+    than 1% from exact, so a green sweep row certifies accuracy too."""
+    from tokrle.functions.quantiles import histogram_quantiles_by_key
+    from tokrle.functions.tdigest import tdigest_quantiles_by_key
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag",
+                                            "l_extendedprice"])
+    approx = tdigest_quantiles_by_key(ds, "l_returnflag",
+                                      "l_extendedprice", qs=(0.5, 0.99))
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "cents": pa.array(np.round(p * 100).astype(np.int64)),
+        })
+
+    exact = histogram_quantiles_by_key(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "l_returnflag", "cents", qs=(0.5, 0.99))
+    out = approx.merge(exact, on="l_returnflag", suffixes=("", "_exact"))
+    res = pd.DataFrame({
+        "l_returnflag": out["l_returnflag"],
+        "td_p50_cents": np.round(out["q50"] * 100).astype("int64"),
+        "td_p99_cents": np.round(out["q99"] * 100).astype("int64"),
+        "exact_p50_cents": out["q50_exact"].astype("int64"),
+        "exact_p99_cents": out["q99_exact"].astype("int64"),
+    })
+    for a, b in (("td_p50_cents", "exact_p50_cents"),
+                 ("td_p99_cents", "exact_p99_cents")):
+        rel = (res[a] - res[b]).abs() / res[b].clip(lower=1)
+        if (rel > 0.01).any():
+            raise AssertionError(f"t-digest drift >1% vs exact: {res}")
+    return res.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def cube_lineitem_stats(sf_dir: str) -> pd.DataFrame:
     """GROUP BY CUBE over (l_returnflag, l_linestatus): the input is
     aggregated ONCE at the finest level; all four grouping sets derive
