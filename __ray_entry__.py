@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_pruned_source_stats": Q.encoded_pruned_source_stats,
         "recompress_roundtrip_stats": Q.recompress_roundtrip_stats,
         "upsert_corpus_stats": Q.upsert_corpus_stats,
+        "compact_corpus_stats": Q.compact_corpus_stats,
         # keyed RLE (RleDict-equivalent) pipelines: coverage + run-merge ops
         "coverage_total": Q.coverage_total,
         "coverage_add": Q.coverage_add,
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
     sql["encode_roundtrip_stats_hashgroup"] = sql["encode_roundtrip_stats"]
 
     sql["recompress_roundtrip_stats"] = sql["encode_roundtrip_stats"]
+    sql["compact_corpus_stats"] = sql["encode_roundtrip_stats"]
 
     # upsert: docs with doc_id % 10 == 3 get token 999 appended (update),
     # one [1,2,3] doc per source appended (insert); aggregates must match

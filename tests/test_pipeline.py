@@ -176,6 +176,80 @@ def test_upsert_corpus_replaces_and_appends(ray_session, tmp_path):
         assert np.array_equal(got2[d], want[d]), d
 
 
+def test_compact_corpus_merges_small_groups(ray_session, tmp_path):
+    """LSM compaction: many tiny groups (incl. an upsert delta) fold into
+    consolidated groups behind an atomic live-group pointer; content is
+    bit-identical before/after; member dirs are garbage-collected;
+    re-running is a no-op; a later upsert keeps the pointer in sync."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from tokrle.pipelines.corpus import (compact_corpus, encode_corpus,
+                                         live_groups, read_corpus,
+                                         upsert_corpus)
+    from tokrle.pipelines.encode import decode_tokens
+    from tokrle.sources.tokens import documents_to_tokens
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    df = documents_to_tokens(SF).to_pandas()
+    for i in range(5):
+        pq.write_table(pa.Table.from_pandas(df.iloc[i * 100:(i + 1) * 100]),
+                       f"{in_dir}/f{i}.parquet")
+    encode_corpus(in_dir, out_dir, batch_size=64, group_files=1)
+    delta = pa.table({
+        "doc_id": pa.array(["999999"]),
+        "tokens": pa.array([[5, 6]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([2], type=pa.int32()),
+        "source": pa.array(["sZ"]),
+    })
+    upsert_corpus(out_dir, ray.data.from_arrow(delta), batch_size=64)
+    n_before = len(live_groups(out_dir))
+    assert n_before == 6
+
+    run = compact_corpus(out_dir, target_bytes=1 << 30, batch_size=64)
+    assert run["groups_before"] == 6
+    assert run["groups_after"] < 6
+    assert run["bins"] >= 1
+    live = live_groups(out_dir)
+    assert len(live) == run["groups_after"]
+    # pointer exists and member dirs are gone from disk
+    assert os.path.exists(os.path.join(out_dir, "_manifest", "groups.json"))
+    on_disk = {p for p in _glob.glob(os.path.join(out_dir, "group=*"))
+               if os.path.isdir(p)}
+    assert on_disk == set(live)
+
+    dec = decode_tokens(read_corpus(out_dir)).to_pandas()
+    got = _tokens_by_doc(dec)
+    want = _tokens_by_doc(df)
+    want["999999"] = np.array([5, 6])
+    assert set(got) == set(want)
+    for d in want:
+        assert np.array_equal(got[d], want[d]), d
+
+    # idempotent: everything is now target-sized (one bin) -> no-op
+    run2 = compact_corpus(out_dir, target_bytes=1 << 30, batch_size=64)
+    assert run2["bins"] == 0 and run2["groups_after"] == len(live)
+
+    # an upsert AFTER compaction joins the pointer view
+    delta2 = pa.table({
+        "doc_id": pa.array(["999999"]),
+        "tokens": pa.array([[9]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([1], type=pa.int32()),
+        "source": pa.array(["sZ"]),
+    })
+    upsert_corpus(out_dir, ray.data.from_arrow(delta2), batch_size=64)
+    dec2 = decode_tokens(read_corpus(out_dir)).to_pandas()
+    got2 = _tokens_by_doc(dec2)
+    want["999999"] = np.array([9])
+    assert set(got2) == set(want)
+    for d in want:
+        assert np.array_equal(got2[d], want[d]), d
+
+
 def test_synth_tokens_deterministic_any_partitioning(ray_session):
     from tokrle.sources.tokens import synth_tokens
 

@@ -297,8 +297,10 @@ def upsert_corpus(enc_dir: str, delta_ds, *,
     wanted = pa.array(ids, type=pa.string())
     ref = ray.put(wanted)
 
-    files = [p for p in glob.glob(os.path.join(enc_dir, "**", "*.parquet"),
-                                  recursive=True) if "_manifest" not in p]
+    # scan the LIVE view only (post-compaction the pointer is
+    # authoritative; superseded member dirs may still exist mid-GC)
+    files = [f for g in live_groups(enc_dir)
+             for f in sorted(glob.glob(os.path.join(g, "*.parquet")))]
 
     def find(batch: pa.Table) -> pa.Table:
         w = ray.get(ref)
@@ -364,5 +366,136 @@ def upsert_corpus(enc_dir: str, delta_ds, *,
     dt = time.perf_counter() - t0
     manifest.mark_done(gid, {"n_files": 0, "first_file": "<delta>",
                              "upsert_delta": True, "seconds": dt})
+    # keep the live-group pointer (if compaction created one) in sync:
+    # the delta group joins the view atomically
+    if os.path.exists(_groups_pointer(enc_dir)):
+        names = {os.path.basename(g) for g in live_groups(enc_dir)}
+        names.add(os.path.basename(unit_out))
+        _publish_groups(enc_dir, sorted(names))
     run["seconds"] = dt
+    return run
+
+
+def _groups_pointer(enc_dir: str) -> str:
+    return os.path.join(enc_dir, "_manifest", "groups.json")
+
+
+def live_groups(enc_dir: str) -> list[str]:
+    """Directories that make up the corpus's CURRENT view.
+
+    If the atomic live-group pointer (written by :func:`compact_corpus`)
+    exists it is authoritative; otherwise every ``group=*`` directory is
+    live (the pre-compaction layout).  Readers that honor this list are
+    immune to the compaction race: the pointer swap is a single
+    ``os.replace``, so a reader sees either the old members or the new
+    compacted group — never both, never neither.
+    """
+    import json
+
+    ptr = _groups_pointer(enc_dir)
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            names = json.load(f)["groups"]
+        return [os.path.join(enc_dir, n) for n in names]
+    return sorted(p for p in glob.glob(os.path.join(enc_dir, "group=*"))
+                  if os.path.isdir(p))
+
+
+def _publish_groups(enc_dir: str, names: list[str]) -> None:
+    import json
+
+    ptr = _groups_pointer(enc_dir)
+    os.makedirs(os.path.dirname(ptr), exist_ok=True)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"groups": sorted(names)}, f)
+    os.replace(tmp, ptr)  # atomic commit point
+
+
+def read_corpus(enc_dir: str, columns: list[str] | None = None):
+    """Encoded-corpus Dataset over the LIVE groups only."""
+    import ray.data
+
+    files = [f for g in live_groups(enc_dir)
+             for f in sorted(glob.glob(os.path.join(g, "*.parquet")))]
+    return ray.data.read_parquet(files, columns=columns)
+
+
+def compact_corpus(enc_dir: str, *, target_bytes: int = GROUP_TARGET_BYTES,
+                   batch_size: int = DEFAULT_BATCH_SIZE,
+                   by_source: bool = False) -> dict:
+    """Merge undersized groups (LSM compaction): repeated
+    :func:`upsert_corpus` deltas and fully-rewritten groups accumulate
+    many small directories; this folds every group under
+    ``target_bytes/2`` into consolidated ~``target_bytes`` groups by
+    streaming decode -> re-encode (chunks get full batches again, so
+    compression recovers too).
+
+    Crash safety (no WAL): (1) the compacted group is written to a fresh
+    ``group=compact-...`` dir nobody references, (2) the LIVE-GROUP
+    POINTER swaps atomically (``os.replace``) to the new view, (3) member
+    dirs are deleted last (pure garbage collection).  A crash at any
+    point leaves one consistent view for :func:`read_corpus` readers.
+    """
+    import shutil
+
+    import ray.data
+
+    from tokrle.pipelines.encode import decode_tokens
+
+    manifest = Manifest(enc_dir)
+    groups = live_groups(enc_dir)
+    sizes = {g: sum(os.path.getsize(f)
+                    for f in glob.glob(os.path.join(g, "*.parquet")))
+             for g in groups}
+    small = [g for g in groups if sizes[g] < target_bytes // 2]
+    run = {"groups_before": len(groups), "groups_after": len(groups),
+           "bins": 0, "bytes_compacted": 0, "seconds": 0.0}
+    if len(small) < 2:
+        return run
+    t0 = time.perf_counter()
+    # greedy size-aware bin pack over the sorted small groups
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    acc = 0
+    for g in small:
+        if cur and acc + sizes[g] > target_bytes:
+            bins.append(cur)
+            cur, acc = [], 0
+        cur.append(g)
+        acc += sizes[g]
+    if cur:
+        bins.append(cur)
+    bins = [b for b in bins if len(b) >= 2]
+    live = set(groups)
+    for members in bins:
+        h = hashlib.blake2b(digest_size=10)
+        for g in members:
+            h.update(os.path.basename(g).encode())
+            h.update(b"\x00")
+        new_name = f"group=compact-{h.hexdigest()}"
+        new_dir = os.path.join(enc_dir, new_name)
+        files = [f for g in members
+                 for f in sorted(glob.glob(os.path.join(g, "*.parquet")))]
+        shutil.rmtree(new_dir, ignore_errors=True)
+        if files:
+            toks = decode_tokens(ray.data.read_parquet(
+                files, override_num_blocks=len(files)))
+            encode_tokens(toks, batch_size=batch_size,
+                          by_source=by_source).write_parquet(new_dir)
+        os.makedirs(new_dir, exist_ok=True)
+        # atomic view swap, THEN garbage-collect the members
+        live = (live - set(members)) | {new_dir}
+        _publish_groups(enc_dir, [os.path.basename(g) for g in live])
+        for g in members:
+            shutil.rmtree(g, ignore_errors=True)
+        manifest.mark_done(new_name.split("=", 1)[1],
+                           {"n_files": len(files), "compacted": True,
+                            "members": ",".join(os.path.basename(g)
+                                                for g in members),
+                            "seconds": time.perf_counter() - t0})
+        run["bins"] += 1
+        run["bytes_compacted"] += sum(sizes[g] for g in members)
+    run["groups_after"] = len(live)
+    run["seconds"] = time.perf_counter() - t0
     return run

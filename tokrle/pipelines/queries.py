@@ -354,6 +354,34 @@ def upsert_corpus_stats(sf_dir: str) -> pd.DataFrame:
     return _per_source_token_stats(dec)
 
 
+def compact_corpus_stats(sf_dir: str) -> pd.DataFrame:
+    """Encode with deliberately tiny resume groups, COMPACT them into
+    consolidated groups behind the atomic live-group pointer, and prove
+    content is untouched: per-source aggregates of the decoded
+    post-compaction corpus against the raw-text SQL oracle.  The query
+    raises unless compaction actually reduced the group count."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.corpus import (compact_corpus, encode_corpus,
+                                         read_corpus)
+    from tokrle.pipelines.encode import decode_tokens
+    from tokrle.sources.tokens import documents_to_tokens
+
+    base = os.path.join("/tmp/tokrle_q",
+                        sf_dir.strip("/").replace("/", "_"))
+    tok_dir = os.path.join(base, "compact_tokens")
+    enc = os.path.join(base, "compact_enc")
+    for d in (tok_dir, enc):
+        shutil.rmtree(d, ignore_errors=True)
+    documents_to_tokens(sf_dir).repartition(6).write_parquet(tok_dir)
+    encode_corpus(tok_dir, enc, batch_size=256, group_files=1)
+    run = compact_corpus(enc, target_bytes=1 << 30, batch_size=256)
+    if not (run["groups_after"] < run["groups_before"]):
+        raise AssertionError(f"compaction did not reduce groups: {run}")
+    return _per_source_token_stats(decode_tokens(read_corpus(enc)))
+
+
 def encoded_pruned_source_stats(sf_dir: str) -> pd.DataFrame:
     """Predicate pushdown on the ENCODED table: encode with local source
     grouping (chunks are source-pure, so the chunk-level ``source`` column
