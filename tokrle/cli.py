@@ -65,6 +65,25 @@ def main(argv=None) -> int:
                      choices=["sort", "local", "hash"])
     rec.add_argument("--num-cpus", type=int, default=None)
 
+    ups = sub.add_parser("upsert",
+                         help="doc-level upsert: token parquet delta "
+                              "replaces/appends docs in an encoded dir")
+    ups.add_argument("--enc-dir", required=True)
+    ups.add_argument("--delta-dir", required=True,
+                     help="token-table parquet dir (doc_id, tokens, "
+                          "n_tok, source)")
+    ups.add_argument("--batch-size", type=int, default=2048)
+    ups.add_argument("--num-cpus", type=int, default=None)
+
+    cp = sub.add_parser("compact",
+                        help="merge undersized groups behind the atomic "
+                             "live-group pointer")
+    cp.add_argument("--enc-dir", required=True)
+    cp.add_argument("--target-bytes", type=int, default=None,
+                    help="consolidated group size (default ~256MB)")
+    cp.add_argument("--batch-size", type=int, default=2048)
+    cp.add_argument("--num-cpus", type=int, default=None)
+
     dec = sub.add_parser("decode", help="encoded dir -> token parquet dir")
     dec.add_argument("--in-dir", required=True)
     dec.add_argument("--out-dir", required=True)
@@ -173,6 +192,24 @@ def main(argv=None) -> int:
             run = recompress(args.in_dir, args.out_dir,
                              batch_size=args.batch_size,
                              by_source=args.by_source)
+            print(json.dumps(run))
+        elif args.cmd == "upsert":
+            import ray.data
+
+            from tokrle.pipelines.corpus import upsert_corpus
+
+            delta = ray.data.read_parquet(args.delta_dir)
+            run = upsert_corpus(args.enc_dir, delta,
+                                batch_size=args.batch_size)
+            print(json.dumps(run))
+        elif args.cmd == "compact":
+            from tokrle.pipelines.corpus import (GROUP_TARGET_BYTES,
+                                                 compact_corpus)
+
+            run = compact_corpus(
+                args.enc_dir,
+                target_bytes=args.target_bytes or GROUP_TARGET_BYTES,
+                batch_size=args.batch_size)
             print(json.dumps(run))
         elif args.cmd == "decode":
             import ray.data
