@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonemap_pruned_scan_stats": Q.zonemap_pruned_scan_stats,
         "zorder_scan_stats": Q.zorder_scan_stats,
         "fetch_docs_stats": Q.fetch_docs_stats,
+        "fetch_docs_indexed_stats": Q.fetch_docs_indexed_stats,
         "columnar_encode_floats": Q.columnar_encode_floats,
         "encoded_agg_stats": Q.encoded_agg_stats,
         "encoded_range_agg_stats": Q.encoded_range_agg_stats,
@@ -432,7 +433,7 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
     """
 
-    sql["fetch_docs_stats"] = """
+    sql["fetch_docs_indexed_stats"] = sql["fetch_docs_stats"] = """
         SELECT cast(count(DISTINCT doc_id) AS bigint)          AS n_docs,
                cast(count(*) AS bigint)                        AS n_tokens,
                cast(sum(ascii(w) * 32 + length(w)) AS bigint)  AS sum_tokens

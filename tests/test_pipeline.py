@@ -821,3 +821,44 @@ def test_encoded_group_agg_pure_and_mixed(ray_session, tmp_path):
         assert list(got["sum_v"]) == list(want["sum_v"]), layout
         if layout == "clustered":
             assert counters["pure_chunks"] > 0, counters
+
+
+def test_doc_index_point_lookup(ray_session, tmp_path):
+    """Persistent doc index: indexed fetch returns exactly the same docs
+    as the scan-based fetch_docs AND the source table; the lookup reads
+    only the requested ids' bucket partitions (path-level pruning)."""
+    import glob as _glob
+
+    import pandas as _pd
+    import ray.data
+
+    from tokrle.pipelines.encode import (build_doc_index, encode_tokens,
+                                         fetch_docs, fetch_docs_indexed)
+    from tokrle.sources.tokens import documents_to_tokens
+
+    enc_dir = str(tmp_path / "enc")
+    ds = documents_to_tokens(SF)
+    encode_tokens(ds, batch_size=64).write_parquet(enc_dir)
+    idx_dir = build_doc_index(enc_dir, n_buckets=16)
+    parts = _glob.glob(os.path.join(idx_dir, "bucket=*"))
+    assert len(parts) > 4      # ids actually spread over buckets
+
+    df = ds.to_pandas()
+    wanted = [str(d) for d in df["doc_id"].iloc[::71]]
+    got = fetch_docs_indexed(enc_dir, wanted).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    ref = fetch_docs(enc_dir, wanted).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == sorted(wanted)
+    assert got[["doc_id", "n_tok", "source"]].equals(
+        ref[["doc_id", "n_tok", "source"]])
+    src = {str(d): np.asarray(t) for d, t in zip(df["doc_id"], df["tokens"])}
+    for d, t in zip(got["doc_id"], got["tokens"]):
+        assert np.array_equal(np.asarray(t), src[d]), d
+    # pruning: a single id's probe set is a strict subset of the buckets
+    one = [wanted[0]]
+    b = (_pd.util.hash_array(np.asarray(one, dtype=object),
+                             categorize=False) % np.uint64(16))
+    assert len(set(b.tolist())) == 1 and len(parts) > 1
+    # unknown ids return empty, not an error
+    assert fetch_docs_indexed(enc_dir, ["no-such-doc"]).count() == 0

@@ -231,13 +231,30 @@ def fetch_docs(enc_dir: str, doc_ids):
         .map_batches(find, batch_format="pyarrow").to_pandas()
     # a no-hit lookup yields a 0-row frame that may drop its schema
     chunk_ids = hits["chunk_id"].tolist() if len(hits) else []
+    return _fetch_chunks(enc_dir, chunk_ids, wanted_arr)
+
+
+def _empty_token_ds():
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.string()),
+        "tokens": pa.array([], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([], type=pa.int32()),
+        "source": pa.array([], type=pa.string()),
+    }))
+
+
+def _fetch_chunks(enc_dir: str, chunk_ids: list, wanted_arr: pa.Array):
+    """Pass 2 of a point lookup: read ONLY the named chunks (isin pushed
+    to the Parquet scan) and range-decode just the requested docs."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from tokrle.codecs.core import decode_range
+
     if not chunk_ids:       # empty isin set is a null-typed Arrow error
-        return ray.data.from_arrow(pa.table({
-            "doc_id": pa.array([], type=pa.string()),
-            "tokens": pa.array([], type=pa.list_(pa.int32())),
-            "n_tok": pa.array([], type=pa.int32()),
-            "source": pa.array([], type=pa.string()),
-        }))
+        return _empty_token_ds()
 
     enc = ray.data.read_parquet(
         enc_dir, filter=pc.field("chunk_id").isin(chunk_ids))
@@ -273,3 +290,92 @@ def fetch_docs(enc_dir: str, doc_ids):
         })
 
     return enc.map_batches(extract, batch_format="pyarrow")
+
+
+def build_doc_index(enc_dir: str, index_dir: str | None = None, *,
+                    n_buckets: int = 64) -> str:
+    """Persistent doc_id -> chunk_id index for the encoded corpus,
+    hive-partitioned by id-hash bucket (the LSH/IVF-index layout applied
+    to point lookups).
+
+    One metadata-only scan of (chunk_id, doc_id list) columns flattens to
+    (doc_id, chunk_id, bucket) rows and writes them partitioned by
+    ``bucket``, so a lookup reads ~1/``n_buckets`` of the index instead
+    of scanning every chunk's doc list (:func:`fetch_docs` pass 1).  The
+    index is a SNAPSHOT of the corpus: rebuild it after
+    ``upsert_corpus`` / ``compact_corpus`` (the builder overwrites in
+    place; ``meta.json`` records n_buckets and the build time).
+    """
+    import json
+    import os
+    import shutil
+    import time as _time
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    index_dir = index_dir or os.path.join(enc_dir, "_docindex")
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        col = batch.column("doc_id").combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = col.flatten()
+        ids = flat.to_pandas().to_numpy(dtype=object)
+        chunk = batch.column("chunk_id").to_pandas().to_numpy(dtype=object)
+        bucket = (pd.util.hash_array(ids, categorize=False)
+                  % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.string()),
+            "chunk_id": pa.array(np.repeat(chunk, lens), type=pa.string()),
+            "bucket": pa.array(bucket, type=pa.int64()),
+        })
+
+    ray.data.read_parquet(enc_dir, columns=["chunk_id", "doc_id"]) \
+        .map_batches(flatten, batch_format="pyarrow") \
+        .write_parquet(index_dir, partition_cols=["bucket"])
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "built_at": _time.time()}, f)
+    return index_dir
+
+
+def fetch_docs_indexed(enc_dir: str, doc_ids,
+                       index_dir: str | None = None):
+    """Point lookups through the persistent doc index: hash the requested
+    ids to their buckets, read ONLY those index partitions (pruned at the
+    path level, like the LSH/IVF query paths), then range-decode the
+    located chunks — pass 1 touches ~|ids|/n_buckets of the index rather
+    than every chunk's doc list."""
+    import json
+    import os
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from tokrle.functions.ann import _partition_paths
+
+    index_dir = index_dir or os.path.join(enc_dir, "_docindex")
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        n_buckets = json.load(f)["n_buckets"]
+    wanted = sorted({str(d) for d in doc_ids})
+    if not wanted:
+        return _empty_token_ds()
+    wanted_arr = pa.array(wanted, type=pa.string())
+    ids_np = np.asarray(wanted, dtype=object)
+    buckets = np.unique(pd.util.hash_array(ids_np, categorize=False)
+                        % np.uint64(n_buckets)).astype(np.int64)
+    paths = _partition_paths(index_dir, "bucket", buckets.tolist())
+    if not paths:
+        return _empty_token_ds()
+    idx = ray.data.read_parquet(paths, columns=["doc_id", "chunk_id"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("doc_id"), value_set=wanted_arr)
+        return batch.filter(keep).select(["chunk_id"])
+
+    hits = idx.map_batches(probe, batch_format="pyarrow").to_pandas()
+    chunk_ids = sorted(set(hits["chunk_id"])) if len(hits) else []
+    return _fetch_chunks(enc_dir, chunk_ids, wanted_arr)

@@ -1830,6 +1830,53 @@ def fetch_docs_stats(sf_dir: str) -> pd.DataFrame:
                          for k in ("n_docs", "n_tokens", "sum_tokens")})
 
 
+def fetch_docs_indexed_stats(sf_dir: str) -> pd.DataFrame:
+    """Same point lookup as fetch_docs_stats but through the PERSISTENT
+    hive-partitioned doc index: pass 1 reads only the requested ids'
+    bucket partitions (path-level pruning) instead of scanning every
+    chunk's doc list.  Same SQL oracle — the two paths must agree."""
+    import os
+    import shutil
+
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from tokrle.functions._arrays import list_rows
+    from tokrle.kernels.segments import segment_sums
+    from tokrle.pipelines.encode import (build_doc_index, encode_tokens,
+                                         fetch_docs_indexed)
+    from tokrle.sources.tokens import documents_to_tokens
+
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "fetch_idx_enc")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    encode_tokens(documents_to_tokens(sf_dir), batch_size=256) \
+        .write_parquet(enc_dir)
+    idx_dir = build_doc_index(enc_dir, n_buckets=32)
+
+    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"]).to_pandas()["doc_id"]
+    wanted = [str(i) for i in ids if i % 97 == 0]
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        flat, offs = list_rows(batch.column("tokens"))
+        return pa.table({
+            "n_tok": batch.column("n_tok").cast(pa.int64()),
+            "tok_sum": pa.array(
+                segment_sums(flat.astype(np.int64), offs, dtype=np.int64),
+                type=pa.int64()),
+        })
+
+    row = fetch_docs_indexed(enc_dir, wanted, idx_dir) \
+        .map_batches(per_doc, batch_format="pyarrow").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tok", alias_name="n_tokens"),
+            Sum("tok_sum", alias_name="sum_tokens"))
+    return pd.DataFrame({k: [int(row[k] or 0)]
+                         for k in ("n_docs", "n_tokens", "sum_tokens")})
+
+
 # 2-D window for the Z-order scan: non-empty at every SF (l_partkey max
 # is 199 at sf0.001), a small fraction of the space at sf >= 0.01
 ZORDER_SUPP = (2, 4)
