@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_bigram_heavy_hitters": Q.token_bigram_heavy_hitters,
         "orders_per_nation": Q.orders_per_nation,
         "lineitem_per_nation": Q.lineitem_per_nation,
+        "customer_order_distribution": Q.customer_order_distribution,
         "doc_length_quantiles": Q.doc_length_quantiles,
         # training-data ops
         "text_quality": Q.text_quality,
@@ -319,6 +320,18 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY 1, 2
+    """
+
+    sql["customer_order_distribution"] = """
+        WITH pc AS (
+            SELECT c.c_custkey, count(o.o_custkey) AS c_count
+            FROM customer c LEFT OUTER JOIN orders o
+                 ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        )
+        SELECT cast(c_count AS bigint) AS c_count,
+               cast(count(*) AS bigint) AS custdist
+        FROM pc GROUP BY c_count ORDER BY c_count
     """
 
     sql["cube_lineitem_stats"] = """

@@ -1207,6 +1207,40 @@ def orders_per_nation(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("n_name").reset_index(drop=True)
 
 
+def customer_order_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers — exercises Ray Data's native
+    LEFT OUTER hash join.  Scale shape: orders pre-aggregate to one row
+    per customer BEFORE the join (the exchange carries counts, not
+    orders), then customer LEFT OUTER JOIN counts, nulls read as 0, and
+    a tiny second groupby builds the histogram."""
+    from ray.data.aggregate import Count
+
+    from tokrle.functions.dedup import _combined_size_hint, _join_partitions
+
+    customer = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    counts = orders.groupby("o_custkey").aggregate(
+        Count(alias_name="c_count"))
+    n = _join_partitions(None,
+                         size_bytes=_combined_size_hint(customer, orders))
+    joined = customer.join(counts, "left_outer", n,
+                           on=("c_custkey",), right_on=("o_custkey",))
+
+    def fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.fill_null(batch.column("c_count"), 0).cast(pa.int64())
+        return pa.table({"c_count": c})
+
+    agg = joined.map_batches(fill, batch_format="pyarrow") \
+        .groupby("c_count").aggregate(Count(alias_name="custdist"))
+    df = agg.to_pandas()
+    df["c_count"] = df["c_count"].astype("int64")
+    df["custdist"] = df["custdist"].astype("int64")
+    return df.sort_values("c_count").reset_index(drop=True)
+
+
 def ivf_ann_top1(sf_dir: str) -> pd.DataFrame:
     """IVF approximate ANN top-1 through the PERSISTENT list-partitioned
     index: bounded-sample centroid training + assignment write, then a
