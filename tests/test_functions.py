@@ -1634,3 +1634,35 @@ def test_pq_ann_finds_planted_dups(ray_session):
     ap = res.groupby("q_id")["vec_id"].agg(set)
     overlap = np.mean([len(ex[q] & ap[q]) / 5 for q in ex.index])
     assert overlap >= 0.4, overlap
+
+
+def test_pq_codes_deterministic_and_reconstruction_bound():
+    """Hypothesis-style sweep without Ray: codes are a pure function of
+    (vectors, codebooks); reconstruction error never exceeds the worst
+    per-subspace quantization radius; codes stay in range."""
+    from tokrle.functions.pq import (_encode_matrix, _subspace_kmeans,
+                                     pq_decode_codes)
+
+    rng = np.random.default_rng(17)
+    for trial in range(5):
+        n, m, k, dsub = 300, 4, 16, 3
+        x = rng.standard_normal((n, m * dsub)) * (trial + 1)
+        books = np.empty((m, k, dsub))
+        for j in range(m):
+            books[j] = _subspace_kmeans(x[:, j * dsub:(j + 1) * dsub],
+                                        k, 5, np.random.default_rng(trial))
+        c1 = _encode_matrix(x, books)
+        c2 = _encode_matrix(x.copy(), books.copy())
+        assert np.array_equal(c1, c2)
+        assert c1.max() < k
+        rec = pq_decode_codes(c1, books)
+        # each subspace's assigned centroid is the NEAREST one
+        for j in range(m):
+            xs = x[:, j * dsub:(j + 1) * dsub]
+            d_all = ((xs[:, None, :] - books[j][None]) ** 2).sum(-1)
+            assert np.allclose(d_all[np.arange(n), c1[:, j]],
+                               d_all.min(axis=1))
+        assert ((rec - x) ** 2).sum(1).max() <= \
+            sum(((x[:, j * dsub:(j + 1) * dsub][:, None, :]
+                  - books[j][None]) ** 2).sum(-1).min(1).max()
+                for j in range(m)) + 1e-9

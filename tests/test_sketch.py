@@ -167,3 +167,30 @@ def test_tdigest_by_key_distributed(ray_session):
             for q, col in ((0.5, "q50"), (0.99, "q99")):
                 rank = np.searchsorted(s, row[col]) / len(s)
                 assert abs(rank - q) < 0.005, (parts, row["k"], q, rank)
+
+
+def test_tdigest_compress_invariants_hypothesis():
+    """Structural invariants under arbitrary inputs: total weight exactly
+    preserved, centroid means inside [min, max], centroids sorted, count
+    bounded, and empty input round-trips."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tokrle.functions.tdigest import tdigest_compress
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                              width=32), min_size=0, max_size=2000))
+    def run(xs):
+        x = np.asarray(xs, dtype=np.float64)
+        v, w = tdigest_compress(x, np.ones(len(x)), delta=100)
+        assert w.sum() == len(x)
+        assert len(v) <= 120
+        if len(x):
+            assert v.min() >= x.min() - 1e-9
+            assert v.max() <= x.max() + 1e-9
+            assert (np.diff(v) >= -1e-9).all()   # sorted by value
+        else:
+            assert len(v) == 0
+
+    run()
