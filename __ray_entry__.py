@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_orders_stats": Q.window_orders_stats,
         "skew_join_stats": Q.skew_join_stats,
         "above_mean_docs_stats": Q.above_mean_docs_stats,
+        "above_quantile_docs_stats": Q.above_quantile_docs_stats,
         "stratified_sample_stats": Q.stratified_sample_stats,
         "curriculum_topk_stats": Q.curriculum_topk_stats,
         "semantic_cluster_stats": Q.semantic_cluster_stats,  # rows-only (kmeans)
@@ -332,6 +333,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT cast(c_count AS bigint) AS c_count,
                cast(count(*) AS bigint) AS custdist
         FROM pc GROUP BY c_count ORDER BY c_count
+    """
+
+    sql["above_quantile_docs_stats"] = """
+        WITH wc AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_words
+            FROM documents
+        ),
+        th AS (
+            SELECT source, quantile_disc(n_words, 0.9) AS cut
+            FROM wc GROUP BY source
+        )
+        SELECT wc.source,
+               cast(count(*) AS bigint)     AS n_docs,
+               cast(sum(n_words) AS bigint) AS sum_words
+        FROM wc JOIN th USING (source)
+        WHERE n_words > cut
+        GROUP BY wc.source ORDER BY wc.source
     """
 
     sql["cube_lineitem_stats"] = """

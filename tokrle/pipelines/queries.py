@@ -2412,6 +2412,54 @@ def tdigest_price_quantiles(sf_dir: str) -> pd.DataFrame:
     return res.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def above_quantile_docs_stats(sf_dir: str) -> pd.DataFrame:
+    """Quantile-threshold filtering, the two-phase composition a dynamic
+    quality cut needs at scale: phase 1 computes each source's EXACT p90
+    word count distributed (histogram partials — one row per distinct
+    (source, n_words) shuffles, never docs); the tiny per-source
+    threshold table broadcasts by closure into a shuffle-free filter
+    map; integer compares keep the row set SQL-identical
+    (quantile_disc semantics)."""
+    from ray.data.aggregate import Count, Sum
+
+    from tokrle.functions.quantiles import histogram_quantiles_by_key
+
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def word_counts(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), " ")
+        return pa.table({
+            "source": batch.column("source"),
+            "n_words": pc.list_value_length(words).cast(pa.int64()),
+        })
+
+    wc = ds.map_batches(word_counts, batch_format="pyarrow")
+    q = histogram_quantiles_by_key(wc, "source", "n_words", qs=(0.9,))
+    thresh = dict(zip(q["source"], q["q90"].astype(int)))
+
+    def keep_long(batch: pa.Table) -> pa.Table:
+        t = word_counts(batch)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        n = t.column("n_words").to_numpy(zero_copy_only=False)
+        cut = pd.Series(src).map(thresh).to_numpy(dtype=np.int64)
+        keep = n > cut
+        return pa.table({
+            "source": t.column("source").filter(pa.array(keep)),
+            "n_words": t.column("n_words").filter(pa.array(keep)),
+        })
+
+    agg = ds.map_batches(keep_long, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_words", alias_name="sum_words"))
+    df = agg.to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df["sum_words"] = df["sum_words"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
 def cube_lineitem_stats(sf_dir: str) -> pd.DataFrame:
     """GROUP BY CUBE over (l_returnflag, l_linestatus): the input is
     aggregated ONCE at the finest level; all four grouping sets derive
