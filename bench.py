@@ -269,6 +269,120 @@ def encode_only() -> None:
     ray.shutdown()
 
 
+def cpu_scaling_child() -> None:
+    """CPU-bound engine stage for the secondary scaling datum: fsstg
+    (FSST-proper greedy parse) over the documents text, replicated to a
+    fixed byte volume.  Compute per byte is ~100x the token encode path,
+    so this measures the engine's task-parallel structure where host
+    MEMORY bandwidth is not the limiter — the complement of the
+    memory-streaming headline."""
+    ray_up(NUM_CPUS)
+    import pyarrow as pa
+    import ray.data
+
+    # the documents table is small (1.5 MB of text at sf0.1): the repeat
+    # count sets total compute to ~30s at the LO level so task submit /
+    # worker spin-up overhead is <5% at both levels
+    rep = int(os.environ.get("GRAFT_CPU_SCALING_REPEAT", "112"))
+    # documents.parquet is ONE file -> one block -> ONE map task; split
+    # the read into a CONSTANT 32 blocks (divisible by both levels, so
+    # wave quantization is exact) — a constant, not 4x CPUs, because
+    # fsstg's per-call cost depends on input size: per-level block sizes
+    # must be identical or the ratio measures input-size sensitivity,
+    # not scaling (measured: 4x-CPUs blocks read 0.51, constant reads
+    # match the bare-process control)
+    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["text"],
+                               override_num_blocks=32)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from tokrle.codecs.core import decode as cdec
+        from tokrle.codecs.core import encode as cenc
+        from tokrle.pipelines.table_encode import _string_buffers
+
+        _, data = _string_buffers(batch.column("text"))
+        x = data.view(np.int8)
+        total = 0
+        for _ in range(rep):           # fixed compute per byte, in-task
+            payload = cenc("fsstg", x)
+            out = cdec("fsstg", payload, len(x), np.int8)
+            assert np.array_equal(out, x)
+            total += len(x)
+        return pa.table({"b": pa.array([total], type=pa.int64())})
+
+    passes = int(os.environ.get("GRAFT_PASSES", "2"))
+    best = float("inf")
+    nbytes = 0
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        # batch_size=None: one batch per BLOCK.  An explicit batch_size
+        # makes map_batches BUNDLE blocks until it has that many rows per
+        # task — on this small table that coalesced 32 blocks into ~3
+        # tasks and silently serialized the stage (measured: 3 tasks /
+        # max overlap 2 at batch_size=2048 vs 32 tasks / overlap 8 here)
+        nbytes = ds.map_batches(enc, batch_size=None,
+                                batch_format="pyarrow").sum("b")
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({"num_cpus": NUM_CPUS, "bytes_per_sec": nbytes / best,
+                      "n_bytes": int(nbytes), "seconds": best}))
+    import ray
+
+    ray.shutdown()
+
+
+def scaling_cpu() -> None:
+    """Secondary scaling datum: same interleaved-pair protocol as
+    --scaling but over the CPU-BOUND fsstg stage (see cpu_scaling_child).
+    Because each byte costs ~100x more ALU than the token encode path,
+    the 8-CPU side sits far below the host's streaming-bandwidth ceiling
+    — in a throttle phase this separates 'the engine's orchestration
+    stops scaling' from 'the host's memory system did'."""
+    levels = tuple(int(v) for v in os.environ.get(
+        "GRAFT_SCALING_LEVELS", "2,8").split(","))
+    lo, hi = levels
+    pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "2"))
+
+    def one(cpus: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                   GRAFT_SF_DIR=SF_DIR, GRAFT_PASSES="2")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-child"],
+            env=env, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    effs = []
+    pair_controls = []
+    for _ in range(pairs):
+        gate = _wait_quiet_window(levels)
+        pair_controls.append({k: round(v, 3) for k, v in gate.items()})
+        r_lo, r_hi = one(lo), one(hi)
+        effs.append(((r_hi["bytes_per_sec"] / r_lo["bytes_per_sec"])
+                     / (hi / lo), r_lo, r_hi))
+    effs.sort(key=lambda t: t[0])
+    eff, best_lo, best_hi = effs[len(effs) // 2]
+    ctl = _cpu_control(levels)
+    print(json.dumps({
+        "metric": f"CPU-bound fsstg stage scaling (num_cpus {lo} vs {hi}, "
+                  "fresh sessions, best warm pass, quiet-window gated)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": SF_DIR,
+        f"throughput_{lo}": round(best_lo["bytes_per_sec"]),
+        f"throughput_{hi}": round(best_hi["bytes_per_sec"]),
+        "speedup": round(best_hi["bytes_per_sec"]
+                         / best_lo["bytes_per_sec"], 2),
+        "pair_efficiencies": [round(e[0], 3) for e in
+                              sorted(effs, key=lambda t: -t[0])],
+        "pair_gate_controls": pair_controls,
+        **ctl,
+        "efficiency_vs_cpu_control": round(
+            eff / max(ctl["cpu_control_efficiency"], 1e-9), 3),
+    }))
+
+
 def _host_health() -> dict:
     """Absolute single-process host probe stamped into the main bench
     JSON: this sandbox host has multi-hour phases where fresh-page memory
@@ -446,7 +560,11 @@ def scaling() -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-cpu" in sys.argv:
+        scaling_cpu()
+    elif "--cpu-child" in sys.argv:
+        cpu_scaling_child()
+    elif "--scaling" in sys.argv:
         scaling()
     elif "--encode-only" in sys.argv:
         encode_only()
