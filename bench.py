@@ -12,6 +12,10 @@ efficiency, and a pure-ALU CPU control (sandbox stand-in for N- vs 4N-node
 clusters; see BASELINE.md for the host analysis).
 
 --encode-only: internal child mode used by --scaling.
+
+--scaling-cpu: same pair protocol over a CPU-BOUND stage (fsstg encode)
+— separates engine task-parallel scaling from the host's memory-throttle
+phases (BASELINE.md).  --cpu-child: its internal child mode.
 """
 
 from __future__ import annotations
