@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join_stats": Q.skew_join_stats,
         "above_mean_docs_stats": Q.above_mean_docs_stats,
         "above_quantile_docs_stats": Q.above_quantile_docs_stats,
+        "normalize_text_stats": Q.normalize_text_stats,
         "stratified_sample_stats": Q.stratified_sample_stats,
         "curriculum_topk_stats": Q.curriculum_topk_stats,
         "semantic_cluster_stats": Q.semantic_cluster_stats,  # rows-only (kmeans)
@@ -333,6 +334,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT cast(c_count AS bigint) AS c_count,
                cast(count(*) AS bigint) AS custdist
         FROM pc GROUP BY c_count ORDER BY c_count
+    """
+
+    sql["normalize_text_stats"] = """
+        WITH pert AS (
+            SELECT source,
+                   (CASE WHEN doc_id % 3 = 0 THEN upper(text)
+                         ELSE text END)
+                   || (CASE WHEN doc_id % 5 = 0 THEN '  ' ELSE '' END)
+                   AS t
+            FROM documents
+        ),
+        norm AS (
+            SELECT source, t,
+                   trim(regexp_replace(lower(t), ' +', ' ', 'g')) AS n
+            FROM pert
+        )
+        SELECT source,
+               cast(count(*) FILTER (WHERE n != t) AS bigint) AS n_changed,
+               cast(sum(length(t)) AS bigint) AS bytes_before,
+               cast(sum(length(n)) AS bigint) AS bytes_after
+        FROM norm GROUP BY source ORDER BY source
     """
 
     sql["above_quantile_docs_stats"] = """

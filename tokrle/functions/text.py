@@ -350,3 +350,17 @@ def gopher_ngram_partials(batch: pa.Table, *, min_words: int = 20,
                         "n_dup_trigram": dup3.astype(np.int64)}) \
         .groupby("source", sort=False, as_index=False).sum()
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def normalize_text(batch: pa.Table, *, col: str = "text") -> pa.Table:
+    """Standard text normalization as pure Arrow RE2/UTF-8 kernels:
+    lowercase -> collapse whitespace runs to one space -> trim.  Every
+    kernel has an exact DuckDB equivalent (lower / regexp_replace ' +'
+    / trim), so the REWRITTEN BYTES are SQL-comparable — the same
+    contract as :mod:`tokrle.functions.redact`."""
+    import pyarrow.compute as pc
+
+    t = pc.utf8_lower(batch.column(col))
+    t = pc.replace_substring_regex(t, r" +", " ")
+    t = pc.utf8_trim_whitespace(t)
+    return batch.set_column(batch.schema.get_field_index(col), col, t)

@@ -2412,6 +2412,52 @@ def tdigest_price_quantiles(sf_dir: str) -> pd.DataFrame:
     return res.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def normalize_text_stats(sf_dir: str) -> pd.DataFrame:
+    """Text normalization (lowercase -> collapse whitespace -> trim) as
+    pure Arrow RE2/UTF-8 kernels, byte-compared against DuckDB's
+    lower/regexp_replace/trim on the same rows.  The test corpus is
+    already normalized, so the query first applies a deterministic
+    SQL-expressible perturbation (upper() for doc_id%3==0, two trailing
+    spaces for doc_id%5==0) — the normalizer must undo exactly what the
+    oracle predicts it undoes."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from tokrle.functions.text import normalize_text
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def perturb_and_stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        text = batch.column("text")
+        up = pc.utf8_upper(text)
+        t = pc.if_else(pa.array(ids % 3 == 0), up, text)
+        pad = pc.binary_join_element_wise(t, "  ", "")
+        t = pc.if_else(pa.array(ids % 5 == 0), pad, t)
+        pert = batch.set_column(batch.schema.get_field_index("text"),
+                                "text", t)
+        norm = normalize_text(pert)
+        changed = pc.not_equal(norm.column("text"), t).cast(pa.int64())
+        return pa.table({
+            "source": batch.column("source"),
+            "n_changed": changed,
+            "bytes_before": pc.utf8_length(t).cast(pa.int64()),
+            "bytes_after": pc.utf8_length(norm.column("text"))
+                .cast(pa.int64()),
+        })
+
+    agg = ds.map_batches(perturb_and_stats, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n_changed", alias_name="n_changed"),
+            Sum("bytes_before", alias_name="bytes_before"),
+            Sum("bytes_after", alias_name="bytes_after"))
+    df = agg.to_pandas()
+    for c in ("n_changed", "bytes_before", "bytes_after"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
 def above_quantile_docs_stats(sf_dir: str) -> pd.DataFrame:
     """Quantile-threshold filtering, the two-phase composition a dynamic
     quality cut needs at scale: phase 1 computes each source's EXACT p90
