@@ -862,3 +862,15 @@ def test_doc_index_point_lookup(ray_session, tmp_path):
     assert len(set(b.tolist())) == 1 and len(parts) > 1
     # unknown ids return empty, not an error
     assert fetch_docs_indexed(enc_dir, ["no-such-doc"]).count() == 0
+
+
+def test_live_groups_ignores_crashed_tmp_dirs(tmp_path):
+    """A crashed rewrite leaves 'group=<gid>.tmp' beside the intact
+    original; the live view must never include the partial dir."""
+    from tokrle.pipelines.corpus import live_groups
+
+    enc = str(tmp_path / "enc")
+    for name in ("group=aaa", "group=bbb", "group=bbb.tmp"):
+        os.makedirs(os.path.join(enc, name))
+    live = [os.path.basename(g) for g in live_groups(enc)]
+    assert live == ["group=aaa", "group=bbb"]

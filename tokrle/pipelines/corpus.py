@@ -397,8 +397,10 @@ def live_groups(enc_dir: str) -> list[str]:
         with open(ptr) as f:
             names = json.load(f)["groups"]
         return [os.path.join(enc_dir, n) for n in names]
+    # exclude '*.tmp': a crashed group rewrite leaves 'group=<gid>.tmp'
+    # next to the intact original — the partial dir must never be read
     return sorted(p for p in glob.glob(os.path.join(enc_dir, "group=*"))
-                  if os.path.isdir(p))
+                  if os.path.isdir(p) and not p.endswith(".tmp"))
 
 
 def _publish_groups(enc_dir: str, names: list[str]) -> None:
