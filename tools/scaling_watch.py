@@ -24,9 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 from bench import _cpu_control, _mem_control  # noqa: E402
 
-CPU_GATE = 0.92
-MEM_GATE = 0.88
-MEM_FLOOR_GBPS = 0.35      # absolute 2-proc bandwidth floor (healthy ~1+)
+CPU_GATE = float(os.environ.get("WATCH_CPU_GATE", "0.92"))
+MEM_GATE = float(os.environ.get("WATCH_MEM_GATE", "0.88"))
+# absolute 2-proc bandwidth floor (healthy ~1+)
+MEM_FLOOR_GBPS = float(os.environ.get("WATCH_MEM_FLOOR", "0.35"))
 
 
 def main() -> None:
