@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_agg_stats": Q.encoded_agg_stats,
         "encoded_range_agg_stats": Q.encoded_range_agg_stats,
         "encoded_group_agg_stats": Q.encoded_group_agg_stats,
+        "encoded_group_minmax_stats": Q.encoded_group_minmax_stats,
         "token_remap_stats": Q.token_remap_stats,
         "bpe_first_merge": Q.bpe_first_merge,
         "bpe_roundtrip_stats": Q.bpe_roundtrip_stats,
@@ -484,6 +485,15 @@ def oracle_sql() -> dict[str, str]:
                cast(count(*) AS bigint)          AS n,
                cast(sum(l_orderkey) AS bigint)   AS sum_l_orderkey,
                cast(sum(l_linenumber) AS bigint) AS sum_l_linenumber
+        FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+    """
+
+    sql["encoded_group_minmax_stats"] = """
+        SELECT cast(l_suppkey AS bigint)       AS l_suppkey,
+               cast(count(*) AS bigint)        AS n,
+               cast(sum(l_orderkey) AS bigint) AS sum_l_orderkey,
+               cast(min(l_orderkey) AS bigint) AS min_l_orderkey,
+               cast(max(l_orderkey) AS bigint) AS max_l_orderkey
         FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
     """
 

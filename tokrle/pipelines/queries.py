@@ -1769,6 +1769,33 @@ def encoded_group_agg_stats(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def encoded_group_minmax_stats(sf_dir: str) -> pd.DataFrame:
+    """Same compressed-domain GROUP BY, now with per-group MIN/MAX:
+    group-pure chunks answer MIN/MAX from the aggregate column's own
+    ZONE MAP (zero decode, like the SUM), boundary chunks from
+    minimum/maximum.reduceat in the sorted pass the sums already make."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_group_agg)
+
+    cols = ["l_suppkey", "l_orderkey"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "group_minmax")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=1024).write_parquet(enc_dir)
+
+    df, counters = encoded_group_agg(enc_dir, "l_suppkey", ["l_orderkey"],
+                                     with_minmax=True)
+    if counters["groups"] >= 4:
+        assert counters["pure_chunks"] > 0, \
+            f"compressed-domain path never ran: {counters}"
+    return df
+
+
 def columnar_encode_floats(sf_dir: str) -> pd.DataFrame:
     """Float columns through the generic table encode: doubles are
     encoded as their int64 bit patterns (repeated-value columns like

@@ -475,10 +475,11 @@ def encoded_range_agg(enc_dir: str, key_col: str, lo: int, hi: int,
     return df, counters
 
 
-def encoded_group_agg(enc_dir: str, group_col: str, agg_cols: list[str]):
-    """GROUP BY ``group_col`` with COUNT/SUM of ``agg_cols`` over a
-    table-encode directory, split per chunk on the group column's zone
-    map:
+def encoded_group_agg(enc_dir: str, group_col: str, agg_cols: list[str],
+                      *, with_minmax: bool = False):
+    """GROUP BY ``group_col`` with COUNT/SUM (and optionally MIN/MAX, see
+    below) of ``agg_cols`` over a table-encode directory, split per chunk
+    on the group column's zone map:
 
     - PURE chunks (``vmin == vmax``: one group spans the whole chunk —
       the common case when the table is clustered on the group key):
@@ -490,11 +491,16 @@ def encoded_group_agg(enc_dir: str, group_col: str, agg_cols: list[str]):
     Partials from both classes meet in one small ``groupby(group).sum``
     over per-chunk rows — the exchange carries (group, partial sums),
     never table rows.  Returns ``(DataFrame, counters)``; integer
-    columns only, nullable chunks raise."""
+    columns only, nullable chunks raise.
+
+    ``with_minmax=True`` adds per-group MIN/MAX: pure chunks answer from
+    the agg column's own ZONE MAP (``__vmin``/``__vmax`` — zero decode,
+    like the SUM), mixed chunks from ``minimum/maximum.reduceat`` in the
+    same sorted pass the sums already make."""
     import pandas as pd
     import pyarrow.compute as pc
     import ray.data
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Min, Sum
 
     from tokrle.codecs.core import agg_sum, decode as codec_decode
 
@@ -502,6 +508,9 @@ def encoded_group_agg(enc_dir: str, group_col: str, agg_cols: list[str]):
     base_cols = ["n_rows", f"{group_col}__vmin"] + [
         f"{c}__{part}" for c in agg_cols
         for part in ("codec", "payload", "dtype", "valid")]
+    if with_minmax:
+        base_cols += [f"{c}__{p}" for c in agg_cols for p in ("vmin",
+                                                              "vmax")]
 
     def _chunk_col(batch, c, i, n):
         if len(batch.column(f"{c}__valid")[i].as_py() or b""):
@@ -524,11 +533,18 @@ def encoded_group_agg(enc_dir: str, group_col: str, agg_cols: list[str]):
             sums = [agg_sum(*_chunk_col(batch, c, i, int(nrows[i])))
                     for i in range(len(batch))]
             out[f"sum_{c}"] = pa.array(sums, type=pa.int64())
+            if with_minmax:
+                out[f"min_{c}"] = batch.column(f"{c}__vmin") \
+                    .cast(pa.int64())
+                out[f"max_{c}"] = batch.column(f"{c}__vmax") \
+                    .cast(pa.int64())
         return pa.table(out)
 
     def mixed_partial(batch: pa.Table) -> pa.Table:
         nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
         grp_parts, n_parts, sum_parts = [], [], {c: [] for c in agg_cols}
+        min_parts = {c: [] for c in agg_cols}
+        max_parts = {c: [] for c in agg_cols}
         for i in range(len(batch)):
             n = int(nrows[i])
             g = codec_decode(*_chunk_col(batch, group_col, i, n)) \
@@ -543,6 +559,9 @@ def encoded_group_agg(enc_dir: str, group_col: str, agg_cols: list[str]):
                 v = codec_decode(*_chunk_col(batch, c, i, n)) \
                     .astype(np.int64)[order]
                 sum_parts[c].append(np.add.reduceat(v, starts))
+                if with_minmax:
+                    min_parts[c].append(np.minimum.reduceat(v, starts))
+                    max_parts[c].append(np.maximum.reduceat(v, starts))
         grp = np.concatenate(grp_parts) if grp_parts else \
             np.empty(0, np.int64)
         out = {"grp": pa.array(grp, type=pa.int64()),
@@ -555,6 +574,12 @@ def encoded_group_agg(enc_dir: str, group_col: str, agg_cols: list[str]):
             out[f"sum_{c}"] = pa.array(
                 np.concatenate(sum_parts[c]) if sum_parts[c]
                 else np.empty(0, np.int64), type=pa.int64())
+            if with_minmax:
+                for nm, parts in ((f"min_{c}", min_parts[c]),
+                                  (f"max_{c}", max_parts[c])):
+                    out[nm] = pa.array(
+                        np.concatenate(parts) if parts
+                        else np.empty(0, np.int64), type=pa.int64())
         return pa.table(out)
 
     pure_ds = ray.data.read_parquet(enc_dir, columns=base_cols,
@@ -570,6 +595,9 @@ def encoded_group_agg(enc_dir: str, group_col: str, agg_cols: list[str]):
     aggs = [Sum("n", alias_name="n"),
             Sum("pure_chunks", alias_name="pure_chunks")] + \
         [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in agg_cols]
+    if with_minmax:
+        aggs += [Min(f"min_{c}", alias_name=f"min_{c}") for c in agg_cols]
+        aggs += [Max(f"max_{c}", alias_name=f"max_{c}") for c in agg_cols]
     df = pure_ds.union(mixed_ds).groupby("grp").aggregate(*aggs) \
         .to_pandas()
     pure_chunks = int(df["pure_chunks"].sum())
