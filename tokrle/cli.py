@@ -84,6 +84,25 @@ def main(argv=None) -> int:
     cp.add_argument("--batch-size", type=int, default=2048)
     cp.add_argument("--num-cpus", type=int, default=None)
 
+    di = sub.add_parser("doc-index",
+                        help="build the persistent doc_id -> chunk index "
+                             "(hive-partitioned by id-hash bucket)")
+    di.add_argument("--enc-dir", required=True)
+    di.add_argument("--index-dir", default=None)
+    di.add_argument("--buckets", type=int, default=64)
+    di.add_argument("--num-cpus", type=int, default=None)
+
+    fd = sub.add_parser("fetch",
+                        help="point-lookup docs by id (uses the doc index "
+                             "when present, else a metadata scan)")
+    fd.add_argument("--enc-dir", required=True)
+    fd.add_argument("--ids", required=True,
+                    help="comma-separated doc ids")
+    fd.add_argument("--out-dir", default=None,
+                    help="write fetched docs as parquet; default prints "
+                         "a JSON summary")
+    fd.add_argument("--num-cpus", type=int, default=None)
+
     dec = sub.add_parser("decode", help="encoded dir -> token parquet dir")
     dec.add_argument("--in-dir", required=True)
     dec.add_argument("--out-dir", required=True)
@@ -211,6 +230,33 @@ def main(argv=None) -> int:
                 target_bytes=args.target_bytes or GROUP_TARGET_BYTES,
                 batch_size=args.batch_size)
             print(json.dumps(run))
+        elif args.cmd == "doc-index":
+            from tokrle.pipelines.encode import build_doc_index
+
+            out = build_doc_index(args.enc_dir, args.index_dir,
+                                  n_buckets=args.buckets)
+            print(json.dumps({"index_dir": out, "buckets": args.buckets}))
+        elif args.cmd == "fetch":
+            import os
+
+            from tokrle.pipelines.encode import fetch_docs, fetch_docs_indexed
+
+            ids = [s for s in args.ids.split(",") if s]
+            idx = os.path.join(args.enc_dir, "_docindex")
+            ds = (fetch_docs_indexed(args.enc_dir, ids)
+                  if os.path.isdir(idx) else fetch_docs(args.enc_dir, ids))
+            if args.out_dir:
+                ds.write_parquet(args.out_dir)
+                print(json.dumps({"rows": "written", "out": args.out_dir,
+                                  "indexed": os.path.isdir(idx)}))
+            else:
+                df = ds.to_pandas()
+                print(json.dumps({
+                    "n_docs": len(df),
+                    "n_tokens": int(df["n_tok"].sum()) if len(df) else 0,
+                    "indexed": os.path.isdir(idx),
+                    "doc_ids": sorted(df["doc_id"].tolist()),
+                }))
         elif args.cmd == "decode":
             import ray.data
 
