@@ -72,6 +72,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # machinery, half the shuffle spin-up; default rounds=2 in API)
         "minhash_connected_stats": partial(Q.minhash_connected_stats,
                                            rounds=1),  # rows-only (LSH)
+        # SQL-oracled self-check for the minhash family: LSH candidates +
+        # exact shingle-Jaccard verification == all-pairs Jaccard
+        "minhash_verified_pairs_stats": Q.minhash_verified_pairs_stats,
         "packed_sequences_stats": Q.packed_sequences_stats,
         "mixture_sample_stats": Q.mixture_sample_stats,
         "epoch_shuffle_head": Q.epoch_shuffle_head,
@@ -1133,6 +1136,38 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents)
               GROUP BY doc_id)
         GROUP BY source ORDER BY source
+    """
+
+    # exact all-pairs word-shingle Jaccard (k=3, index-clamped shingles
+    # for docs shorter than k words, threshold 1/2 via integer
+    # cross-multiplication) — equals the Ray side's LSH-candidates +
+    # exact-verification output at its ~1-1e-6 candidate recall
+    sql["minhash_verified_pairs_stats"] = """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(ws) - 2, 1) + 1),
+                       i -> ws[i] || ' ' || ws[least(i + 1, len(ws))]
+                            || ' ' || ws[least(i + 2, len(ws))])) AS s
+            FROM w
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT cast(da AS bigint) AS doc_a, cast(db AS bigint) AS doc_b,
+               cast(i AS bigint) AS n_inter,
+               cast(sa.n + sb.n - i AS bigint) AS n_union
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE i * 2 >= (sa.n + sb.n - i)
+        ORDER BY doc_a, doc_b
     """
 
     sql["ann_top1"] = """

@@ -44,6 +44,54 @@ def test_minhash_identical_docs_collapse(ray_session):
     assert len(survivors) >= 15
 
 
+def test_minhash_verified_pairs_equals_bruteforce(ray_session):
+    """The minhash self-oracle: LSH candidates + exact verification must
+    equal brute-force all-pairs word-shingle Jaccard (threshold 1/2),
+    including clamped shingles for docs shorter than k words and exact
+    duplicates."""
+    import itertools
+
+    import ray.data
+
+    from tokrle.functions.dedup import minhash_verified_pairs
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = []
+    for i in range(30):
+        words = list(rng.choice(vocab, size=rng.integers(5, 40)))
+        docs.append((f"d{i:03d}", " ".join(words), "s0"))
+    for j in range(6):           # planted near-dups (one word changed)
+        words = docs[j][1].split(" ")
+        if len(words) > 6:
+            words[2] = "XX"
+        docs.append((f"n{j:03d}", " ".join(words), "s0"))
+    docs.append(("e000", docs[0][1], "s0"))          # exact duplicate
+    docs += [("t000", "a b", "s0"), ("t001", "a b", "s0"),
+             ("t002", "a", "s0")]                    # shorter than k
+    df = pd.DataFrame(docs, columns=["doc_id", "text", "source"])
+
+    def shingles(text, k=3):
+        w = text.split(" ")
+        n = len(w)
+        return {tuple(w[min(i + j, n - 1)] for j in range(k))
+                for i in range(max(n - k + 1, 1))}
+
+    exact = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(
+            zip(df.doc_id, df.text), 2):
+        sa, sb = shingles(ta), shingles(tb)
+        inter, union = len(sa & sb), len(sa | sb)
+        if union and inter * 2 >= union:
+            a, b = sorted((ia, ib))
+            exact.add((a, b, inter, union))
+
+    got = minhash_verified_pairs(ray.data.from_pandas(df)).to_pandas()
+    got_t = set(got.itertuples(index=False, name=None))
+    assert got_t == exact
+    assert len(exact) >= 8      # the planted structure actually surfaced
+
+
 def test_ngram_jaccard_finds_identical(ray_session):
     import ray.data
 
@@ -1426,6 +1474,31 @@ def test_rollup_aggregate_matches_pandas(ray_session):
         ds = with_ones(ray.data.from_pandas(df).repartition(parts))
         got = rollup_aggregate(ds, ["a", "b"], ["v"])
         assert got.equals(want), parts
+
+
+def test_rollup_sentinel_collision_rejected(ray_session):
+    """A key value equal to the sentinel would silently merge with the
+    rolled-up rows; non-string keys would produce mixed-type columns.
+    Both must raise — and a custom sentinel sidesteps the collision
+    (r3 advisor finding)."""
+    import pytest
+    import ray
+
+    from tokrle.functions.rollup import rollup_aggregate, with_ones
+
+    df = pd.DataFrame({"a": ["x", "ALL", "y"], "b": ["p", "q", "p"],
+                       "v": [1, 2, 3]})
+    ds = with_ones(ray.data.from_pandas(df))
+    with pytest.raises(ValueError, match="sentinel"):
+        rollup_aggregate(ds, ["a", "b"], ["v"])
+    got = rollup_aggregate(ds, ["a", "b"], ["v"], sentinel="<all>")
+    assert (got["a"] == "<all>").sum() == 1 + 0  # grand total row only
+    assert int(got.loc[(got["a"] == "<all>"), "sum_v"].iloc[0]) == 6
+
+    bad = pd.DataFrame({"a": [1, 2], "b": ["p", "q"], "v": [1, 2]})
+    with pytest.raises(TypeError, match="string-typed"):
+        rollup_aggregate(with_ones(ray.data.from_pandas(bad)),
+                         ["a", "b"], ["v"])
 
 
 def test_cube_aggregate_matches_pandas(ray_session):

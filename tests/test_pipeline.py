@@ -176,6 +176,59 @@ def test_upsert_corpus_replaces_and_appends(ray_session, tmp_path):
         assert np.array_equal(got2[d], want[d]), d
 
 
+def test_upsert_crash_states_recoverable(ray_session, tmp_path):
+    """Every interruption point of the upsert group swap (rename old
+    ASIDE -> publish new -> GC old) leaves a fully readable corpus:
+    readers (live_groups/read_corpus) see exactly one complete copy of
+    the group, and recover_groups converges the leftovers (r3 advisor:
+    the old rmtree-then-rename swap lost the group on a crash between
+    the two)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from tokrle.pipelines.corpus import (encode_corpus, live_groups,
+                                         read_corpus, recover_groups)
+    from tokrle.pipelines.encode import decode_tokens
+    from tokrle.sources.tokens import documents_to_tokens
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    df = documents_to_tokens(SF).to_pandas()
+    pq.write_table(pa.Table.from_pandas(df.iloc[:250]), f"{in_dir}/a.parquet")
+    pq.write_table(pa.Table.from_pandas(df.iloc[250:]), f"{in_dir}/b.parquet")
+    encode_corpus(in_dir, out_dir, batch_size=64, group_files=1)
+    all_docs = set(df["doc_id"].astype(str))
+    g = sorted(live_groups(out_dir))[0]
+
+    # crash state A: old renamed aside, replacement still in .tmp —
+    # the .old dir is the ONLY complete copy and must serve reads
+    os.rename(g, g + ".old")
+    shutil.copytree(g + ".old", g + ".tmp")
+    assert g + ".old" in live_groups(out_dir)
+    assert not any(p.endswith(".tmp") for p in live_groups(out_dir))
+    dec = decode_tokens(read_corpus(out_dir)).to_pandas()
+    assert set(dec["doc_id"].astype(str)) == all_docs  # nothing lost
+    stats = recover_groups(out_dir)
+    assert stats == {"restored": 1, "gc_old": 0, "gc_tmp": 1}
+    assert os.path.isdir(g) and not os.path.exists(g + ".old") \
+        and not os.path.exists(g + ".tmp")
+
+    # crash state B: new group published, old '.old' not yet GC'd —
+    # readers must see the new copy exactly once
+    shutil.copytree(g, g + ".old")
+    assert live_groups(out_dir).count(g) == 1
+    assert g + ".old" not in live_groups(out_dir)
+    dec = decode_tokens(read_corpus(out_dir)).to_pandas()
+    assert set(dec["doc_id"].astype(str)) == all_docs  # no duplicates
+    assert len(dec) == len(df)
+    stats = recover_groups(out_dir)
+    assert stats == {"restored": 0, "gc_old": 1, "gc_tmp": 0}
+    assert os.path.isdir(g) and not os.path.exists(g + ".old")
+
+
 def test_compact_corpus_merges_small_groups(ray_session, tmp_path):
     """LSM compaction: many tiny groups (incl. an upsert delta) fold into
     consolidated groups behind an atomic live-group pointer; content is

@@ -22,13 +22,36 @@ import pandas as pd
 ALL = "ALL"
 
 
+def _validate_keys(df: pd.DataFrame, keys: list[str],
+                   sentinel: str) -> None:
+    """Key columns must be string-typed and free of the sentinel value:
+    a non-string key would make the sentinel assignment produce a mixed
+    int/str column (sort_values TypeError), and a legitimate key equal to
+    the sentinel would silently merge with the rolled-up rows.  Validated
+    on the FINEST aggregate frame (every level's key values derive from
+    it), so the check is aggregate-sized, never input-sized."""
+    for k in keys:
+        col = df[k]
+        if len(col) and not all(isinstance(v, str) for v in col):
+            raise TypeError(
+                f"rollup key {k!r} must be string-typed (cast it or use "
+                f"NULL-safe keys); got {col.map(type).unique()!r}")
+        if (col == sentinel).any():
+            raise ValueError(
+                f"rollup key {k!r} contains the sentinel {sentinel!r}; "
+                f"pass a different `sentinel=` to avoid merging real "
+                f"rows into the rolled-up level")
+
+
 def rollup_aggregate(ds, keys: list[str], sum_cols: list[str],
-                     count_alias: str = "n") -> pd.DataFrame:
+                     count_alias: str = "n",
+                     sentinel: str = ALL) -> pd.DataFrame:
     """Distributed ROLLUP over ``keys``: exact COUNT(*) plus SUM of each
     ``sum_cols`` (pre-cast integer columns) at every rollup level.
 
     Returns the concatenated levels as pandas (aggregate rows only — the
-    driver never sees input rows); rolled-up keys read ``'ALL'``.
+    driver never sees input rows); rolled-up keys read ``sentinel``
+    (default ``'ALL'``; keys are validated against collisions).
     """
     from ray.data.aggregate import Sum
 
@@ -39,6 +62,7 @@ def rollup_aggregate(ds, keys: list[str], sum_cols: list[str],
     out: list[pd.DataFrame] = []
     level = finest
     df = level.to_pandas()
+    _validate_keys(df, keys, sentinel)
     out.append(df.copy())
     # coarser levels: re-aggregate the AGGREGATE dataset (sum of sums /
     # sum of counts); each is a distributed groupby over aggregate rows
@@ -48,10 +72,10 @@ def rollup_aggregate(ds, keys: list[str], sum_cols: list[str],
             *[Sum(v, alias_name=v) for v in vals])
         df = level.to_pandas()
         for k in keys[i:]:
-            df[k] = ALL
+            df[k] = sentinel
         out.append(df[keys + vals])
     # grand total from the finest pandas frame (exact integer sums)
-    total = {k: [ALL] for k in keys}
+    total = {k: [sentinel] for k in keys}
     for v in vals:
         total[v] = [int(out[0][v].sum())]
     out.append(pd.DataFrame(total))
@@ -76,7 +100,8 @@ def with_ones(ds):
 
 def grouping_sets_aggregate(ds, keys: list[str], sets: list[list[str]],
                             sum_cols: list[str],
-                            count_alias: str = "n") -> pd.DataFrame:
+                            count_alias: str = "n",
+                            sentinel: str = ALL) -> pd.DataFrame:
     """Distributed GROUPING SETS: exact COUNT(*) + SUMs at every requested
     subset of ``keys``, with ONE input-scale shuffle.
 
@@ -97,20 +122,21 @@ def grouping_sets_aggregate(ds, keys: list[str], sets: list[list[str]],
     finest = ds.groupby(keys).aggregate(
         Sum("__one", alias_name=count_alias),
         *[Sum(c, alias_name=f"sum_{c}") for c in sum_cols]).materialize()
+    fdf = finest.to_pandas()   # aggregate-sized
+    _validate_keys(fdf, keys, sentinel)
     out: list[pd.DataFrame] = []
     for s in sets:
         s = list(s)
         if s == list(keys):
-            df = finest.to_pandas()
+            df = fdf.copy()
         elif s:
             df = finest.groupby(s).aggregate(
                 *[Sum(v, alias_name=v) for v in vals]).to_pandas()
         else:
-            fdf = finest.to_pandas()
             df = pd.DataFrame({v: [int(fdf[v].sum())] for v in vals})
         for k in keys:
             if k not in s:
-                df[k] = ALL
+                df[k] = sentinel
         out.append(df[keys + vals])
     res = pd.concat(out, ignore_index=True)
     for v in vals:
@@ -119,7 +145,8 @@ def grouping_sets_aggregate(ds, keys: list[str], sets: list[list[str]],
 
 
 def cube_aggregate(ds, keys: list[str], sum_cols: list[str],
-                   count_alias: str = "n") -> pd.DataFrame:
+                   count_alias: str = "n",
+                   sentinel: str = ALL) -> pd.DataFrame:
     """Distributed GROUP BY CUBE: every subset of ``keys`` (2^n grouping
     sets), derived from one input-scale shuffle via
     :func:`grouping_sets_aggregate`."""
@@ -128,4 +155,5 @@ def cube_aggregate(ds, keys: list[str], sum_cols: list[str],
     sets = [list(c) for r in range(len(keys), -1, -1)
             for c in combinations(keys, r)]
     return grouping_sets_aggregate(ds, keys, sets, sum_cols,
-                                   count_alias=count_alias)
+                                   count_alias=count_alias,
+                                   sentinel=sentinel)

@@ -35,11 +35,9 @@ BROADCAST_MAX_BYTES = 256 << 20
 SALT_FANOUT = 16
 
 
-def sample_hot_keys(ds, key: str, *, threshold: int,
-                    stride: int = 64) -> np.ndarray:
-    """Estimate per-key frequencies from a per-block stride sample and
-    return keys whose ESTIMATED count >= threshold.  The exchange ships
-    (key, count) partials for sampled keys only."""
+def _sample_key_counts(ds, key: str, stride: int):
+    """(key, estimated count) frame from a per-block stride sample.  The
+    exchange ships (key, count) partials for sampled keys only."""
     def partial(batch: pa.Table) -> pa.Table:
         k = batch.column(key).to_numpy(zero_copy_only=False)[::stride]
         uniq, cnt = np.unique(k, return_counts=True)
@@ -48,34 +46,52 @@ def sample_hot_keys(ds, key: str, *, threshold: int,
 
     from ray.data.aggregate import Sum
 
-    est = ds.map_batches(partial, batch_format="pyarrow") \
+    return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("k").aggregate(Sum("c", alias_name="c")).to_pandas()
+
+
+def sample_hot_keys(ds, key: str, *, threshold: int,
+                    stride: int = 64) -> np.ndarray:
+    """Keys whose ESTIMATED count (stride-sampled) >= threshold."""
+    est = _sample_key_counts(ds, key, stride)
     return est.loc[est["c"] >= threshold, "k"].to_numpy()
 
 
-def _split(ds, key: str, hot_ref):
+class _SplitHot:
+    """Membership filter with the hot-key set fetched ONCE per actor in
+    __init__ (not per batch): plasma dedups the get, but the per-batch
+    call still pays deserialization + a dict hop on every invocation."""
+
+    def __init__(self, key: str, hot_ref, want_hot: bool):
+        import ray
+
+        self._key = key
+        self._hot = ray.get(hot_ref)
+        self._want_hot = want_hot
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = batch.column(self._key).to_numpy(zero_copy_only=False)
+        m = np.isin(k, self._hot)
+        return batch.filter(pa.array(m if self._want_hot else ~m))
+
+
+def _split(ds, key: str, hot_ref, concurrency=(1, 4)):
     """(hot rows, cold rows) by broadcast membership — one filter pass,
     no shuffle."""
-    import ray
-
-    def part(batch: pa.Table, want_hot: bool) -> pa.Table:
-        hot = ray.get(hot_ref)
-        k = batch.column(key).to_numpy(zero_copy_only=False)
-        m = np.isin(k, hot)
-        return batch.filter(pa.array(m if want_hot else ~m))
-
-    import functools
-
-    return (ds.map_batches(functools.partial(part, want_hot=True),
-                           batch_format="pyarrow"),
-            ds.map_batches(functools.partial(part, want_hot=False),
-                           batch_format="pyarrow"))
+    return (ds.map_batches(_SplitHot, fn_constructor_args=(key, hot_ref,
+                                                           True),
+                           batch_format="pyarrow", concurrency=concurrency),
+            ds.map_batches(_SplitHot, fn_constructor_args=(key, hot_ref,
+                                                           False),
+                           batch_format="pyarrow", concurrency=concurrency))
 
 
 def _broadcast_join_hot(left_hot, right_hot_tbl: pa.Table,
                         left_key: str, right_key: str):
     """Map-join hot left rows against the broadcast right rows: one
-    searchsorted + repeat-gather per batch, no exchange."""
+    searchsorted + repeat-gather per batch, no exchange.  The broadcast
+    table is fetched + key-extracted once per actor (__init__), not per
+    batch."""
     import ray
 
     order = np.argsort(right_hot_tbl.column(right_key)
@@ -83,9 +99,17 @@ def _broadcast_join_hot(left_hot, right_hot_tbl: pa.Table,
     right_sorted = right_hot_tbl.take(pa.array(order))
     right_ref = ray.put(right_sorted)
 
-    def join_batch(batch: pa.Table) -> pa.Table:
-        right = ray.get(right_ref)
-        rk = right.column(right_key).to_numpy(zero_copy_only=False)
+    class _Join:
+        def __init__(self):
+            self._right = ray.get(right_ref)
+            self._rk = self._right.column(right_key).to_numpy(
+                zero_copy_only=False)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return join_batch(batch, self._right, self._rk)
+
+    def join_batch(batch: pa.Table, right: pa.Table,
+                   rk: np.ndarray) -> pa.Table:
         lk = batch.column(left_key).to_numpy(zero_copy_only=False)
         lo = np.searchsorted(rk, lk, side="left")
         hi = np.searchsorted(rk, lk, side="right")
@@ -102,7 +126,8 @@ def _broadcast_join_hot(left_hot, right_hot_tbl: pa.Table,
                 out = out.append_column(name, rtaken.column(name))
         return out
 
-    return left_hot.map_batches(join_batch, batch_format="pyarrow")
+    return left_hot.map_batches(_Join, batch_format="pyarrow",
+                                concurrency=(1, 4))
 
 
 def _salted_join_hot(left_hot, right_hot, left_key: str, right_key: str,
@@ -162,20 +187,37 @@ def skew_join(left, right, *, left_key: str, right_key: str,
     elif force_path == "salted":
         use_broadcast = False
     else:
-        # hot-key count x a sampled row width bounds the broadcast size;
-        # take_all on the HOT RIGHT rows only happens on the broadcast
-        # path, where smallness is the precondition being tested
+        # estimate the hot RIGHT rows from the right side's own sampled
+        # key counts (a right-skewed key can put arbitrarily many rows
+        # under one hot key, so the left-derived hot-key COUNT alone says
+        # nothing about right-side bytes)
         est = right.limit(1024).to_pandas().memory_usage(deep=True).sum()
         per_row = max(int(est) // 1024, 1)
-        use_broadcast = len(hot) * per_row * 4 <= BROADCAST_MAX_BYTES
+        rc = _sample_key_counts(right, right_key, stride)
+        hot_right_rows = int(rc.loc[rc["k"].isin(hot), "c"].sum())
+        # sampling floor: an unsampled hot key still has >=1 right row
+        hot_right_rows = max(hot_right_rows, len(hot))
+        use_broadcast = hot_right_rows * per_row <= BROADCAST_MAX_BYTES
     if use_broadcast:
-        tables = [ray.get(r) for r in right_hot.to_arrow_refs()]
-        tables = [t for t in tables if len(t)]
-        if not tables:
+        # materialize block-by-block under a HARD byte cap — the sampled
+        # estimate can undercount; never OOM the driver on a bad estimate
+        tables, total = [], 0
+        for r in right_hot.to_arrow_refs():
+            t = ray.get(r)
+            if len(t):
+                tables.append(t)
+                total += t.nbytes
+            if total > BROADCAST_MAX_BYTES and force_path != "broadcast":
+                break
+        if total > BROADCAST_MAX_BYTES and force_path != "broadcast":
+            hot_joined = _salted_join_hot(left_hot, right_hot,
+                                          left_key, right_key, n)
+        elif not tables:
             # no hot right rows: the hot-left rows have no match
             return cold
-        hot_joined = _broadcast_join_hot(left_hot, pa.concat_tables(tables),
-                                         left_key, right_key)
+        else:
+            hot_joined = _broadcast_join_hot(
+                left_hot, pa.concat_tables(tables), left_key, right_key)
     else:
         hot_joined = _salted_join_hot(left_hot, right_hot,
                                       left_key, right_key, n)

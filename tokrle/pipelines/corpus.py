@@ -265,9 +265,10 @@ def upsert_corpus(enc_dir: str, delta_ds, *,
       untouched chunks never leave storage;
     - only the AFFECTED resume groups (directories holding a replaced
       doc) are decoded -> filtered -> re-encoded, and each is swapped in
-      via write-to-``.tmp`` + ``os.rename`` so a crash mid-rewrite leaves
-      either the old or the new group, not a half dir (the rename itself
-      is the only non-atomic instant, after the rmtree of the old dir);
+      via write-to-``.tmp`` then rename-old-ASIDE (``gdir`` ->
+      ``gdir.old``; ``tmp`` -> ``gdir``; delete ``.old``): every crash
+      point leaves either the old or the new group fully readable, and
+      :func:`recover_groups` / :func:`live_groups` resolve the leftovers;
     - the delta encodes into ONE new group keyed by the hash of its
       doc_id set, so re-running the same upsert is idempotent (the group
       is rewritten in place, never duplicated).
@@ -286,6 +287,7 @@ def upsert_corpus(enc_dir: str, delta_ds, *,
     from tokrle.pipelines.encode import decode_tokens
 
     manifest = Manifest(enc_dir)
+    recover_groups(enc_dir)  # converge any interrupted prior swap first
     delta = delta_ds.materialize()  # small side: ids are needed up front
     ids = sorted(set(delta.select_columns(["doc_id"]).to_pandas()["doc_id"]
                      .astype(str)))
@@ -346,8 +348,16 @@ def upsert_corpus(enc_dir: str, delta_ds, *,
         # a fully-replaced group encodes to zero rows; write_parquet may
         # then emit no files — keep the (empty) dir so the swap still works
         os.makedirs(tmp, exist_ok=True)
-        shutil.rmtree(gdir)
+        # crash-safe swap: rename the old group ASIDE (never delete it
+        # before the replacement is in place).  Every interruption point
+        # leaves a recoverable state — see recover_groups()/live_groups():
+        #   after rename(gdir -> .old):  base missing, .old = old data
+        #   after rename(tmp -> gdir):   base = new data, .old = garbage
+        old = gdir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(gdir, old)
         os.rename(tmp, gdir)
+        shutil.rmtree(old)
         run["groups_rewritten"] += 1
         gid = os.path.basename(gdir).split("=", 1)[-1]
         manifest.mark_done(gid, {"n_files": len(gfiles),
@@ -396,11 +406,49 @@ def live_groups(enc_dir: str) -> list[str]:
     if os.path.exists(ptr):
         with open(ptr) as f:
             names = json.load(f)["groups"]
-        return [os.path.join(enc_dir, n) for n in names]
-    # exclude '*.tmp': a crashed group rewrite leaves 'group=<gid>.tmp'
-    # next to the intact original — the partial dir must never be read
-    return sorted(p for p in glob.glob(os.path.join(enc_dir, "group=*"))
-                  if os.path.isdir(p) and not p.endswith(".tmp"))
+        # read-only crash recovery: an upsert interrupted between its two
+        # renames leaves only 'group=<gid>.old' — serve that as the group
+        return [p if os.path.isdir(p) else p + ".old"
+                for n in names for p in [os.path.join(enc_dir, n)]]
+    # exclude '*.tmp' (partial rewrite — must never be read) and '*.old'
+    # whose base dir exists (post-swap garbage awaiting GC); an '*.old'
+    # with NO base dir is a swap interrupted mid-rename: the old data is
+    # the only complete copy, so it IS the live group.
+    out = []
+    for p in sorted(glob.glob(os.path.join(enc_dir, "group=*"))):
+        if not os.path.isdir(p) or p.endswith(".tmp"):
+            continue
+        if p.endswith(".old"):
+            if not os.path.isdir(p[:-len(".old")]):
+                out.append(p)
+        else:
+            out.append(p)
+    return out
+
+
+def recover_groups(enc_dir: str) -> dict:
+    """Converge crash leftovers from an interrupted group swap (single
+    writer assumed): ``group=<gid>.old`` with a missing base dir is the
+    only complete copy — rename it back; with a base dir present it is
+    post-swap garbage — delete it; ``group=<gid>.tmp`` is always a
+    partial rewrite — delete it.  Idempotent; called by the writers
+    (upsert/compact) before mutating.  Readers get the same view without
+    mutation via :func:`live_groups`."""
+    import shutil
+
+    stats = {"restored": 0, "gc_old": 0, "gc_tmp": 0}
+    for p in sorted(glob.glob(os.path.join(enc_dir, "group=*.old"))):
+        base = p[:-len(".old")]
+        if os.path.isdir(base):
+            shutil.rmtree(p, ignore_errors=True)
+            stats["gc_old"] += 1
+        else:
+            os.rename(p, base)
+            stats["restored"] += 1
+    for p in sorted(glob.glob(os.path.join(enc_dir, "group=*.tmp"))):
+        shutil.rmtree(p, ignore_errors=True)
+        stats["gc_tmp"] += 1
+    return stats
 
 
 def _publish_groups(enc_dir: str, names: list[str]) -> None:
@@ -414,13 +462,26 @@ def _publish_groups(enc_dir: str, names: list[str]) -> None:
     os.replace(tmp, ptr)  # atomic commit point
 
 
+def corpus_files(enc_dir: str) -> list[str] | str:
+    """Parquet paths of the corpus's LIVE view — what every reader of an
+    encoded dir must scan instead of ``enc_dir`` itself: while an upsert's
+    ``group=*.tmp`` exists, or after a crashed ``compact_corpus`` that
+    published the pointer but did not finish GC'ing member dirs, the raw
+    directory holds superseded/partial groups that would surface
+    duplicated or stale docs.  Falls back to ``enc_dir`` when there is no
+    group layout (a plain ``encode_tokens(...).write_parquet`` output)."""
+    groups = live_groups(enc_dir)
+    if not groups:
+        return enc_dir
+    return [f for g in groups
+            for f in sorted(glob.glob(os.path.join(g, "*.parquet")))]
+
+
 def read_corpus(enc_dir: str, columns: list[str] | None = None):
     """Encoded-corpus Dataset over the LIVE groups only."""
     import ray.data
 
-    files = [f for g in live_groups(enc_dir)
-             for f in sorted(glob.glob(os.path.join(g, "*.parquet")))]
-    return ray.data.read_parquet(files, columns=columns)
+    return ray.data.read_parquet(corpus_files(enc_dir), columns=columns)
 
 
 def compact_corpus(enc_dir: str, *, target_bytes: int = GROUP_TARGET_BYTES,
@@ -446,6 +507,7 @@ def compact_corpus(enc_dir: str, *, target_bytes: int = GROUP_TARGET_BYTES,
     from tokrle.pipelines.encode import decode_tokens
 
     manifest = Manifest(enc_dir)
+    recover_groups(enc_dir)  # never let '.old' leftovers enter the pointer
     groups = live_groups(enc_dir)
     sizes = {g: sum(os.path.getsize(f)
                     for f in glob.glob(os.path.join(g, "*.parquet")))

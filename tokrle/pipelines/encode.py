@@ -227,7 +227,10 @@ def fetch_docs(enc_dir: str, doc_ids):
         keep = (cs[ends] - cs[ends - lens]) > 0
         return batch.select(["chunk_id"]).filter(pa.array(keep))
 
-    hits = ray.data.read_parquet(enc_dir, columns=["chunk_id", "doc_id"]) \
+    from tokrle.pipelines.corpus import corpus_files
+
+    hits = ray.data.read_parquet(corpus_files(enc_dir),
+                                 columns=["chunk_id", "doc_id"]) \
         .map_batches(find, batch_format="pyarrow").to_pandas()
     # a no-hit lookup yields a 0-row frame that may drop its schema
     chunk_ids = hits["chunk_id"].tolist() if len(hits) else []
@@ -256,8 +259,10 @@ def _fetch_chunks(enc_dir: str, chunk_ids: list, wanted_arr: pa.Array):
     if not chunk_ids:       # empty isin set is a null-typed Arrow error
         return _empty_token_ds()
 
+    from tokrle.pipelines.corpus import corpus_files
+
     enc = ray.data.read_parquet(
-        enc_dir, filter=pc.field("chunk_id").isin(chunk_ids))
+        corpus_files(enc_dir), filter=pc.field("chunk_id").isin(chunk_ids))
 
     def extract(batch: pa.Table) -> pa.Table:
         out_ids, out_srcs, out_toks = [], [], []
@@ -333,7 +338,10 @@ def build_doc_index(enc_dir: str, index_dir: str | None = None, *,
             "bucket": pa.array(bucket, type=pa.int64()),
         })
 
-    ray.data.read_parquet(enc_dir, columns=["chunk_id", "doc_id"]) \
+    from tokrle.pipelines.corpus import corpus_files
+
+    ray.data.read_parquet(corpus_files(enc_dir),
+                          columns=["chunk_id", "doc_id"]) \
         .map_batches(flatten, batch_format="pyarrow") \
         .write_parquet(index_dir, partition_cols=["bucket"])
     with open(os.path.join(index_dir, "meta.json"), "w") as f:

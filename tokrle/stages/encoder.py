@@ -71,7 +71,8 @@ class TokenEncoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.local_group and len(batch):
-            src = batch.column("source").to_pandas().to_numpy()
+            src = batch.column("source").combine_chunks().to_numpy(
+                zero_copy_only=False)
             if len(np.unique(src)) > 1:
                 order = np.argsort(src, kind="stable")
                 batch = batch.take(order)
