@@ -8,6 +8,7 @@ import pyarrow as pa
 import pytest
 
 SF = "/root/testdata/sf0.001"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="module")
@@ -174,6 +175,111 @@ def test_upsert_corpus_replaces_and_appends(ray_session, tmp_path):
     assert set(got2) == set(want)
     for d in want:
         assert np.array_equal(got2[d], want[d]), d
+
+
+def test_encode_corpus_sigkill_mid_run_resumes(tmp_path):
+    """Kill-mid-run resume at real crash granularity (r3 verdict item 6):
+    a subprocess SIGKILLs itself (uncatchable — a true crash) while
+    encode_corpus is mid-corpus; the restart must encode ONLY the
+    remaining groups (completed groups' files untouched byte-for-byte)
+    and the final corpus must be chunk-payload-identical to an
+    uninterrupted run.  Runs its own Ray sessions in subprocesses, so it
+    does not take the shared ray_session fixture."""
+    import glob as _glob
+    import subprocess
+    import sys
+    import textwrap
+
+    import pyarrow.parquet as pq
+
+    from tokrle.state.manifest import Manifest
+
+    in_dir = str(tmp_path / "in")
+    out_crash = str(tmp_path / "crash")
+    out_ref = str(tmp_path / "ref")
+    os.makedirs(in_dir)
+    full = pq.read_table(f"{SF}/documents.parquet")
+    script = textwrap.dedent("""
+        import os, signal, sys, threading, time
+        sys.path.insert(0, {repo!r})
+        import ray
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+        from tokrle.pipelines.corpus import encode_corpus
+        from tokrle.state.manifest import Manifest
+
+        out = {out!r}
+        kill_after = int(os.environ.get("KILL_AFTER_GROUPS", "0"))
+        if kill_after:
+            def watcher():
+                m = Manifest(out)
+                while True:
+                    if len(m.completed_units()) >= kill_after:
+                        os.kill(os.getpid(), signal.SIGKILL)
+                    time.sleep(0.02)
+            threading.Thread(target=watcher, daemon=True).start()
+        encode_corpus({indir!r}, out, batch_size=64, group_files=1)
+        ray.shutdown()
+    """)
+
+    # deterministic 6-file token table written WITHOUT Ray (the
+    # subprocesses own their sessions)
+    from tokrle.sources.tokens import tokenize_batch
+
+    tok = tokenize_batch(full)
+    step = -(-len(tok) // 6)
+    for i in range(6):
+        pq.write_table(tok.slice(i * step, step),
+                       f"{in_dir}/part{i}.parquet")
+
+    env = dict(os.environ, KILL_AFTER_GROUPS="2")
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         script.format(repo=REPO, out=out_crash, indir=in_dir)],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == -9, proc.stderr[-2000:]  # SIGKILL landed
+    done_before = Manifest(out_crash).completed_units()
+    assert 2 <= len(done_before) < 6     # mid-corpus, not finished
+
+    completed_files = {}
+    for gid in done_before:
+        for p in _glob.glob(f"{out_crash}/group={gid}/*.parquet"):
+            with open(p, "rb") as f:
+                completed_files[p] = f.read()
+
+    # restart (fresh process, no kill): must skip the finished groups
+    proc2 = subprocess.run(
+        [sys.executable, "-c",
+         script.format(repo=REPO, out=out_crash, indir=in_dir)],
+        env=dict(os.environ, KILL_AFTER_GROUPS="0"),
+        capture_output=True, text=True, timeout=600)
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    assert len(Manifest(out_crash).completed_units()) == 6
+    # finished groups were skipped, not rewritten: byte-identical files
+    for p, blob in completed_files.items():
+        with open(p, "rb") as f:
+            assert f.read() == blob, p
+
+    # uninterrupted reference run -> chunk-payload-identical corpus
+    proc3 = subprocess.run(
+        [sys.executable, "-c",
+         script.format(repo=REPO, out=out_ref, indir=in_dir)],
+        env=dict(os.environ, KILL_AFTER_GROUPS="0"),
+        capture_output=True, text=True, timeout=600)
+    assert proc3.returncode == 0, proc3.stderr[-2000:]
+
+    def chunks(d):
+        import pandas as pd
+
+        parts = [pq.read_table(p).to_pandas() for p in
+                 sorted(_glob.glob(f"{d}/group=*/*.parquet"))]
+        df = pd.concat(parts, ignore_index=True)
+        df["payload"] = df["payload"].map(bytes)
+        return df.sort_values("chunk_id").reset_index(drop=True)[
+            ["chunk_id", "codec", "payload", "n_tokens"]]
+
+    a, b = chunks(out_crash), chunks(out_ref)
+    assert a.equals(b)
 
 
 def test_upsert_crash_states_recoverable(ray_session, tmp_path):
