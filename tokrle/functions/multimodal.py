@@ -2,16 +2,18 @@
 with typed metadata, processed by actor-pool map_batches stages.
 
 Image decode is REAL for PNG payloads (pure-stdlib codec in
-tokrle.functions.png) and audio decode is REAL for WAV payloads
+tokrle.functions.png) AND baseline JPEG payloads (pure-NumPy T.81
+codec in tokrle.functions.jpeg: Huffman scan, dequant, vectorized
+IDCT, chroma upsampling); audio decode is REAL for WAV payloads
 (RIFF/WAVE parser in tokrle.functions.wav); the synthetic media table
-writes genuine PNGs/WAVs so both pipelines exercise spec-conformant
-decoding end-to-end.  Video decode is REAL for APNG payloads
-(acTL/fcTL/fdAT frame extraction in tokrle.functions.apng, the synth
-video table writes genuine APNGs); remaining formats (JPEG, mp4) use a
-deterministic stand-in — no libjpeg/ffmpeg in this container —
-swappable via the ``decoder=`` hook; the surrounding plumbing (schema,
-batch sizing, actor signature, output layout) is real and tested
-either way.
+writes genuine PNGs + JPEGs / WAVs so the pipelines exercise
+spec-conformant decoding end-to-end, including format dispatch.  Video
+decode is REAL for APNG payloads (acTL/fcTL/fdAT frame extraction in
+tokrle.functions.apng, the synth video table writes genuine APNGs);
+remaining formats (progressive JPEG, mp4, WebP) use a deterministic
+stand-in — no libjpeg/ffmpeg in this container — swappable via the
+``decoder=`` hook; the surrounding plumbing (schema, batch sizing,
+actor signature, output layout) is real and tested either way.
 
 Schema convention for a media table:
     item_id: string, media: binary, media_type: string ("image"|"audio"|...),
@@ -59,29 +61,48 @@ def png_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     return img[:, :, :3]
 
 
+def jpeg_decode_image(payload: bytes, width: int,
+                      height: int) -> np.ndarray:
+    """REAL image decode for baseline JPEG payloads (pure-NumPy T.81
+    codec in tokrle.functions.jpeg: Huffman scan, dequant, vectorized
+    IDCT, 4:2:0 upsampling); validates dimensions against the table's
+    metadata columns and broadcasts grayscale to 3 channels."""
+    from tokrle.functions.jpeg import decode_jpeg
+
+    img = decode_jpeg(payload)
+    if img.shape[0] != height or img.shape[1] != width:
+        raise ValueError(
+            f"media metadata says {height}x{width}, JPEG decodes to "
+            f"{img.shape[0]}x{img.shape[1]}")
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    return img
+
+
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Default decode hook: real PNG decode when the payload IS a PNG
-    (signature sniff); deterministic stand-in for other formats (JPEG
-    etc. would need libjpeg, absent from this container)."""
+    """Default decode hook: real PNG / baseline-JPEG decode when the
+    payload signature matches (both codecs are pure-stdlib, in
+    tokrle.functions.png / .jpeg); deterministic stand-in for the
+    remaining formats (progressive JPEG, WebP, ...)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return png_decode_image(payload, width, height)
+    if payload[:2] == b"\xff\xd8":
+        return jpeg_decode_image(payload, width, height)
     return fake_decode_image(payload, width, height)
 
 
 def real_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Strict production hook: PNG decodes for real (pure stdlib); other
-    formats raise until an image library exists in the runtime (by
-    design — see module docstring)."""
+    """Strict production hook: PNG and baseline JPEG decode for real
+    (pure stdlib); anything else raises rather than silently faking —
+    wire PIL/libjpeg here if the runtime ever gains them."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return png_decode_image(payload, width, height)
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "non-PNG image decoding requires PIL; this container has no "
-            "image libraries — PNG payloads decode natively, other "
-            "formats use fake_decode_image for plumbing tests") from exc
-    raise NotImplementedError("wire PIL decode here when available")
+    if payload[:2] == b"\xff\xd8":
+        return jpeg_decode_image(payload, width, height)
+    raise NotImplementedError(
+        "only PNG and baseline JPEG decode natively in this runtime; "
+        "other formats need an image library (PIL/ffmpeg) — use "
+        "decode_image for plumbing tests with the deterministic stand-in")
 
 
 class ImageFeatures:
@@ -252,13 +273,19 @@ def synth_media_table(n: int, *, kind: str = "image", seed: int = 11):
             w = int(rng.integers(16, 64))
             h = int(rng.integers(16, 64))
             if kind == "image":
-                # REAL PNG payloads (smooth gradient + noise, Up-filtered)
-                # so the decode stage exercises the genuine codec path
+                # REAL payloads, alternating PNG and baseline JPEG per
+                # item so the decode stage exercises BOTH genuine codec
+                # paths (format dispatch included)
                 yy, xx = np.mgrid[0:h, 0:w]
                 base = ((yy * 3 + xx * 5 + int(i)) % 256)[..., None]
                 img = (base + rng.integers(0, 32, (h, w, 3))) \
                     .astype(np.uint8)
-                blobs.append(encode_png(img, filter_type=2))
+                if int(i) % 2:
+                    from tokrle.functions.jpeg import encode_jpeg
+
+                    blobs.append(encode_jpeg(img, quality=85))
+                else:
+                    blobs.append(encode_png(img, filter_type=2))
             elif kind == "audio":
                 # REAL WAV payloads (sine + noise, 16 kHz mono int16) so
                 # the decode stage exercises the genuine RIFF parser
