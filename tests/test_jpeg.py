@@ -129,6 +129,26 @@ def test_jpeg_vs_png_decode_agree():
     assert _psnr(via_png, via_jpeg) > 34
 
 
+def test_restart_markers_roundtrip():
+    """DRI/RSTn path: encoding with restart intervals must produce the
+    same decoded pixels as without (markers change the bitstream, not
+    the image), for both gray and 4:2:0 color."""
+    from tokrle.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(17)
+    g = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(g, quality=90))
+    for interval in (1, 3, 7):
+        blob = encode_jpeg(g, quality=90, restart_interval=interval)
+        assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+        assert np.array_equal(decode_jpeg(blob), plain), interval
+
+    img = rng.integers(0, 256, (33, 49, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quality=80))
+    blob = encode_jpeg(img, quality=80, restart_interval=2)
+    assert np.array_equal(decode_jpeg(blob), plain)
+
+
 def test_decoder_rejects_non_baseline():
     from tokrle.functions.jpeg import decode_jpeg, encode_jpeg
 

@@ -231,9 +231,13 @@ def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
+def encode_jpeg(img: np.ndarray, quality: int = 75,
+                restart_interval: int = 0) -> bytes:
     """Encode (H, W, 3) RGB as baseline 4:2:0 JPEG, or (H, W)/(H, W, 1)
-    grayscale as single-component JPEG — Annex K tables, quality-scaled."""
+    grayscale as single-component JPEG — Annex K tables, quality-scaled.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (resets the DC predictors, the T.81 error-resilience
+    mechanism)."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2 or img.shape[2] == 1
     h, w = img.shape[:2]
@@ -266,6 +270,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
     out += dht(0, 0, DC_LUMA) + dht(1, 0, AC_LUMA)
     if not gray:
         out += dht(0, 1, DC_CHROMA) + dht(1, 1, AC_CHROMA)
+    if restart_interval:
+        out += _seg(0xDD, int(restart_interval).to_bytes(2, "big"))
 
     if gray:
         out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
@@ -273,10 +279,22 @@ def encode_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
         out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
 
     bw = _BitWriter()
+
+    def maybe_restart(m: int, prev: list[int]) -> None:
+        # pad to byte boundary, emit RSTn (cycling 0-7), reset DC preds
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            bw.buf += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            prev[:] = [0] * len(prev)
+
     if gray:
         plane = img if img.ndim == 2 else img[:, :, 0]
         zz = _fdct_quant(_pad_to(plane, 8), ql)
-        _encode_blocks(bw, zz, 0, dcl_enc, acl_enc)
+        prev = [0]
+        for m in range(len(zz)):             # one MCU = one block
+            maybe_restart(m, prev)
+            prev[0] = _encode_blocks(bw, zz[m:m + 1], prev[0],
+                                     dcl_enc, acl_enc)
     else:
         ycc = rgb_to_ycbcr(img)
         yp = _pad_to(ycc[..., 0], 16)
@@ -297,6 +315,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
         prev = [0, 0, 0]
         for my in range(mcuy):
             for mx in range(mcux):
+                maybe_restart(my * mcux + mx, prev)
                 yidx = [(2 * my + dy) * ybw + 2 * mx + dx
                         for dy in (0, 1) for dx in (0, 1)]
                 prev[0] = _encode_blocks(bw, yzz[yidx], prev[0],
