@@ -57,41 +57,53 @@ def sample_hot_keys(ds, key: str, *, threshold: int,
     return est.loc[est["c"] >= threshold, "k"].to_numpy()
 
 
-class _SplitHot:
-    """Membership filter with the hot-key set fetched ONCE per actor in
-    __init__ (not per batch): plasma dedups the get, but the per-batch
-    call still pays deserialization + a dict hop on every invocation."""
+# per-WORKER-PROCESS broadcast cache: skew_join runs four split stages
+# plus the native join's aggregator actors CONCURRENTLY, so actor pools
+# here (one reserved CPU per actor for the stage lifetime) deadlock the
+# streaming executor on small hosts — measured: the 4-pool variant hangs
+# at num_cpus=4.  Stateless tasks + a process-level memo give the same
+# fetch-once-per-worker semantics without reserving anything.
+_BCAST_CACHE: dict = {}
 
-    def __init__(self, key: str, hot_ref, want_hot: bool):
+
+def _cached_get(ref):
+    val = _BCAST_CACHE.get(ref)
+    if val is None:
         import ray
 
-        self._key = key
-        self._hot = ray.get(hot_ref)
-        self._want_hot = want_hot
+        val = ray.get(ref)
+        # a join holds two broadcasts (hot keys + hot right table); keep
+        # both, evict older joins' entries
+        while len(_BCAST_CACHE) >= 2:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+        _BCAST_CACHE[ref] = val
+    return val
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        k = batch.column(self._key).to_numpy(zero_copy_only=False)
-        m = np.isin(k, self._hot)
-        return batch.filter(pa.array(m if self._want_hot else ~m))
 
-
-def _split(ds, key: str, hot_ref, concurrency=(1, 4)):
+def _split(ds, key: str, hot_ref):
     """(hot rows, cold rows) by broadcast membership — one filter pass,
-    no shuffle."""
-    return (ds.map_batches(_SplitHot, fn_constructor_args=(key, hot_ref,
-                                                           True),
-                           batch_format="pyarrow", concurrency=concurrency),
-            ds.map_batches(_SplitHot, fn_constructor_args=(key, hot_ref,
-                                                           False),
-                           batch_format="pyarrow", concurrency=concurrency))
+    no shuffle; the hot-key set is fetched once per worker process."""
+    import functools
+
+    def part(batch: pa.Table, want_hot: bool) -> pa.Table:
+        hot = _cached_get(hot_ref)
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        m = np.isin(k, hot)
+        return batch.filter(pa.array(m if want_hot else ~m))
+
+    return (ds.map_batches(functools.partial(part, want_hot=True),
+                           batch_format="pyarrow"),
+            ds.map_batches(functools.partial(part, want_hot=False),
+                           batch_format="pyarrow"))
 
 
 def _broadcast_join_hot(left_hot, right_hot_tbl: pa.Table,
                         left_key: str, right_key: str):
     """Map-join hot left rows against the broadcast right rows: one
     searchsorted + repeat-gather per batch, no exchange.  The broadcast
-    table is fetched + key-extracted once per actor (__init__), not per
-    batch."""
+    table is fetched once per worker process (_cached_get) — stateless
+    tasks, because this stage runs concurrently with the cold-path
+    join's aggregator actors (see _BCAST_CACHE note)."""
     import ray
 
     order = np.argsort(right_hot_tbl.column(right_key)
@@ -99,17 +111,9 @@ def _broadcast_join_hot(left_hot, right_hot_tbl: pa.Table,
     right_sorted = right_hot_tbl.take(pa.array(order))
     right_ref = ray.put(right_sorted)
 
-    class _Join:
-        def __init__(self):
-            self._right = ray.get(right_ref)
-            self._rk = self._right.column(right_key).to_numpy(
-                zero_copy_only=False)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return join_batch(batch, self._right, self._rk)
-
-    def join_batch(batch: pa.Table, right: pa.Table,
-                   rk: np.ndarray) -> pa.Table:
+    def join_batch(batch: pa.Table) -> pa.Table:
+        right = _cached_get(right_ref)
+        rk = right.column(right_key).to_numpy(zero_copy_only=False)
         lk = batch.column(left_key).to_numpy(zero_copy_only=False)
         lo = np.searchsorted(rk, lk, side="left")
         hi = np.searchsorted(rk, lk, side="right")
@@ -126,8 +130,7 @@ def _broadcast_join_hot(left_hot, right_hot_tbl: pa.Table,
                 out = out.append_column(name, rtaken.column(name))
         return out
 
-    return left_hot.map_batches(_Join, batch_format="pyarrow",
-                                concurrency=(1, 4))
+    return left_hot.map_batches(join_batch, batch_format="pyarrow")
 
 
 def _salted_join_hot(left_hot, right_hot, left_key: str, right_key: str,
