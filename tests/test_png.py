@@ -88,15 +88,25 @@ def test_png_rejects_unsupported():
         decode_png(bytes(deep))
 
 
-def test_media_table_carries_real_pngs(ray_session):
+def test_media_table_carries_real_payloads(ray_session):
+    """synth_media_table alternates genuine PNG (even ids) and baseline
+    JPEG (odd ids) so both real decode paths are exercised."""
     from tokrle.functions.multimodal import (decode_image,
                                              synth_media_table)
 
     media = synth_media_table(8).to_pandas()
+    sigs = set()
     for _, row in media.iterrows():
-        assert bytes(row["media"][:8]) == _SIG
+        head = bytes(row["media"][:8])
+        if head == _SIG:
+            sigs.add("png")
+        elif head[:2] == b"\xff\xd8":
+            sigs.add("jpeg")
+        else:
+            raise AssertionError(f"unknown media signature {head!r}")
         img = decode_image(bytes(row["media"]), row["width"], row["height"])
         assert img.shape == (row["height"], row["width"], 3)
+    assert sigs == {"png", "jpeg"}
 
 
 def test_image_features_through_real_decode(ray_session):
