@@ -45,15 +45,16 @@ def ray_up(num_cpus: int):
     return ray
 
 
-def prepare_corpus(sf_dir: str) -> str:
+def prepare_corpus(sf_dir: str, repeat: int | None = None) -> str:
     """Materialize the headline token table once (deterministic; untimed).
 
     Deterministic regime-mixed token corpus (4 codec regimes across 20
-    sources, mean 512 tokens/doc), REPEAT docs per documents.parquet row.
+    sources, mean 512 tokens/doc), ``repeat`` (default REPEAT) docs per
+    documents.parquet row.
     """
     import pyarrow.parquet as pq
 
-    n_docs = REPEAT * pq.ParquetFile(
+    n_docs = (repeat or REPEAT) * pq.ParquetFile(
         f"{sf_dir}/documents.parquet").metadata.num_rows
     in_dir = os.path.join(WORK, f"synth_v2_{n_docs}")  # bump on generator change
     if os.path.isdir(in_dir) and any(
@@ -268,6 +269,57 @@ def encode_only() -> None:
                       "n_tokens": enc["n_tokens"],
                       "seconds": enc["seconds"],
                       "compression_ratio": enc["compression_ratio"]}))
+    import ray
+
+    ray.shutdown()
+
+
+def volume() -> None:
+    """sf1-volume encode bench (r3 verdict item 7): ~1e9 tokens through
+    the FULL by-source=local encode path (shuffle-free per-batch source
+    grouping, the default production variant), alongside the headline
+    82M-token run in the same session — extending the amortization curve
+    (BENCH/hashgroup_amortization_r3.json) by 12x to confirm per-token
+    cost keeps falling as fixed exchange/spin-up constants amortize.
+
+    GRAFT_VOLUME_REPEAT (default 384 -> ~984M tokens at sf0.1) sets the
+    large level.  One timed pass at the large level (a 1B-token stream
+    IS steady state); best-of-two at the headline level."""
+    ray_up(NUM_CPUS)
+    from tokrle.pipelines.corpus import encode_corpus
+
+    rep = int(os.environ.get("GRAFT_VOLUME_REPEAT", "384"))
+    out: dict = {"metric": "encode throughput at ~1B tokens "
+                           "(by_source=local, full path)",
+                 "unit": "tokens/sec", "sf": SF_DIR, "num_cpus": NUM_CPUS,
+                 "queries": {}}
+    for label, r, passes in (("headline", REPEAT, 2), ("volume", rep, 1)):
+        in_dir = prepare_corpus(SF_DIR, repeat=r)
+        enc_out = os.path.join(WORK, f"encoded_volume_{label}")
+        dt = float("inf")
+        for _ in range(passes):
+            shutil.rmtree(enc_out, ignore_errors=True)
+            t0 = time.perf_counter()
+            run = encode_corpus(in_dir, enc_out, batch_size=8192,
+                                concurrency=(1, NUM_CPUS),
+                                by_source="local")
+            dt = min(dt, time.perf_counter() - t0)
+        out["queries"][label] = {
+            "seconds": round(dt, 3),
+            "n_tokens": run["n_tokens"],
+            "tokens_per_sec": round(run["n_tokens"] / dt) if dt else 0,
+            "compression_ratio": round(
+                run["raw_bytes"] / run["encoded_bytes"], 3)
+            if run["encoded_bytes"] else 0.0,
+        }
+        shutil.rmtree(enc_out, ignore_errors=True)
+    big, small = out["queries"]["volume"], out["queries"]["headline"]
+    out["value"] = big["tokens_per_sec"]
+    out["amortization_speedup_per_token"] = round(
+        big["tokens_per_sec"] / small["tokens_per_sec"], 3) \
+        if small["tokens_per_sec"] else 0.0
+    out.update(_host_health())
+    print(json.dumps(out))
     import ray
 
     ray.shutdown()
@@ -572,5 +624,7 @@ if __name__ == "__main__":
         scaling()
     elif "--encode-only" in sys.argv:
         encode_only()
+    elif "--volume" in sys.argv:
+        volume()
     else:
         main()
