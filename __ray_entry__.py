@@ -284,6 +284,8 @@ def oracle_sql() -> dict[str, str]:
                     AS bigint)                                   AS sum_disc100,
                cast(sum(cast(round(l_tax * 100) AS bigint))
                     AS bigint)                                   AS sum_tax100,
+               cast(sum(cast(round(l_extendedprice * 100) AS bigint))
+                    AS bigint)                                   AS sum_price100,
                cast(min(cast(l_quantity AS bigint)) AS bigint)   AS min_qty,
                cast(max(cast(l_quantity AS bigint)) AS bigint)   AS max_qty
         FROM lineitem

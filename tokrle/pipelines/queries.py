@@ -1817,16 +1817,19 @@ def encoded_group_minmax_stats(sf_dir: str) -> pd.DataFrame:
 
 def columnar_encode_floats(sf_dir: str) -> pd.DataFrame:
     """Float columns through the generic table encode: doubles are
-    encoded as their int64 bit patterns (repeated-value columns like
-    l_tax/l_discount win dict/rle), decoded bit-exactly, and checked via
-    integer-exact aggregates (casts/round are IEEE-deterministic on
-    identical inputs, unlike a float sum's association order)."""
+    encoded as their int64 bit patterns and auto-select the ALP cascade
+    (decimal floats re-expressed as small ints; the repeated-value
+    columns l_tax/l_discount hit its degenerate path, high-cardinality
+    l_extendedprice its exceptions/bit-width path), decoded bit-exactly,
+    and checked via integer-exact aggregates (casts/round are
+    IEEE-deterministic on identical inputs, unlike a float sum's
+    association order)."""
     from ray.data.aggregate import Max, Min, Sum
 
     from tokrle.pipelines.table_encode import (decode_table_columns,
                                                encode_table_columns)
 
-    cols = ["l_quantity", "l_discount", "l_tax"]
+    cols = ["l_quantity", "l_discount", "l_tax", "l_extendedprice"]
     ds = _read(sf_dir, "lineitem", columns=cols)
     dec = decode_table_columns(
         encode_table_columns(ds, cols, batch_size=65536), cols)
@@ -1835,6 +1838,7 @@ def columnar_encode_floats(sf_dir: str) -> pd.DataFrame:
         q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
         d = batch.column("l_discount").to_numpy(zero_copy_only=False)
         t = batch.column("l_tax").to_numpy(zero_copy_only=False)
+        p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
         return pa.table({
             "n": pa.array([len(batch)], type=pa.int64()),
             "sum_qty": pa.array([int(q.astype(np.int64).sum())],
@@ -1844,6 +1848,9 @@ def columnar_encode_floats(sf_dir: str) -> pd.DataFrame:
                 type=pa.int64()),
             "sum_tax100": pa.array(
                 [int(np.round(t * 100).astype(np.int64).sum())],
+                type=pa.int64()),
+            "sum_price100": pa.array(
+                [int(np.round(p * 100).astype(np.int64).sum())],
                 type=pa.int64()),
             "min_qty": pa.array([int(q.min()) if len(q) else 0],
                                 type=pa.int64()),
@@ -1856,11 +1863,13 @@ def columnar_encode_floats(sf_dir: str) -> pd.DataFrame:
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("sum_disc100", alias_name="sum_disc100"),
         Sum("sum_tax100", alias_name="sum_tax100"),
+        Sum("sum_price100", alias_name="sum_price100"),
         Min("min_qty", alias_name="min_qty"),
         Max("max_qty", alias_name="max_qty"))
     return pd.DataFrame({k: [int(row[k])]
                          for k in ("n", "sum_qty", "sum_disc100",
-                                   "sum_tax100", "min_qty", "max_qty")})
+                                   "sum_tax100", "sum_price100",
+                                   "min_qty", "max_qty")})
 
 
 def fetch_docs_stats(sf_dir: str) -> pd.DataFrame:
