@@ -283,17 +283,28 @@ def volume() -> None:
     cost keeps falling as fixed exchange/spin-up constants amortize.
 
     GRAFT_VOLUME_REPEAT (default 384 -> ~984M tokens at sf0.1) sets the
-    large level.  One timed pass at the large level (a 1B-token stream
-    IS steady state); best-of-two at the headline level."""
+    large level.  Both levels report best-of-GRAFT_VOLUME_PASSES
+    (default 2) — this host flaps between healthy and throttled phases
+    on a minutes scale (BASELINE.md), so a single long pass averages
+    through dips while the short headline's best pass catches a healthy
+    moment; best-of-N at BOTH levels is the apples-to-apples ratio."""
     ray_up(NUM_CPUS)
     from tokrle.pipelines.corpus import encode_corpus
 
     rep = int(os.environ.get("GRAFT_VOLUME_REPEAT", "384"))
+    vol_passes = int(os.environ.get("GRAFT_VOLUME_PASSES", "2"))
     out: dict = {"metric": "encode throughput at ~1B tokens "
                            "(by_source=local, full path)",
                  "unit": "tokens/sec", "sf": SF_DIR, "num_cpus": NUM_CPUS,
                  "queries": {}}
-    for label, r, passes in (("headline", REPEAT, 2), ("volume", rep, 1)):
+    # the trailing headline re-measure separates two explanations for a
+    # sub-1 volume/headline ratio: if headline_after recovers to the
+    # burst rate while the 15s volume pass ran ~2x slower per token, the
+    # gap is the host's SUSTAINED-streaming throttle (short bursts fit a
+    # burst budget; long streams hit the ceiling), not an engine constant
+    for label, r, passes in (("headline", REPEAT, 2),
+                             ("volume", rep, vol_passes),
+                             ("headline_after", REPEAT, 2)):
         in_dir = prepare_corpus(SF_DIR, repeat=r)
         enc_out = os.path.join(WORK, f"encoded_volume_{label}")
         dt = float("inf")
@@ -313,11 +324,12 @@ def volume() -> None:
             if run["encoded_bytes"] else 0.0,
         }
         shutil.rmtree(enc_out, ignore_errors=True)
-    big, small = out["queries"]["volume"], out["queries"]["headline"]
+    big = out["queries"]["volume"]
+    small = max(out["queries"]["headline"]["tokens_per_sec"],
+                out["queries"]["headline_after"]["tokens_per_sec"])
     out["value"] = big["tokens_per_sec"]
-    out["amortization_speedup_per_token"] = round(
-        big["tokens_per_sec"] / small["tokens_per_sec"], 3) \
-        if small["tokens_per_sec"] else 0.0
+    out["volume_vs_headline_per_token"] = round(
+        big["tokens_per_sec"] / small, 3) if small else 0.0
     out.update(_host_health())
     print(json.dumps(out))
     import ray
