@@ -375,8 +375,6 @@ def dup_span_source_stats(ds, *, k: int = 8, min_count: int = 2,
       tagged-union co-group semi-join over (h1, h2) plus the doc-group
       interval union — exchanges move only fixed-width int rows, never
       text."""
-    from ray.data.aggregate import Count, Sum
-
     freq = frequent_grams(ds, k=k, min_count=min_count,
                           text_col=text_col).materialize()
     if freq.count() <= max_index_rows:
@@ -384,42 +382,44 @@ def dup_span_source_stats(ds, *, k: int = 8, min_count: int = 2,
 
         t = freq.to_pandas()
         index_ref = ray.put((t["h1"].to_numpy(), t["h2"].to_numpy()))
-        out = ds.map_batches(
+        from tokrle.functions.fold import fold_sum_partials
+
+        # _SpanStatsCounter already shrinks each batch to one row per
+        # source; a groupby exchange over those partials would pay the
+        # aggregator-pool constant for a cardinality-bounded result —
+        # driver-fold instead (see fold.py scale rationale)
+        parts = ds.map_batches(
             _SpanStatsCounter,
             fn_constructor_kwargs={"index_ref": index_ref, "k": k,
                                    "text_col": text_col,
                                    "source_col": source_col},
-            batch_format="pyarrow", concurrency=concurrency) \
-            .groupby(source_col).aggregate(
-                Sum("n_docs", alias_name="n_docs"),
-                Sum("total_words", alias_name="total_words"),
-                Sum("dup_words", alias_name="dup_words")).to_pandas()
-        for c in ("n_docs", "total_words", "dup_words"):
-            out[c] = out[c].astype("int64")
+            batch_format="pyarrow", concurrency=concurrency)
+        out = fold_sum_partials(parts, [source_col],
+                                ["n_docs", "total_words", "dup_words"])
         return out.sort_values(source_col).reset_index(drop=True)
 
     import pyarrow.compute as pc
+
+    from tokrle.functions.fold import source_sums
 
     covered = covered_gram_starts(ds, freq, k=k, text_col=text_col,
                                   id_col=id_col, carry=source_col)
     per_doc = dup_span_word_counts(covered, k=k, id_col=id_col,
                                    carry=source_col)
-    dup = per_doc.groupby(source_col) \
-        .aggregate(Sum("dup_words", alias_name="dup_words")).to_pandas()
+    dup = source_sums(per_doc, source_col, ["dup_words"])
 
     def totals(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col)
         spaces = pc.count_substring(texts, " ").to_numpy(
             zero_copy_only=False).astype(np.int64)
         return pa.table({source_col: batch.column(source_col),
-                         "w": pa.array(spaces + 1, pa.int64())})
+                         "total_words": pa.array(spaces + 1, pa.int64())})
 
-    tot = ds.map_batches(totals, batch_format="pyarrow") \
-        .groupby(source_col).aggregate(
-            Count(alias_name="n_docs"),
-            Sum("w", alias_name="total_words")).to_pandas()
+    tot = source_sums(ds.map_batches(totals, batch_format="pyarrow"),
+                      source_col, ["total_words"], count_alias="n_docs")
     out = tot.merge(dup, on=source_col, how="left")
     out["dup_words"] = out["dup_words"].fillna(0).astype("int64")
     out["n_docs"] = out["n_docs"].astype("int64")
     out["total_words"] = out["total_words"].astype("int64")
+    out = out[[source_col, "n_docs", "total_words", "dup_words"]]
     return out.sort_values(source_col).reset_index(drop=True)

@@ -93,28 +93,26 @@ def redaction_source_stats(ds, patterns: dict[str, str], *,
     itself, not just the counts, matches the oracle)."""
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Count, Sum
+    from tokrle.functions.fold import source_sums
 
     scrubbed = redact(ds, patterns, replacement=replacement,
                       text_col=text_col, count_matches=True)
 
-    def partials(batch: pa.Table) -> pa.Table:
+    def per_doc(batch: pa.Table) -> pa.Table:
         n = batch.column("n_redactions")
         return pa.table({
             source_col: batch.column(source_col),
-            "m": n,
-            "touched": pc.cast(pc.greater(n, 0), pa.int64()),
+            "n_matches": n,
+            "docs_redacted": pc.cast(pc.greater(n, 0), pa.int64()),
             "bytes_after": pc.cast(
                 pc.binary_length(batch.column(text_col)), pa.int64()),
         })
 
-    agg = scrubbed.map_batches(partials, batch_format="pyarrow") \
-        .groupby(source_col).aggregate(
-            Count(alias_name="n_docs"),
-            Sum("touched", alias_name="docs_redacted"),
-            Sum("m", alias_name="n_matches"),
-            Sum("bytes_after", alias_name="bytes_after"))
-    df = agg.to_pandas()
-    for c in ("n_docs", "docs_redacted", "n_matches", "bytes_after"):
-        df[c] = df[c].astype("int64")
-    return df.sort_values(source_col).reset_index(drop=True)
+    # source cardinality is tiny: map-side partial shrink + driver fold
+    # (tokrle.functions.fold) replaces the aggregator-pool exchange
+    df = source_sums(scrubbed.map_batches(per_doc, batch_format="pyarrow"),
+                     source_col,
+                     ["docs_redacted", "n_matches", "bytes_after"],
+                     count_alias="n_docs")
+    return df[[source_col, "n_docs", "docs_redacted", "n_matches",
+               "bytes_after"]]

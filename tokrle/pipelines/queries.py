@@ -48,22 +48,18 @@ def _per_source_token_stats(dec) -> pd.DataFrame:
         sums = segment_sums(values, offsets, dtype=np.int64)
         return pa.table({
             "source": batch.column("source"),
-            "n_tok": batch.column("n_tok").cast(pa.int64()),
-            "tok_sum": pa.array(sums, type=pa.int64()),
+            "n_tokens": batch.column("n_tok").cast(pa.int64()),
+            "sum_tokens": pa.array(sums, type=pa.int64()),
         })
 
-    from ray.data.aggregate import Count, Sum
+    from tokrle.functions.fold import source_sums
 
-    agg = dec.map_batches(per_doc, batch_format="pyarrow") \
-        .groupby("source") \
-        .aggregate(Count(alias_name="n_docs"),
-                   Sum("n_tok", alias_name="n_tokens"),
-                   Sum("tok_sum", alias_name="sum_tokens"))
-    df = agg.to_pandas()
-    df["n_docs"] = df["n_docs"].astype("int64")
-    df["n_tokens"] = df["n_tokens"].astype("int64")
-    df["sum_tokens"] = df["sum_tokens"].astype("int64")
-    return df.sort_values("source").reset_index(drop=True)
+    # source cardinality is tiny: map-side partial shrink + driver fold
+    # (tokrle.functions.fold) instead of the aggregator-pool exchange
+    df = source_sums(dec.map_batches(per_doc, batch_format="pyarrow"),
+                     "source", ["n_tokens", "sum_tokens"],
+                     count_alias="n_docs")
+    return df[["source", "n_docs", "n_tokens", "sum_tokens"]]
 
 
 def encode_roundtrip_stats_localgroup(sf_dir: str) -> pd.DataFrame:
@@ -682,35 +678,26 @@ def _distinct_count_per_source(ds, value_col: str, alias: str) -> pd.DataFrame:
     return df.sort_values("source").reset_index(drop=True)
 
 def text_quality(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Count, Sum
-
+    from tokrle.functions.fold import source_sums
     from tokrle.functions.text import text_stats
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "lang", "text"])
     stats = ds.map_batches(text_stats, batch_format="pyarrow")
-    agg = stats.groupby("source").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_words", alias_name="sum_words"),
-        Sum("n_alpha", alias_name="sum_alpha"),
-        Sum("n_stop", alias_name="sum_stop"))
-    df = agg.to_pandas()
-    for c in ("n_docs", "sum_words", "sum_alpha", "sum_stop"):
-        df[c] = df[c].astype("int64")
-    return df.sort_values("source").reset_index(drop=True)
+    df = source_sums(stats, "source", ["n_words", "n_alpha", "n_stop"],
+                     count_alias="n_docs")
+    df = df.rename(columns={"n_words": "sum_words", "n_alpha": "sum_alpha",
+                            "n_stop": "sum_stop"})
+    return df[["source", "n_docs", "sum_words", "sum_alpha", "sum_stop"]]
 
 
 def dedup_exact(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Count
-
     from tokrle.functions.dedup import exact_dedup
+    from tokrle.functions.fold import source_sums
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
     # hash-keyed: the shuffle moves (h1, h2, doc_id, source), never text
     survivors = exact_dedup(ds, key="text", keep_cols=("source",))
-    df = survivors.groupby("source").aggregate(Count(alias_name="n_docs")) \
-        .to_pandas()
-    df["n_docs"] = df["n_docs"].astype("int64")
-    return df.sort_values("source").reset_index(drop=True)
+    return source_sums(survivors, "source", [], count_alias="n_docs")
 
 
 def unique_token_seqs(sf_dir: str) -> pd.DataFrame:
@@ -1284,21 +1271,16 @@ def repetitive_docs(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition filter stats per source: docs whose top
     unigram covers >= 1/5 of their words (among docs >= 20 words).  Scale
     shape: per-batch vectorized partials (functions.text.
-    doc_repetition_partials) -> tiny Sum aggregate; the shuffle moves one
-    int64 row per (source, batch)."""
-    from ray.data.aggregate import Sum
-
+    doc_repetition_partials) -> driver fold (functions.fold) of one
+    int64 row per (source, batch); no exchange."""
+    from tokrle.functions.fold import fold_sum_partials
     from tokrle.functions.text import doc_repetition_partials
     from tokrle.sources.tokens import documents_to_tokens
 
     ds = documents_to_tokens(sf_dir)
     parts = ds.map_batches(doc_repetition_partials, batch_format="pyarrow")
-    agg = parts.groupby("source").aggregate(
-        Sum("n_eligible", alias_name="n_eligible"),
-        Sum("n_repetitive", alias_name="n_repetitive"))
-    df = agg.to_pandas()
-    for c in ("n_eligible", "n_repetitive"):
-        df[c] = df[c].astype("int64")
+    df = fold_sum_partials(parts, ["source"],
+                           ["n_eligible", "n_repetitive"])
     return df.sort_values("source").reset_index(drop=True)
 
 
@@ -1308,22 +1290,17 @@ def gopher_repetition_stats(sf_dir: str) -> pd.DataFrame:
     of bigram positions and docs whose duplicated word-TRIGRAMS cover
     >= 15% of trigram positions.  Scale shape: per-batch vectorized
     partials (functions.text.gopher_ngram_partials — one lexsort per n
-    over the batch's flat token stream, reduceat folds) -> tiny Sum
-    aggregate; the shuffle moves one int64 row per (source, batch)."""
-    from ray.data.aggregate import Sum
-
+    over the batch's flat token stream, reduceat folds) -> driver fold
+    (functions.fold) of one int64 row per (source, batch); no
+    exchange."""
+    from tokrle.functions.fold import fold_sum_partials
     from tokrle.functions.text import gopher_ngram_partials
     from tokrle.sources.tokens import documents_to_tokens
 
     ds = documents_to_tokens(sf_dir)
     parts = ds.map_batches(gopher_ngram_partials, batch_format="pyarrow")
-    agg = parts.groupby("source").aggregate(
-        Sum("n_eligible", alias_name="n_eligible"),
-        Sum("n_top_bigram", alias_name="n_top_bigram"),
-        Sum("n_dup_trigram", alias_name="n_dup_trigram"))
-    df = agg.to_pandas()
-    for c in ("n_eligible", "n_top_bigram", "n_dup_trigram"):
-        df[c] = df[c].astype("int64")
+    df = fold_sum_partials(parts, ["source"],
+                           ["n_eligible", "n_top_bigram", "n_dup_trigram"])
     return df.sort_values("source").reset_index(drop=True)
 
 
@@ -1383,18 +1360,14 @@ def clean_corpus_stats(sf_dir: str) -> pd.DataFrame:
     stats + Arrow mask, nothing shuffled); dedup shuffles only (hash,
     doc_id, source) rows; the final aggregate moves one row per
     (source, block)."""
-    from ray.data.aggregate import Count
-
     from tokrle.functions.dedup import exact_dedup
+    from tokrle.functions.fold import source_sums
     from tokrle.functions.text import quality_filter
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
     passing = ds.map_batches(quality_filter, batch_format="pyarrow")
     kept = exact_dedup(passing, key="text", keep_cols=("source",))
-    df = kept.groupby("source").aggregate(Count(alias_name="n_kept")) \
-        .to_pandas()
-    df["n_kept"] = df["n_kept"].astype("int64")
-    return df.sort_values("source").reset_index(drop=True)
+    return source_sums(kept, "source", [], count_alias="n_kept")
 
 
 # shared with the oracle SQL in __ray_entry__ (single source of truth)
@@ -1411,8 +1384,7 @@ def packed_sequences_stats(sf_dir: str, *, seq_len: int = PACK_SEQ_LEN,
     counts alone: n_examples = ceil((n_tokens + n_docs)/seq_len),
     sum_input_ids = sum_tokens + eos*n_docs (pad=0 adds nothing),
     n_real_tokens = n_tokens + n_docs."""
-    from ray.data.aggregate import Count, Sum
-
+    from tokrle.functions.fold import source_sums
     from tokrle.functions.packing import pack_sequences
     from tokrle.sources.tokens import documents_to_tokens
 
@@ -1425,19 +1397,14 @@ def packed_sequences_stats(sf_dir: str, *, seq_len: int = PACK_SEQ_LEN,
         sums = list_row_sums(batch.column("input_ids"))
         return pa.table({
             "source": batch.column("key"),
-            "ex_sum": pa.array(sums, type=pa.int64()),
-            "n_real": batch.column("n_real"),
+            "sum_input_ids": pa.array(sums, type=pa.int64()),
+            "n_real_tokens": batch.column("n_real").cast(pa.int64()),
         })
 
-    agg = packed.map_batches(partials, batch_format="pyarrow") \
-        .groupby("source").aggregate(
-            Count(alias_name="n_examples"),
-            Sum("ex_sum", alias_name="sum_input_ids"),
-            Sum("n_real", alias_name="n_real_tokens"))
-    df = agg.to_pandas()
-    for c in ("n_examples", "sum_input_ids", "n_real_tokens"):
-        df[c] = df[c].astype("int64")
-    return df.sort_values("source").reset_index(drop=True)
+    df = source_sums(packed.map_batches(partials, batch_format="pyarrow"),
+                     "source", ["sum_input_ids", "n_real_tokens"],
+                     count_alias="n_examples")
+    return df[["source", "n_examples", "sum_input_ids", "n_real_tokens"]]
 
 
 MIXTURE_WEIGHTS = {"src0": 0.25, "src1": 0.5, "src2": 0.0, "src3": 1.0}
@@ -1448,19 +1415,14 @@ def mixture_sample_stats(sf_dir: str) -> pd.DataFrame:
     per source.  The keep rule is an exact integer hash on doc_id, so
     the SQL oracle re-derives the SAME rows (value-identical, not just
     statistically similar); unlisted sources keep 75% by default."""
-    from ray.data.aggregate import Count, Sum
-
+    from tokrle.functions.fold import source_sums
     from tokrle.functions.mixture import sample_mixture
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
     kept = sample_mixture(ds, MIXTURE_WEIGHTS, seed=7, default_weight=0.75)
-    agg = kept.groupby("source").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_chars", alias_name="sum_n_chars"))
-    df = agg.to_pandas()
-    df["n_docs"] = df["n_docs"].astype("int64")
-    df["sum_n_chars"] = df["sum_n_chars"].astype("int64")
-    return df.sort_values("source").reset_index(drop=True)
+    df = source_sums(kept, "source", ["n_chars"], count_alias="n_docs")
+    df = df.rename(columns={"n_chars": "sum_n_chars"})
+    return df[["source", "n_docs", "sum_n_chars"]]
 
 
 def epoch_shuffle_head(sf_dir: str) -> pd.DataFrame:

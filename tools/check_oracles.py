@@ -42,7 +42,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
+    """``only``: optional list of substrings — run just the queries whose
+    name contains any of them (fast re-check after a targeted change)."""
     import __ray_entry__ as E
 
     con = duckdb.connect()
@@ -52,6 +54,8 @@ def main(sf_dir: str) -> int:
     sqls = E.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and not any(s in name for s in only):
+            continue
         t0 = time.perf_counter()
         try:
             got = canon(to_df(fn(sf_dir)))
@@ -103,6 +107,6 @@ if __name__ == "__main__":
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    rc = main(sf)
+    rc = main(sf, only=sys.argv[2:] or None)
     ray.shutdown()
     sys.exit(1 if rc else 0)
