@@ -34,40 +34,53 @@ import pyarrow as pa
 _FOLD_EVERY = 1 << 16
 
 
-def fold_sum_partials(ds, keys: list[str], cols: list[str]) -> pd.DataFrame:
+def fold_sum_partials(ds, keys: list[str], cols: list[str],
+                      min_cols: tuple = (),
+                      max_cols: tuple = ()) -> pd.DataFrame:
     """Fold a dataset of per-block PARTIAL rows (already shrunk to at
-    most one row per key per block) into one summed row per key.
-    Streams blocks to the driver; never more than ``_FOLD_EVERY``
-    buffered rows plus one row per distinct key."""
+    most one row per key per block) into one row per key: ``cols`` are
+    summed, ``min_cols``/``max_cols`` take the extremum.  Streams blocks
+    to the driver; never more than ``_FOLD_EVERY`` buffered rows plus
+    one row per distinct key."""
+    spec = {**{c: "sum" for c in cols},
+            **{c: "min" for c in min_cols},
+            **{c: "max" for c in max_cols}}
+    sel = keys + list(spec)
+
+    def fold(fs: list[pd.DataFrame]) -> pd.DataFrame:
+        return pd.concat(fs).groupby(keys, sort=False).agg(spec) \
+            .reset_index()
+
     frames: list[pd.DataFrame] = []
     total = 0
     for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
         if not b.num_rows:
             continue
-        frames.append(b.select(keys + cols).to_pandas())
+        frames.append(b.select(sel).to_pandas())
         total += b.num_rows
         if total > _FOLD_EVERY:
-            m = pd.concat(frames).groupby(keys, sort=False)[cols].sum() \
-                .reset_index()
+            m = fold(frames)
             frames, total = [m], len(m)
     if not frames:
-        return pd.DataFrame({c: pd.Series(dtype="int64")
-                             for c in keys + cols})
-    out = pd.concat(frames).groupby(keys, sort=False)[cols].sum() \
-        .reset_index()
-    for c in cols:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in sel})
+    out = fold(frames)
+    for c in spec:
         if pd.api.types.is_integer_dtype(out[c]):
             out[c] = out[c].astype("int64")
     return out
 
 
 def source_sums(ds, key: str, sum_cols: list[str],
-                count_alias: str | None = None) -> pd.DataFrame:
-    """Per-``key`` sums (and optionally a row count) over a dataset with
-    one row per record: shrinks each batch to per-key partials with
-    factorize + bincount (vectorized, at most ``cardinality`` rows out
-    per batch), then driver-folds the partials.  Result columns:
-    ``[key, *sum_cols, count_alias?]`` sorted by key."""
+                count_alias: str | None = None,
+                min_cols: tuple = (),
+                max_cols: tuple = ()) -> pd.DataFrame:
+    """Per-``key`` sums (plus optional row count and per-key extrema)
+    over a dataset with one row per record: shrinks each batch to
+    per-key partials with factorize + bincount / scatter-extremum
+    (vectorized, at most ``cardinality`` rows out per batch), then
+    driver-folds the partials.  Result columns:
+    ``[key, *sum_cols, count_alias?, *min_cols, *max_cols]`` sorted by
+    key."""
     cols = list(sum_cols)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -85,9 +98,19 @@ def source_sums(ds, key: str, sum_cols: list[str],
         if count_alias is not None:
             out[count_alias] = pa.array(
                 np.bincount(codes, minlength=len(uniq)).astype(np.int64))
+        for c, fill, op in [(m, np.iinfo(np.int64).max, np.minimum)
+                            for m in min_cols] + \
+                           [(m, np.iinfo(np.int64).min, np.maximum)
+                            for m in max_cols]:
+            v = batch.column(c).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            acc = np.full(len(uniq), fill, dtype=np.int64)
+            op.at(acc, codes, v)
+            out[c] = pa.array(acc)
         return pa.table(out)
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     out_cols = cols + ([count_alias] if count_alias else [])
-    res = fold_sum_partials(parts, [key], out_cols)
+    res = fold_sum_partials(parts, [key], out_cols,
+                            min_cols=min_cols, max_cols=max_cols)
     return res.sort_values(key).reset_index(drop=True)

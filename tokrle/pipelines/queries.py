@@ -1441,10 +1441,10 @@ def epoch_shuffle_head(sf_dir: str) -> pd.DataFrame:
 def epoch_shuffle_bucket_stats(sf_dir: str) -> pd.DataFrame:
     """Validates the WHOLE epoch permutation (not just its head): the
     2^31 key space is cut into 16 equal buckets and each bucket's count /
-    id-sum / key-extrema must match the oracle exactly.  Shuffle-free
-    except the 16-group aggregate — the check never sorts."""
-    from ray.data.aggregate import Count, Max, Min, Sum
-
+    id-sum / key-extrema must match the oracle exactly.  Entirely
+    shuffle-free: the 16-bucket aggregate is a map-side partial shrink
+    + driver fold — the check never sorts."""
+    from tokrle.functions.fold import source_sums
     from tokrle.functions.shuffle import epoch_hash
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
@@ -1452,21 +1452,17 @@ def epoch_shuffle_bucket_stats(sf_dir: str) -> pd.DataFrame:
     def add_bucket(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         key = epoch_hash(ids, seed=11)
-        batch = batch.append_column("shuffle_key",
-                                    pa.array(key, type=pa.int64()))
-        return batch.append_column("bucket",
-                                   pa.array(key >> 27, type=pa.int64()))
+        return pa.table({
+            "bucket": pa.array(key >> 27, type=pa.int64()),
+            "sum_doc_id": batch.column("doc_id").cast(pa.int64()),
+            "min_key": pa.array(key, type=pa.int64()),
+            "max_key": pa.array(key, type=pa.int64()),
+        })
 
-    agg = ds.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("bucket").aggregate(
-            Count(alias_name="n_docs"),
-            Sum("doc_id", alias_name="sum_doc_id"),
-            Min("shuffle_key", alias_name="min_key"),
-            Max("shuffle_key", alias_name="max_key"))
-    df = agg.to_pandas()
-    for c in ("n_docs", "sum_doc_id", "min_key", "max_key"):
-        df[c] = df[c].astype("int64")
-    return df.sort_values("bucket").reset_index(drop=True)
+    df = source_sums(ds.map_batches(add_bucket, batch_format="pyarrow"),
+                     "bucket", ["sum_doc_id"], count_alias="n_docs",
+                     min_cols=("min_key",), max_cols=("max_key",))
+    return df[["bucket", "n_docs", "sum_doc_id", "min_key", "max_key"]]
 
 
 # l_suppkey spans [0, ~10*sf_scale); [2, 4] is non-empty at
@@ -1988,10 +1984,9 @@ def split_sequences_stats(sf_dir: str) -> pd.DataFrame:
     count, total chunk tokens (> total doc tokens by the overlap), and
     the sum of each chunk's FIRST token — which pins every window's
     start position exactly against the closed-form SQL oracle."""
-    from ray.data.aggregate import Count, Sum
-
     from tokrle.functions._arrays import list_rows
     from tokrle.functions.chunking import split_sequences
+    from tokrle.functions.fold import source_sums
     from tokrle.sources.tokens import documents_to_tokens
 
     chunks = split_sequences(documents_to_tokens(sf_dir),
@@ -2000,18 +1995,16 @@ def split_sequences_stats(sf_dir: str) -> pd.DataFrame:
     def first_tok(batch: pa.Table) -> pa.Table:
         flat, offs = list_rows(batch.column("tokens"))
         first = flat[offs[:-1]] if len(batch) else flat[:0]
-        return batch.append_column(
-            "first_tok", pa.array(first.astype(np.int64), pa.int64()))
+        return pa.table({
+            "source": batch.column("source"),
+            "sum_chunk_tokens": batch.column("n_tok").cast(pa.int64()),
+            "sum_first_tok": pa.array(first.astype(np.int64), pa.int64()),
+        })
 
-    agg = chunks.map_batches(first_tok, batch_format="pyarrow") \
-        .groupby("source").aggregate(
-            Count(alias_name="n_chunks"),
-            Sum("n_tok", alias_name="sum_chunk_tokens"),
-            Sum("first_tok", alias_name="sum_first_tok"))
-    df = agg.to_pandas()
-    for c in ("n_chunks", "sum_chunk_tokens", "sum_first_tok"):
-        df[c] = df[c].astype("int64")
-    return df.sort_values("source").reset_index(drop=True)
+    df = source_sums(chunks.map_batches(first_tok, batch_format="pyarrow"),
+                     "source", ["sum_chunk_tokens", "sum_first_tok"],
+                     count_alias="n_chunks")
+    return df[["source", "n_chunks", "sum_chunk_tokens", "sum_first_tok"]]
 
 
 def token_rarity_stats(sf_dir: str) -> pd.DataFrame:
@@ -2021,22 +2014,25 @@ def token_rarity_stats(sf_dir: str) -> pd.DataFrame:
     mean token frequency is below 1/RARITY_SCALE of uniform.  The rarity
     rule is pure int64 comparison, so the oracle re-derives the flagged
     set exactly."""
-    from ray.data.aggregate import Count, Sum
-
+    from tokrle.functions.fold import source_sums
     from tokrle.functions.lm import score_rarity, train_unigram_counts
     from tokrle.sources.tokens import documents_to_tokens
 
     counts = train_unigram_counts(documents_to_tokens(sf_dir))
     scored = score_rarity(documents_to_tokens(sf_dir), counts)
-    agg = scored.groupby("source").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_tok", alias_name="n_tokens"),
-        Sum("sum_counts", alias_name="sum_counts"),
-        Sum("is_rare", alias_name="n_rare"))
-    df = agg.to_pandas()
-    for c in ("n_docs", "n_tokens", "sum_counts", "n_rare"):
-        df[c] = df[c].astype("int64")
-    return df.sort_values("source").reset_index(drop=True)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch.column("source"),
+            "n_tokens": batch.column("n_tok").cast(pa.int64()),
+            "sum_counts": batch.column("sum_counts").cast(pa.int64()),
+            "n_rare": batch.column("is_rare").cast(pa.int64()),
+        })
+
+    df = source_sums(scored.map_batches(per_doc, batch_format="pyarrow"),
+                     "source", ["n_tokens", "sum_counts", "n_rare"],
+                     count_alias="n_docs")
+    return df[["source", "n_docs", "n_tokens", "sum_counts", "n_rare"]]
 
 
 # decontamination split: doc_id & DECONTAM_EVAL_MASK == 0 is the held-out
@@ -2054,9 +2050,8 @@ def decontam_stats(sf_dir: str) -> pd.DataFrame:
     import pyarrow.compute as pc
     import ray.data
 
-    from ray.data.aggregate import Count, Sum
-
     from tokrle.functions.decontam import flag_contaminated
+    from tokrle.functions.fold import source_sums
 
     idmask = pc.Expression._call(
         "bit_wise_and", [pc.field("doc_id"), pc.scalar(DECONTAM_EVAL_MASK)])
@@ -2070,17 +2065,13 @@ def decontam_stats(sf_dir: str) -> pd.DataFrame:
     def partials(batch: pa.Table) -> pa.Table:
         return pa.table({
             "source": batch.column("source"),
-            "c": pc.cast(batch.column("contaminated"), pa.int64()),
+            "n_contaminated": pc.cast(batch.column("contaminated"),
+                                      pa.int64()),
         })
 
-    agg = flagged.map_batches(partials, batch_format="pyarrow") \
-        .groupby("source").aggregate(
-            Count(alias_name="n_train"),
-            Sum("c", alias_name="n_contaminated"))
-    df = agg.to_pandas()
-    df["n_train"] = df["n_train"].astype("int64")
-    df["n_contaminated"] = df["n_contaminated"].astype("int64")
-    return df.sort_values("source").reset_index(drop=True)
+    df = source_sums(flagged.map_batches(partials, batch_format="pyarrow"),
+                     "source", ["n_contaminated"], count_alias="n_train")
+    return df[["source", "n_train", "n_contaminated"]]
 
 
 def decontam_bloom_stats(sf_dir: str) -> pd.DataFrame:
