@@ -2258,13 +2258,19 @@ def stratified_sample_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
     kept = stratified_sample(ds, key="source", k=STRATIFIED_K,
                              id_col="doc_id", seed=STRATIFIED_SEED)
-    df = kept.groupby("source").aggregate(
-        Count(alias_name="n_kept"),
-        Sum("doc_id", alias_name="sum_doc_id"),
-        Sum("n_chars", alias_name="sum_n_chars")).to_pandas()
-    for c in ("n_kept", "sum_doc_id", "sum_n_chars"):
-        df[c] = df[c].astype("int64")
-    return df.sort_values("source").reset_index(drop=True)
+    from tokrle.functions.fold import source_sums
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch.column("source"),
+            "sum_doc_id": batch.column("doc_id").cast(pa.int64()),
+            "sum_n_chars": batch.column("n_chars").cast(pa.int64()),
+        })
+
+    df = source_sums(kept.map_batches(per_doc, batch_format="pyarrow"),
+                     "source", ["sum_doc_id", "sum_n_chars"],
+                     count_alias="n_kept")
+    return df[["source", "n_kept", "sum_doc_id", "sum_n_chars"]]
 
 
 TOPK_K = 7
@@ -2275,23 +2281,29 @@ def curriculum_topk_stats(sf_dir: str) -> pd.DataFrame:
     n_chars desc, ties on doc_id asc).  Local per-batch top-k prune ->
     one key-co-locating exchange -> block-local finalize; the oracle
     re-derives the IDENTICAL row set with a window rank."""
-    from ray.data.aggregate import Count, Max, Min, Sum
-
+    from tokrle.functions.fold import source_sums
     from tokrle.functions.sampling import top_k_by_score
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
     kept = top_k_by_score(ds, key="source", score_col="n_chars",
                           k=TOPK_K, id_col="doc_id")
-    df = kept.groupby("source").aggregate(
-        Count(alias_name="n_kept"),
-        Sum("doc_id", alias_name="sum_doc_id"),
-        Sum("n_chars", alias_name="sum_n_chars"),
-        Min("n_chars", alias_name="min_n_chars"),
-        Max("n_chars", alias_name="max_n_chars")).to_pandas()
-    for c in ("n_kept", "sum_doc_id", "sum_n_chars", "min_n_chars",
-              "max_n_chars"):
-        df[c] = df[c].astype("int64")
-    return df.sort_values("source").reset_index(drop=True)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_chars").cast(pa.int64())
+        return pa.table({
+            "source": batch.column("source"),
+            "sum_doc_id": batch.column("doc_id").cast(pa.int64()),
+            "sum_n_chars": nc,
+            "min_n_chars": nc,
+            "max_n_chars": nc,
+        })
+
+    df = source_sums(kept.map_batches(per_doc, batch_format="pyarrow"),
+                     "source", ["sum_doc_id", "sum_n_chars"],
+                     count_alias="n_kept",
+                     min_cols=("min_n_chars",), max_cols=("max_n_chars",))
+    return df[["source", "n_kept", "sum_doc_id", "sum_n_chars",
+               "min_n_chars", "max_n_chars"]]
 
 
 def semantic_cluster_stats(sf_dir: str) -> pd.DataFrame:
@@ -2299,19 +2311,22 @@ def semantic_cluster_stats(sf_dir: str) -> pd.DataFrame:
     building block): per cluster, member count and exact sum of vec_ids
     (deterministic seeded init + argmax assignment, so the output is
     partitioning-invariant; no SQL analog — rows-only check)."""
-    from ray.data.aggregate import Count, Sum
-
+    from tokrle.functions.fold import source_sums
     from tokrle.functions.kmeans import kmeans_assign, kmeans_fit
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     centroids = kmeans_fit(ds, k=8, iters=3)
     assigned = kmeans_assign(ds, centroids)
-    df = assigned.groupby("cluster_id").aggregate(
-        Count(alias_name="n_vecs"),
-        Sum("vec_id", alias_name="sum_vec_id")).to_pandas()
-    df["n_vecs"] = df["n_vecs"].astype("int64")
-    df["sum_vec_id"] = df["sum_vec_id"].astype("int64")
-    return df.sort_values("cluster_id").reset_index(drop=True)
+
+    def per_vec(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster_id": batch.column("cluster_id").cast(pa.int64()),
+            "sum_vec_id": batch.column("vec_id").cast(pa.int64()),
+        })
+
+    df = source_sums(assigned.map_batches(per_vec, batch_format="pyarrow"),
+                     "cluster_id", ["sum_vec_id"], count_alias="n_vecs")
+    return df[["cluster_id", "n_vecs", "sum_vec_id"]]
 
 
 INVINDEX_AND_TERMS = ("data", "table")
