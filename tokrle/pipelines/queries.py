@@ -773,16 +773,12 @@ def pq_ann_stats(sf_dir: str) -> pd.DataFrame:
 def dedup_minhash(sf_dir: str) -> pd.DataFrame:
     """Near-dup survivors per source (no SQL oracle — LSH is not
     SQL-expressible; rows-only check)."""
-    from ray.data.aggregate import Count
-
     from tokrle.functions.dedup import minhash_lsh_dedup
+    from tokrle.functions.fold import source_sums
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
     survivors = minhash_lsh_dedup(ds)
-    df = survivors.groupby("source").aggregate(Count(alias_name="n_docs")) \
-        .to_pandas()
-    df["n_docs"] = df["n_docs"].astype("int64")
-    return df.sort_values("source").reset_index(drop=True)
+    return source_sums(survivors, "source", [], count_alias="n_docs")
 
 
 def minhash_cluster_stats(sf_dir: str) -> pd.DataFrame:
@@ -801,14 +797,14 @@ def minhash_cluster_stats(sf_dir: str) -> pd.DataFrame:
     # in one streaming plan oversubscribes the per-op aggregator actors
     # (each holds a CPU) and can deadlock the executor on small hosts
     cl = minhash_clusters(ds).materialize()
-    n_docs = cl.groupby("source").aggregate(
-        Count(alias_name="n_docs")).to_pandas()
-    n_clusters = cl.groupby(["source", "cluster"]).count() \
-        .groupby("source").aggregate(
-            Count(alias_name="n_clusters")).to_pandas()
+    from tokrle.functions.fold import source_sums
+
+    n_docs = source_sums(cl, "source", [], count_alias="n_docs")
+    # first level stays a real exchange (cluster cardinality is
+    # unbounded); its one-row-per-(source, cluster) output then folds
+    n_clusters = source_sums(cl.groupby(["source", "cluster"]).count(),
+                             "source", [], count_alias="n_clusters")
     out = n_docs.merge(n_clusters, on="source")
-    out["n_docs"] = out["n_docs"].astype("int64")
-    out["n_clusters"] = out["n_clusters"].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
 
 
@@ -824,14 +820,12 @@ def minhash_connected_stats(sf_dir: str, *, rounds: int = 2) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
     cl = minhash_connected_clusters(ds, rounds=rounds).materialize()
-    n_docs = cl.groupby("source").aggregate(
-        Count(alias_name="n_docs")).to_pandas()
-    n_clusters = cl.groupby(["source", "cluster"]).count() \
-        .groupby("source").aggregate(
-            Count(alias_name="n_clusters")).to_pandas()
+    from tokrle.functions.fold import source_sums
+
+    n_docs = source_sums(cl, "source", [], count_alias="n_docs")
+    n_clusters = source_sums(cl.groupby(["source", "cluster"]).count(),
+                             "source", [], count_alias="n_clusters")
     out = n_docs.merge(n_clusters, on="source")
-    out["n_docs"] = out["n_docs"].astype("int64")
-    out["n_clusters"] = out["n_clusters"].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
 
 
@@ -856,19 +850,15 @@ def minhash_verified_pairs_stats(sf_dir: str) -> pd.DataFrame:
 
 def lang_id(sf_dir: str) -> pd.DataFrame:
     """Predicted language counts (heuristic; rows-only check)."""
+    from tokrle.functions.fold import source_sums
     from tokrle.functions.text import LangId
-
-    from ray.data.aggregate import Count
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "lang", "text"])
     pred = ds.map_batches(LangId, batch_size=512, batch_format="pyarrow",
                           concurrency=(1, 2))
-    # distributed count per predicted language: only ~n_langs rows ever
-    # reach the driver (never one row per document)
-    df = pred.groupby("pred_lang").aggregate(Count(alias_name="n_docs")) \
-        .to_pandas()
-    df["n_docs"] = df["n_docs"].astype("int64")
-    return df.sort_values("pred_lang").reset_index(drop=True)
+    # per-predicted-language count: ~n_langs partial rows per block reach
+    # the driver fold (never one row per document)
+    return source_sums(pred, "pred_lang", [], count_alias="n_docs")
 
 
 def simhash_signatures(sf_dir: str) -> pd.DataFrame:
@@ -983,19 +973,22 @@ def multimodal_video_frames(sf_dir: str) -> pd.DataFrame:
 
 def regex_token_counts(sf_dir: str) -> pd.DataFrame:
     """BPE-ish regex token counting per source (compiled-regex actor stage)."""
-    from ray.data.aggregate import Count, Sum
-
+    from tokrle.functions.fold import source_sums
     from tokrle.functions.text import RegexTokenCounter
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
     counts = ds.map_batches(RegexTokenCounter, batch_size=1024,
                             batch_format="pyarrow", concurrency=(1, 2))
-    df = counts.groupby("source").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_regex_tokens", alias_name="n_tokens")).to_pandas()
-    df["n_docs"] = df["n_docs"].astype("int64")
-    df["n_tokens"] = df["n_tokens"].astype("int64")
-    return df.sort_values("source").reset_index(drop=True)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch.column("source"),
+            "n_tokens": batch.column("n_regex_tokens").cast(pa.int64()),
+        })
+
+    df = source_sums(counts.map_batches(per_doc, batch_format="pyarrow"),
+                     "source", ["n_tokens"], count_alias="n_docs")
+    return df[["source", "n_docs", "n_tokens"]]
 
 
 def session_stats_q(sf_dir: str) -> pd.DataFrame:
@@ -2470,14 +2463,11 @@ def normalize_text_stats(sf_dir: str) -> pd.DataFrame:
                 .cast(pa.int64()),
         })
 
-    agg = ds.map_batches(perturb_and_stats, batch_format="pyarrow") \
-        .groupby("source").aggregate(
-            Sum("n_changed", alias_name="n_changed"),
-            Sum("bytes_before", alias_name="bytes_before"),
-            Sum("bytes_after", alias_name="bytes_after"))
-    df = agg.to_pandas()
-    for c in ("n_changed", "bytes_before", "bytes_after"):
-        df[c] = df[c].astype("int64")
+    from tokrle.functions.fold import source_sums
+
+    df = source_sums(
+        ds.map_batches(perturb_and_stats, batch_format="pyarrow"),
+        "source", ["n_changed", "bytes_before", "bytes_after"])
     return df.sort_values("source").reset_index(drop=True)
 
 
@@ -2519,14 +2509,19 @@ def above_quantile_docs_stats(sf_dir: str) -> pd.DataFrame:
             "n_words": t.column("n_words").filter(pa.array(keep)),
         })
 
-    agg = ds.map_batches(keep_long, batch_format="pyarrow") \
-        .groupby("source").aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_words", alias_name="sum_words"))
-    df = agg.to_pandas()
-    df["n_docs"] = df["n_docs"].astype("int64")
-    df["sum_words"] = df["sum_words"].astype("int64")
-    return df.sort_values("source").reset_index(drop=True)
+    from tokrle.functions.fold import source_sums
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch.column("source"),
+            "sum_words": batch.column("n_words").cast(pa.int64()),
+        })
+
+    df = source_sums(
+        ds.map_batches(keep_long, batch_format="pyarrow")
+        .map_batches(rename, batch_format="pyarrow"),
+        "source", ["sum_words"], count_alias="n_docs")
+    return df[["source", "n_docs", "sum_words"]]
 
 
 def cube_lineitem_stats(sf_dir: str) -> pd.DataFrame:
@@ -2641,18 +2636,21 @@ def above_mean_docs_stats(sf_dir: str) -> pd.DataFrame:
     mean length, via one tiny per-group aggregate broadcast + a
     shuffle-free filter (exact integer compare value*n > sum, no float
     division anywhere)."""
-    from ray.data.aggregate import Count, Sum
-
+    from tokrle.functions.fold import source_sums
     from tokrle.functions.normalize import group_mean_filter
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
     kept = group_mean_filter(ds, "source", "n_chars")
-    df = kept.groupby("source").aggregate(
-        Count(alias_name="n_above"),
-        Sum("n_chars", alias_name="sum_above")).to_pandas()
-    df["n_above"] = df["n_above"].astype("int64")
-    df["sum_above"] = df["sum_above"].astype("int64")
-    return df.sort_values("source").reset_index(drop=True)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch.column("source"),
+            "sum_above": batch.column("n_chars").cast(pa.int64()),
+        })
+
+    df = source_sums(kept.map_batches(per_doc, batch_format="pyarrow"),
+                     "source", ["sum_above"], count_alias="n_above")
+    return df[["source", "n_above", "sum_above"]]
 
 
 def cm_heavy_hitter_counts(sf_dir: str) -> pd.DataFrame:
