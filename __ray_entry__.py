@@ -40,6 +40,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     d: dict[str, Callable[[str], Any]] = {
         # --- not yet driver-verified: SQL-oracled ---
+        # flagship composition: filter -> dedup -> decontam -> tokenize
+        # -> pack -> encode -> decode -> aggregate (round 4)
+        "training_prep_stats": Q.training_prep_stats,
         "bpe_first_merge": Q.bpe_first_merge,
         "bpe_roundtrip_stats": Q.bpe_roundtrip_stats,
         "decontam_stats": Q.decontam_stats,
@@ -636,6 +639,69 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
         WHERE (d.doc_id & {DECONTAM_EVAL_MASK}) <> 0
         GROUP BY d.source ORDER BY d.source
+    """
+
+    # flagship composition: the per-stage oracles chained as CTEs —
+    # quality filter + dedup (clean_corpus), decontamination over the
+    # SURVIVORS vs the raw eval split (decontam), then the packing
+    # closed form (packed_sequences) over the clean docs.  Every Ray-side
+    # number comes from DECODED codec output, so this hash also gates the
+    # encode/decode round-trip.
+    sql["training_prep_stats"] = f"""
+        WITH toks AS (
+            SELECT doc_id, source, ascii(w) * 32 + length(w) AS tok
+            FROM (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+        ),
+        tc AS (
+            SELECT doc_id, source, tok, count(*) AS c
+            FROM toks GROUP BY doc_id, source, tok
+        ),
+        dm AS (
+            SELECT doc_id, max(c) AS maxc, sum(c) AS n
+            FROM tc GROUP BY doc_id
+        ),
+        pass AS (
+            SELECT d.doc_id, d.source, d.text
+            FROM documents d JOIN dm ON d.doc_id = dm.doc_id
+            WHERE dm.n >= 20 AND dm.maxc * 5 < dm.n
+        ),
+        keptid AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY text),
+        surv AS (SELECT p.* FROM pass p JOIN keptid k
+                 ON p.doc_id = k.doc_id),
+        train AS (SELECT * FROM surv
+                  WHERE (doc_id & {DECONTAM_EVAL_MASK}) <> 0),
+        evw AS (SELECT string_split(text, ' ') AS ws FROM documents
+                WHERE (doc_id & {DECONTAM_EVAL_MASK}) = 0),
+        evg AS (SELECT DISTINCT
+                    unnest([array_to_string(ws[i:i+{DECONTAM_K - 1}], ' ')
+                            for i in range(1, greatest(len(ws)
+                                           - {DECONTAM_K}, -1) + 2)]) AS g
+                FROM evw),
+        trw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM train),
+        trg AS (SELECT doc_id,
+                    unnest([array_to_string(ws[i:i+{DECONTAM_K - 1}], ' ')
+                            for i in range(1, greatest(len(ws)
+                                           - {DECONTAM_K}, -1) + 2)]) AS g
+                FROM trw),
+        cont AS (SELECT DISTINCT doc_id FROM trg JOIN evg USING (g)),
+        clean AS (SELECT t.* FROM train t LEFT JOIN cont c
+                  ON t.doc_id = c.doc_id WHERE c.doc_id IS NULL),
+        cw AS (SELECT doc_id, source,
+                      unnest(string_split(text, ' ')) AS w
+               FROM clean)
+        SELECT source,
+               cast(count(DISTINCT doc_id) AS bigint)         AS n_docs,
+               cast(ceil((count(*) + count(DISTINCT doc_id))
+                    / {PACK_SEQ_LEN}.0) AS bigint)            AS n_examples,
+               cast(sum(ascii(w) * 32 + length(w))
+                    + {PACK_EOS} * count(DISTINCT doc_id)
+                    AS bigint)                                AS sum_input_ids,
+               cast(count(*) + count(DISTINCT doc_id)
+                    AS bigint)                                AS n_real_tokens
+        FROM cw
+        GROUP BY source ORDER BY source
     """
 
     from tokrle.pipelines.queries import DUPSPAN_K, DUPSPAN_MIN_COUNT
