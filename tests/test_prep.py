@@ -1,0 +1,44 @@
+"""End-to-end tests for the training-data prep pipeline
+(tokrle.pipelines.prep + the `prep` CLI path)."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_training_examples_invariants(ray_session):
+    from tokrle.pipelines.prep import training_examples
+
+    ex = training_examples(f"{SF}/documents.parquet", seq_len=128,
+                           eos=3).to_pandas()
+    assert len(ex) > 0
+    flat = np.concatenate([np.asarray(t) for t in ex["tokens"]])
+    # every doc contributes exactly one EOS; pads are 0; real tokens are
+    # ascii(first)*32+len >= 32, so the three classes are disjoint
+    n_eos = int((flat == 3).sum())
+    assert n_eos > 0
+    assert ((flat == 0) | (flat == 3) | (flat >= 32)).all()
+    # all examples are exactly seq_len (last one per key padded)
+    assert (ex["n_tok"] == 128).all()
+    # decontam dropped the eval split: every doc in the clean set has
+    # doc_id & 15 != 0, so eos count <= total quality-passing train docs
+    no_decontam = training_examples(f"{SF}/documents.parquet",
+                                    seq_len=128, eos=3,
+                                    eval_mask=None).to_pandas()
+    flat2 = np.concatenate([np.asarray(t) for t in no_decontam["tokens"]])
+    assert int((flat2 == 3).sum()) >= n_eos
+
+
+def test_prep_encode_roundtrip(ray_session, tmp_path):
+    from tokrle.pipelines.encode import decode_tokens, encode_tokens, \
+        roundtrip_check
+    from tokrle.pipelines.prep import training_examples
+
+    ex = training_examples(f"{SF}/documents.parquet", seq_len=256, eos=3)
+    enc = encode_tokens(ex, by_source="local", batch_size=4096)
+    chk = roundtrip_check(
+        training_examples(f"{SF}/documents.parquet", seq_len=256, eos=3),
+        decode_tokens(enc))
+    assert chk["source"] == chk["decoded"], chk

@@ -155,6 +155,23 @@ def main(argv=None) -> int:
     cc.add_argument("--near-dedup", action="store_true")
     cc.add_argument("--num-cpus", type=int, default=None)
 
+    pp = sub.add_parser("prep",
+                        help="documents parquet -> packed+encoded "
+                             "training examples (quality filter, dedup, "
+                             "decontam, tokenize, pack, encode; encode "
+                             "resumes at group granularity)")
+    pp.add_argument("--in-path", required=True)
+    pp.add_argument("--out-dir", required=True)
+    pp.add_argument("--stage-dir", default=None,
+                    help="packed token-table staging dir (default "
+                         "<out-dir>_stage); reused on restart")
+    pp.add_argument("--seq-len", type=int, default=512)
+    pp.add_argument("--eos", type=int, default=3)
+    pp.add_argument("--min-words", type=int, default=20)
+    pp.add_argument("--no-decontam", action="store_true")
+    pp.add_argument("--eval-mask", type=int, default=15)
+    pp.add_argument("--num-cpus", type=int, default=None)
+
     ver = sub.add_parser("verify", help="streaming roundtrip checksum")
     ver.add_argument("--tokens", required=True)
     ver.add_argument("--encoded", required=True)
@@ -265,6 +282,26 @@ def main(argv=None) -> int:
             enc_ds = ray.data.read_parquet(args.in_dir)
             decode_tokens(enc_ds).write_parquet(args.out_dir)
             print(json.dumps({"status": "ok", "out": args.out_dir}))
+        elif args.cmd == "prep":
+            import os
+
+            from tokrle.pipelines.corpus import encode_corpus
+            from tokrle.pipelines.prep import training_examples
+
+            stage = args.stage_dir or args.out_dir.rstrip("/") + "_stage"
+            # staging is the non-resumable half (one narrow pipeline);
+            # reuse it on restart so only the resumable encode re-runs
+            if not (os.path.isdir(stage) and any(
+                    f.endswith(".parquet") for f in os.listdir(stage))):
+                examples = training_examples(
+                    args.in_path, seq_len=args.seq_len, eos=args.eos,
+                    min_words=args.min_words,
+                    eval_mask=None if args.no_decontam else args.eval_mask)
+                examples.write_parquet(stage)
+            run = encode_corpus(stage, args.out_dir, batch_size=8192,
+                                by_source="local")
+            run["stage_dir"] = stage
+            print(json.dumps(run))
         elif args.cmd == "clean-corpus":
             from tokrle.pipelines.clean import clean_corpus
 

@@ -1366,58 +1366,16 @@ def training_prep_stats(sf_dir: str) -> pd.DataFrame:
     its doc_id re-join; packing's key co-location) — filter, decontam,
     tokenize, encode and decode are all narrow map stages; the final
     aggregate is a tiny-cardinality driver fold."""
-    from tokrle.functions.decontam import flag_contaminated
-    from tokrle.functions.dedup import exact_dedup
     from tokrle.functions.fold import source_sums
-    from tokrle.functions.packing import pack_sequences
-    from tokrle.functions.text import quality_filter
     from tokrle.kernels.segments import segment_sums
     from tokrle.pipelines.encode import decode_tokens, encode_tokens
-    from tokrle.sources.tokens import tokenize_batch
+    from tokrle.pipelines.prep import training_examples
     from tokrle.stages.encoder import _flat_tokens
 
-    import pyarrow.compute as pc
-    import ray.data
-
-    idmask = pc.Expression._call(
-        "bit_wise_and", [pc.field("doc_id"), pc.scalar(DECONTAM_EVAL_MASK)])
-    path = f"{sf_dir}/documents.parquet"
-    ds = ray.data.read_parquet(path, columns=["doc_id", "source", "text"])
-    passing = ds.map_batches(quality_filter, batch_format="pyarrow")
-    surv = exact_dedup(passing, key="text", return_full_rows=True)
-
-    def drop_eval(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array((ids & DECONTAM_EVAL_MASK) != 0))
-
-    train = surv.map_batches(drop_eval, batch_format="pyarrow")
-    # eval side: the RAW held-out split (not quality-filtered — a test
-    # set contaminates regardless of the training filters)
-    eval_ds = ray.data.read_parquet(path, columns=["doc_id", "text"],
-                                    filter=(idmask == 0))
-    flagged = flag_contaminated(train, eval_ds, k=DECONTAM_K)
-
-    def keep_clean(batch: pa.Table) -> pa.Table:
-        m = batch.column("contaminated").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(~m)).select(
-            ["doc_id", "source", "text"])
-
-    clean = flagged.map_batches(keep_clean, batch_format="pyarrow")
-    toks = clean.map_batches(tokenize_batch, batch_format="pyarrow")
-    packed = pack_sequences(toks, seq_len=PACK_SEQ_LEN, eos=PACK_EOS,
-                            pad=0)
-
-    def as_token_table(batch: pa.Table) -> pa.Table:
-        n = pc.list_value_length(batch.column("input_ids")) \
-            .cast(pa.int32())
-        return pa.table({
-            "doc_id": pc.cast(batch.column("example_idx"), pa.string()),
-            "tokens": batch.column("input_ids"),
-            "n_tok": n,
-            "source": batch.column("key"),
-        })
-
-    examples = packed.map_batches(as_token_table, batch_format="pyarrow")
+    examples = training_examples(
+        f"{sf_dir}/documents.parquet", seq_len=PACK_SEQ_LEN,
+        eos=PACK_EOS, eval_mask=DECONTAM_EVAL_MASK,
+        decontam_k=DECONTAM_K)
     dec = decode_tokens(encode_tokens(examples, by_source="local",
                                       batch_size=8192))
 
