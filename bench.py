@@ -188,7 +188,9 @@ def main() -> None:
                      ("inverted_index_stats", Q.inverted_index_stats),
                      ("rollup_lineitem_stats", Q.rollup_lineitem_stats),
                      ("window_orders_stats", Q.window_orders_stats),
-                     ("skew_join_stats", Q.skew_join_stats)]:
+                     ("skew_join_stats", Q.skew_join_stats),
+                     # round-4 flagship composition (non-core)
+                     ("training_prep_stats", Q.training_prep_stats)]:
         # best of two passes: the host shows minutes-long steal episodes
         # that swing a single reading 2-3x (see BASELINE.md host caveat);
         # the better pass is what a steady-state job sustains.  The FIRST
@@ -228,7 +230,8 @@ def main() -> None:
     _NOT_CORE = {"encode_hashgroup", "decontam_stats", "dup_span_stats",
                  "asof_attribution_stats", "range_overlap_stats",
                  "epoch_shuffle", "token_rarity_stats",
-                 "split_sequences_stats", "zonemap_pruned_scan"}
+                 "split_sequences_stats", "zonemap_pruned_scan",
+                 "training_prep_stats"}
     core = {k: v for k, v in timings.items() if k not in _NOT_CORE}
     core_first = {k: first_pass.get(k, v) for k, v in core.items()}
     out = {
