@@ -1739,3 +1739,28 @@ def test_pq_codes_deterministic_and_reconstruction_bound():
             sum(((x[:, j * dsub:(j + 1) * dsub][:, None, :]
                   - books[j][None]) ** 2).sum(-1).min(1).max()
                 for j in range(m)) + 1e-9
+
+
+def test_skew_sampling_eviction_keeps_hot_keys(ray_session, monkeypatch):
+    """Space-saving eviction in _sample_key_counts must keep the genuinely
+    hot keys even when the driver accumulator is forced far below the key
+    cardinality (the scale scenario the capacity bound exists for)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    import tokrle.functions.skewjoin as sj
+
+    monkeypatch.setattr(sj, "SAMPLE_CAPACITY", 64)
+    monkeypatch.setattr(sj, "SAMPLE_BLOCK_TOPK", 32)
+    rng = np.random.default_rng(17)
+    # 2000 unique cold keys (1-2 rows each) + two hot keys with 500 rows
+    cold = rng.integers(10_000, 100_000, 3000)
+    hot = np.concatenate([np.full(500, 7), np.full(500, 11)])
+    keys = np.concatenate([cold, hot])
+    rng.shuffle(keys)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(8)
+    found = sj.sample_hot_keys(ds, "k", threshold=100, stride=2)
+    assert 7 in found and 11 in found
+    # no cold key can reach the threshold even with stride scaling
+    assert all(k in (7, 11) for k in found)
