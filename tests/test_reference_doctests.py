@@ -121,3 +121,20 @@ def test_getlocs_public_api():
     # unsorted input is sorted first (reference semantics)
     assert r.getlocs([8, 0, 4]).tolist() == [1.0, 5.0, 2.0]
     assert r[[1, 3]].tolist() == [1.0, 5.0]
+
+
+def test_package_root_api_parity(tmp_path):
+    # reference package-root surface (pyrle/__init__.py:1-29): Rle,
+    # RleDict, PyRles alias, from_csv, __version__ importable from root
+    import tokrle
+    from tokrle import PyRles, Rle, RleDict, from_csv
+
+    assert PyRles is RleDict
+    assert isinstance(tokrle.__version__, str) and tokrle.__version__
+
+    rd = PyRles({"chr1": Rle([2, 3], [1.0, 4.0]),
+                 "chr2": Rle([7], [2.5])})
+    p = tmp_path / "rles.tsv"
+    rd.to_csv(p)  # reference default sep is "\t" (pyrle/rledict.py:705)
+    assert "\t" in p.read_text().splitlines()[0]
+    assert from_csv(p) == rd

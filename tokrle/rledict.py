@@ -329,7 +329,7 @@ class RleDict:
         return pd.concat(frames, ignore_index=True) if frames else \
             pd.DataFrame(columns=["Chromosome", "Runs", "Values"])
 
-    def to_csv(self, path, sep: str = ","):
+    def to_csv(self, path, sep: str = "\t"):
         self.to_table().to_csv(path, sep=sep, index=False)
 
     def __repr__(self) -> str:
@@ -337,7 +337,7 @@ class RleDict:
         return f"RleDict({len(keys)} keys: {keys[:5]}{'...' if len(keys) > 5 else ''})"
 
 
-def from_csv(path, sep: str = ",") -> RleDict:
+def from_csv(path, sep: str = "\t") -> RleDict:
     """Read (Chromosome[,Strand],Runs,Values) CSV -> RleDict
     (ref pyrle/__init__.py:13-29)."""
     df = pd.read_csv(path, sep=sep)
