@@ -48,8 +48,10 @@ def fold_sum_partials(ds, keys: list[str], cols: list[str],
     sel = keys + list(spec)
 
     def fold(fs: list[pd.DataFrame]) -> pd.DataFrame:
-        return pd.concat(fs).groupby(keys, sort=False).agg(spec) \
-            .reset_index()
+        # dropna=False: a null key is a group, matching the Ray groupby
+        # exchange this fold replaces
+        return pd.concat(fs).groupby(keys, sort=False, dropna=False) \
+            .agg(spec).reset_index()
 
     frames: list[pd.DataFrame] = []
     total = 0
@@ -85,16 +87,36 @@ def source_sums(ds, key: str, sum_cols: list[str],
 
     def partial(batch: pa.Table) -> pa.Table:
         src = batch.column(key).to_numpy(zero_copy_only=False)
-        codes, uniq = pd.factorize(src)
-        out: dict = {key: pa.array(uniq)}
+        # use_na_sentinel=False: null keys get their own code (a group,
+        # like the Ray groupby exchange), never -1 — which would make
+        # bincount raise and scatter-extremum corrupt the last key
+        codes, uniq = pd.factorize(src, use_na_sentinel=False)
+        # from_pandas=True: the NaN a null key factorizes to becomes an
+        # Arrow null instead of breaking string-array inference
+        out: dict = {key: pa.array(uniq, from_pandas=True)}
         for c in cols:
             v = batch.column(c).to_numpy(zero_copy_only=False)
-            out[c] = pa.array(
-                np.bincount(codes, weights=v.astype(np.float64),
-                            minlength=len(uniq)).astype(np.int64)
-                if np.issubdtype(v.dtype, np.integer) or
-                v.dtype == np.bool_
-                else np.bincount(codes, weights=v, minlength=len(uniq)))
+            if np.issubdtype(v.dtype, np.integer) or v.dtype == np.bool_:
+                # float64 bincount is exact only while every per-key
+                # partial sum stays under 2^53; gate on a conservative
+                # bound (factor-2 margin absorbs the float cast of
+                # extreme int64 values) and fall back to an exact int64
+                # scatter-add otherwise
+                vmax = float(np.abs(v.astype(np.float64)).max()) \
+                    if len(v) else 0.0
+                if vmax < float((1 << 52) // max(len(v), 1)):
+                    out[c] = pa.array(
+                        np.bincount(codes, weights=v.astype(np.float64),
+                                    minlength=len(uniq))
+                        .astype(np.int64))
+                else:
+                    acc = np.zeros(len(uniq), dtype=np.int64)
+                    np.add.at(acc, codes,
+                              v.astype(np.int64, copy=False))
+                    out[c] = pa.array(acc)
+            else:
+                out[c] = pa.array(
+                    np.bincount(codes, weights=v, minlength=len(uniq)))
         if count_alias is not None:
             out[count_alias] = pa.array(
                 np.bincount(codes, minlength=len(uniq)).astype(np.int64))
