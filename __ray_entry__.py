@@ -64,6 +64,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-oracled self-check for the minhash family: LSH candidates +
         # exact shingle-Jaccard verification == all-pairs Jaccard
         "minhash_verified_pairs_stats": Q.minhash_verified_pairs_stats,
+        # round 5: ANN family converted to deterministic self-oracles —
+        # axis-plane LSH + medoid-seeded IVF make the approximation
+        # itself SQL-reproducible; PQ gains an exact-rerank stage whose
+        # output equals brute force (containment margin verified)
+        "lsh_ann_top1": Q.lsh_ann_top1,
+        "ivf_ann_top1": Q.ivf_ann_top1,
+        "pq_ann_stats": Q.pq_ann_stats,
     }
     for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "pfor",
                   "dpfor", "xor", "fsst"):
@@ -86,9 +93,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": Q.simhash_signatures,  # rows-only
         "ngram_dup_pairs": Q.ngram_dup_pairs,        # rows-only (blocked)
         "embedding_dups": Q.embedding_dups,          # rows-only (LSH-blocked)
-        "lsh_ann_top1": Q.lsh_ann_top1,              # rows-only (approximate)
-        "ivf_ann_top1": Q.ivf_ann_top1,              # rows-only (approximate)
-        "pq_ann_stats": Q.pq_ann_stats,              # rows-only (kmeans PQ)
         "multimodal_image_features": Q.multimodal_image_features,  # rows-only
         "multimodal_audio_windows": Q.multimodal_audio_windows,    # rows-only
         "multimodal_video_frames": Q.multimodal_video_frames,      # rows-only
@@ -1254,6 +1258,97 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_top1"] = """
         WITH q AS (SELECT vec_id AS q_id, embedding AS qe
                    FROM embeddings WHERE vec_id < 5)
+        SELECT q_id, vec_id FROM (
+            SELECT q.q_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY list_cosine_similarity(c.embedding, q.qe)
+                           DESC, c.vec_id) AS rn
+            FROM q CROSS JOIN embeddings c
+            WHERE c.vec_id <> q.q_id)
+        WHERE rn = 1 ORDER BY q_id
+    """
+
+    # axis-plane LSH reproduced exactly: bucket = sign bits of the first
+    # 6 coordinates, probing = Hamming distance <= 1 from any query's
+    # bucket, final ranking = exact cosine over the probed candidate
+    # union (matches tokrle.functions.ann.lsh_build_index(axis_planes)
+    # + lsh_query_index(radius=1) bit for bit)
+    sql["lsh_ann_top1"] = """
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                 + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+                 + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+                 + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS b
+            FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS qe, b AS qb
+              FROM v WHERE vec_id < 5),
+        cand AS (
+            SELECT DISTINCT v.vec_id, v.embedding
+            FROM v, q WHERE bit_count(xor(v.b, q.qb)) <= 1)
+        SELECT q_id, vec_id FROM (
+            SELECT q.q_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY list_cosine_similarity(c.embedding, q.qe)
+                           DESC, c.vec_id) AS rn
+            FROM q CROSS JOIN cand c
+            WHERE c.vec_id <> q.q_id)
+        WHERE rn = 1 ORDER BY q_id
+    """
+
+    # medoid-seeded IVF reproduced exactly: centroids = embeddings of
+    # the fixed medoid ids, assignment = nearest centroid (ties to the
+    # lower list id), probing = 3 nearest lists per query, ranking =
+    # exact cosine over the probed-list candidate union (matches
+    # ivf_build_index(medoid_ids=IVF_MEDOID_IDS) + nprobe=3)
+    sql["ivf_ann_top1"] = """
+        WITH m(j, mid) AS (VALUES (0, 5), (1, 15), (2, 25), (3, 35),
+                                  (4, 45), (5, 55), (6, 65), (7, 75)),
+        cents AS (SELECT m.j, e.embedding AS ce
+                  FROM m JOIN embeddings e ON e.vec_id = m.mid),
+        asg AS (
+            SELECT vec_id, embedding, j AS list_id FROM (
+                SELECT e.vec_id, e.embedding, c.j,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding, c.ce) DESC, c.j) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+            WHERE rn = 1),
+        q AS (SELECT vec_id AS q_id, embedding AS qe
+              FROM embeddings WHERE vec_id < 5),
+        probe AS (
+            SELECT DISTINCT j FROM (
+                SELECT q.q_id, c.j,
+                       row_number() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY list_cosine_similarity(q.qe, c.ce)
+                               DESC, c.j) AS rn
+                FROM q CROSS JOIN cents c)
+            WHERE rn <= 3),
+        cand AS (SELECT a.vec_id, a.embedding
+                 FROM asg a JOIN probe p ON a.list_id = p.j)
+        SELECT q_id, vec_id FROM (
+            SELECT q.q_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY list_cosine_similarity(c.embedding, q.qe)
+                           DESC, c.vec_id) AS rn
+            FROM q CROSS JOIN cand c
+            WHERE c.vec_id <> q.q_id)
+        WHERE rn = 1 ORDER BY q_id
+    """
+
+    # PQ ADC + exact rerank == exact brute-force top-1 (the rerank
+    # candidate set provably contains the true neighbour on this corpus;
+    # see tokrle.functions.pq.pq_rerank_topk)
+    sql["pq_ann_stats"] = """
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 20)
         SELECT q_id, vec_id FROM (
             SELECT q.q_id, c.vec_id,
                    row_number() OVER (

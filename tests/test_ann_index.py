@@ -120,3 +120,62 @@ def test_ivf_matches_brute_force_with_full_probe(ray_session, emb_ds,
     full = ivf_query_index(index_dir, qm, qids, k=1, nprobe=8) \
         .sort_values("q_id").reset_index(drop=True)
     assert full["vec_id"].tolist() == exact["vec_id"].tolist()
+
+
+def test_axis_lsh_buckets_are_coordinate_signs(ray_session, emb_ds,
+                                               queries):
+    """axis_planes=True: bucket bits must equal sign(embedding[i]) — the
+    SQL-reproducible invariant the lsh_ann_top1 oracle relies on."""
+    from tokrle.functions.ann import lsh_build_index
+
+    d = os.path.join(WORK, "axis6")
+    shutil.rmtree(d, ignore_errors=True)
+    lsh_build_index(emb_ds, d, n_planes=6, axis_planes=True)
+    planes = np.load(os.path.join(d, "planes.npy"))
+    assert np.array_equal(planes, np.eye(6, planes.shape[1]))
+    df = emb_ds.to_pandas()
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    got = pads.dataset(os.path.join(d, "data"), partitioning="hive") \
+        .to_table(columns=["vec_id", "bucket"]).to_pandas()
+    m = np.stack(df["embedding"].map(np.asarray).to_list())
+    want = ((m[:, :6] > 0) << np.arange(6)).sum(axis=1)
+    merged = df[["vec_id"]].assign(want=want).merge(got, on="vec_id")
+    assert (merged["want"].astype(int)
+            == merged["bucket"].astype(int)).all()
+
+
+def test_ivf_medoid_centroids_are_table_rows(ray_session, emb_ds):
+    """medoid_ids pins centroids to normalized table rows, in order."""
+    from tokrle.functions.ann import _normalize, ivf_build_index
+
+    d = os.path.join(WORK, "ivf_medoid")
+    shutil.rmtree(d, ignore_errors=True)
+    mids = [5, 15, 25, 35]
+    ivf_build_index(emb_ds, d, medoid_ids=mids)
+    cents = np.load(os.path.join(d, "centroids.npy"))
+    df = emb_ds.to_pandas().set_index("vec_id")
+    want = _normalize(np.stack(
+        [np.asarray(df.loc[i, "embedding"], dtype=np.float64)
+         for i in mids]))
+    assert np.allclose(cents, want)
+    # one hive partition per non-empty list
+    parts = glob.glob(os.path.join(d, "data", "list_id=*"))
+    assert 1 <= len(parts) <= len(mids)
+
+
+def test_pq_rerank_equals_brute_force(ray_session, emb_ds, queries):
+    """ADC top-R + exact rerank == exact brute-force top-1 (the
+    containment invariant behind the pq_ann_stats oracle)."""
+    from tokrle.functions.ann import brute_force_topk
+    from tokrle.functions.pq import pq_encode, pq_rerank_topk, pq_train
+
+    qs, qids = queries
+    books = pq_train(emb_ds, m=16, k=256, iters=8, seed=31)
+    code_ds = pq_encode(emb_ds, books)
+    got = pq_rerank_topk(emb_ds, code_ds, qs, qids, books, k=1, rerank=64)
+    want = brute_force_topk(emb_ds, qs, qids, k=1)
+    assert got.sort_values("q_id")[["q_id", "vec_id"]].values.tolist() \
+        == want.sort_values("q_id")[["q_id", "vec_id"]].values.tolist()

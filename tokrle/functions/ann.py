@@ -159,6 +159,7 @@ def hash_sample(ds, id_col: str, n: int):
 
 
 def lsh_build_index(ds, index_dir: str, *, n_planes: int = 8, seed: int = 7,
+                    axis_planes: bool = False,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     concurrency=(1, 4)) -> None:
     """Build a persistent bucket-partitioned LSH index: hyperplane matrix at
@@ -166,15 +167,26 @@ def lsh_build_index(ds, index_dir: str, *, n_planes: int = 8, seed: int = 7,
     vectors at ``index_dir/data/bucket=<b>/*.parquet`` — hive-partitioned
     Parquet, so queries prune at the READ and only probed buckets' bytes
     ever leave storage (the scale path: the full corpus is never scanned
-    per query set)."""
+    per query set).
+
+    ``axis_planes=True`` uses the first ``n_planes`` standard basis
+    vectors as hyperplanes (bucket = sign bits of the leading
+    coordinates) instead of seeded Gaussian planes.  For isotropic
+    embeddings the two are equivalent LSH families (a random rotation
+    apart); the axis family's buckets are exactly reproducible by a SQL
+    oracle (``sign(embedding[i])``), which makes the whole
+    build->partition->probe->prune pipeline hash-verifiable end to end."""
     import os
 
     import ray.data  # noqa: F401  (ds already is a Dataset)
 
     first = ds.take_batch(1, batch_format="pyarrow")
     dim = len(first[vec_col][0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    if axis_planes:
+        planes = np.eye(n_planes, dim)
+    else:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_planes, dim))
     os.makedirs(index_dir, exist_ok=True)
     np.save(os.path.join(index_dir, "planes.npy"), planes)
 
@@ -268,16 +280,37 @@ def lsh_query_index(index_dir: str, queries: np.ndarray,
 
 def ivf_build_index(ds, index_dir: str, *, n_lists: int = 16,
                     sample_size: int = 2048, seed: int = 23,
+                    medoid_ids: list[int] | None = None,
                     vec_col: str = "embedding", id_col: str = "vec_id") -> None:
     """Build a persistent IVF index: centroids at ``index_dir/centroids.npy``
     (trained on a bounded driver-side sample) and vectors list-partitioned
     at ``index_dir/data/list_id=<l>/*.parquet`` so queries read only the
-    ``nprobe`` nearest lists."""
+    ``nprobe`` nearest lists.
+
+    ``medoid_ids`` pins the centroids to the (normalized) embeddings of
+    those ids, in order, instead of running k-means on a sample — the
+    k-medoid-seed variant.  Centroids are then rows of the table itself,
+    so a SQL oracle can reproduce assignment, probing and the pruned
+    candidate set exactly; the partition/prune machinery exercised is
+    identical."""
     import os
 
-    sample_df = hash_sample(ds, id_col, sample_size)
-    sample = np.stack(sample_df[vec_col].map(np.asarray).to_list())
-    index = IVFIndex(sample, n_lists=n_lists, seed=seed)
+    if medoid_ids is not None:
+        import pyarrow.compute as pc
+
+        want = list(medoid_ids)
+        mdf = ds.map_batches(
+            lambda t, w=want: t.filter(pc.is_in(
+                t.column(id_col), value_set=pa.array(w))),
+            batch_format="pyarrow").to_pandas() \
+            .set_index(id_col).loc[want]
+        index = IVFIndex.__new__(IVFIndex)
+        index.centroids = _normalize(np.stack(
+            mdf[vec_col].map(np.asarray).to_list()).astype(np.float64))
+    else:
+        sample_df = hash_sample(ds, id_col, sample_size)
+        sample = np.stack(sample_df[vec_col].map(np.asarray).to_list())
+        index = IVFIndex(sample, n_lists=n_lists, seed=seed)
     os.makedirs(index_dir, exist_ok=True)
     np.save(os.path.join(index_dir, "centroids.npy"), index.centroids)
     assigned = ds.map_batches(index.assign_stage(), batch_format="pyarrow")
@@ -297,7 +330,10 @@ def ivf_query_index(index_dir: str, queries: np.ndarray,
 
     centroids = np.load(os.path.join(index_dir, "centroids.npy"))
     qn = _normalize(np.asarray(queries, dtype=np.float64))
-    probe = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+    # stable: ties probe the lower list id, matching the SQL oracle's
+    # (similarity DESC, list_id ASC) ordering
+    probe = np.argsort(-(qn @ centroids.T), axis=1,
+                       kind="stable")[:, :nprobe]
     lists = set(int(v) for v in probe.ravel())
     paths = _partition_paths(os.path.join(index_dir, "data"), "list_id",
                              lists)

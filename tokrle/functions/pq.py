@@ -203,3 +203,32 @@ def pq_ann(ds, queries: np.ndarray, query_ids: np.ndarray, *,
     res = pq_topk(code_ds, queries, query_ids, books, k=k,
                   id_col=id_col, exclude_self=exclude_self)
     return res, books, code_ds
+
+
+def pq_rerank_topk(ds, code_ds, queries: np.ndarray, query_ids: np.ndarray,
+                   books: np.ndarray, *, k: int = 1, rerank: int = 64,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   exclude_self: bool = True) -> pd.DataFrame:
+    """ADC + exact-rerank (the IVFADC+R architecture, Jegou et al. 2011
+    §VI): asymmetric-distance top-``rerank`` candidates per query over the
+    uint8 codes, then exact cosine over ONLY the candidate union — a
+    pruned, id-filtered read of ``<= n_queries * rerank`` true vectors,
+    never the corpus.  With the candidate set containing each query's
+    true neighbours (holds with large margin on this corpus: containment
+    verified at rerank=16 across sf0.001/0.01/0.1), the top-k equals
+    exact brute force — which is the SQL-expressible self-oracle."""
+    import pyarrow.compute as pc
+
+    approx = pq_topk(code_ds, queries, query_ids, books, k=rerank,
+                     id_col=id_col, exclude_self=exclude_self)
+    cand_ids = pa.array(sorted(set(approx["vec_id"].tolist())
+                               | set(int(q) for q in query_ids)))
+    cand = ds.map_batches(
+        lambda t, ids=cand_ids: t.filter(
+            pc.is_in(t.column(id_col), value_set=ids)),
+        batch_format="pyarrow")
+    from tokrle.functions.ann import brute_force_topk
+
+    return brute_force_topk(cand, queries, query_ids, k=k,
+                            vec_col=vec_col, id_col=id_col,
+                            exclude_self=exclude_self)
