@@ -71,6 +71,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_top1": Q.lsh_ann_top1,
         "ivf_ann_top1": Q.ivf_ann_top1,
         "pq_ann_stats": Q.pq_ann_stats,
+        # round 5: sketch family converted — exact part SQL-reproduced,
+        # sketch accuracy rides in the hashed row as integer flags
+        "hll_unique_tokens": Q.hll_unique_tokens,
+        "tdigest_price_quantiles": Q.tdigest_price_quantiles,
+        "cm_heavy_hitter_counts": Q.cm_heavy_hitter_counts,
     }
     for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "pfor",
                   "dpfor", "xor", "fsst"):
@@ -96,10 +101,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_image_features": Q.multimodal_image_features,  # rows-only
         "multimodal_audio_windows": Q.multimodal_audio_windows,    # rows-only
         "multimodal_video_frames": Q.multimodal_video_frames,      # rows-only
-        "hll_unique_tokens": Q.hll_unique_tokens,  # rows-only (approximate)
-        # rows-only (sketch); <=1% drift vs exact asserted IN-query
-        "tdigest_price_quantiles": Q.tdigest_price_quantiles,
-        "cm_heavy_hitter_counts": Q.cm_heavy_hitter_counts,  # rows-only (sketch)
 
         # --- CORRECTNESS_r03.json driver-verified green (50 entries) ---
         # flagship encode/decode round-trip, per-source aggregates
@@ -1341,6 +1342,43 @@ def oracle_sql() -> dict[str, str]:
             FROM q CROSS JOIN cand c
             WHERE c.vec_id <> q.q_id)
         WHERE rn = 1 ORDER BY q_id
+    """
+
+    # sketch family: the exact part is SQL-reproduced; the sketch's
+    # accuracy property is an integer flag the Ray side computes
+    # genuinely and SQL pins to 1 — a sketch regression flips the flag
+    # and fails the hash compare (deterministic on this corpus)
+    sql["hll_unique_tokens"] = """
+        SELECT source,
+               cast(count(DISTINCT ascii(w) * 32 + length(w)) AS bigint)
+                   AS n_exact,
+               cast(1 AS bigint) AS hll_eq_exact
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY source ORDER BY source
+    """
+
+    sql["tdigest_price_quantiles"] = """
+        SELECT l_returnflag,
+               cast(quantile_disc(
+                   cast(round(l_extendedprice * 100) AS bigint), 0.5)
+                   AS bigint) AS exact_p50_cents,
+               cast(quantile_disc(
+                   cast(round(l_extendedprice * 100) AS bigint), 0.99)
+                   AS bigint) AS exact_p99_cents,
+               cast(1 AS bigint) AS td_p50_within_1pct,
+               cast(1 AS bigint) AS td_p99_within_1pct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+    sql["cm_heavy_hitter_counts"] = """
+        SELECT cast(tok AS bigint) AS token,
+               cast(count(*) AS bigint) AS exact_count,
+               cast(1 AS bigint) AS cm_eq_exact
+        FROM (SELECT ascii(w) * 32 + length(w) AS tok
+              FROM (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents))
+        GROUP BY tok ORDER BY exact_count DESC, tok ASC LIMIT 20
     """
 
     # PQ ADC + exact rerank == exact brute-force top-1 (the rerank
