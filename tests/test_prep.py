@@ -42,3 +42,48 @@ def test_prep_encode_roundtrip(ray_session, tmp_path):
         training_examples(f"{SF}/documents.parquet", seq_len=256, eos=3),
         decode_tokens(enc))
     assert chk["source"] == chk["decoded"], chk
+
+
+def test_prep_cli_stage_resume_requires_sentinel(tmp_path):
+    """A stage dir without the _SUCCESS sentinel (e.g. a run killed mid
+    write_parquet) must be regenerated, not silently reused (r4 advice:
+    partial-stage resume produced wrong output with no error)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    stage = tmp_path / "stage"
+    out = tmp_path / "enc"
+
+    def run_prep():
+        proc = subprocess.run(
+            [sys.executable, "-m", "tokrle.cli", "prep",
+             "--in-path", f"{SF}/documents.parquet",
+             "--out-dir", str(out), "--stage-dir", str(stage),
+             "--seq-len", "128", "--num-cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**os.environ, "RAY_ADDRESS": "local"})
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    first = run_prep()
+    assert (stage / "_SUCCESS").is_file()
+    full_tokens = first["n_tokens"]
+    assert full_tokens > 0
+
+    # simulate a mid-write kill: keep ONE parquet file, drop the rest
+    # and the sentinel
+    (stage / "_SUCCESS").unlink()
+    parquets = sorted(p for p in stage.iterdir()
+                      if p.name.endswith(".parquet"))
+    for p in parquets[1:]:
+        p.unlink()
+    import shutil
+
+    shutil.rmtree(out)
+    second = run_prep()
+    # resume regenerated the full stage: token count matches, sentinel
+    # restored
+    assert second["n_tokens"] == full_tokens
+    assert (stage / "_SUCCESS").is_file()

@@ -290,14 +290,22 @@ def main(argv=None) -> int:
 
             stage = args.stage_dir or args.out_dir.rstrip("/") + "_stage"
             # staging is the non-resumable half (one narrow pipeline);
-            # reuse it on restart so only the resumable encode re-runs
-            if not (os.path.isdir(stage) and any(
-                    f.endswith(".parquet") for f in os.listdir(stage))):
+            # reuse it on restart so only the resumable encode re-runs.
+            # A _SUCCESS sentinel gates reuse: a run killed mid-write
+            # leaves parquet files but no sentinel, so restart
+            # regenerates instead of silently encoding a partial stage
+            sentinel = os.path.join(stage, "_SUCCESS")
+            if not os.path.isfile(sentinel):
+                import shutil
+
+                shutil.rmtree(stage, ignore_errors=True)
                 examples = training_examples(
                     args.in_path, seq_len=args.seq_len, eos=args.eos,
                     min_words=args.min_words,
                     eval_mask=None if args.no_decontam else args.eval_mask)
                 examples.write_parquet(stage)
+                with open(sentinel, "w") as f:
+                    f.write("ok\n")
             run = encode_corpus(stage, args.out_dir, batch_size=8192,
                                 by_source="local")
             run["stage_dir"] = stage
