@@ -136,3 +136,22 @@ def test_hash_bucket_chunks_are_single_source(ray_session, regime_ds):
                         by_source="hash").to_pandas()
     for srcs in enc["doc_source"]:
         assert len(set(srcs)) == 1
+
+
+def test_skew_join_rejects_overlapping_non_key_columns(ray_session):
+    """The derived output-column list assumes disjoint non-key names;
+    overlap must fail fast with a clear error, not a late obscure
+    select failure (r4 advice)."""
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from tokrle.functions.skewjoin import skew_join
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2], "v": [10, 20]}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"rk": [1, 2], "v": [7, 8]}))
+    with pytest.raises(ValueError, match="disjoint non-key"):
+        skew_join(left, right, left_key="k", right_key="rk",
+                  hot_threshold=1)

@@ -213,6 +213,23 @@ def skew_join(left, right, *, left_key: str, right_key: str,
     from tokrle.functions.dedup import (_combined_size_hint,
                                         _join_partitions)
 
+    # align column order before the final union (join output orders can
+    # differ).  Derive the list from the INPUT schemas — calling
+    # cold.schema() would execute the cold join once just to learn
+    # column names, then the consumer re-executes it (measured: +2.6 s
+    # per query at sf0.1).  The derivation assumes the native join
+    # output is exactly left columns + right columns minus right_key,
+    # which requires disjoint non-key names (Ray would suffix
+    # duplicates and the select below would fail late and obscurely) —
+    # validate up front instead, on every path.
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+    overlap = (set(left_cols) & set(right_cols)) - {right_key}
+    if overlap:
+        raise ValueError(
+            f"skew_join requires disjoint non-key column names; "
+            f"rename overlapping columns {sorted(overlap)} first")
+    cols = left_cols + [c for c in right_cols if c != right_key]
     hot = sample_hot_keys(left, left_key, threshold=hot_threshold,
                           stride=stride)
     n = _join_partitions(None,
@@ -225,49 +242,39 @@ def skew_join(left, right, *, left_key: str, right_key: str,
     right_hot, right_cold = _split(right, right_key, hot_ref)
     cold = left_cold.join(right_cold, "inner", n,
                           on=(left_key,), right_on=(right_key,))
-    if force_path == "broadcast":
-        use_broadcast = True
-    elif force_path == "salted":
-        use_broadcast = False
-    else:
-        # estimate the hot RIGHT rows from the right side's own sampled
-        # key counts (a right-skewed key can put arbitrarily many rows
-        # under one hot key, so the left-derived hot-key COUNT alone says
-        # nothing about right-side bytes)
-        est = right.limit(1024).to_pandas().memory_usage(deep=True).sum()
-        per_row = max(int(est) // 1024, 1)
-        rc = _sample_key_counts(right, right_key, stride)
-        hot_right_rows = int(rc.loc[rc["k"].isin(hot), "c"].sum())
-        # sampling floor: an unsampled hot key still has >=1 right row
-        hot_right_rows = max(hot_right_rows, len(hot))
-        use_broadcast = hot_right_rows * per_row <= BROADCAST_MAX_BYTES
-    if use_broadcast:
-        # materialize block-by-block under a HARD byte cap — the sampled
-        # estimate can undercount; never OOM the driver on a bad estimate
-        tables, total = [], 0
-        for r in right_hot.to_arrow_refs():
+    if force_path == "salted":
+        hot_joined = _salted_join_hot(left_hot, right_hot,
+                                      left_key, right_key, n)
+        return cold.select_columns(cols).union(
+            hot_joined.select_columns(cols))
+    # Single-pass path choice (r4 verdict item 6): instead of a sampled
+    # right-side key-count pass plus a limit() bytes/row probe just to
+    # PREDICT the hot right size, stream right_hot's blocks directly
+    # under the hard byte cap.  iter_internal_ref_bundles() consumes
+    # with backpressure, so breaking out on cap overflow stops the
+    # upstream instead of running it to completion; within the cap the
+    # materialized tables ARE the broadcast payload — no estimate, no
+    # second right-side execution, and the cap is exact rather than
+    # sampled.
+    tables, total, over = [], 0, False
+    for bundle in right_hot.iter_internal_ref_bundles():
+        for r in bundle.block_refs:
             t = ray.get(r)
+            if not isinstance(t, pa.Table):  # pandas block upstream
+                t = pa.Table.from_pandas(t)
             if len(t):
                 tables.append(t)
                 total += t.nbytes
-            if total > BROADCAST_MAX_BYTES and force_path != "broadcast":
-                break
         if total > BROADCAST_MAX_BYTES and force_path != "broadcast":
-            hot_joined = _salted_join_hot(left_hot, right_hot,
-                                          left_key, right_key, n)
-        elif not tables:
-            # no hot right rows: the hot-left rows have no match
-            return cold
-        else:
-            hot_joined = _broadcast_join_hot(
-                left_hot, pa.concat_tables(tables), left_key, right_key)
-    else:
+            over = True
+            break
+    if over:
         hot_joined = _salted_join_hot(left_hot, right_hot,
                                       left_key, right_key, n)
-    # align column order before union (join output orders can differ).
-    # Derive the list from the INPUT schemas — calling cold.schema()
-    # would execute the cold join once just to learn column names, then
-    # the consumer re-executes it (measured: +2.6 s per query at sf0.1)
-    cols = list(left.schema().names) + \
-        [c for c in right.schema().names if c != right_key]
+    elif not tables:
+        # no hot right rows: the hot-left rows have no match
+        return cold
+    else:
+        hot_joined = _broadcast_join_hot(
+            left_hot, pa.concat_tables(tables), left_key, right_key)
     return cold.select_columns(cols).union(hot_joined.select_columns(cols))
