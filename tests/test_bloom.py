@@ -68,3 +68,33 @@ def test_bloom_contamination_superset_of_exact(ray_session):
     bloom = ids(flag_contaminated_bloom(train_ds, eval_ds, k=8, fpr=0.01))
     assert {3, 17, 41} <= exact
     assert exact <= bloom                             # one-sided, end to end
+
+
+def test_flag_contaminated_falls_through_to_bloom_over_cap(ray_session):
+    """An eval index over the broadcast cap must take the bloom path
+    automatically and stay a SUPERSET of the exact flagger (r4 verdict
+    item 7)."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.functions.decontam import flag_contaminated
+
+    words = [f"w{i}" for i in range(40)]
+    rng = __import__("numpy").random.default_rng(7)
+    eval_texts = [" ".join(rng.choice(words, 12)) for _ in range(20)]
+    train_texts = eval_texts[:5] + \
+        [" ".join(rng.choice(words, 12)) for _ in range(30)]
+    train = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(train_texts)), "text": train_texts}))
+    ev = ray.data.from_pandas(pd.DataFrame({"text": eval_texts}))
+
+    exact = flag_contaminated(train, ev, k=8).to_pandas() \
+        .sort_values("doc_id")
+    # cap of 0 forces the bloom fall-through
+    bloom = flag_contaminated(train, ev, k=8, max_index_grams=0) \
+        .to_pandas().sort_values("doc_id")
+    assert bloom.columns.tolist() == exact.columns.tolist()
+    # superset invariant: everything exact flags, bloom flags too
+    assert (bloom["contaminated"].to_numpy()
+            | ~exact["contaminated"].to_numpy()).all()
+    assert exact["contaminated"].head(5).all()

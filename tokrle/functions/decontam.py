@@ -107,15 +107,27 @@ def _grams_table(texts, k: int) -> pa.Table:
                      "h2": pa.array(h2v, type=pa.int64())})
 
 
-def eval_ngram_index(eval_ds, *, k: int = 8, text_col: str = "text"):
+def eval_ngram_index(eval_ds, *, k: int = 8, text_col: str = "text",
+                     max_rows: int | None = None):
     """Distinct n-gram hash pairs of the eval corpus as two driver-side
     int64 arrays (sorted lexicographically).  Driver materialization is
-    bounded by the benchmark's distinct-n-gram count, not the corpus."""
+    bounded by the benchmark's distinct-n-gram count, not the corpus.
+
+    With ``max_rows`` set, returns ``None`` as soon as the streamed
+    per-batch-distinct rows exceed it (a conservative upper bound on
+    the true distinct count) — the caller's signal to take a
+    non-broadcast path; iteration stops there, so the overflow case
+    never materializes the index."""
     grams = eval_ds.map_batches(
         lambda b: _grams_table(b.column(text_col), k),
         batch_format="pyarrow")
-    parts = [b for b in grams.iter_batches(batch_size=None,
-                                           batch_format="pyarrow")]
+    parts: list = []
+    total = 0
+    for b in grams.iter_batches(batch_size=None, batch_format="pyarrow"):
+        parts.append(b)
+        total += b.num_rows
+        if max_rows is not None and total > max_rows:
+            return None
     if parts:
         t = pa.concat_tables(parts)
         pair = np.unique(np.stack(
@@ -157,12 +169,36 @@ class ContaminationFlagger:
             "contaminated", pa.array(flag, type=pa.bool_()))
 
 
+#: eval-index broadcast cap (~16 bytes/gram -> ~800 MB, the dupspan
+#: precedent): eval splits are benchmark-sized by construction (GPT-3
+#: practice), but an unguarded broadcast of a mislabeled "eval" corpus
+#: would OOM the driver — above the cap the Bloom variant (fixed-size
+#: bitmap, superset-safe) takes over automatically
+MAX_INDEX_GRAMS = 50_000_000
+
+
 def flag_contaminated(train_ds, eval_ds, *, k: int = 8,
-                      text_col: str = "text", concurrency=(1, 4)):
-    """Append a boolean ``contaminated`` column to ``train_ds``."""
+                      text_col: str = "text", concurrency=(1, 4),
+                      max_index_grams: int = MAX_INDEX_GRAMS):
+    """Append a boolean ``contaminated`` column to ``train_ds``.
+
+    Exact eval-hash broadcast while the distinct-gram index fits
+    ``max_index_grams``; above it, falls through to
+    :func:`tokrle.functions.bloom.flag_contaminated_bloom` — identical
+    semantics up to false POSITIVES only (the flagged set is a superset;
+    one-sided-safe for decontamination, where over-dropping is the safe
+    direction)."""
     import ray
 
-    index_ref = ray.put(eval_ngram_index(eval_ds, k=k, text_col=text_col))
+    index = eval_ngram_index(eval_ds, k=k, text_col=text_col,
+                             max_rows=max_index_grams)
+    if index is None:  # over the broadcast cap: fixed-size bloom path
+        from tokrle.functions.bloom import flag_contaminated_bloom
+
+        return flag_contaminated_bloom(train_ds, eval_ds, k=k,
+                                       text_col=text_col,
+                                       concurrency=concurrency)
+    index_ref = ray.put(index)
     return train_ds.map_batches(
         ContaminationFlagger,
         fn_constructor_kwargs={"index_ref": index_ref, "k": k,
