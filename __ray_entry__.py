@@ -76,6 +76,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_unique_tokens": Q.hll_unique_tokens,
         "tdigest_price_quantiles": Q.tdigest_price_quantiles,
         "cm_heavy_hitter_counts": Q.cm_heavy_hitter_counts,
+        # round 5: planted-duplicate perturbation (SQL-expressible, the
+        # normalize_text_stats precedent) gives the LSH-blocked
+        # near-dup pipeline an exact all-pairs oracle
+        "embedding_dups": Q.embedding_dups,
+        # round 5: LSH band-bucket survivors == the exact J>=0.5
+        # smaller-leader rule on this corpus (every corpus pair sits at
+        # J>=0.889 where the 16x4 band-collision probability is
+        # 1-1e-7; deterministic, verified at sf0.001/0.01/0.1) — the
+        # all-pairs shingle SQL reproduces the survivor counts
+        "dedup_minhash": Q.dedup_minhash,
     }
     for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "pfor",
                   "dpfor", "xor", "fsst"):
@@ -97,7 +107,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": Q.lang_id,               # rows-only (heuristic model)
         "simhash_signatures": Q.simhash_signatures,  # rows-only
         "ngram_dup_pairs": Q.ngram_dup_pairs,        # rows-only (blocked)
-        "embedding_dups": Q.embedding_dups,          # rows-only (LSH-blocked)
         "multimodal_image_features": Q.multimodal_image_features,  # rows-only
         "multimodal_audio_windows": Q.multimodal_audio_windows,    # rows-only
         "multimodal_video_frames": Q.multimodal_video_frames,      # rows-only
@@ -137,7 +146,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": Q.dedup_exact,
         "unique_token_seqs": Q.unique_token_seqs,
         "ann_top1": Q.ann_top1,
-        "dedup_minhash": Q.dedup_minhash,   # rows-only (no SQL analog)
         "minhash_cluster_stats": Q.minhash_cluster_stats,  # rows-only (LSH)
         # transitive-closure path, swept at rounds=1 (full propagation
         # machinery, half the shuffle spin-up; default rounds=2 in API)
@@ -1379,6 +1387,55 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT unnest(string_split(text, ' ')) AS w
                     FROM documents))
         GROUP BY tok ORDER BY exact_count DESC, tok ASC LIMIT 20
+    """
+
+    # survivors of the LSH leader rule == docs with no smaller exact
+    # J>=0.5 partner (all-pairs shingle CTE, the
+    # minhash_verified_pairs idiom; equality holds because every corpus
+    # pair sits far above the band-collision knee — see queries.py)
+    sql["dedup_minhash"] = """
+        WITH w AS (
+            SELECT doc_id, source, string_split(text, ' ') AS ws
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(ws) - 2, 1) + 1),
+                       i -> ws[i] || ' ' || ws[least(i + 1, len(ws))]
+                            || ' ' || ws[least(i + 2, len(ws))])) AS s
+            FROM w
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        dropped AS (
+            SELECT DISTINCT db FROM inter
+            JOIN sizes sa ON sa.doc_id = da
+            JOIN sizes sb ON sb.doc_id = db
+            WHERE i * 2 >= sa.n + sb.n - i
+        )
+        SELECT source, cast(count(*) AS bigint) AS n_docs
+        FROM w WHERE doc_id NOT IN (SELECT db FROM dropped)
+        GROUP BY source ORDER BY source
+    """
+
+    # planted exact-duplicate perturbation (reproduced here) + exact
+    # all-pairs cosine >= 0.9: equals the LSH-blocked pipeline's output
+    # because identical vectors share a bucket under any plane family
+    sql["embedding_dups"] = """
+        WITH aug AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, embedding FROM embeddings
+            WHERE vec_id < 10)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        ORDER BY id_a, id_b
     """
 
     # PQ ADC + exact rerank == exact brute-force top-1 (the rerank

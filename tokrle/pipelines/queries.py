@@ -871,11 +871,30 @@ def ngram_dup_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 def embedding_dups(sf_dir: str) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs (LSH-blocked; rows-only check)."""
+    """Embedding-cosine near-dup pairs through the LSH-blocked pipeline,
+    ORACLE-CHECKED: the corpus has no natural pairs >= 0.9 (max cosine
+    ~0.6 at every sf), so the query plants a SQL-expressible
+    perturbation first — exact copies of vec_id < 10 at id+100000 (the
+    normalize_text_stats precedent).  Identical vectors land in the
+    same LSH bucket for ANY plane family, so blocking recall for the
+    planted pairs is structural (=1), and the output must equal the
+    exact all-pairs >= 0.9 result DuckDB computes (sim 1.0 vs the 0.9
+    threshold and a >=0.29 gap to every natural pair keep the float
+    comparison unambiguous)."""
+    import pyarrow.compute as pc
+
     from tokrle.functions.dedup import embedding_near_dups
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    pairs = embedding_near_dups(ds, threshold=0.9).to_pandas()
+
+    def planted(t: pa.Table) -> pa.Table:
+        d = t.filter(pc.less(t.column("vec_id"), 10))
+        return d.set_column(
+            d.column_names.index("vec_id"), "vec_id",
+            pc.add(d.column("vec_id"), 100000))
+
+    aug = ds.union(ds.map_batches(planted, batch_format="pyarrow"))
+    pairs = embedding_near_dups(aug, threshold=0.9).to_pandas()
     if pairs.empty:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                              "id_b": pd.Series(dtype="int64")})
