@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 1-1e-7; deterministic, verified at sf0.001/0.01/0.1) — the
         # all-pairs shingle SQL reproduces the survivor counts
         "dedup_minhash": Q.dedup_minhash,
+        "minhash_cluster_stats": Q.minhash_cluster_stats,
     }
     for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "pfor",
                   "dpfor", "xor", "fsst"):
@@ -146,7 +147,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": Q.dedup_exact,
         "unique_token_seqs": Q.unique_token_seqs,
         "ann_top1": Q.ann_top1,
-        "minhash_cluster_stats": Q.minhash_cluster_stats,  # rows-only (LSH)
         # transitive-closure path, swept at rounds=1 (full propagation
         # machinery, half the shuffle spin-up; default rounds=2 in API)
         "minhash_connected_stats": partial(Q.minhash_connected_stats,
@@ -1421,6 +1421,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, cast(count(*) AS bigint) AS n_docs
         FROM w WHERE doc_id NOT IN (SELECT db FROM dropped)
         GROUP BY source ORDER BY source
+    """
+
+    # single-pass LSH cluster leaders == min(doc, smallest exact
+    # J>=0.5 partner) — same equality argument as dedup_minhash
+    sql["minhash_cluster_stats"] = """
+        WITH w AS (
+            SELECT doc_id, source, string_split(text, ' ') AS ws
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(ws) - 2, 1) + 1),
+                       i -> ws[i] || ' ' || ws[least(i + 1, len(ws))]
+                            || ' ' || ws[least(i + 2, len(ws))])) AS s
+            FROM w
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        mins AS (
+            SELECT db, min(da) AS m FROM inter
+            JOIN sizes sa ON sa.doc_id = da
+            JOIN sizes sb ON sb.doc_id = db
+            WHERE i * 2 >= sa.n + sb.n - i
+            GROUP BY db
+        ),
+        cl AS (
+            SELECT w.doc_id, w.source,
+                   coalesce(m.m, w.doc_id) AS cluster
+            FROM w LEFT JOIN mins m ON m.db = w.doc_id
+        )
+        SELECT source, cast(count(*) AS bigint) AS n_docs,
+               cast(count(DISTINCT cluster) AS bigint) AS n_clusters
+        FROM cl GROUP BY source ORDER BY source
     """
 
     # planted exact-duplicate perturbation (reproduced here) + exact

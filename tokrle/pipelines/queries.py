@@ -771,7 +771,11 @@ def dedup_minhash(sf_dir: str) -> pd.DataFrame:
 
 def minhash_cluster_stats(sf_dir: str) -> pd.DataFrame:
     """Near-dup cluster assignment summary per source: total docs and
-    distinct cluster leaders (no SQL oracle — LSH; rows-only check).
+    distinct cluster leaders, ORACLE-CHECKED: the single-pass LSH leader
+    assignment (cluster = smallest doc sharing a band bucket) equals
+    cluster = min(doc, smallest exact-J>=0.5 partner) on this corpus
+    (same band-collision-knee argument as dedup_minhash, verified at
+    sf0.001/0.01/0.1), which the all-pairs shingle CTE reproduces.
     Distinct counting is the two-level groupby (no unbounded per-source
     group, no driver-side row materialization)."""
     from ray.data.aggregate import Count
