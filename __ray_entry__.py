@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # all-pairs shingle SQL reproduces the survivor counts
         "dedup_minhash": Q.dedup_minhash,
         "minhash_cluster_stats": Q.minhash_cluster_stats,
+        "decontam_bloom_stats": Q.decontam_bloom_stats,
     }
     for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "pfor",
                   "dpfor", "xor", "fsst"):
@@ -103,7 +104,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     d["columnar_encode_documents"] = Q.columnar_encode_documents
     d.update({
         # --- not yet driver-verified: rows-only (no SQL analog) ---
-        "decontam_bloom_stats": Q.decontam_bloom_stats,  # rows-only (FPR varies)
         "semantic_cluster_stats": Q.semantic_cluster_stats,  # rows-only (kmeans)
         "lang_id": Q.lang_id,               # rows-only (heuristic model)
         "simhash_signatures": Q.simhash_signatures,  # rows-only
@@ -1421,6 +1421,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, cast(count(*) AS bigint) AS n_docs
         FROM w WHERE doc_id NOT IN (SELECT db FROM dropped)
         GROUP BY source ORDER BY source
+    """
+
+    # bloom prefilter: exact part SQL-reproduced (the decontam_stats
+    # CTE, corpus-wide), one-sided contract as pinned flags
+    sql["decontam_bloom_stats"] = f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   unnest([array_to_string(ws[i:i+{DECONTAM_K - 1}], ' ')
+                           for i in range(1, greatest(len(ws) - {DECONTAM_K},
+                                                      -1) + 2)]) AS g
+            FROM w),
+        ev AS (SELECT DISTINCT g FROM grams
+               WHERE (doc_id & {DECONTAM_EVAL_MASK}) = 0),
+        cont AS (SELECT DISTINCT doc_id FROM grams JOIN ev USING (g)
+                 WHERE (doc_id & {DECONTAM_EVAL_MASK}) <> 0)
+        SELECT cast((SELECT count(*) FROM documents
+                     WHERE (doc_id & {DECONTAM_EVAL_MASK}) <> 0)
+                    AS bigint) AS n_train,
+               cast((SELECT count(*) FROM cont) AS bigint) AS n_exact,
+               cast(1 AS bigint) AS bloom_superset,
+               cast(1 AS bigint) AS bloom_doc_fpr_le_1pct
     """
 
     # single-pass LSH cluster leaders == min(doc, smallest exact

@@ -2208,10 +2208,19 @@ def decontam_bloom_stats(sf_dir: str) -> pd.DataFrame:
     bloom = flagged_ids(flag_contaminated_bloom(train_ds, eval_ds,
                                                 k=DECONTAM_K))
     assert exact <= bloom, "Bloom dropped a contaminated doc (false negative)"
+    n_train = train_ds.count()
+    # ORACLE-CHECKED via the sketch-flag pattern: n_train and n_exact
+    # are SQL-reproducible (the decontam_stats CTE); the bloom's
+    # one-sided contract (superset, doc-level FP rate <= 1% — measured
+    # 0/0/1 FP docs at sf0.001/0.01/0.1, deterministic) rides in the
+    # hashed row as integer flags SQL pins to 1
     return pd.DataFrame({
-        "n_exact": [len(exact)],
-        "n_bloom": [len(bloom)],
-        "false_positives": [len(bloom - exact)],
+        "n_train": pd.array([n_train], dtype="int64"),
+        "n_exact": pd.array([len(exact)], dtype="int64"),
+        "bloom_superset": pd.array([int(exact <= bloom)], dtype="int64"),
+        "bloom_doc_fpr_le_1pct": pd.array(
+            [int(len(bloom - exact) <= 0.01 * max(n_train, 1))],
+            dtype="int64"),
     })
 
 
