@@ -277,6 +277,102 @@ def encode_only() -> None:
     ray.shutdown()
 
 
+def prepare_documents(sf_dir: str, repeat: int) -> str:
+    """Replicated documents table for the prep volume bench: each row is
+    copied ``repeat`` times with a distinct doc_id (offset by a multiple
+    of 16 so the eval-mask split pattern is preserved per replica) and a
+    per-replica text tag (so exact dedup keeps replicas distinct and
+    the survivor count scales with volume).  Deterministic; untimed."""
+    import functools
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = os.path.join(WORK, f"docs_rep_{repeat}")
+    if os.path.isdir(out) and any(
+            f.endswith(".parquet") for f in os.listdir(out)):
+        return out
+    import numpy as np
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "text"])
+
+    def rep_batch(t: pa.Table, r: int) -> pa.Table:
+        n = len(t)
+        idx = np.repeat(np.arange(n, dtype=np.int64), r)
+        base = t.take(pa.array(idx))
+        offs = np.tile(np.arange(r, dtype=np.int64) * 10_000_000, n)
+        ids = pc.add(base.column("doc_id"), pa.array(offs))
+        tags = pa.array([f"rep{v}" for v in offs // 10_000_000])
+        text = pc.binary_join_element_wise(base.column("text"), tags, " ")
+        return pa.table({"doc_id": ids,
+                         "source": base.column("source"),
+                         "text": text})
+
+    ds.map_batches(functools.partial(rep_batch, r=repeat),
+                   batch_size=256, batch_format="pyarrow") \
+        .repartition(max(32, repeat // 8)).write_parquet(out)
+    return out
+
+
+def volume_prep() -> None:
+    """Volume proof for the flagship prep composition (r4 verdict item
+    8): run training_examples -> encode at ~82M and ~12x that, with
+    per-stage walls (stage = filter/dedup/decontam/tokenize/pack ->
+    parquet; encode = grouped codec encode), and report the per-token
+    cost ratio — flat cost means the two-exchange scale shape holds the
+    way the plain-encode amortization curve does."""
+    ray_up(NUM_CPUS)
+    from tokrle.pipelines.corpus import encode_corpus
+    from tokrle.pipelines.prep import training_examples
+
+    small = int(os.environ.get("GRAFT_PREP_REPEAT_SMALL", "304"))
+    big = int(os.environ.get("GRAFT_PREP_REPEAT_BIG", str(small * 12)))
+    out: dict = {"metric": "prep composition throughput at volume "
+                           "(filter->dedup->decontam->tokenize->pack->"
+                           "encode)",
+                 "unit": "tokens/sec", "sf": SF_DIR,
+                 "num_cpus": NUM_CPUS, "queries": {}}
+    for label, r in (("small", small), ("big", big)):
+        docs = prepare_documents(SF_DIR, r)
+        stage = os.path.join(WORK, f"prep_stage_{r}")
+        enc = os.path.join(WORK, f"prep_enc_{r}")
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(enc, ignore_errors=True)
+        t0 = time.perf_counter()
+        training_examples(docs).write_parquet(stage)
+        t_stage = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run = encode_corpus(stage, enc, batch_size=8192,
+                            concurrency=(1, NUM_CPUS), by_source="local")
+        t_encode = time.perf_counter() - t0
+        total = t_stage + t_encode
+        out["queries"][label] = {
+            "repeat": r,
+            "stage_seconds": round(t_stage, 3),
+            "encode_seconds": round(t_encode, 3),
+            "n_tokens": run["n_tokens"],
+            "tokens_per_sec": round(run["n_tokens"] / total)
+            if total else 0,
+            "compression_ratio": round(
+                run["raw_bytes"] / run["encoded_bytes"], 3)
+            if run["encoded_bytes"] else 0.0,
+        }
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(enc, ignore_errors=True)
+    sm, bg = out["queries"]["small"], out["queries"]["big"]
+    out["value"] = bg["tokens_per_sec"]
+    out["big_vs_small_per_token"] = round(
+        bg["tokens_per_sec"] / sm["tokens_per_sec"], 3) \
+        if sm["tokens_per_sec"] else 0.0
+    out.update(_host_health())
+    print(json.dumps(out))
+    import ray
+
+    ray.shutdown()
+
+
 def volume() -> None:
     """sf1-volume encode bench (r3 verdict item 7): ~1e9 tokens through
     the FULL by-source=local encode path (shuffle-free per-batch source
@@ -644,6 +740,8 @@ if __name__ == "__main__":
         scaling()
     elif "--encode-only" in sys.argv:
         encode_only()
+    elif "--volume-prep" in sys.argv:
+        volume_prep()
     elif "--volume" in sys.argv:
         volume()
     else:
