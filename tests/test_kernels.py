@@ -295,3 +295,66 @@ def test_binop_large_runs_no_dense_materialization():
     mask = (locs < n1) & (locs < n2)
     assert np.allclose(got[mask], (a * b)[mask])
     assert np.allclose(got[~mask], 0.0)
+
+
+def test_leader_coalesce_segmented_matches_sequential_reference():
+    """The segmented _leader_coalesce (hard-boundary confinement +
+    whole-segment fast path) must equal the plain sequential leader walk
+    on adversarial value patterns: tol-jitter chains, soft-but-not-
+    candidate spacings (~1.5 tol), exact 2-tol boundaries, NaN/inf
+    stretches (r4 verdict 'what's wrong' item 4)."""
+    import numpy as np
+
+    from tokrle.kernels.rle import COALESCE_ABS_TOL as TOL
+    from tokrle.kernels.rle import _leader_coalesce
+
+    def reference(runs, values):
+        # the pre-r5 sequential walk (after the same exact fold the
+        # kernel applies first)
+        from tokrle.kernels.rle import _exact_fold
+
+        runs, values = _exact_fold(np.asarray(runs, np.int64),
+                                   np.asarray(values, np.float64))
+        if len(values) <= 1:
+            return runs, values
+        out_r, out_v = [], []
+        lead_v, lead_r = values[0], int(runs[0])
+        for i in range(1, len(values)):
+            vi = values[i]
+            if (np.isnan(vi) and np.isnan(lead_v)) or \
+               (vi == lead_v and np.isinf(vi)) or \
+               (abs(vi - lead_v) < TOL):
+                lead_r += int(runs[i])
+            else:
+                out_r.append(lead_r)
+                out_v.append(lead_v)
+                lead_r, lead_v = int(runs[i]), vi
+        out_r.append(lead_r)
+        out_v.append(lead_v)
+        return (np.asarray(out_r, np.int64), np.asarray(out_v, np.float64))
+
+    rng = np.random.default_rng(17)
+    specials = np.array([np.nan, np.inf, -np.inf, 0.0])
+    for trial in range(300):
+        n = int(rng.integers(1, 40))
+        kind = rng.integers(0, 4)
+        if kind == 0:      # jitter chain around a few levels
+            base = rng.choice([0.0, 1.0, 2.0], n)
+            vals = base + rng.uniform(-1.5, 1.5, n) * TOL
+        elif kind == 1:    # steps near the 1x / 2x tol knees
+            steps = rng.choice([0.4, 0.9, 1.1, 1.5, 1.9, 2.0, 2.1], n) \
+                * TOL * rng.choice([-1, 1], n)
+            vals = np.cumsum(steps)
+        elif kind == 2:    # NaN / inf stretches mixed with finites
+            vals = rng.choice(specials, n) + 0.0
+            fin = rng.random(n) < 0.5
+            vals[fin] = rng.choice([0.0, 0.5, 1.0], fin.sum())
+        else:              # fully random
+            vals = rng.normal(0, 1, n)
+        runs = rng.integers(1, 5, n).astype(np.int64)
+        got_r, got_v = _leader_coalesce(runs.copy(), vals.copy())
+        want_r, want_v = reference(runs, vals)
+        assert np.array_equal(got_r, want_r), (trial, vals)
+        assert np.allclose(got_v, want_v, equal_nan=True, atol=0), \
+            (trial, vals)
+        assert got_r.sum() == runs.sum()

@@ -93,33 +93,68 @@ def _leader_coalesce(runs: np.ndarray, values: np.ndarray) -> tuple[np.ndarray, 
     """
     # vectorized exact fold first (handles the overwhelmingly common case)
     runs, values = _exact_fold(runs, values)
-    if len(values) <= 1:
+    n = len(values)
+    if n <= 1:
         return runs, values
-    # remaining approx-close neighbours are rare; loop only over candidate
-    # stretches instead of the whole array.
     v, pv = values[1:], values[:-1]
-    cand = (np.abs(v - pv) < COALESCE_ABS_TOL) | (np.isnan(v) & np.isnan(pv)) \
-        | ((v == pv) & np.isinf(v))
+    both_nan = np.isnan(v) & np.isnan(pv)
+    same_inf = (v == pv) & np.isinf(v)
+    dv = np.abs(v - pv)
+    cand = (dv < COALESCE_ABS_TOL) | both_nan | same_inf
     if not cand.any():
         return runs, values
-    out_r: list[int] = []
-    out_v: list[float] = []
-    lead_v = values[0]
-    lead_r = int(runs[0])
-    for i in range(1, len(values)):
-        vi = values[i]
-        if (np.isnan(vi) and np.isnan(lead_v)) or \
-           (vi == lead_v and np.isinf(vi)) or \
-           (abs(vi - lead_v) < COALESCE_ABS_TOL):
-            lead_r += int(runs[i])
-        else:
-            out_r.append(lead_r)
-            out_v.append(lead_v)
-            lead_r = int(runs[i])
-            lead_v = vi
-    out_r.append(lead_r)
-    out_v.append(lead_v)
-    return np.asarray(out_r, dtype=np.int64), np.asarray(out_v, dtype=np.float64)
+    # SOFT boundaries are the only places a merge can happen or a group
+    # can continue; a HARD boundary (|dv| >= 2*tol, or a NaN/inf
+    # mismatch) provably ends every group: a finite leader L has every
+    # member within tol, so |v_i - L| >= |v_i - v_{i-1}| - tol >= tol;
+    # NaN groups only extend over NaNs, inf groups only over the same
+    # inf.  Segments between hard boundaries are therefore independent,
+    # and the sequential leader walk runs only inside segments that
+    # contain a candidate — plus a reduceat fast path when a whole
+    # segment provably collapses into its first value.
+    soft = (dv < 2.0 * COALESCE_ABS_TOL) | both_nan | same_inf
+    hard_idx = np.flatnonzero(~soft) + 1         # segment starts (> 0)
+    seg_starts = np.concatenate(([0], hard_idx))
+    seg_ends = np.concatenate((hard_idx, [n]))   # exclusive
+    out_r: list[np.ndarray] = []
+    out_v: list[np.ndarray] = []
+    for s, e in zip(seg_starts, seg_ends):
+        if e - s == 1 or not cand[s:e - 1].any():
+            # no merge inside this segment: pass through wholesale
+            out_r.append(runs[s:e])
+            out_v.append(values[s:e])
+            continue
+        seg_v = values[s:e]
+        lead = seg_v[0]
+        if (np.isnan(lead) and np.isnan(seg_v).all()) or \
+            (np.isinf(lead) and (seg_v == lead).all()) or \
+            (np.isfinite(lead)
+             and bool((np.abs(seg_v - lead) < COALESCE_ABS_TOL).all())):
+            # whole segment within tol of its leader: one group
+            out_r.append(np.array([runs[s:e].sum()], dtype=np.int64))
+            out_v.append(seg_v[:1])
+            continue
+        # residual leader walk, confined to this segment
+        rr: list[int] = []
+        vv: list[float] = []
+        lead_r = int(runs[s])
+        for i in range(s + 1, e):
+            vi = values[i]
+            if (np.isnan(vi) and np.isnan(lead)) or \
+               (vi == lead and np.isinf(vi)) or \
+               (abs(vi - lead) < COALESCE_ABS_TOL):
+                lead_r += int(runs[i])
+            else:
+                rr.append(lead_r)
+                vv.append(lead)
+                lead_r = int(runs[i])
+                lead = vi
+        rr.append(lead_r)
+        vv.append(lead)
+        out_r.append(np.asarray(rr, dtype=np.int64))
+        out_v.append(np.asarray(vv, dtype=np.float64))
+    return (np.concatenate(out_r).astype(np.int64),
+            np.concatenate(out_v).astype(np.float64))
 
 
 def _exact_fold(runs: np.ndarray, values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
