@@ -88,6 +88,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": Q.dedup_minhash,
         "minhash_cluster_stats": Q.minhash_cluster_stats,
         "decontam_bloom_stats": Q.decontam_bloom_stats,
+        # transitive-closure label propagation, swept at rounds=1 where
+        # one bucket-min + doc-min round == the direct-partner minimum
+        # — the same exact J>=0.5 rule as minhash_cluster_stats, so the
+        # propagation machinery gets the same SQL oracle
+        "minhash_connected_stats": partial(Q.minhash_connected_stats,
+                                           rounds=1),
     }
     for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "pfor",
                   "dpfor", "xor", "fsst"):
@@ -147,10 +153,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": Q.dedup_exact,
         "unique_token_seqs": Q.unique_token_seqs,
         "ann_top1": Q.ann_top1,
-        # transitive-closure path, swept at rounds=1 (full propagation
-        # machinery, half the shuffle spin-up; default rounds=2 in API)
-        "minhash_connected_stats": partial(Q.minhash_connected_stats,
-                                           rounds=1),  # rows-only (LSH)
         "packed_sequences_stats": Q.packed_sequences_stats,
         "mixture_sample_stats": Q.mixture_sample_stats,
         "epoch_shuffle_head": Q.epoch_shuffle_head,
@@ -1483,6 +1485,12 @@ def oracle_sql() -> dict[str, str]:
                cast(count(DISTINCT cluster) AS bigint) AS n_clusters
         FROM cl GROUP BY source ORDER BY source
     """
+
+    # one label-propagation round (bucket-min + doc-min) == the
+    # direct-partner minimum — the same rule, and therefore the same
+    # oracle, as minhash_cluster_stats; this one pins the distributed
+    # propagation machinery (two hash repartitions, label ride-along)
+    sql["minhash_connected_stats"] = sql["minhash_cluster_stats"]
 
     # planted exact-duplicate perturbation (reproduced here) + exact
     # all-pairs cosine >= 0.9: equals the LSH-blocked pipeline's output
