@@ -138,3 +138,147 @@ def test_package_root_api_parity(tmp_path):
     rd.to_csv(p)  # reference default sep is "\t" (pyrle/rledict.py:705)
     assert "\t" in p.read_text().splitlines()[0]
     assert from_csv(p) == rd
+
+
+def _rd_pair():
+    from tokrle.rledict import RleDict
+
+    return RleDict({("chr1", "+"): Rle([1, 1], [1, 2]),
+                    ("chr1", "-"): Rle([1, 1], [3, 2.0])})
+
+
+def test_rledict_iter_doctest():
+    # pyrle/rledict.py:200-226: iterates (key, Rle) pairs in key order
+    items = list(_rd_pair())
+    assert [k for k, _ in items] == [("chr1", "+"), ("chr1", "-")]
+    check(items[0][1], [1, 1], [1.0, 2.0])
+    check(items[1][1], [1, 1], [3.0, 2.0])
+
+
+def test_rledict_apply_doctest():
+    # pyrle/rledict.py:446-471: apply reverses runs + sqrts values,
+    # then defragments
+    from tokrle.rledict import RleDict
+
+    r = RleDict({("chr1", "+"): Rle([1, 4], [1, 2]),
+                 ("chr1", "-"): Rle([2, 1], [3, 2.0])})
+
+    def nonsense(rle):
+        rle.runs = rle.runs[::-1].copy()
+        rle.values = np.sqrt(rle.values)
+        return rle
+
+    out = r.apply(nonsense)
+    check(out[("chr1", "+")], [4, 1], [1.0, 1.4142135381698608])
+    check(out[("chr1", "-")], [1, 2],
+          [1.7320508075688772, 1.4142135381698608])
+
+
+def test_rledict_apply_runs_doctest():
+    # pyrle/rledict.py:510-535
+    from tokrle.rledict import RleDict
+
+    r = RleDict({("chr1", "+"): Rle([1, 4], [1, 2]),
+                 ("chr1", "-"): Rle([2, 1], [3, 2.0])})
+
+    def even_times_hundred(runs):
+        runs = runs.copy()
+        runs[runs % 2 == 0] *= 100
+        return runs
+
+    out = r.apply_runs(even_times_hundred)
+    check(out[("chr1", "+")], [1, 400], [1.0, 2.0])
+    check(out[("chr1", "-")], [200, 1], [3.0, 2.0])
+
+
+def test_rledict_apply_values_doctest():
+    # pyrle/rledict.py:572-593
+    out = _rd_pair().apply_values(lambda v, **kw: v ** kw["exponent"],
+                                  exponent=3)
+    check(out[("chr1", "+")], [1, 1], [1.0, 8.0])
+    check(out[("chr1", "-")], [1, 1], [27.0, 8.0])
+
+
+def test_rledict_to_ranges_doctest():
+    # pyrle/rledict.py:715-733: stranded (Chromosome, Start, End,
+    # Score, Strand) rows, + before -, zero-score runs kept here (all
+    # scores nonzero)
+    df = _rd_pair().to_ranges()
+    rows = df[["Chromosome", "Start", "End", "Score", "Strand"]] \
+        .values.tolist()
+    assert rows == [["chr1", 0, 1, 1.0, "+"], ["chr1", 1, 2, 2.0, "+"],
+                    ["chr1", 0, 1, 3.0, "-"], ["chr1", 1, 2, 2.0, "-"]]
+
+
+def test_apply_values_defragment_doctests():
+    # pyrle/rle.py:768-795
+    r = Rle([1, 3, 5], [100, 200, -300])
+    check(r.apply_values(lambda v: np.sqrt(v)),
+          [1, 3, 5], [10.0, 14.142135620117188, np.nan])
+
+    def gt0_to_1(v):
+        v = v.copy()
+        v[v > 0] = 1
+        return v
+
+    check(r.apply_values(gt0_to_1, defragment=False),
+          [1, 3, 5], [1.0, 1.0, -300.0])
+    check(r.apply_values(gt0_to_1, defragment=True),
+          [4, 5], [1.0, -300.0])
+
+
+def test_apply_runs_squared_doctest():
+    # pyrle/rle.py:820-828
+    r = Rle([1, 3, 5], [100, 200, -300])
+    check(r.apply_runs(lambda v: (v ** 2).astype(np.int64)),
+          [1, 9, 25], [100.0, 200.0, -300.0])
+
+
+def test_apply_shuffle_doctest():
+    # pyrle/rle.py:852-866 (np.random.seed(0) shuffle is deterministic)
+    r = Rle([1, 3, 5], [100, 200, -300])
+
+    def shuffle(rle):
+        np.random.seed(0)
+        np.random.shuffle(rle.values)
+        np.random.shuffle(rle.runs)
+        return rle
+
+    check(r.apply(shuffle), [5, 1, 3], [-300.0, 200.0, 100.0])
+
+
+def test_defragment_after_value_mutation_doctest():
+    # pyrle/rle.py:884-909
+    r = Rle([1, 2, 3], [1, 0, 1])
+    r.values[1] = 1
+    r.values[2] = 2
+    check(r, [1, 2, 3], [1.0, 1.0, 2.0])
+    check(r.defragment(), [3, 3], [1.0, 2.0])
+
+
+def test_numbers_only_doctest():
+    # pyrle/rle.py:980-996
+    r = Rle([1, 2, 1, 2, 1], [-np.inf, 1, np.nan, 1, np.inf])
+    check(r.numbers_only(), [1, 2, 1, 2, 1],
+          [-2147483648.0, 1.0, 0.0, 1.0, 2147483648.0])
+
+
+def test_shift_doctests():
+    # pyrle/rle.py:1020-1060
+    r = Rle([3, 2, 1], [1, -1, 2])
+    check(r.shift(2, preserve_length=False, fill=np.nan),
+          [2, 3, 2, 1], [np.nan, 1.0, -1.0, 2.0])
+    check(r.shift(2), [2, 3, 1], [0.0, 1.0, -1.0])
+    check(r.shift(-2, fill=np.nan), [1, 2, 1, 2],
+          [1.0, -1.0, 2.0, np.nan])
+    check(r.shift(-4, preserve_length=False), [1, 1], [-1.0, 2.0])
+
+
+def test_length_mean_std_doctests():
+    # pyrle/rle.py:925-943, 952-955, 1107-1111 — including the
+    # reference's idiosyncratic std (square OUTSIDE the sum)
+    assert Rle([5], [0]).length == 5
+    assert Rle(np.arange(1, 101), [0, 1] * 50).length == 5050
+    assert Rle([1, 2, 1], [1, 2, 3]).mean() == 1.5
+    assert np.isclose(Rle([1, 2, 1], [1, 2, 3]).std(),
+                      0.8660254037844386)
