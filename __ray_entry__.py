@@ -88,6 +88,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": Q.dedup_minhash,
         "minhash_cluster_stats": Q.minhash_cluster_stats,
         "decontam_bloom_stats": Q.decontam_bloom_stats,
+        # SemDeDup within-cluster pass, oracled via the planted-
+        # duplicate perturbation (identical vectors share a cluster
+        # under any centroids)
+        "semdedup_planted_pairs": Q.semdedup_planted_pairs,
         # transitive-closure label propagation, swept at rounds=1 where
         # one bucket-min + doc-min round == the direct-partner minimum
         # — the same exact J>=0.5 rule as minhash_cluster_stats, so the
@@ -1491,6 +1495,20 @@ def oracle_sql() -> dict[str, str]:
     # oracle, as minhash_cluster_stats; this one pins the distributed
     # propagation machinery (two hash repartitions, label ride-along)
     sql["minhash_connected_stats"] = sql["minhash_cluster_stats"]
+
+    # SemDeDup within-cluster pass over the same planted perturbation:
+    # only the planted identical pairs reach 0.99
+    sql["semdedup_planted_pairs"] = """
+        WITH aug AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, embedding FROM embeddings
+            WHERE vec_id < 10)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        ORDER BY id_a, id_b
+    """
 
     # planted exact-duplicate perturbation (reproduced here) + exact
     # all-pairs cosine >= 0.9: equals the LSH-blocked pipeline's output

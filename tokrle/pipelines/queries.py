@@ -2438,6 +2438,43 @@ def semantic_cluster_stats(sf_dir: str) -> pd.DataFrame:
     return df[["cluster_id", "n_vecs", "sum_vec_id"]]
 
 
+def semdedup_planted_pairs(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup's within-cluster near-dup pass, ORACLE-CHECKED via the
+    planted-duplicate perturbation (the embedding_dups pattern): exact
+    copies of vec_id < 10 at id+100000 are unioned in, the k-means
+    clusters are trained on the augmented table, and the within-cluster
+    pass must surface exactly the planted pairs — identical vectors get
+    identical cluster assignments under ANY centroids (same argmax,
+    same tie-break), so blocking recall for them is structural, and no
+    natural pair reaches the 0.99 threshold (max natural cosine ~0.6).
+    SQL reproduces the perturbation and the exact all-pairs result."""
+    import pyarrow.compute as pc
+
+    from tokrle.functions.kmeans import kmeans_fit, semdedup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def planted(t: pa.Table) -> pa.Table:
+        d = t.filter(pc.less(t.column("vec_id"), 10))
+        return d.set_column(
+            d.column_names.index("vec_id"), "vec_id",
+            pc.add(d.column("vec_id"), 100000))
+
+    aug = ds.union(ds.map_batches(planted, batch_format="pyarrow"))
+    cents = kmeans_fit(aug, k=8, iters=3)
+    pairs = semdedup_pairs(aug, cents, threshold=0.99).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64")})
+    # semdedup emits pairs in within-cluster POSITION order; canonicalize
+    # to (smaller id, larger id) like the SQL's a.vec_id < b.vec_id
+    a = pairs[["id_a", "id_b"]].min(axis=1)
+    b = pairs[["id_a", "id_b"]].max(axis=1)
+    out = pd.DataFrame({"id_a": a.astype("int64"),
+                        "id_b": b.astype("int64")})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 INVINDEX_AND_TERMS = ("data", "table")
 
 
