@@ -16,6 +16,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from tokrle.functions.dedup import auto_concurrency as _auto
+
 
 def _to_matrix(col) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -122,13 +124,14 @@ class HyperplaneLSH:
         })
 
 
-def lsh_bucket_index(ds, dim: int, n_planes: int = 16, concurrency=(1, 4)):
+def lsh_bucket_index(ds, dim: int, n_planes: int = 16, concurrency=None):
     """Build the bucketed index Dataset (vec_id, bucket) — write_parquet it
     partitioned by bucket for the scale path."""
     return ds.map_batches(HyperplaneLSH, batch_size=4096,
                           fn_constructor_kwargs={"dim": dim,
                                                  "n_planes": n_planes},
-                          batch_format="pyarrow", concurrency=concurrency)
+                          batch_format="pyarrow",
+                          concurrency=concurrency or _auto())
 
 
 def hash_sample(ds, id_col: str, n: int):
@@ -161,7 +164,7 @@ def hash_sample(ds, id_col: str, n: int):
 def lsh_build_index(ds, index_dir: str, *, n_planes: int = 8, seed: int = 7,
                     axis_planes: bool = False,
                     vec_col: str = "embedding", id_col: str = "vec_id",
-                    concurrency=(1, 4)) -> None:
+                    concurrency=None) -> None:
     """Build a persistent bucket-partitioned LSH index: hyperplane matrix at
     ``index_dir/planes.npy`` (tiny, read by every query) and candidate
     vectors at ``index_dir/data/bucket=<b>/*.parquet`` — hive-partitioned

@@ -138,7 +138,7 @@ class BloomNgramFlagger:
 
 def flag_contaminated_bloom(train_ds, eval_ds, *, k: int = 8,
                             fpr: float = 1e-5, text_col: str = "text",
-                            concurrency=(1, 4)):
+                            concurrency=None):
     """Bloom-broadcast contamination flagging: same semantics as
     :func:`tokrle.functions.decontam.flag_contaminated` up to false
     POSITIVES (never false negatives).  ``fpr`` is PER N-GRAM PROBE; a
@@ -150,6 +150,10 @@ def flag_contaminated_bloom(train_ds, eval_ds, *, k: int = 8,
     import ray
 
     from tokrle.functions.decontam import _grams_table
+    from tokrle.functions.dedup import auto_concurrency
+
+    if concurrency is None:
+        concurrency = auto_concurrency()
 
     grams = eval_ds.map_batches(
         lambda b: _grams_table(b.column(text_col), k),

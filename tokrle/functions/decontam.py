@@ -178,7 +178,8 @@ MAX_INDEX_GRAMS = 50_000_000
 
 
 def flag_contaminated(train_ds, eval_ds, *, k: int = 8,
-                      text_col: str = "text", concurrency=(1, 4),
+                      text_col: str = "text",
+                      concurrency: tuple[int, int] | None = None,
                       max_index_grams: int = MAX_INDEX_GRAMS):
     """Append a boolean ``contaminated`` column to ``train_ds``.
 
@@ -187,8 +188,14 @@ def flag_contaminated(train_ds, eval_ds, *, k: int = 8,
     :func:`tokrle.functions.bloom.flag_contaminated_bloom` — identical
     semantics up to false POSITIVES only (the flagged set is a superset;
     one-sided-safe for decontamination, where over-dropping is the safe
-    direction)."""
+    direction).  ``concurrency`` defaults to an autoscaling pool capped
+    at the cluster's CPU count."""
     import ray
+
+    if concurrency is None:
+        from tokrle.functions.dedup import auto_concurrency
+
+        concurrency = auto_concurrency()
 
     index = eval_ngram_index(eval_ds, k=k, text_col=text_col,
                              max_rows=max_index_grams)
@@ -207,7 +214,7 @@ def flag_contaminated(train_ds, eval_ds, *, k: int = 8,
 
 
 def decontaminate(train_ds, eval_ds, *, k: int = 8, text_col: str = "text",
-                  concurrency=(1, 4)):
+                  concurrency: tuple[int, int] | None = None):
     """Training rows with every contaminated document removed."""
     flagged = flag_contaminated(train_ds, eval_ds, k=k, text_col=text_col,
                                 concurrency=concurrency)

@@ -86,6 +86,21 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id",
     return semi_join(ds, winners.select_columns([id_col]), on=id_col)
 
 
+def auto_concurrency() -> tuple[int, int]:
+    """Autoscaling actor-pool bound sized to the CLUSTER: a hard (1, 4)
+    cap silently serializes a 32-cpu (or 256-node) run behind 4 actors
+    — measured on the 1B-token prep volume run (4 workers at ~70% CPU
+    while 28 cores idled).  The pool still starts at 1 and only grows
+    under backpressure, so small inputs pay nothing."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return (1, max(4, cpus))
+
+
 def _group_blocks(ds, keys: list[str], num_partitions: int | None = None):
     """Hash-repartition so every block holds COMPLETE key groups, letting a
     plain vectorized ``map_batches(fn, batch_size=None)`` replace
@@ -369,6 +384,8 @@ def _lsh_band_buckets(ds, *, num_perm: int, bands: int, shingle_k: int,
                       concurrency):
     """(doc_id, source, bucket) rows: minhash signatures -> one int64
     bucket key per band (shared by minhash_lsh_dedup / minhash_clusters)."""
+    if concurrency is None:
+        concurrency = auto_concurrency()
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(MinHasher, batch_size=1024,
                           fn_constructor_kwargs={"num_perm": num_perm,
@@ -422,7 +439,7 @@ def _block_bucket_leaders(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def minhash_clusters(ds, *, num_perm: int = 64, bands: int = 16,
-                     shingle_k: int = 3, concurrency=(1, 4)):
+                     shingle_k: int = 3, concurrency=None):
     """Per-doc near-dup CLUSTER assignment: (doc_id, source, cluster)
     where ``cluster`` is the smallest doc_id found in any LSH band bucket
     containing the doc (single leader-wins pass; transitive chains
@@ -472,7 +489,7 @@ def _propagate_labels(state, rounds: int):
 
 def minhash_connected_clusters(ds, *, rounds: int = 3, num_perm: int = 64,
                                bands: int = 16, shingle_k: int = 3,
-                               concurrency=(1, 4)):
+                               concurrency=None):
     """Near-dup clusters with TRANSITIVE closure (up to ``rounds`` hops):
     connected components over the doc-LSH-bucket graph via iterated
     min-label propagation.  Returns (doc_id, source, cluster); docs whose
@@ -493,7 +510,7 @@ def minhash_connected_clusters(ds, *, rounds: int = 3, num_perm: int = 64,
 
 
 def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
-                      shingle_k: int = 3, concurrency=(1, 4),
+                      shingle_k: int = 3, concurrency=None,
                       return_full_rows: bool = False):
     """MinHash+LSH near-dup grouping: signature -> band buckets ->
     bucket-grouped cluster leaders -> global survivor set.
@@ -731,7 +748,7 @@ def ngram_jaccard_pairs(ds, *, shingle_k: int = 3, threshold: float = 0.5,
 
 def minhash_verified_pairs(ds, *, num_perm: int = 64, bands: int = 32,
                            shingle_k: int = 3, threshold_num: int = 1,
-                           threshold_den: int = 2, concurrency=(1, 4),
+                           threshold_den: int = 2, concurrency=None,
                            big_bucket_warn: int = 512):
     """Near-dup pairs by LSH candidate generation + EXACT shingle-set
     verification: (doc_a, doc_b, n_inter, n_union) for every candidate
@@ -968,7 +985,8 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 8,
             })
 
     buckets = ds.map_batches(SigStage, batch_size=4096,
-                             batch_format="pyarrow", concurrency=(1, 4))
+                             batch_format="pyarrow",
+                             concurrency=auto_concurrency())
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) > max_group:

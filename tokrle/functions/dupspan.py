@@ -35,6 +35,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from tokrle.functions.dedup import auto_concurrency as _auto
+
 from tokrle.functions.decontam import word_ngram_hashes
 
 # doc-local positions are < 2^32; offsetting doc codes by 2^32 keeps
@@ -276,7 +278,7 @@ class _SpanRemover:
 
 def remove_dup_spans(ds, *, k: int = 8, min_count: int = 2,
                      text_col: str = "text", id_col: str = "doc_id",
-                     concurrency=(1, 4),
+                     concurrency=None,
                      max_index_rows: int = 50_000_000):
     """Rewrite ``text`` with every duplicated span's words removed.
 
@@ -300,7 +302,7 @@ def remove_dup_spans(ds, *, k: int = 8, min_count: int = 2,
         _SpanRemover,
         fn_constructor_kwargs={"index_ref": index_ref, "k": k,
                                "text_col": text_col},
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=concurrency or _auto())
 
 
 def remove_dup_spans_join(ds, *, k: int = 8, min_count: int = 2,
@@ -454,7 +456,7 @@ def dup_span_source_stats(ds, *, k: int = 8, min_count: int = 2,
                           text_col: str = "text", id_col: str = "doc_id",
                           source_col: str = "source",
                           max_index_rows: int = 50_000_000,
-                          concurrency=(1, 8)) -> pd.DataFrame:
+                          concurrency=None) -> pd.DataFrame:
     """Per-source (n_docs, total_words, dup_words).
 
     Two execution paths, picked by the frequent-pair index size:
@@ -488,7 +490,7 @@ def dup_span_source_stats(ds, *, k: int = 8, min_count: int = 2,
             fn_constructor_kwargs={"index_ref": index_ref, "k": k,
                                    "text_col": text_col,
                                    "source_col": source_col},
-            batch_format="pyarrow", concurrency=concurrency)
+            batch_format="pyarrow", concurrency=concurrency or _auto())
         out = fold_sum_partials(parts, [source_col],
                                 ["n_docs", "total_words", "dup_words"])
         return out.sort_values(source_col).reset_index(drop=True)

@@ -30,6 +30,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from tokrle.functions.dedup import auto_concurrency as _auto
+
 
 def fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """DETERMINISTIC STAND-IN for an image decoder (no PIL/libjpeg in this
@@ -332,8 +334,9 @@ def synth_media_table(n: int, *, kind: str = "image", seed: int = 11):
 
 
 def image_feature_pipeline(media_ds, *, out_size: int = 32,
-                           concurrency=(1, 4), batch_size: int = 32):
+                           concurrency=None, batch_size: int = 32):
     """The real Ray plumbing: small batches (large payloads), actor pool."""
     return media_ds.map_batches(
         ImageFeatures, batch_size=batch_size, batch_format="pyarrow",
-        fn_constructor_kwargs={"out_size": out_size}, concurrency=concurrency)
+        fn_constructor_kwargs={"out_size": out_size},
+        concurrency=concurrency or _auto())

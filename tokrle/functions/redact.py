@@ -18,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from tokrle.functions.dedup import auto_concurrency as _auto
+
 DEFAULT_PATTERNS = {
     "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
     "phone": r"\+?[0-9][0-9 ().\-]{7,}[0-9]",
@@ -72,7 +74,7 @@ class Redactor:
 
 def redact(ds, patterns: dict[str, str] | None = None, *,
            replacement: str = "[REDACTED]", text_col: str = "text",
-           count_matches: bool = True, concurrency=(1, 4)):
+           count_matches: bool = True, concurrency=None):
     """Scrub ``text_col`` in place; with ``count_matches`` a per-row
     ``n_redactions`` column is appended (sum over all patterns)."""
     return ds.map_batches(
@@ -81,7 +83,7 @@ def redact(ds, patterns: dict[str, str] | None = None, *,
                                "replacement": replacement,
                                "text_col": text_col,
                                "count_matches": count_matches},
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=concurrency or _auto())
 
 
 def redaction_source_stats(ds, patterns: dict[str, str], *,

@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from tokrle.functions.dedup import auto_concurrency as _auto
+
 
 def _doc_words(batch: pa.Table, text_col: str):
     """(flat word object array, doc index per word)."""
@@ -103,7 +105,7 @@ class _TopTermScorer:
         })
 
 
-def top_tfidf_terms(ds, *, text_col: str = "text", concurrency=(1, 4)):
+def top_tfidf_terms(ds, *, text_col: str = "text", concurrency=None):
     """Per-doc top-scoring term (score = tf/df, term-ASC ties) as a
     (source, top_term) dataset."""
     import ray
@@ -112,7 +114,7 @@ def top_tfidf_terms(ds, *, text_col: str = "text", concurrency=(1, 4)):
     return ds.map_batches(
         _TopTermScorer,
         fn_constructor_kwargs={"df_ref": df_ref, "text_col": text_col},
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=concurrency or _auto())
 
 
 def top_term_source_stats(ds, *, text_col: str = "text") -> pd.DataFrame:
