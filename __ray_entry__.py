@@ -80,6 +80,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # normalize_text_stats precedent) gives the LSH-blocked
         # near-dup pipeline an exact all-pairs oracle
         "embedding_dups": Q.embedding_dups,
+        # round 5: planted exact copies are structurally co-blocked
+        # (identical shingle set -> identical size-bucket+band key), so
+        # the blocked exact-Jaccard pipeline must return the full
+        # planted relation, which SQL enumerates
+        "ngram_planted_pairs": Q.ngram_planted_pairs,
         # round 5: LSH band-bucket survivors == the exact J>=0.5
         # smaller-leader rule on this corpus (every corpus pair sits at
         # J>=0.889 where the 16x4 band-collision probability is
@@ -1523,6 +1528,17 @@ def oracle_sql() -> dict[str, str]:
         FROM aug a JOIN aug b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
         ORDER BY id_a, id_b
+    """
+
+    # planted copies (doc_id+100000 for doc_id<150) are structurally
+    # co-blocked with their originals (identical shingle set -> identical
+    # blocking key, Jaccard exactly 1.0 >= 0.8), and the query restricts
+    # output to the planted relation — so the blocked pipeline's result
+    # is exactly this enumeration
+    sql["ngram_planted_pairs"] = """
+        SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b
+        FROM documents WHERE doc_id < 150
+        ORDER BY doc_a, doc_b
     """
 
     # PQ ADC + exact rerank == exact brute-force top-1 (the rerank

@@ -20,6 +20,7 @@ SUBSET = [
     "regex_token_counts",
     "codec_roundtrip_rle",
     "ann_top1",
+    "ngram_planted_pairs",
 ]
 
 

@@ -874,6 +874,38 @@ def ngram_dup_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def ngram_planted_pairs(sf_dir: str) -> pd.DataFrame:
+    """The n-gram Jaccard family's deterministic SELF-ORACLE (the
+    embedding_dups precedent): exact copies of docs with doc_id < 150
+    are planted at id+100000, the blocked exact-Jaccard pipeline runs at
+    threshold 0.8, and the output is restricted to the planted relation
+    (doc_b == doc_a + 100000).  Recall for those pairs is STRUCTURAL,
+    not probabilistic: identical text gives an identical shingle set,
+    hence an identical (set-size bucket, min-hash band) blocking key and
+    Jaccard exactly 1.0 — so the result must equal the full planted set,
+    which DuckDB enumerates with a WHERE clause.  A green hash pins the
+    shingle hashing, per-block inverted-index intersection counting and
+    thresholding that ngram_dup_pairs exercises without an oracle."""
+    import pyarrow.compute as pc
+
+    from tokrle.functions.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def planted(t: pa.Table) -> pa.Table:
+        d = t.filter(pc.less(t.column("doc_id"), 150))
+        return d.set_column(
+            d.column_names.index("doc_id"), "doc_id",
+            pc.add(d.column("doc_id"), 100000))
+
+    aug = ds.union(ds.map_batches(planted, batch_format="pyarrow"))
+    pairs = ngram_jaccard_pairs(aug, threshold=0.8,
+                                max_group=4096).to_pandas()
+    pairs = pairs[pairs["doc_b"] - pairs["doc_a"] == 100000]
+    out = pairs[["doc_a", "doc_b"]].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def embedding_dups(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs through the LSH-blocked pipeline,
     ORACLE-CHECKED: the corpus has no natural pairs >= 0.9 (max cosine
