@@ -85,6 +85,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the blocked exact-Jaccard pipeline must return the full
         # planted relation, which SQL enumerates
         "ngram_planted_pairs": Q.ngram_planted_pairs,
+        # round 5: the LangId heuristic is a pure function of the text
+        # (fixed ASCII seed-text trigram profiles, argmax with
+        # first-max tie-break), so SQL reproduces the MODEL itself —
+        # byte-trigrams equal char-trigrams wherever they can match the
+        # ASCII-only profiles
+        "lang_id": Q.lang_id,
         # round 5: LSH band-bucket survivors == the exact J>=0.5
         # smaller-leader rule on this corpus (every corpus pair sits at
         # J>=0.889 where the 16x4 band-collision probability is
@@ -120,7 +126,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     d.update({
         # --- not yet driver-verified: rows-only (no SQL analog) ---
         "semantic_cluster_stats": Q.semantic_cluster_stats,  # rows-only (kmeans)
-        "lang_id": Q.lang_id,               # rows-only (heuristic model)
         "simhash_signatures": Q.simhash_signatures,  # rows-only
         "ngram_dup_pairs": Q.ngram_dup_pairs,        # rows-only (blocked)
         "multimodal_image_features": Q.multimodal_image_features,  # rows-only
@@ -1539,6 +1544,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b
         FROM documents WHERE doc_id < 150
         ORDER BY doc_a, doc_b
+    """
+
+    # full reproduction of the LangId model (tokrle/functions/text.py):
+    # per-language profiles are the distinct trigrams of the fixed seed
+    # strings, a doc scores the count of its distinct first-200-char
+    # trigrams present in each profile, prediction is argmax with
+    # first-max tie-break in seed order.  The stage works on BYTE
+    # trigrams; for the all-ASCII corpus+profiles they coincide with
+    # these char trigrams (non-ASCII windows can never match an
+    # ASCII-only profile on either side)
+    sql["lang_id"] = """
+        WITH seed(lang, idx, txt) AS (VALUES
+            ('en', 0, 'the quick brown fox jumps over the lazy dog and runs away'),
+            ('de', 1, 'der schnelle braune fuchs springt ueber den faulen hund und'),
+            ('es', 2, 'el rapido zorro marron salta sobre el perro perezoso y corre'),
+            ('fr', 3, 'le renard brun rapide saute par dessus le chien paresseux'),
+            ('zh', 4, 'kuai su de zong se hu li tiao guo lan gou ran hou pao kai')),
+        prof AS (
+            SELECT DISTINCT lang, idx, substr(txt, i, 3) AS t
+            FROM seed, UNNEST(range(1, strlen(txt) - 1)) AS r(i)),
+        heads AS (SELECT doc_id, substr(text, 1, 200) AS h FROM documents),
+        dtri AS (
+            SELECT DISTINCT doc_id, substr(h, i, 3) AS t
+            FROM heads, UNNEST(range(1, greatest(strlen(h) - 1, 1))) AS r(i)),
+        hits AS (
+            SELECT d.doc_id, p.lang, p.idx, count(*) AS s
+            FROM dtri d JOIN prof p USING (t) GROUP BY 1, 2, 3),
+        scored AS (
+            SELECT h.doc_id, s.lang, s.idx, coalesce(s2.s, 0) AS s
+            FROM heads h
+            CROSS JOIN (SELECT DISTINCT lang, idx FROM seed) s
+            LEFT JOIN hits s2 ON s2.doc_id = h.doc_id AND s2.lang = s.lang),
+        pred AS (
+            SELECT doc_id, lang AS pred_lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY s DESC, idx) AS rn
+            FROM scored)
+        SELECT pred_lang, count(*) AS n_docs
+        FROM pred WHERE rn = 1 GROUP BY 1 ORDER BY 1
     """
 
     # PQ ADC + exact rerank == exact brute-force top-1 (the rerank

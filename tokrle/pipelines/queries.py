@@ -841,7 +841,11 @@ def minhash_verified_pairs_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def lang_id(sf_dir: str) -> pd.DataFrame:
-    """Predicted language counts (heuristic; rows-only check)."""
+    """Predicted language counts, ORACLE-CHECKED: LangId is a pure
+    function of the text (fixed ASCII seed-text trigram profiles, argmax
+    with first-max tie-break), so the paired DuckDB SQL reproduces the
+    model itself — profiles, scoring and tie-break — not just the
+    aggregation."""
     from tokrle.functions.fold import source_sums
     from tokrle.functions.text import LangId
 
