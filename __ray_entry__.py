@@ -91,6 +91,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # byte-trigrams equal char-trigrams wherever they can match the
         # ASCII-only profiles
         "lang_id": Q.lang_id,
+        # round 5: simhash is a pure function of the token stream; the
+        # planted relation (copies hashed in a separate branch with
+        # different batch boundaries) must agree signature-for-signature
+        "simhash_planted_agreement": Q.simhash_planted_agreement,
         # round 5: LSH band-bucket survivors == the exact J>=0.5
         # smaller-leader rule on this corpus (every corpus pair sits at
         # J>=0.889 where the 16x4 band-collision probability is
@@ -1541,6 +1545,16 @@ def oracle_sql() -> dict[str, str]:
     # output to the planted relation — so the blocked pipeline's result
     # is exactly this enumeration
     sql["ngram_planted_pairs"] = """
+        SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b
+        FROM documents WHERE doc_id < 150
+        ORDER BY doc_a, doc_b
+    """
+
+    # simhash agreement across the planted relation is structural (the
+    # signature is a pure function of the token stream), so the query's
+    # output equals this enumeration; a batch-boundary- or actor-state
+    # leak in the stage would drop rows and fail the hash
+    sql["simhash_planted_agreement"] = """
         SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b
         FROM documents WHERE doc_id < 150
         ORDER BY doc_a, doc_b

@@ -867,6 +867,51 @@ def simhash_signatures(sf_dir: str) -> pd.DataFrame:
     return _distinct_count_per_source(sh, "simhash", "n_unique")
 
 
+def simhash_planted_agreement(sf_dir: str) -> pd.DataFrame:
+    """The simhash stage's deterministic SELF-ORACLE: exact copies of
+    docs with doc_id < 150 are planted at id+100000, tokenized and
+    simhashed in a SEPARATE map_batches branch from their originals
+    (different batches, different boundaries), and the query emits the
+    (doc_a, doc_b) planted relation restricted to pairs whose 64-bit
+    signatures agree.  Simhash is a pure function of the token stream,
+    so agreement is structural and the result must equal the full
+    planted enumeration SQL produces — a miss means the stage leaked
+    batch-boundary or actor state into the signature."""
+    import pyarrow.compute as pc
+
+    from tokrle.functions.dedup import simhash_batch
+    from tokrle.sources.tokens import tokenize_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def keep_planted(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("doc_id"), 150))
+
+    def shift_ids(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("doc_id"), "doc_id",
+            pc.add(t.column("doc_id"), 100000))
+
+    orig = ds.map_batches(keep_planted, batch_format="pyarrow")
+    copies = orig.map_batches(shift_ids, batch_format="pyarrow")
+
+    def to_sig(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        t = t.set_column(t.column_names.index("doc_id"), "doc_id",
+                         pc.cast(ids, pa.string()))
+        return simhash_batch(tokenize_batch(t))
+
+    sig_a = orig.map_batches(to_sig, batch_format="pyarrow").to_pandas()
+    sig_b = copies.map_batches(to_sig, batch_format="pyarrow").to_pandas()
+    sig_a["doc_a"] = sig_a["doc_id"].astype("int64")
+    sig_b["doc_a"] = sig_b["doc_id"].astype("int64") - 100000
+    m = sig_a.merge(sig_b, on="doc_a", suffixes=("_o", "_c"))
+    m = m[m["simhash_o"] == m["simhash_c"]]
+    out = pd.DataFrame({"doc_a": m["doc_a"].astype("int64"),
+                        "doc_b": m["doc_a"].astype("int64") + 100000})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def ngram_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Exact n-gram Jaccard pairs >= 0.8 within blocking groups
     (rows-only check: blocking-based candidate generation has no SQL analog)."""
