@@ -95,6 +95,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # planted relation (copies hashed in a separate branch with
         # different batch boundaries) must agree signature-for-signature
         "simhash_planted_agreement": Q.simhash_planted_agreement,
+        # round 5: lossless gradient PNGs -> real decode -> strided
+        # integer pixel sums == pure arithmetic SQL reproduces
+        "png_pixel_sums": Q.png_pixel_sums,
+        # round 5: lossless int16 WAV windows / APNG frame grids ->
+        # exact integer sums, pure arithmetic in SQL
+        "wav_window_sums": Q.wav_window_sums,
+        "apng_frame_sums": Q.apng_frame_sums,
         # round 5: LSH band-bucket survivors == the exact J>=0.5
         # smaller-leader rule on this corpus (every corpus pair sits at
         # J>=0.889 where the 16x4 band-collision probability is
@@ -1548,6 +1555,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b
         FROM documents WHERE doc_id < 150
         ORDER BY doc_a, doc_b
+    """
+
+    # pure-arithmetic reproduction of the gradient-PNG pixel sums: PNG
+    # is lossless, dimensions/strides derive from the item index, and
+    # with h,w in [16,64) the 8x8 stride grid always fits (7*(h//8) < h)
+    # — so the expected sum is just the gradient formula over the grid
+    sql["png_pixel_sums"] = """
+        WITH it AS (
+            SELECT i, 16 + (i * 7) % 48 AS w, 16 + (i * 11) % 48 AS h
+            FROM UNNEST(range(0, 48)) AS t(i)),
+        d AS (SELECT i, h // 8 AS sy, w // 8 AS sx FROM it)
+        SELECT i AS item_id,
+               sum((ky * sy * 3 + kx * sx * 5 + i + c * 7) % 256) AS pixel_sum
+        FROM d,
+             UNNEST(range(0, 8)) AS a(ky),
+             UNNEST(range(0, 8)) AS b(kx),
+             UNNEST(range(0, 3)) AS e(c)
+        GROUP BY i ORDER BY i
+    """
+
+    # int16 PCM survives the WAV round-trip losslessly and the window
+    # starts are exact integers k*m by construction, so the expected
+    # sums are the waveform formula over each window
+    sql["wav_window_sums"] = """
+        WITH it AS (
+            SELECT i, 100 + (i * 37) % 1000 AS m
+            FROM UNNEST(range(0, 48)) AS t(i)),
+        win AS (
+            SELECT i, w, w * m AS s
+            FROM it, UNNEST(range(0, 4)) AS ww(w))
+        SELECT i AS item_id, w AS "window",
+               sum(((s + k) * 13 + i * 7) % 4001 - 2000) AS window_sum
+        FROM win, UNNEST(range(0, 1024)) AS kk(k)
+        GROUP BY i, w ORDER BY item_id, "window"
+    """
+
+    # gradient APNG frames are lossless, so the sampled-frame strided
+    # pixel sums are the gradient formula over the 8x8 grid (the same
+    # always-fits stride argument as png_pixel_sums)
+    sql["apng_frame_sums"] = """
+        WITH it AS (
+            SELECT i, 16 + (i * 7) % 48 AS w, 16 + (i * 11) % 48 AS h
+            FROM UNNEST(range(0, 24)) AS t(i)),
+        d AS (SELECT i, h // 8 AS sy, w // 8 AS sx FROM it)
+        SELECT i AS item_id, f AS frame,
+               sum((ky * sy * 3 + kx * sx * 5 + i + f * 17 + c * 7)
+                   % 256) AS pixel_sum
+        FROM d,
+             UNNEST(range(0, 4)) AS ff(f),
+             UNNEST(range(0, 8)) AS a(ky),
+             UNNEST(range(0, 8)) AS b(kx),
+             UNNEST(range(0, 3)) AS e(c)
+        GROUP BY i, f ORDER BY item_id, frame
     """
 
     # simhash agreement across the planted relation is structural (the

@@ -21,6 +21,9 @@ SUBSET = [
     "codec_roundtrip_rle",
     "ann_top1",
     "ngram_planted_pairs",
+    "png_pixel_sums",
+    "wav_window_sums",
+    "apng_frame_sums",
 ]
 
 

@@ -140,6 +140,38 @@ class ImageFeatures:
         })
 
 
+class ImagePixelSums:
+    """Actor stage: decode (strict real codecs) -> stride subsample ->
+    EXACT integer pixel sum.
+
+    The bit-exact companion to ImageFeatures: float channel stats can't
+    be hash-compared against an external oracle, but the strided pixel
+    sum of a losslessly-coded image is a pure integer function of the
+    source pixels — so a planted gradient PNG gives the whole decode
+    path (chunk parse, inflate, filter reconstruction, stride plan) an
+    arithmetic oracle."""
+
+    def __init__(self, out_size: int = 8, decoder=real_decode_image) -> None:
+        self.out_size = out_size
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sums = np.empty(len(batch), dtype=np.int64)
+        for i in range(len(batch)):
+            payload = batch.column("media")[i].as_py()
+            w = batch.column("width")[i].as_py()
+            h = batch.column("height")[i].as_py()
+            img = self.decoder(payload, w, h)
+            sy = max(1, img.shape[0] // self.out_size)
+            sx = max(1, img.shape[1] // self.out_size)
+            small = img[::sy, ::sx][:self.out_size, :self.out_size]
+            sums[i] = int(small.astype(np.int64).sum())
+        return pa.table({
+            "item_id": batch.column("item_id"),
+            "pixel_sum": pa.array(sums, type=pa.int64()),
+        })
+
+
 class AudioFrameSampler:
     """Actor stage: sample fixed-length windows from an audio payload.
 
@@ -180,6 +212,43 @@ class AudioFrameSampler:
             "item_id": pa.array(out_id, type=pa.string()),
             "window": pa.array(out_win, type=pa.int32()),
             "rms": pa.array(out_rms, type=pa.float64()),
+        })
+
+
+class AudioWindowSums:
+    """Actor stage: REAL WAV decode -> evenly-spaced windows -> EXACT
+    integer sample sums.
+
+    The bit-exact companion to AudioFrameSampler: float RMS can't be
+    hash-compared, but int16 PCM survives the WAV round-trip losslessly,
+    so a planted integer waveform gives the RIFF parser and window plan
+    an arithmetic oracle.  Window starts use the same linspace plan as
+    AudioFrameSampler; callers wanting SQL-exact positions pick payload
+    lengths with (n_samples - window) divisible by (n_windows - 1)."""
+
+    def __init__(self, window: int = 1024, n_windows: int = 4) -> None:
+        self.window = window
+        self.n_windows = n_windows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from tokrle.functions.wav import decode_wav
+
+        out_id, out_win, out_sum = [], [], []
+        for i in range(len(batch)):
+            payload = batch.column("media")[i].as_py()
+            samples, _rate = decode_wav(payload)
+            pcm = samples[:, 0]
+            starts = np.linspace(0, len(pcm) - self.window,
+                                 self.n_windows).astype(np.int64)
+            for w, s in enumerate(starts):
+                out_id.append(batch.column("item_id")[i].as_py())
+                out_win.append(w)
+                out_sum.append(int(pcm[s:s + self.window]
+                               .astype(np.int64).sum()))
+        return pa.table({
+            "item_id": pa.array(out_id, type=pa.int64()),
+            "window": pa.array(out_win, type=pa.int32()),
+            "window_sum": pa.array(out_sum, type=pa.int64()),
         })
 
 
@@ -258,6 +327,38 @@ class VideoFrameSampler:
             "item_id": pa.array(out_id, type=pa.string()),
             "frame": pa.array(out_frame, type=pa.int32()),
             "mean_intensity": pa.array(out_mean, type=pa.float64()),
+        })
+
+
+class VideoFramePixelSums:
+    """Actor stage: REAL APNG frame decode -> stride subsample -> EXACT
+    integer pixel sums per sampled frame (the bit-exact companion to
+    VideoFrameSampler, same stride plan as ImagePixelSums)."""
+
+    def __init__(self, n_frames: int = 4, out_size: int = 8,
+                 frame_decoder=None) -> None:
+        self.n_frames = n_frames
+        self.out_size = out_size
+        self.frame_decoder = frame_decoder or apng_decode_video_frame
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_frame, out_sum = [], [], []
+        for i in range(len(batch)):
+            payload = batch.column("media")[i].as_py()
+            w = batch.column("width")[i].as_py()
+            h = batch.column("height")[i].as_py()
+            for f in range(self.n_frames):
+                img = self.frame_decoder(payload, f, w, h)
+                sy = max(1, img.shape[0] // self.out_size)
+                sx = max(1, img.shape[1] // self.out_size)
+                small = img[::sy, ::sx][:self.out_size, :self.out_size]
+                out_id.append(batch.column("item_id")[i].as_py())
+                out_frame.append(f)
+                out_sum.append(int(small.astype(np.int64).sum()))
+        return pa.table({
+            "item_id": pa.array(out_id, type=pa.int64()),
+            "frame": pa.array(out_frame, type=pa.int32()),
+            "pixel_sum": pa.array(out_sum, type=pa.int64()),
         })
 
 

@@ -1038,6 +1038,51 @@ def multimodal_image_features(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("item_id").reset_index(drop=True)
 
 
+def png_pixel_sums(sf_dir: str) -> pd.DataFrame:
+    """The image path's deterministic SELF-ORACLE: noise-free gradient
+    images pixel[y, x, c] = (y*3 + x*5 + i + c*7) % 256 with
+    i-derived dimensions are encoded as REAL PNGs (alternating None/Up
+    scanline filters), decoded by the strict real codec inside the
+    actor-pool stage, stride-subsampled and integer-summed.  PNG is
+    lossless and every quantity is integer arithmetic, so DuckDB
+    computes the expected sums from the gradient formula alone — a
+    green hash pins chunk parse, inflate, filter reconstruction and
+    the stride plan end to end (contrast multimodal_image_features,
+    whose float stats over noisy JPEG+PNG inputs stay rows-only)."""
+    import ray.data
+
+    from tokrle.functions.multimodal import ImagePixelSums
+
+    def make(batch: dict) -> pa.Table:
+        from tokrle.functions.png import encode_png
+
+        ids, blobs, widths, heights = [], [], [], []
+        for i in batch["id"].astype(np.int64):
+            i = int(i)
+            w = 16 + (i * 7) % 48
+            h = 16 + (i * 11) % 48
+            yy, xx = np.mgrid[0:h, 0:w]
+            cc = np.arange(3)[None, None, :]
+            img = ((yy[..., None] * 3 + xx[..., None] * 5 + i + cc * 7)
+                   % 256).astype(np.uint8)
+            blobs.append(encode_png(img, filter_type=(i % 2) * 2))
+            ids.append(i)
+            widths.append(w)
+            heights.append(h)
+        return pa.table({
+            "item_id": pa.array(ids, type=pa.int64()),
+            "media": pa.array(blobs, type=pa.binary()),
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
+        })
+
+    media = ray.data.range(48).map_batches(make, batch_format="numpy")
+    out = media.map_batches(ImagePixelSums, batch_size=16,
+                            batch_format="pyarrow",
+                            concurrency=(1, 2)).to_pandas()
+    return out.sort_values("item_id").reset_index(drop=True)
+
+
 def multimodal_audio_windows(sf_dir: str) -> pd.DataFrame:
     """Audio window-sampling over a deterministic synthetic media table
     of REAL WAV payloads (spec-conformant RIFF decode; rows-only
@@ -1051,6 +1096,88 @@ def multimodal_audio_windows(sf_dir: str) -> pd.DataFrame:
     out["rms_x100"] = (out["rms"] * 100).round().astype("int64")
     out = out[["item_id", "window", "rms_x100"]]
     return out.sort_values(["item_id", "window"]).reset_index(drop=True)
+
+
+def wav_window_sums(sf_dir: str) -> pd.DataFrame:
+    """The audio path's deterministic SELF-ORACLE: integer waveforms
+    sample[t] = ((t*13 + i*7) % 4001) - 2000 are encoded as REAL WAVs
+    (int16 PCM survives the RIFF round-trip losslessly), decoded by the
+    real parser inside the actor-pool stage and summed over the four
+    evenly-spaced 1024-sample windows.  Payload lengths are chosen with
+    (n - window) divisible by 3 so the linspace window starts are the
+    exact integers k*(n-1024)/3, making every quantity pure arithmetic
+    DuckDB reproduces (contrast multimodal_audio_windows, whose float
+    RMS over noisy sines stays rows-only)."""
+    import ray.data
+
+    from tokrle.functions.multimodal import AudioWindowSums
+
+    def make(batch: dict) -> pa.Table:
+        from tokrle.functions.wav import encode_wav
+
+        ids, blobs = [], []
+        for i in batch["id"].astype(np.int64):
+            i = int(i)
+            n_samp = 1024 + 3 * (100 + (i * 37) % 1000)
+            t = np.arange(n_samp, dtype=np.int64)
+            sig = ((t * 13 + i * 7) % 4001 - 2000).astype(np.int16)
+            blobs.append(encode_wav(sig, sample_rate=16000))
+            ids.append(i)
+        return pa.table({
+            "item_id": pa.array(ids, type=pa.int64()),
+            "media": pa.array(blobs, type=pa.binary()),
+        })
+
+    media = ray.data.range(48).map_batches(make, batch_format="numpy")
+    out = media.map_batches(AudioWindowSums, batch_size=16,
+                            batch_format="pyarrow",
+                            concurrency=(1, 2)).to_pandas()
+    out["window"] = out["window"].astype("int64")
+    return out.sort_values(["item_id", "window"]).reset_index(drop=True)
+
+
+def apng_frame_sums(sf_dir: str) -> pd.DataFrame:
+    """The video path's deterministic SELF-ORACLE: noise-free gradient
+    frames pixel[y, x, c] = (y*3 + x*5 + i + f*17 + c*7) % 256 are
+    encoded as a REAL APNG per item, the four sampled frames are decoded
+    by the real acTL/fcTL/fdAT parser inside the actor-pool stage,
+    stride-subsampled and integer-summed — all arithmetic DuckDB
+    reproduces (contrast multimodal_video_frames, whose float means
+    over noisy frames stay rows-only)."""
+    import ray.data
+
+    from tokrle.functions.multimodal import VideoFramePixelSums
+
+    def make(batch: dict) -> pa.Table:
+        from tokrle.functions.apng import encode_apng
+
+        ids, blobs, widths, heights = [], [], [], []
+        for i in batch["id"].astype(np.int64):
+            i = int(i)
+            w = 16 + (i * 7) % 48
+            h = 16 + (i * 11) % 48
+            yy, xx = np.mgrid[0:h, 0:w]
+            cc = np.arange(3)[None, None, :]
+            frames = [((yy[..., None] * 3 + xx[..., None] * 5 + i
+                        + f * 17 + cc * 7) % 256).astype(np.uint8)
+                      for f in range(4)]
+            blobs.append(encode_apng(frames, filter_type=2))
+            ids.append(i)
+            widths.append(w)
+            heights.append(h)
+        return pa.table({
+            "item_id": pa.array(ids, type=pa.int64()),
+            "media": pa.array(blobs, type=pa.binary()),
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
+        })
+
+    media = ray.data.range(24).map_batches(make, batch_format="numpy")
+    out = media.map_batches(VideoFramePixelSums, batch_size=8,
+                            batch_format="pyarrow",
+                            concurrency=(1, 2)).to_pandas()
+    out["frame"] = out["frame"].astype("int64")
+    return out.sort_values(["item_id", "frame"]).reset_index(drop=True)
 
 
 def multimodal_video_frames(sf_dir: str) -> pd.DataFrame:
