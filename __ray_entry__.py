@@ -39,31 +39,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from tokrle.pipelines import queries as Q
 
     d: dict[str, Callable[[str], Any]] = {
-        # --- not yet driver-verified: SQL-oracled ---
-        # flagship composition: filter -> dedup -> decontam -> tokenize
-        # -> pack -> encode -> decode -> aggregate (round 4)
-        "training_prep_stats": Q.training_prep_stats,
-        "bpe_first_merge": Q.bpe_first_merge,
-        "bpe_roundtrip_stats": Q.bpe_roundtrip_stats,
-        "decontam_stats": Q.decontam_stats,
-        "dup_span_stats": Q.dup_span_stats,
-        "redact_stats": Q.redact_stats,
-        "asof_attribution_stats": Q.asof_attribution_stats,
-        "range_overlap_stats": Q.range_overlap_stats,
-        "tfidf_top_terms_stats": Q.tfidf_top_terms_stats,
-        "inverted_index_stats": Q.inverted_index_stats,
-        "rollup_lineitem_stats": Q.rollup_lineitem_stats,
-        "cube_lineitem_stats": Q.cube_lineitem_stats,
-        "window_orders_stats": Q.window_orders_stats,
-        "skew_join_stats": Q.skew_join_stats,
-        "above_mean_docs_stats": Q.above_mean_docs_stats,
-        "above_quantile_docs_stats": Q.above_quantile_docs_stats,
-        "normalize_text_stats": Q.normalize_text_stats,
-        "stratified_sample_stats": Q.stratified_sample_stats,
-        "curriculum_topk_stats": Q.curriculum_topk_stats,
-        # SQL-oracled self-check for the minhash family: LSH candidates +
-        # exact shingle-Jaccard verification == all-pairs Jaccard
-        "minhash_verified_pairs_stats": Q.minhash_verified_pairs_stats,
+        # --- not yet driver-verified (or upgraded rows-only -> SQL in
+        # round 5): ordered first so the driver's sample window records
+        # them with full rows+schema+hash checks ---
         # round 5: ANN family converted to deterministic self-oracles —
         # axis-plane LSH + medoid-seeded IVF make the approximation
         # itself SQL-reproducible; PQ gains an exact-rerank stage whose
@@ -120,6 +98,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # propagation machinery gets the same SQL oracle
         "minhash_connected_stats": partial(Q.minhash_connected_stats,
                                            rounds=1),
+
+        # --- CORRECTNESS_r04.json driver-verified green ---
+        # flagship composition: filter -> dedup -> decontam -> tokenize
+        # -> pack -> encode -> decode -> aggregate (round 4)
+        "training_prep_stats": Q.training_prep_stats,
+        "bpe_first_merge": Q.bpe_first_merge,
+        "bpe_roundtrip_stats": Q.bpe_roundtrip_stats,
+        "decontam_stats": Q.decontam_stats,
+        "dup_span_stats": Q.dup_span_stats,
+        "redact_stats": Q.redact_stats,
+        "asof_attribution_stats": Q.asof_attribution_stats,
+        "range_overlap_stats": Q.range_overlap_stats,
+        "tfidf_top_terms_stats": Q.tfidf_top_terms_stats,
+        "inverted_index_stats": Q.inverted_index_stats,
+        "rollup_lineitem_stats": Q.rollup_lineitem_stats,
+        "cube_lineitem_stats": Q.cube_lineitem_stats,
+        "window_orders_stats": Q.window_orders_stats,
+        "skew_join_stats": Q.skew_join_stats,
+        "above_mean_docs_stats": Q.above_mean_docs_stats,
+        "above_quantile_docs_stats": Q.above_quantile_docs_stats,
+        "normalize_text_stats": Q.normalize_text_stats,
+        "stratified_sample_stats": Q.stratified_sample_stats,
+        "curriculum_topk_stats": Q.curriculum_topk_stats,
+        # SQL-oracled self-check for the minhash family: LSH candidates +
+        # exact shingle-Jaccard verification == all-pairs Jaccard
+        "minhash_verified_pairs_stats": Q.minhash_verified_pairs_stats,
     }
     for codec in ("plain", "rle", "dict", "bitpack", "for", "delta", "pfor",
                   "dpfor", "xor", "fsst"):
