@@ -42,6 +42,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- not yet driver-verified (or upgraded rows-only -> SQL in
         # round 5): ordered first so the driver's sample window records
         # them with full rows+schema+hash checks ---
+        # round 5: CSV / JSONL ingest paths — the roundtripped text's
+        # token checksums must equal the Parquet original's
+        "csv_source_stats": Q.csv_source_stats,
+        "jsonl_source_stats": Q.jsonl_source_stats,
         # round 5: ANN family converted to deterministic self-oracles —
         # axis-plane LSH + medoid-seeded IVF make the approximation
         # itself SQL-reproducible; PQ gains an exact-rerank stage whose
@@ -254,6 +258,12 @@ def oracle_sql() -> dict[str, str]:
 
     sql["encode_roundtrip_stats_localgroup"] = sql["encode_roundtrip_stats"]
     sql["encode_roundtrip_stats_hashgroup"] = sql["encode_roundtrip_stats"]
+
+    # CSV / JSONL ingest roundtrips: the format writer+reader must
+    # preserve text byte-exactly, so the roundtripped corpus's token
+    # checksums equal the Parquet original's
+    sql["csv_source_stats"] = sql["encode_roundtrip_stats"]
+    sql["jsonl_source_stats"] = sql["encode_roundtrip_stats"]
 
     sql["recompress_roundtrip_stats"] = sql["encode_roundtrip_stats"]
     sql["compact_corpus_stats"] = sql["encode_roundtrip_stats"]

@@ -24,6 +24,8 @@ SUBSET = [
     "png_pixel_sums",
     "wav_window_sums",
     "apng_frame_sums",
+    "csv_source_stats",
+    "jsonl_source_stats",
 ]
 
 

@@ -85,6 +85,52 @@ def encode_roundtrip_stats_hashgroup(sf_dir: str) -> pd.DataFrame:
     return _per_source_token_stats(dec)
 
 
+def _format_source_stats(sf_dir: str, fmt: str) -> pd.DataFrame:
+    """Round-trip the documents table through a row text format (CSV or
+    JSONL) and compute the per-source token aggregates from the
+    ROUNDTRIPPED text: the SQL oracle recomputes them from the original
+    Parquet, so a green hash proves the format writer+reader preserve
+    every doc_id/source/text byte-exactly (quoting, escaping, unicode),
+    and the normalized output feeds the same tokenize path as Parquet."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from tokrle.sources.text_formats import (read_documents_csv,
+                                             read_documents_jsonl,
+                                             write_documents_csv,
+                                             write_documents_jsonl)
+    from tokrle.sources.tokens import tokenize_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "text"])
+    out = os.path.join("/tmp", "tokrle_fmt",
+                       f"{fmt}_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    if fmt == "csv":
+        write_documents_csv(docs, out)
+        rd = read_documents_csv(out, columns=["doc_id", "source", "text"])
+    else:
+        write_documents_jsonl(docs, out)
+        rd = read_documents_jsonl(out, columns=["doc_id", "source", "text"])
+    tok = rd.map_batches(tokenize_batch, batch_format="pyarrow")
+    return _per_source_token_stats(tok)
+
+
+def csv_source_stats(sf_dir: str) -> pd.DataFrame:
+    """CSV ingest path (sources/text_formats.py): parallel sharded
+    write + parallel read, schema-normalized, token-checksummed against
+    the Parquet original."""
+    return _format_source_stats(sf_dir, "csv")
+
+
+def jsonl_source_stats(sf_dir: str) -> pd.DataFrame:
+    """JSON-lines ingest path, same contract as csv_source_stats."""
+    return _format_source_stats(sf_dir, "jsonl")
+
+
 # ---------------------------------------------------------------------------
 # per-codec round-trip through Ray over lineitem ints
 # ---------------------------------------------------------------------------
