@@ -81,3 +81,35 @@ def test_ingest_to_parquet(ray_session, tmp_path):
     got = ray.data.read_parquet(dst, columns=["text", "doc_id"]) \
         .to_pandas().sort_values("doc_id")
     assert got["text"].tolist() == ADVERSARIAL
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# exclude the two classes JSON/CSV legitimately cannot carry in a text
+# column: surrogates (invalid UTF-8) and NUL (C-string terminator in
+# the Arrow CSV parser) — everything else must survive byte-exact
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           blacklist_characters="\x00"),
+    min_size=0, max_size=80)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=8))
+def test_hypothesis_unicode_roundtrip(ray_session, tmp_path_factory, texts):
+    import ray.data
+
+    from tokrle.sources.text_formats import (read_documents_jsonl,
+                                             write_documents_jsonl)
+
+    out = str(tmp_path_factory.mktemp("hyp"))
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "source": pa.array(["s"] * len(texts)),
+        "text": pa.array(texts),
+    })
+    write_documents_jsonl(ray.data.from_arrow(t), out)
+    got = read_documents_jsonl(out, columns=["doc_id", "text"]) \
+        .to_pandas().sort_values("doc_id")
+    assert got["text"].fillna("").tolist() == texts
