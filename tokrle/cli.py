@@ -298,7 +298,21 @@ def main(argv=None) -> int:
             if not os.path.isfile(sentinel):
                 import shutil
 
-                shutil.rmtree(stage, ignore_errors=True)
+                # Never delete a directory this tool didn't build: a
+                # partial stage from a killed run contains ONLY our
+                # parquet shards, so anything else there means the user
+                # pointed --stage-dir at pre-existing data.
+                if os.path.isdir(stage):
+                    foreign = [f for f in os.listdir(stage)
+                               if not f.endswith(".parquet")
+                               and f != "_SUCCESS"]
+                    if foreign:
+                        raise SystemExit(
+                            f"stage dir {stage} has no _SUCCESS sentinel "
+                            f"but contains non-stage files {foreign[:5]}; "
+                            f"refusing to delete — pass a fresh "
+                            f"--stage-dir or remove it manually")
+                    shutil.rmtree(stage)
                 examples = training_examples(
                     args.in_path, seq_len=args.seq_len, eos=args.eos,
                     min_words=args.min_words,

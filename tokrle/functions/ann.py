@@ -186,6 +186,11 @@ def lsh_build_index(ds, index_dir: str, *, n_planes: int = 8, seed: int = 7,
     first = ds.take_batch(1, batch_format="pyarrow")
     dim = len(first[vec_col][0])
     if axis_planes:
+        if n_planes > dim:
+            raise ValueError(
+                f"axis_planes needs n_planes <= embedding dim "
+                f"({n_planes} > {dim}): np.eye would pad all-zero "
+                f"hyperplanes whose bucket bits are constant")
         planes = np.eye(n_planes, dim)
     else:
         rng = np.random.default_rng(seed)

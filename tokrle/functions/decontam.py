@@ -200,8 +200,15 @@ def flag_contaminated(train_ds, eval_ds, *, k: int = 8,
     index = eval_ngram_index(eval_ds, k=k, text_col=text_col,
                              max_rows=max_index_grams)
     if index is None:  # over the broadcast cap: fixed-size bloom path
+        import logging
+
         from tokrle.functions.bloom import flag_contaminated_bloom
 
+        logging.getLogger(__name__).warning(
+            "eval n-gram index exceeds max_index_grams=%d; falling "
+            "through to the Bloom prefilter — 'contaminated' flags are "
+            "now a SUPERSET (false positives possible); counts from "
+            "this column overestimate contamination", max_index_grams)
         return flag_contaminated_bloom(train_ds, eval_ds, k=k,
                                        text_col=text_col,
                                        concurrency=concurrency)

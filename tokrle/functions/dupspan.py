@@ -292,10 +292,16 @@ def remove_dup_spans(ds, *, k: int = 8, min_count: int = 2,
     output (pinned by tests/test_functions.py)."""
     import ray
 
-    freq = frequent_grams(ds, k=k, min_count=min_count, text_col=text_col)
+    # materialize once: count() comes free from block metadata and BOTH
+    # branches consume the same executed blocks (to_pandas here, the
+    # covered-starts join below) instead of re-running the corpus scan
+    # + gram-count shuffle per consumer; blocks spill, never the driver
+    freq = frequent_grams(ds, k=k, min_count=min_count,
+                          text_col=text_col).materialize()
     if freq.count() > max_index_rows:
         return remove_dup_spans_join(ds, k=k, min_count=min_count,
-                                     text_col=text_col, id_col=id_col)
+                                     text_col=text_col, id_col=id_col,
+                                     freq=freq)
     t = freq.to_pandas()
     index_ref = ray.put((t["h1"].to_numpy(), t["h2"].to_numpy()))
     return ds.map_batches(
@@ -307,7 +313,8 @@ def remove_dup_spans(ds, *, k: int = 8, min_count: int = 2,
 
 def remove_dup_spans_join(ds, *, k: int = 8, min_count: int = 2,
                           text_col: str = "text", id_col: str = "doc_id",
-                          num_partitions: int | None = None):
+                          num_partitions: int | None = None,
+                          freq=None):
     """Join-path duplicated-span rewrite: no broadcast, no driver-side
     index — the scale path when the frequent-gram set itself is huge
     (Lee et al. operate at exactly that scale).
@@ -321,14 +328,19 @@ def remove_dup_spans_join(ds, *, k: int = 8, min_count: int = 2,
     positions are the only other exchange payload."""
     from tokrle.functions.dedup import _group_blocks
 
-    freq = frequent_grams(ds, k=k, min_count=min_count, text_col=text_col)
+    if freq is None:
+        freq = frequent_grams(ds, k=k, min_count=min_count,
+                              text_col=text_col)
     covered = covered_gram_starts(ds, freq, k=k, text_col=text_col,
                                   id_col=id_col,
                                   num_partitions=num_partitions)
     # arrow schema via a one-row probe: ds.schema() can surface pandas
     # block types (plain Python classes) for from_pandas inputs, which
     # pa.nulls rejects
-    probe = ds.take_batch(1, batch_format="pyarrow")
+    try:
+        probe = ds.take_batch(1, batch_format="pyarrow")
+    except (ValueError, StopIteration):
+        return ds  # empty corpus: nothing to rewrite
     names = list(probe.column_names)
     types = [probe.schema.field(n).type for n in names]
 

@@ -238,6 +238,11 @@ class AudioWindowSums:
             payload = batch.column("media")[i].as_py()
             samples, _rate = decode_wav(payload)
             pcm = samples[:, 0]
+            if len(pcm) < self.window:
+                # same guard as AudioFrameSampler: zero-pad short
+                # payloads so the linspace starts stay non-negative
+                # (zeros keep the integer sums exact)
+                pcm = np.pad(pcm, (0, self.window - len(pcm)))
             starts = np.linspace(0, len(pcm) - self.window,
                                  self.n_windows).astype(np.int64)
             for w, s in enumerate(starts):

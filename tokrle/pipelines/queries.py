@@ -106,7 +106,7 @@ def _format_source_stats(sf_dir: str, fmt: str) -> pd.DataFrame:
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "source", "text"])
     out = os.path.join("/tmp", "tokrle_fmt",
-                       f"{fmt}_{os.path.basename(os.path.normpath(sf_dir))}")
+                       f"{fmt}_{sf_dir.strip('/').replace('/', '_')}")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     if fmt == "csv":
