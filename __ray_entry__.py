@@ -46,6 +46,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token checksums must equal the Parquet original's
         "csv_source_stats": Q.csv_source_stats,
         "jsonl_source_stats": Q.jsonl_source_stats,
+        # round 5: simhash is wrap-around uint64 arithmetic on the
+        # SQL-contracted token ids, so DuckDB recomputes the full
+        # 64-bit signature per doc (HUGEINT products mod 2^64) and the
+        # per-source distinct-signature counts must match exactly
+        "simhash_signatures": Q.simhash_signatures,
         # round 5: ANN family converted to deterministic self-oracles —
         # axis-plane LSH + medoid-seeded IVF make the approximation
         # itself SQL-reproducible; PQ gains an exact-rerank stage whose
@@ -145,7 +150,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     d.update({
         # --- not yet driver-verified: rows-only (no SQL analog) ---
         "semantic_cluster_stats": Q.semantic_cluster_stats,  # rows-only (kmeans)
-        "simhash_signatures": Q.simhash_signatures,  # rows-only
         "ngram_dup_pairs": Q.ngram_dup_pairs,        # rows-only (blocked)
         "multimodal_image_features": Q.multimodal_image_features,  # rows-only
         "multimodal_audio_windows": Q.multimodal_audio_windows,    # rows-only
@@ -264,6 +268,47 @@ def oracle_sql() -> dict[str, str]:
     # checksums equal the Parquet original's
     sql["csv_source_stats"] = sql["encode_roundtrip_stats"]
     sql["jsonl_source_stats"] = sql["encode_roundtrip_stats"]
+
+    # full 64-bit simhash recomputed in SQL: h = xor(m, m >> 29) with
+    # m = (token * 0x9E3779B97F4A7C15) mod 2^64 (HUGEINT product keeps
+    # the wrap exact); per-doc per-bit majority of +/-1 contributions,
+    # signature reassembled and two's-complemented to match the int64
+    # view the engine emits
+    sql["simhash_signatures"] = """
+        WITH tok AS (
+            SELECT doc_id, source, ascii(w) * 32 + length(w) AS t
+            FROM (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents)),
+        h AS (
+            SELECT doc_id, source, xor(hm, hm >> 29) AS h
+            FROM (SELECT doc_id, source,
+                         CAST((CAST(t AS HUGEINT) * 11400714819323198485)
+                              % 18446744073709551616 AS UBIGINT) AS hm
+                  FROM tok)),
+        bits AS (
+            SELECT doc_id, source, bit,
+                   CASE WHEN sum(CASE WHEN
+                            (h >> CAST(bit AS INTEGER)) & 1 = 1
+                            THEN 1 ELSE -1 END) > 0
+                        THEN 1 ELSE 0 END AS bset
+            FROM h, UNNEST(range(0, 64)) AS b(bit)
+            GROUP BY doc_id, source, bit),
+        sig AS (
+            SELECT doc_id, source,
+                   sum(CASE WHEN bset = 1
+                       THEN CAST(1 AS HUGEINT) << CAST(bit AS INTEGER)
+                       ELSE 0 END) AS u
+            FROM bits GROUP BY doc_id, source),
+        s2 AS (
+            SELECT source,
+                   CAST(CASE WHEN u >= 9223372036854775808
+                        THEN u - 18446744073709551616 ELSE u END
+                        AS BIGINT) AS simhash
+            FROM sig)
+        SELECT source, cast(count(DISTINCT simhash) AS bigint) AS n_unique
+        FROM s2 GROUP BY source ORDER BY source
+    """
 
     sql["recompress_roundtrip_stats"] = sql["encode_roundtrip_stats"]
     sql["compact_corpus_stats"] = sql["encode_roundtrip_stats"]

@@ -26,6 +26,7 @@ SUBSET = [
     "apng_frame_sums",
     "csv_source_stats",
     "jsonl_source_stats",
+    "simhash_signatures",
 ]
 
 
