@@ -518,3 +518,59 @@ def test_xor_never_selected_when_it_loses():
     decimals = np.round(rng.uniform(0, 1000, 8000), 2)
     c2, _, _ = auto_encode(decimals)
     assert c2 == "alp", c2
+
+
+# ---------------------------------------------------------------------------
+# full-range uint64 (hash / signature columns): one framing byte says
+# whether the int64 stream is xor-2^63-biased (order-preserving bijection)
+# ---------------------------------------------------------------------------
+
+_U64_CASES = {
+    "full_range": np.random.default_rng(7).integers(
+        0, 2**64, 4000, dtype=np.uint64),
+    "top_heavy": np.random.default_rng(8).integers(
+        0, 2**10, 4000, dtype=np.uint64) + np.uint64(2**63),
+    "runs": np.repeat(np.array([2**63 + 5, 3, 2**64 - 1],
+                               dtype=np.uint64), 500),
+    "sorted_hashes": np.sort(np.random.default_rng(9).integers(
+        0, 2**64, 4000, dtype=np.uint64)),
+    "small": np.random.default_rng(10).integers(
+        0, 100, 4000, dtype=np.uint64),
+    "edge": np.array([0, 2**63 - 1, 2**63, 2**64 - 1], dtype=np.uint64),
+    "empty": np.empty(0, dtype=np.uint64),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_U64_CASES))
+@pytest.mark.parametrize("codec", ["plain", "rle", "dict", "bitpack",
+                                   "for", "delta", "pfor", "dpfor",
+                                   "xor", "fsst"])
+def test_uint64_full_range_roundtrip(name, codec):
+    from tokrle.codecs.core import agg_sum, decode_range, exact_sum_int
+
+    x = _U64_CASES[name]
+    needs_bias = len(x) and int(x.max()) >= 2**63
+    biased_has_negative = needs_bias and int(x.min()) < 2**63
+    if codec == "bitpack" and biased_has_negative:
+        # bitpack's non-negative contract rejects the biased domain the
+        # same way it rejects negative int64 — explicit, not a crash
+        with pytest.raises(ValueError):
+            encode(codec, x)
+        return
+    p = encode(codec, x)
+    d = decode(codec, p, len(x), np.uint64)
+    assert d.dtype == np.uint64 and np.array_equal(d, x)
+    if len(x) > 20:
+        assert np.array_equal(
+            decode_range(codec, p, len(x), np.uint64, 3, 17), x[3:17])
+    assert agg_sum(codec, p, len(x), np.uint64) == exact_sum_int(x)
+
+
+@pytest.mark.parametrize("name", sorted(_U64_CASES))
+def test_uint64_auto_encode(name):
+    from tokrle.select import auto_encode
+
+    x = _U64_CASES[name]
+    codec, payload, _ = auto_encode(x)
+    d = decode(codec, payload, len(x), np.uint64)
+    assert d.dtype == np.uint64 and np.array_equal(d, x)

@@ -1033,3 +1033,101 @@ def test_live_groups_ignores_crashed_tmp_dirs(tmp_path):
         os.makedirs(os.path.join(enc, name))
     live = [os.path.basename(g) for g in live_groups(enc)]
     assert live == ["group=aaa", "group=bbb"]
+
+
+def test_upsert_plain_layout_adopts_base_group(ray_session, tmp_path):
+    """Upsert on a PLAIN encode_tokens(...).write_parquet output (no
+    group=* dirs): the plain files are adopted into group=base so the
+    pre-existing docs stay in the live view, replacements are scanned,
+    and the delta does not hide the corpus."""
+    import ray.data
+
+    from tokrle.pipelines.corpus import read_corpus, upsert_corpus
+    from tokrle.pipelines.encode import decode_tokens, encode_tokens
+    from tokrle.sources.tokens import synth_tokens
+
+    enc = str(tmp_path / "plain_enc")
+    toks = synth_tokens(300).materialize()
+    encode_tokens(toks, batch_size=64).write_parquet(enc)
+    orig = decode_tokens(read_corpus(enc)).to_pandas()
+    rid = str(orig.iloc[0]["doc_id"])
+    delta = pa.table({
+        "doc_id": pa.array([rid, "brand_new"], type=pa.string()),
+        "tokens": pa.array([[9, 9], [1, 2, 3]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([2, 3], type=pa.int32()),
+        "source": pa.array(["sX", "sX"]),
+    })
+    run = upsert_corpus(enc, ray.data.from_arrow(delta), batch_size=64)
+    assert run["docs_replaced"] == 1 and run["docs_added"] == 2
+    assert os.path.isdir(os.path.join(enc, "group=base"))
+    after = decode_tokens(read_corpus(enc)).to_pandas()
+    # every original doc still present; the replaced one has new tokens
+    assert set(after["doc_id"]) == set(orig["doc_id"]) | {"brand_new"}
+    assert list(after.set_index("doc_id").loc[rid, "tokens"]) == [9, 9]
+    assert len(after) == len(orig) + 1
+
+
+def test_adopt_plain_layout_resumes_partial_move(ray_session, tmp_path):
+    """A crash mid-adoption (some files moved into group=base.tmp, some
+    still plain) converges on the next writer run; recover_groups never
+    GCs the adoption staging dir."""
+    import glob
+    import shutil
+
+    from tokrle.pipelines.corpus import (_adopt_plain_layout,
+                                         recover_groups)
+    from tokrle.pipelines.encode import encode_tokens
+    from tokrle.sources.tokens import synth_tokens
+
+    enc = str(tmp_path / "adopt")
+    encode_tokens(synth_tokens(200), batch_size=64) \
+        .repartition(3).write_parquet(enc)
+    plain = sorted(glob.glob(os.path.join(enc, "*.parquet")))
+    assert len(plain) >= 2
+    # simulate the crash: one file already staged
+    tmp = os.path.join(enc, "group=base.tmp")
+    os.makedirs(tmp)
+    shutil.move(plain[0], os.path.join(tmp, os.path.basename(plain[0])))
+    recover_groups(enc)  # must NOT delete the staging dir
+    assert os.path.isdir(tmp)
+    _adopt_plain_layout(enc)
+    base = os.path.join(enc, "group=base")
+    assert sorted(os.path.basename(p) for p in plain) == \
+        sorted(os.listdir(base))
+    assert not glob.glob(os.path.join(enc, "*.parquet"))
+    assert not os.path.isdir(tmp)
+
+
+def test_recompress_skips_docindex_and_tmp_leftovers(ray_session, tmp_path):
+    """recompress scans the LIVE corpus view only: _docindex partitions
+    (different schema) and group=*.tmp crash leftovers must not enter
+    the decode."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from tokrle.pipelines.corpus import encode_corpus, recompress
+    from tokrle.pipelines.encode import (build_doc_index, decode_tokens,
+                                         roundtrip_check)
+    from tokrle.sources.tokens import synth_tokens
+
+    src = str(tmp_path / "tokens")
+    synth_tokens(800).repartition(2).write_parquet(src)
+    enc1 = str(tmp_path / "enc1")
+    encode_corpus(src, enc1, batch_size=256)
+    build_doc_index(enc1)  # writes enc1/_docindex/... with its own schema
+    # plant a crash leftover: a partial rewrite dir with a bogus file
+    leftover = os.path.join(enc1, "group=deadbeef.tmp")
+    os.makedirs(leftover)
+    pq.write_table(pa.table({"junk": [1, 2]}),
+                   os.path.join(leftover, "x.parquet"))
+    enc2 = str(tmp_path / "enc2")
+    run = recompress(enc1, enc2, batch_size=512)
+    assert run["n_tokens"] > 0
+    chk = roundtrip_check(
+        ray.data.read_parquet(src),
+        decode_tokens(ray.data.read_parquet(enc2, columns=[
+            "codec", "payload", "n_tokens", "row_offsets", "doc_id",
+            "doc_source"])))
+    assert chk["source"] == chk["decoded"]

@@ -840,7 +840,7 @@ class Alp(Codec):
         if len(exc_pos):
             # park exceptions on a valid digit so they don't widen the
             # inner codec's span
-            fill = digits[exact][0] if exact.any() else np.int64(0)
+            fill = digits[np.argmax(exact)] if exact.any() else np.int64(0)
             exc_raw = np.ascontiguousarray(bits[exc_pos.astype(np.int64)])
             digits[exc_pos.astype(np.int64)] = fill
         else:
@@ -973,10 +973,10 @@ class Fsst(Codec):
         w8 = raw.view(np.uint64)
         t8 = self._train(w8, 8)
         hit8, codes8 = self._match(w8, t8)
-        w4 = w8[~hit8].copy().view(np.uint32)      # misses split into 2x4B
+        w4 = w8[~hit8].view(np.uint32)      # misses split into 2x4B
         t4 = self._train(w4, 4)
         hit4, codes4 = self._match(w4, t4)
-        w2 = w4[~hit4].copy().view(np.uint16)      # misses split into 2x2B
+        w2 = w4[~hit4].view(np.uint16)      # misses split into 2x2B
         t2 = self._train(w2, 2)
         hit2, codes2 = self._match(w2, t2)
         literals = w2[~hit2]
@@ -1327,6 +1327,23 @@ CODECS: dict[str, Codec] = {
 _FLOAT_VIEW = {2: np.int16, 4: np.int32, 8: np.int64}
 
 
+_U64_BIAS = np.uint64(1 << 63)
+
+
+def u64_to_i64(x: np.ndarray) -> tuple[np.ndarray, bool]:
+    """uint64 -> the int64 domain the codecs encode, plus the bias flag.
+
+    Values all < 2^63 view as int64 unchanged (non-negative, so bitpack
+    and friends keep working); otherwise xor-ing the top bit is the
+    order-preserving bijection onto int64, so every signed codec path
+    (refs, deltas, zigzag) applies and full-range hash/signature columns
+    no longer overflow the stream headers.  The flag rides as ONE framing
+    byte ahead of the codec payload (see :func:`encode`)."""
+    biased = bool(len(x)) and int(x.max()) >= (1 << 63)
+    y = (x ^ _U64_BIAS).view(np.int64) if biased else x.view(np.int64)
+    return y, biased
+
+
 def encode(codec: str, x: np.ndarray, vmin: int | None = None,
            vmax: int | None = None) -> bytes:
     x = np.ascontiguousarray(x)
@@ -1336,6 +1353,14 @@ def encode(codec: str, x: np.ndarray, vmin: int | None = None,
     elif x.dtype.kind in "mM":
         # datetime64/timedelta64 ARE int64 counts; delta/FOR apply directly
         x = x.view(np.int64)
+    elif x.dtype == np.uint64:
+        x, biased = u64_to_i64(x)
+        if biased:
+            if vmin is not None:
+                vmin = int(vmin) - (1 << 63)
+            if vmax is not None:
+                vmax = int(vmax) - (1 << 63)
+        return bytes([int(biased)]) + CODECS[codec].encode(x, vmin, vmax)
     return CODECS[codec].encode(x, vmin, vmax)
 
 
@@ -1346,6 +1371,10 @@ def decode(codec: str, payload: bytes, n: int, dtype) -> np.ndarray:
             payload, n, np.dtype(_FLOAT_VIEW[dtype.itemsize])).view(dtype)
     if dtype.kind in "mM":
         return CODECS[codec].decode(payload, n, np.int64).view(dtype)
+    if dtype == np.uint64:
+        dec = CODECS[codec].decode(payload[1:], n, np.dtype(np.int64))
+        u = dec.view(np.uint64)
+        return (u ^ _U64_BIAS) if payload[0] else u
     return CODECS[codec].decode(payload, n, dtype)
 
 
@@ -1368,6 +1397,10 @@ def decode_range(codec: str, payload: bytes, n: int, dtype,
     if dtype.kind in "mM":
         return decode_range(codec, payload, n, np.int64, start,
                             stop).view(dtype)
+    if dtype == np.uint64:
+        dec = decode_range(codec, payload[1:], n, np.int64, start, stop)
+        u = dec.view(np.uint64)
+        return (u ^ _U64_BIAS) if payload[0] else u
     c = CODECS[codec]
     fn = getattr(c, "decode_range", None)
     if fn is not None:
@@ -1388,4 +1421,9 @@ def agg_sum(codec: str, payload: bytes, n: int, dtype) -> int:
         raise TypeError(f"agg_sum is integer-only, got {dtype}")
     if n == 0:
         return 0
+    if dtype == np.uint64:
+        # framing byte says whether the int64 stream is xor-2^63-biased
+        # (see encode); sum(u) = sum(biased) + n * 2^63, exact in Python
+        s = CODECS[codec].agg_sum(payload[1:], n, np.dtype(np.int64))
+        return s + (n << 63) if payload[0] else s
     return CODECS[codec].agg_sum(payload, n, dtype)

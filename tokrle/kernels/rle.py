@@ -374,7 +374,7 @@ def rle_getitems(runs, values, starts, ends):
 # coverage (intervals -> step function) and shift
 # ---------------------------------------------------------------------------
 
-def coverage(starts, ends, weights=None, value_col_given=False):
+def coverage(starts, ends, weights=None):
     """Intervals -> (runs, values) step function: prefix sum of ±weight
     deltas at interval boundaries (ref pyrle/methods.py:139-156 +
     pyrle/src/coverage.pyx:28-81), fully vectorized.

@@ -60,6 +60,7 @@ def _group_id(paths: list[str]) -> str:
     h = hashlib.blake2b(digest_size=10)
     for p in paths:
         h.update(p.encode())
+        h.update(b"\x00")  # separator: ['ab','c'] must not equal ['a','bc']
     return h.hexdigest()
 
 
@@ -105,9 +106,12 @@ def recompress(in_encoded: str, out_dir: str, *,
     from tokrle.pipelines.encode import decode_tokens, encode_tokens
 
     manifest = Manifest(out_dir)
-    units = [p for p in glob.glob(os.path.join(in_encoded, "**",
-                                               "*.parquet"), recursive=True)
-             if "_manifest" not in p]
+    # scan the LIVE view only: a raw recursive glob would ingest
+    # _docindex partitions (wrong schema), *.tmp/*.old crash leftovers,
+    # and superseded pre-compaction member dirs (duplicated docs)
+    live = corpus_files(in_encoded)
+    units = sorted(glob.glob(os.path.join(in_encoded, "*.parquet"))) \
+        if isinstance(live, str) else live
     groups = plan_groups(sorted(units))
     done = manifest.completed_units()
     run = {"units_total": len(groups), "units_skipped": 0,
@@ -219,19 +223,25 @@ def encode_corpus(in_dir: str, out_dir: str, *,
         enc.write_parquet(unit_out)
         # lineage aggregate over the 3 small metric columns of what was just
         # written — a column-pruned local scan (duckdb), touching only those
-        # columns' pages, never the payloads
-        try:
-            import duckdb
+        # columns' pages, never the payloads.  A group whose inputs were all
+        # empty writes no files at all: record zero metrics, don't crash.
+        if not glob.glob(os.path.join(unit_out, "*.parquet")):
+            row = (0, 0, 0)
+        else:
+            try:
+                import duckdb
 
-            row = duckdb.sql(
-                "SELECT sum(n_tokens), sum(raw_bytes), sum(encoded_bytes) "
-                f"FROM '{unit_out}/*.parquet'").fetchone()
-        except ImportError:
-            agg = ray.data.read_parquet(
-                unit_out, columns=["n_tokens", "raw_bytes", "encoded_bytes"]
-            ).sum(["n_tokens", "raw_bytes", "encoded_bytes"])
-            row = (agg["sum(n_tokens)"], agg["sum(raw_bytes)"],
-                   agg["sum(encoded_bytes)"])
+                row = duckdb.sql(
+                    "SELECT sum(n_tokens), sum(raw_bytes), "
+                    "sum(encoded_bytes) "
+                    f"FROM '{unit_out}/*.parquet'").fetchone()
+            except ImportError:
+                agg = ray.data.read_parquet(
+                    unit_out,
+                    columns=["n_tokens", "raw_bytes", "encoded_bytes"]
+                ).sum(["n_tokens", "raw_bytes", "encoded_bytes"])
+                row = (agg["sum(n_tokens)"], agg["sum(raw_bytes)"],
+                       agg["sum(encoded_bytes)"])
         dt = time.perf_counter() - t0
         metrics = {
             "n_files": len(grp),
@@ -246,6 +256,40 @@ def encode_corpus(in_dir: str, out_dir: str, *,
             run[k] += metrics[k]
         run["seconds"] += dt
     return run
+
+
+def _adopt_plain_layout(enc_dir: str) -> None:
+    """Wrap a plain ``encode_tokens(...).write_parquet`` output (parquet
+    files directly under ``enc_dir``, no ``group=*`` dirs) into a single
+    ``group=base`` directory so the group-level writers (upsert/compact)
+    can include it in the live view.  Without this, an upsert on a plain
+    corpus would scan nothing for replacements and its delta group would
+    then HIDE every pre-existing doc from :func:`live_groups` readers.
+
+    Idempotent and crash-convergent under the module's single-writer
+    assumption: files move one-by-one into the constant-named
+    ``group=base.tmp`` (excluded from every live view), and the final
+    rename publishes the group only when no plain files remain; a re-run
+    after a crash resumes the moves and completes the rename."""
+    if glob.glob(os.path.join(enc_dir, "group=*")):
+        adopted = os.path.isdir(os.path.join(enc_dir, "group=base")) or \
+            os.path.isdir(os.path.join(enc_dir, "group=base.tmp"))
+        if not adopted:
+            return  # already a group layout with no adoption in flight
+    plain = sorted(glob.glob(os.path.join(enc_dir, "*.parquet")))
+    tmp = os.path.join(enc_dir, "group=base.tmp")
+    base = os.path.join(enc_dir, "group=base")
+    if not plain and not os.path.isdir(tmp):
+        return
+    os.makedirs(tmp, exist_ok=True)
+    for p in plain:
+        os.rename(p, os.path.join(tmp, os.path.basename(p)))
+    if os.path.isdir(base):  # crash between the two renames of a re-run
+        for p in glob.glob(os.path.join(tmp, "*.parquet")):
+            os.rename(p, os.path.join(base, os.path.basename(p)))
+        os.rmdir(tmp)
+    else:
+        os.rename(tmp, base)
 
 
 def upsert_corpus(enc_dir: str, delta_ds, *,
@@ -288,6 +332,7 @@ def upsert_corpus(enc_dir: str, delta_ds, *,
 
     manifest = Manifest(enc_dir)
     recover_groups(enc_dir)  # converge any interrupted prior swap first
+    _adopt_plain_layout(enc_dir)  # plain write_parquet output -> group=base
     delta = delta_ds.materialize()  # small side: ids are needed up front
     ids = sorted(set(delta.select_columns(["doc_id"]).to_pandas()["doc_id"]
                      .astype(str)))
@@ -370,9 +415,15 @@ def upsert_corpus(enc_dir: str, delta_ds, *,
         h.update(b"\x00")
     gid = f"upsert-{h.hexdigest()}"
     unit_out = os.path.join(enc_dir, f"group={gid}")
+    # write-to-tmp + atomic rename: a half-written delta must never be
+    # live (on a pointerless corpus every complete group=* dir is)
+    unit_tmp = unit_out + ".tmp"
+    shutil.rmtree(unit_tmp, ignore_errors=True)
     shutil.rmtree(unit_out, ignore_errors=True)
     encode_tokens(delta, batch_size=batch_size,
-                  by_source=by_source).write_parquet(unit_out)
+                  by_source=by_source).write_parquet(unit_tmp)
+    os.makedirs(unit_tmp, exist_ok=True)  # empty delta still publishes
+    os.rename(unit_tmp, unit_out)
     dt = time.perf_counter() - t0
     manifest.mark_done(gid, {"n_files": 0, "first_file": "<delta>",
                              "upsert_delta": True, "seconds": dt})
@@ -446,6 +497,9 @@ def recover_groups(enc_dir: str) -> dict:
             os.rename(p, base)
             stats["restored"] += 1
     for p in sorted(glob.glob(os.path.join(enc_dir, "group=*.tmp"))):
+        if os.path.basename(p) == "group=base.tmp":
+            continue  # adoption staging: holds the ONLY copy of plain
+            # files mid-move; _adopt_plain_layout resumes it, never GC
         shutil.rmtree(p, ignore_errors=True)
         stats["gc_tmp"] += 1
     return stats
@@ -508,7 +562,13 @@ def compact_corpus(enc_dir: str, *, target_bytes: int = GROUP_TARGET_BYTES,
 
     manifest = Manifest(enc_dir)
     recover_groups(enc_dir)  # never let '.old' leftovers enter the pointer
+    _adopt_plain_layout(enc_dir)
     groups = live_groups(enc_dir)
+    # pin the view BEFORE writing anything: on a pointerless corpus every
+    # complete group=* dir is live, so a finished compact dir would be
+    # double-counted between its final rename and the pointer publish
+    if groups and not os.path.exists(_groups_pointer(enc_dir)):
+        _publish_groups(enc_dir, [os.path.basename(g) for g in groups])
     sizes = {g: sum(os.path.getsize(f)
                     for f in glob.glob(os.path.join(g, "*.parquet")))
              for g in groups}
@@ -541,13 +601,19 @@ def compact_corpus(enc_dir: str, *, target_bytes: int = GROUP_TARGET_BYTES,
         new_dir = os.path.join(enc_dir, new_name)
         files = [f for g in members
                  for f in sorted(glob.glob(os.path.join(g, "*.parquet")))]
+        # write-to-tmp + atomic rename: the pointer is pinned (above), so
+        # the renamed dir stays invisible until the publish below — and a
+        # crash mid-write leaves only a .tmp that recover_groups GCs
+        new_tmp = new_dir + ".tmp"
+        shutil.rmtree(new_tmp, ignore_errors=True)
         shutil.rmtree(new_dir, ignore_errors=True)
         if files:
             toks = decode_tokens(ray.data.read_parquet(
                 files, override_num_blocks=len(files)))
             encode_tokens(toks, batch_size=batch_size,
-                          by_source=by_source).write_parquet(new_dir)
-        os.makedirs(new_dir, exist_ok=True)
+                          by_source=by_source).write_parquet(new_tmp)
+        os.makedirs(new_tmp, exist_ok=True)
+        os.rename(new_tmp, new_dir)
         # atomic view swap, THEN garbage-collect the members
         live = (live - set(members)) | {new_dir}
         _publish_groups(enc_dir, [os.path.basename(g) for g in live])

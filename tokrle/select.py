@@ -251,6 +251,7 @@ def auto_encode(x: np.ndarray) -> tuple[str, bytes, ChunkProfile]:
     exceptions) in the size race — decimal-like floats (prices, rates)
     drop from 64 raw bits to the digit span's width."""
     is_float = x.dtype.kind == "f" and x.dtype.itemsize in (4, 8)
+    u64_flag = None
     if x.dtype.kind == "f":
         from tokrle.codecs.core import _FLOAT_VIEW
 
@@ -259,6 +260,14 @@ def auto_encode(x: np.ndarray) -> tuple[str, bytes, ChunkProfile]:
         # timestamps/durations profile as their int64 counts (near-sorted
         # event times make delta/FOR the usual winners)
         x = np.ascontiguousarray(x).view(np.int64)
+    elif x.dtype == np.uint64:
+        # profile/encode in the codecs' int64 domain (bias flag rides as
+        # the framing byte, matching codecs.core.encode's uint64 path);
+        # the returned profile's bounds are in that encoded domain, the
+        # same convention as datetime counts
+        from tokrle.codecs.core import u64_to_i64
+
+        x, u64_flag = u64_to_i64(np.ascontiguousarray(x))
     p = profile_chunk(x)
     est = estimate_sizes(p)
     codec = min(est, key=est.__getitem__)
@@ -281,4 +290,6 @@ def auto_encode(x: np.ndarray) -> tuple[str, bytes, ChunkProfile]:
     if len(payload) >= p.raw_bytes and codec != "plain":
         codec = "plain"
         payload = encode("plain", x)
+    if u64_flag is not None:
+        payload = bytes([int(u64_flag)]) + payload
     return codec, payload, p
