@@ -1805,3 +1805,76 @@ def test_remove_dup_spans_join_path_byte_identical(ray_session):
             jn[["doc_id", "source", "text"]])
     # the planted fixture's expected rewrite, through the join path
     assert jn is not None
+
+
+def test_semi_anti_join_null_keys_never_match(ray_session):
+    """SQL null semantics: a NULL key never matches — semi drops it,
+    anti keeps it — even when the key side also contains nulls."""
+    import pyarrow as pa
+    import ray.data
+
+    from tokrle.functions.dedup import anti_join, semi_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", None, "b", None]),
+        "v": pa.array([1, 2, 3, 4]),
+    }))
+    keys = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", None]),
+    }))
+    semi = semi_join(left, keys, on="k").to_pandas()
+    assert sorted(semi["v"]) == [1]
+    anti = anti_join(left, keys, on="k").to_pandas()
+    assert sorted(anti["v"]) == [2, 3, 4]
+
+
+def test_hash_sample_near_full_band(ray_session):
+    """n < total <= 1.5n used to overflow uint64 at frac == 1.0."""
+    import pyarrow as pa
+    import ray.data
+
+    from tokrle.functions.ann import hash_sample
+
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(5000), type=pa.int64())}))
+    out = hash_sample(ds, "vec_id", 4096)
+    assert len(out) == 4096
+    assert out["vec_id"].is_unique
+
+
+def test_audio_window_sums_string_ids(ray_session):
+    """The exact-sum stages must accept the module's blessed media
+    schema (string item ids), not just the bespoke int-id tables."""
+    from tokrle.functions.multimodal import (AudioWindowSums,
+                                             synth_media_table)
+
+    media = synth_media_table(6, kind="audio", seed=3)
+    out = media.map_batches(AudioWindowSums, batch_size=4,
+                            batch_format="pyarrow",
+                            concurrency=(1, 2)).to_pandas()
+    assert out["item_id"].dtype == object
+    assert len(out) == 6 * 4
+
+
+def test_training_examples_doc_ids_unique_across_sources(ray_session,
+                                                         tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tokrle.pipelines.prep import training_examples
+
+    docs = pa.table({
+        "doc_id": pa.array(range(1, 41), type=pa.int64()),
+        "source": pa.array((["sA"] * 20) + (["sB"] * 20)),
+        # token id = first-char ascii + word length: vary BOTH so the
+        # Gopher repetition rule passes
+        "text": pa.array([" ".join(chr(97 + (i + j) % 26) + "y" * (j % 7)
+                                   for j in range(30))
+                          for i in range(40)]),
+    })
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, path)
+    out = training_examples(path, seq_len=64, min_words=1,
+                            eval_mask=None).to_pandas()
+    assert out["doc_id"].is_unique
+    assert {d.split("#")[0] for d in out["doc_id"]} == {"sA", "sB"}

@@ -1131,3 +1131,45 @@ def test_recompress_skips_docindex_and_tmp_leftovers(ray_session, tmp_path):
             "codec", "payload", "n_tokens", "row_offsets", "doc_id",
             "doc_source"])))
     assert chk["source"] == chk["decoded"]
+
+
+def test_encoded_range_agg_nullable_key_raises(ray_session, tmp_path):
+    """A nullable KEY chunk must raise, not silently classify null rows
+    as key==0 (nulls encode as the fill value)."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_range_agg)
+
+    df = pd.DataFrame({
+        "k": pd.array([1, 2, None, 4] * 100, dtype="Int64"),
+        "v": np.arange(400, dtype=np.int64),
+    })
+    enc = str(tmp_path / "enc")
+    encode_table_columns(ray.data.from_pandas(df), ["k", "v"],
+                         batch_size=128).write_parquet(enc)
+    with pytest.raises(Exception, match="nullable"):
+        encoded_range_agg(enc, "k", 0, 10, ["v"])
+
+
+def test_clean_corpus_rerun_counts_stable(ray_session, tmp_path):
+    """Re-running clean_corpus into the same out_dir must not count (or
+    leave live) the previous run's shards."""
+    import pyarrow.parquet as pq
+
+    from tokrle.pipelines.clean import clean_corpus
+
+    docs = pa.table({
+        "doc_id": pa.array(range(40), type=pa.int64()),
+        "source": pa.array(["s0"] * 40),
+        "text": pa.array([" ".join(chr(97 + (i + j) % 26) + "y" * (j % 7)
+                                   for j in range(30))
+                          for i in range(40)]),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src)
+    out = str(tmp_path / "cleaned")
+    r1 = clean_corpus(src, out, min_words=5)
+    r2 = clean_corpus(src, out, min_words=5)
+    assert r1["n_kept"] == r2["n_kept"] > 0

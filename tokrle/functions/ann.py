@@ -143,8 +143,14 @@ def hash_sample(ds, id_col: str, n: int):
     total = ds.count()
     if total <= n:
         return ds.to_pandas()
-    # threshold on a 64-bit hash: keep ~1.5x n, cap at n after collect
-    frac = min(1.0, 1.5 * n / total)
+    # threshold on a 64-bit hash: keep ~1.5x n, cap at n after collect.
+    # When 1.5x n covers the whole dataset (n < total <= 1.5n) the
+    # filter is a no-op — skip it (a frac-1.0 threshold would need
+    # 2^64, which uint64 cannot hold)
+    frac = 1.5 * n / total
+    if frac >= 1.0:
+        out = ds.to_pandas()
+        return out.sort_values(id_col, kind="mergesort").head(n)
     thresh = np.uint64(int(frac * (1 << 63)) * 2)
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -273,9 +279,13 @@ def lsh_query_index(index_dir: str, queries: np.ndarray,
     cand = ray.data.read_parquet(paths, columns=[id_col, vec_col])
     out = brute_force_topk(cand, qn, query_ids, k,
                            vec_col=vec_col, id_col=id_col)
+    # fall back for any query with FEWER than k candidates (not just
+    # zero): a sparsely-populated probed bucket must not silently
+    # truncate recall below the documented exactly-k contract
     missing = [q for q in np.asarray(query_ids)
-               if (out["q_id"] == q).sum() == 0]
+               if (out["q_id"] == q).sum() < k]
     if missing:
+        out = out[~out["q_id"].isin(missing)]
         full = ray.data.read_parquet(os.path.join(index_dir, "data"),
                                      columns=[id_col, vec_col])
         sel = np.isin(np.asarray(query_ids), missing)

@@ -288,6 +288,10 @@ def _cogroup_filter_join(ds, key_ds, on: str, *, keep_present: bool,
         k = batch.column(on)
         side = batch.column("_side")
         right_keys = k.filter(pc.equal(side, 1)).combine_chunks()
+        # SQL nulls: strip null keys from the build side — is_in treats
+        # a null in the value_set as matching null inputs, which would
+        # invert the documented NULL-never-matches contract
+        right_keys = right_keys.drop_null()
         present = pc.fill_null(pc.is_in(k, value_set=right_keys), False)
         if not keep_present:
             present = pc.invert(present)

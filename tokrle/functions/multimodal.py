@@ -251,7 +251,9 @@ class AudioWindowSums:
                 out_sum.append(int(pcm[s:s + self.window]
                                .astype(np.int64).sum()))
         return pa.table({
-            "item_id": pa.array(out_id, type=pa.int64()),
+            # mirror the input id type: the module's blessed media
+            # tables use string ids, the arithmetic-oracle queries int
+            "item_id": pa.array(out_id, type=batch.column("item_id").type),
             "window": pa.array(out_win, type=pa.int32()),
             "window_sum": pa.array(out_sum, type=pa.int64()),
         })
@@ -361,7 +363,7 @@ class VideoFramePixelSums:
                 out_frame.append(f)
                 out_sum.append(int(small.astype(np.int64).sum()))
         return pa.table({
-            "item_id": pa.array(out_id, type=pa.int64()),
+            "item_id": pa.array(out_id, type=batch.column("item_id").type),
             "frame": pa.array(out_frame, type=pa.int32()),
             "pixel_sum": pa.array(out_sum, type=pa.int64()),
         })

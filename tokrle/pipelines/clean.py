@@ -35,6 +35,17 @@ def clean_corpus(in_path: str, out_dir: str, *, min_words: int = 20,
                        return_full_rows=True)
     if near_dedup:
         kept = minhash_lsh_dedup(kept, return_full_rows=True)
+    # a re-run must not leave the previous run's uuid-named shards live
+    # (write_parquet appends new files; stale ones would double every
+    # surviving doc for readers AND in the n_kept count below).  Only
+    # the hive partition dirs this pipeline itself writes are cleared —
+    # never foreign files in a user-supplied out_dir.
+    import glob as _glob
+    import os
+    import shutil
+
+    for part in _glob.glob(os.path.join(out_dir, "source=*")):
+        shutil.rmtree(part, ignore_errors=True)
     kept.write_parquet(out_dir, partition_cols=["source"])
 
     return {"n_in": _parquet_rows(in_path), "n_kept": _parquet_rows(out_dir),

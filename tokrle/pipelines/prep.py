@@ -77,8 +77,14 @@ def training_examples(docs_path: str, *, seq_len: int = 512,
     def as_token_table(batch: pa.Table) -> pa.Table:
         n = pc.list_value_length(batch.column("input_ids")) \
             .cast(pa.int32())
+        # example_idx restarts at 0 per packing key, so the key must be
+        # part of the id — doc_id-keyed consumers (upsert, dedup, joins)
+        # would otherwise conflate unrelated examples across sources
+        ids = pc.binary_join_element_wise(
+            batch.column("key"),
+            pc.cast(batch.column("example_idx"), pa.string()), "#")
         return pa.table({
-            "doc_id": pc.cast(batch.column("example_idx"), pa.string()),
+            "doc_id": ids,
             "tokens": batch.column("input_ids"),
             "n_tok": n,
             "source": batch.column("key"),

@@ -409,6 +409,8 @@ def encoded_range_agg(enc_dir: str, key_col: str, lo: int, hi: int,
         nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
         out = {"n": pa.array([int(nrows.sum())], type=pa.int64()),
                "chunks": pa.array([len(batch)], type=pa.int64())}
+        for i in range(len(batch)):
+            _check_valid(batch, key_col, i)  # nulls-as-0 keys misclassify
         for c in agg_cols:
             total = 0
             for i in range(len(batch)):
@@ -428,6 +430,10 @@ def encoded_range_agg(enc_dir: str, key_col: str, lo: int, hi: int,
         sums = dict.fromkeys(agg_cols, 0)
         for i in range(len(batch)):
             n = int(nrows[i])
+            # the KEY's validity matters as much as the aggregates':
+            # nulls encode as 0, so a nullable key chunk would silently
+            # classify null rows as key==0 instead of raising
+            _check_valid(batch, key_col, i)
             key = codec_decode(
                 batch.column(f"{key_col}__codec")[i].as_py(),
                 memoryview(batch.column(f"{key_col}__payload")[i]
@@ -458,10 +464,12 @@ def encoded_range_agg(enc_dir: str, key_col: str, lo: int, hi: int,
         return {k: int(row[k] or 0) for k in
                 ["n", "chunks"] + [f"sum_{c}" for c in agg_cols]}
 
-    ri = _run(inside, agg_payload_cols, interior_partial)
+    ri = _run(inside, list(dict.fromkeys(
+        agg_payload_cols + [f"{key_col}__valid"])), interior_partial)
     rb = _run(boundary, list(dict.fromkeys(
         agg_payload_cols + [f"{key_col}__{p}"
-                            for p in ("codec", "payload", "dtype")])),
+                            for p in ("codec", "payload", "dtype",
+                                      "valid")])),
         boundary_partial)
     counters = {"chunks_total": n_total,
                 "chunks_interior": ri["chunks"],
