@@ -62,3 +62,26 @@ def key_groups(key_arr: np.ndarray):
     ends = np.concatenate((starts[1:], [len(c)]))
     for s, e in zip(starts, ends):
         yield uniques[c[s]], order[s:e]
+
+
+def string_buffers(col: pa.ChunkedArray | pa.Array):
+    """(offsets: int64, data: uint8) of an Arrow string column, zero-copy
+    off its offsets/data buffers — the ONE place the offset-rebase and
+    None-data-buffer (all-empty-strings) discipline lives.
+
+    ``offsets`` are ABSOLUTE indices into ``data`` (length ``len+1``,
+    already rebased past ``arr.offset``); callers slice words/documents
+    as ``data[offsets[i]:offsets[i+1]]`` or run reduceat/cumsum kernels
+    over the offset vector directly.  Handles string and large_string.
+    """
+    import numpy as np
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    o = arr.offset
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype,
+                            count=len(arr) + 1 + o)[o:].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = (np.frombuffer(buf, dtype=np.uint8) if buf is not None
+            else np.zeros(0, dtype=np.uint8))
+    return offsets, data

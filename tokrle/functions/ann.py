@@ -111,13 +111,7 @@ class HyperplaneLSH:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _to_matrix(batch.column("embedding"))
-        if len(m) == 0:
-            sig = np.empty(0, dtype=np.int64)
-        else:
-            proj = m @ self.planes.T > 0
-            sig = np.zeros(len(m), dtype=np.int64)
-            for b in range(self.planes.shape[0]):
-                sig |= proj[:, b].astype(np.int64) << b
+        sig = _signatures(m, self.planes)  # ONE signature convention
         return pa.table({
             "vec_id": batch.column("vec_id"),
             "bucket": pa.array(sig, type=pa.int64()),

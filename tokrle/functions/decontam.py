@@ -49,14 +49,14 @@ def word_ngram_hashes(texts: pa.Array | pa.ChunkedArray, k: int):
     per_doc = pc.list_value_length(la).to_numpy(
         zero_copy_only=False).astype(np.int64)
     flat = la.flatten()
-    o = flat.offset
-    word_offsets = np.frombuffer(flat.buffers()[1], dtype=np.int32,
-                                 count=len(flat) + 1 + o)[o:].astype(np.int64)
+    from tokrle.functions._arrays import string_buffers
+
+    word_offsets, data_u8 = string_buffers(flat)
     empty = (np.empty(0, np.uint64), np.empty(0, np.uint64),
              np.zeros(n_docs + 1, np.int64))
     if len(flat) == 0:
         return empty
-    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8).astype(np.uint64)
+    data = data_u8.astype(np.uint64)
     lengths = np.diff(word_offsets)
     within = (np.arange(word_offsets[0], word_offsets[-1], dtype=np.int64)
               - np.repeat(word_offsets[:-1], lengths))

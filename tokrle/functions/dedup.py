@@ -313,10 +313,10 @@ def _word_shingles_hashed(texts: pa.Array, k: int = 3):
     flat = la.flatten()
     # hash each word with a polynomial over its bytes (vectorized via arrow
     # hash is unavailable -> use python-free numpy over offsets/data)
-    o = flat.offset
-    word_offsets = np.frombuffer(flat.buffers()[1], dtype=np.int32,
-                                 count=len(flat) + 1 + o)[o:].astype(np.int64)
-    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8).astype(np.uint64)
+    from tokrle.functions._arrays import string_buffers
+
+    word_offsets, data_u8 = string_buffers(flat)
+    data = data_u8.astype(np.uint64)
     # word hash: sum(byte * 131^pos_in_word) — vectorized with reduceat
     lengths = np.diff(word_offsets)
     if len(lengths) == 0:
@@ -968,18 +968,14 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 8,
             self.planes: np.ndarray | None = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            from tokrle.functions.ann import _to_matrix
+            from tokrle.functions.ann import _signatures, _to_matrix
 
             m = _to_matrix(batch.column(vec_col))
-            n = len(m)
-            if n:
+            if len(m):
                 if self.planes is None or self.planes.shape[1] != m.shape[1]:
                     rng = np.random.default_rng(seed)
                     self.planes = rng.standard_normal((n_planes, m.shape[1]))
-                proj = m @ self.planes.T > 0
-                sig = np.zeros(n, dtype=np.int64)
-                for b in range(n_planes):
-                    sig |= proj[:, b].astype(np.int64) << b
+                sig = _signatures(m, self.planes)  # ONE sign convention
             else:
                 sig = np.zeros(0, dtype=np.int64)
             return pa.table({

@@ -55,12 +55,11 @@ def _term_hash_vec(terms: pa.Array) -> np.ndarray:
     position (O(max word length) passes over the word array)."""
     flat = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) \
         else terms
-    o = flat.offset
-    offsets = np.frombuffer(flat.buffers()[1], dtype=np.int32,
-                            count=len(flat) + 1 + o)[o:].astype(np.int64)
+    from tokrle.functions._arrays import string_buffers
+
+    offsets, data = string_buffers(flat)
     if len(offsets) <= 1:
         return np.empty(0, np.uint64)
-    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
     lengths = np.diff(offsets)
     maxlen = int(lengths.max()) if len(lengths) else 0
     h = np.zeros(len(lengths), dtype=np.uint64)

@@ -31,19 +31,19 @@ def rank_sql_expr(id_col: str = "doc_id", *, seed: int = 0) -> str:
             f" % {1 << 31})")
 
 
-def _topk_kernel(batch: pa.Table, *, key: str, k: int, id_col: str,
-                 seed: int) -> pa.Table:
-    """Keep each key's k smallest (rank, id) rows — one factorize +
-    lexsort, rank-within-group via a repeated-group-start subtraction."""
+def _topk_by_rank(batch: pa.Table, rank: np.ndarray, *, key: str,
+                  k: int, id_col: str) -> pa.Table:
+    """Keep each key's k smallest (rank, id) rows — ONE factorize +
+    lexsort, rank-within-group via a repeated-group-start subtraction.
+    The shared kernel behind both the hash-rank and score-rank top-k
+    (ties broken by ascending id, so the row set is total-ordered and
+    SQL-reproducible)."""
     import pandas as pd
 
-    if len(batch) == 0:
-        return batch
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     keys = batch.column(key).to_numpy(zero_copy_only=False)
-    h = sample_rank(ids, seed)
     codes, _ = pd.factorize(keys)
-    order = np.lexsort((ids, h, codes))
+    order = np.lexsort((ids, rank, codes))
     c = codes[order]
     starts = np.flatnonzero(np.concatenate(([True], c[1:] != c[:-1])))
     group_sizes = np.diff(np.concatenate((starts, [len(c)])))
@@ -51,33 +51,26 @@ def _topk_kernel(batch: pa.Table, *, key: str, k: int, id_col: str,
                     - np.repeat(starts, group_sizes))
     keep = order[pos_in_group < k]
     return batch.take(pa.array(np.sort(keep), type=pa.int64()))
+
+
+def _topk_kernel(batch: pa.Table, *, key: str, k: int, id_col: str,
+                 seed: int) -> pa.Table:
+    if len(batch) == 0:
+        return batch
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    return _topk_by_rank(batch, sample_rank(ids, seed),
+                         key=key, k=k, id_col=id_col)
 
 
 def _topk_score_kernel(batch: pa.Table, *, key: str, k: int,
                        score_col: str, id_col: str,
                        descending: bool) -> pa.Table:
-    """Keep each key's k best (score, id) rows — same one-lexsort shape
-    as :func:`_topk_kernel` with the hash rank swapped for a real score
-    column (ties broken by ascending id, so the row set is total-ordered
-    and SQL-reproducible)."""
-    import pandas as pd
-
     if len(batch) == 0:
         return batch
-    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-    keys = batch.column(key).to_numpy(zero_copy_only=False)
     s = batch.column(score_col).to_numpy(zero_copy_only=False)
     if descending:
         s = -s.astype(np.int64) if s.dtype.kind in "iu" else -s
-    codes, _ = pd.factorize(keys)
-    order = np.lexsort((ids, s, codes))
-    c = codes[order]
-    starts = np.flatnonzero(np.concatenate(([True], c[1:] != c[:-1])))
-    group_sizes = np.diff(np.concatenate((starts, [len(c)])))
-    pos_in_group = (np.arange(len(c), dtype=np.int64)
-                    - np.repeat(starts, group_sizes))
-    keep = order[pos_in_group < k]
-    return batch.take(pa.array(np.sort(keep), type=pa.int64()))
+    return _topk_by_rank(batch, s, key=key, k=k, id_col=id_col)
 
 
 def top_k_by_score(ds, *, key: str = "source", score_col: str,

@@ -91,12 +91,9 @@ class LangId:
                                        self.MAX_CHARS)
         arr = head.combine_chunks() if isinstance(head, pa.ChunkedArray) \
             else head
-        o = arr.offset
-        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
-                             count=len(arr) + 1 + o)[o:].astype(np.int64)
-        data = (np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-                if arr.buffers()[2] is not None
-                else np.zeros(0, dtype=np.uint8))
+        from tokrle.functions._arrays import string_buffers
+
+        offs, data = string_buffers(arr)
         n = len(arr)
         doc_len = np.diff(offs)
         tri_per_doc = np.maximum(doc_len - 2, 0)

@@ -44,11 +44,9 @@ def tokenize_batch(batch: pa.Table) -> pa.Table:
     flat = la.flatten()  # StringArray of all words, doc order preserved
     flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
     # word lengths + first code points straight off the string array's buffers
-    o = flat.offset
-    word_offsets = np.frombuffer(flat.buffers()[1], dtype=np.int32,
-                                 count=len(flat) + 1 + o)[o:].astype(np.int64)
-    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8) \
-        if flat.buffers()[2] is not None else np.zeros(0, dtype=np.uint8)
+    from tokrle.functions._arrays import string_buffers
+
+    word_offsets, data = string_buffers(flat)
     byte_lengths = np.diff(word_offsets)
     # character length = count of non-continuation bytes per word
     # (one cumsum pass over the text buffer; == byte length for pure ASCII)
