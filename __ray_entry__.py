@@ -108,6 +108,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_connected_stats": partial(Q.minhash_connected_stats,
                                            rounds=1),
 
+        # --- rows-only (no SQL analog; each has a SQL-oracled twin) ---
+        "semantic_cluster_stats": Q.semantic_cluster_stats,  # kmeans
+        "ngram_dup_pairs": Q.ngram_dup_pairs,                # blocked
+        "multimodal_image_features": Q.multimodal_image_features,
+        "multimodal_audio_windows": Q.multimodal_audio_windows,
+        "multimodal_video_frames": Q.multimodal_video_frames,
+
         # --- CORRECTNESS_r04.json driver-verified green ---
         # flagship composition: filter -> dedup -> decontam -> tokenize
         # -> pack -> encode -> decode -> aggregate (round 4)
@@ -148,12 +155,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     d["columnar_encode_lineitem"] = Q.columnar_encode_lineitem
     d["columnar_encode_documents"] = Q.columnar_encode_documents
     d.update({
-        # --- not yet driver-verified: rows-only (no SQL analog) ---
-        "semantic_cluster_stats": Q.semantic_cluster_stats,  # rows-only (kmeans)
-        "ngram_dup_pairs": Q.ngram_dup_pairs,        # rows-only (blocked)
-        "multimodal_image_features": Q.multimodal_image_features,  # rows-only
-        "multimodal_audio_windows": Q.multimodal_audio_windows,    # rows-only
-        "multimodal_video_frames": Q.multimodal_video_frames,      # rows-only
 
         # --- CORRECTNESS_r03.json driver-verified green (50 entries) ---
         # flagship encode/decode round-trip, per-source aggregates
@@ -245,6 +246,27 @@ FROM ivl i
 GROUP BY i.event_type
 ORDER BY i.event_type
 """
+
+
+_SHINGLE_CTES = """
+        w AS (
+            SELECT doc_id{wcols}, string_split(text, ' ') AS ws
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(ws) - 2, 1) + 1),
+                       i -> ws[i] || ' ' || ws[least(i + 1, len(ws))]
+                            || ' ' || ws[least(i + 2, len(ws))])) AS s
+            FROM w
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1322,24 +1344,8 @@ def oracle_sql() -> dict[str, str]:
     # for docs shorter than k words, threshold 1/2 via integer
     # cross-multiplication) — equals the Ray side's LSH-candidates +
     # exact-verification output at its ~1-1e-6 candidate recall
-    sql["minhash_verified_pairs_stats"] = """
-        WITH w AS (
-            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        ),
-        sh AS (
-            SELECT DISTINCT doc_id,
-                   unnest(list_transform(
-                       range(1, greatest(len(ws) - 2, 1) + 1),
-                       i -> ws[i] || ' ' || ws[least(i + 1, len(ws))]
-                            || ' ' || ws[least(i + 2, len(ws))])) AS s
-            FROM w
-        ),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
+    sql["minhash_verified_pairs_stats"] = f"""
+        WITH {_SHINGLE_CTES.format(wcols="")}
         SELECT cast(da AS bigint) AS doc_a, cast(db AS bigint) AS doc_b,
                cast(i AS bigint) AS n_inter,
                cast(sa.n + sb.n - i AS bigint) AS n_union
@@ -1479,25 +1485,8 @@ def oracle_sql() -> dict[str, str]:
     # J>=0.5 partner (all-pairs shingle CTE, the
     # minhash_verified_pairs idiom; equality holds because every corpus
     # pair sits far above the band-collision knee — see queries.py)
-    sql["dedup_minhash"] = """
-        WITH w AS (
-            SELECT doc_id, source, string_split(text, ' ') AS ws
-            FROM documents
-        ),
-        sh AS (
-            SELECT DISTINCT doc_id,
-                   unnest(list_transform(
-                       range(1, greatest(len(ws) - 2, 1) + 1),
-                       i -> ws[i] || ' ' || ws[least(i + 1, len(ws))]
-                            || ' ' || ws[least(i + 2, len(ws))])) AS s
-            FROM w
-        ),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ),
+    sql["dedup_minhash"] = f"""
+        WITH {_SHINGLE_CTES.format(wcols=", source")},
         dropped AS (
             SELECT DISTINCT db FROM inter
             JOIN sizes sa ON sa.doc_id = da
@@ -1534,25 +1523,8 @@ def oracle_sql() -> dict[str, str]:
 
     # single-pass LSH cluster leaders == min(doc, smallest exact
     # J>=0.5 partner) — same equality argument as dedup_minhash
-    sql["minhash_cluster_stats"] = """
-        WITH w AS (
-            SELECT doc_id, source, string_split(text, ' ') AS ws
-            FROM documents
-        ),
-        sh AS (
-            SELECT DISTINCT doc_id,
-                   unnest(list_transform(
-                       range(1, greatest(len(ws) - 2, 1) + 1),
-                       i -> ws[i] || ' ' || ws[least(i + 1, len(ws))]
-                            || ' ' || ws[least(i + 2, len(ws))])) AS s
-            FROM w
-        ),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ),
+    sql["minhash_cluster_stats"] = f"""
+        WITH {_SHINGLE_CTES.format(wcols=", source")},
         mins AS (
             SELECT db, min(da) AS m FROM inter
             JOIN sizes sa ON sa.doc_id = da
@@ -1626,7 +1598,8 @@ def oracle_sql() -> dict[str, str]:
             FROM UNNEST(range(0, 48)) AS t(i)),
         d AS (SELECT i, h // 8 AS sy, w // 8 AS sx FROM it)
         SELECT i AS item_id,
-               sum((ky * sy * 3 + kx * sx * 5 + i + c * 7) % 256) AS pixel_sum
+               cast(sum((ky * sy * 3 + kx * sx * 5 + i + c * 7) % 256)
+                    AS bigint) AS pixel_sum
         FROM d,
              UNNEST(range(0, 8)) AS a(ky),
              UNNEST(range(0, 8)) AS b(kx),
@@ -1645,7 +1618,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT i, w, w * m AS s
             FROM it, UNNEST(range(0, 4)) AS ww(w))
         SELECT i AS item_id, w AS "window",
-               sum(((s + k) * 13 + i * 7) % 4001 - 2000) AS window_sum
+               cast(sum(((s + k) * 13 + i * 7) % 4001 - 2000) AS bigint)
+                   AS window_sum
         FROM win, UNNEST(range(0, 1024)) AS kk(k)
         GROUP BY i, w ORDER BY item_id, "window"
     """
@@ -1659,8 +1633,8 @@ def oracle_sql() -> dict[str, str]:
             FROM UNNEST(range(0, 24)) AS t(i)),
         d AS (SELECT i, h // 8 AS sy, w // 8 AS sx FROM it)
         SELECT i AS item_id, f AS frame,
-               sum((ky * sy * 3 + kx * sx * 5 + i + f * 17 + c * 7)
-                   % 256) AS pixel_sum
+               cast(sum((ky * sy * 3 + kx * sx * 5 + i + f * 17 + c * 7)
+                        % 256) AS bigint) AS pixel_sum
         FROM d,
              UNNEST(range(0, 4)) AS ff(f),
              UNNEST(range(0, 8)) AS a(ky),

@@ -80,6 +80,7 @@ def bench_encode(in_dir: str, *, num_cpus: int, passes: int = 1) -> dict:
     from tokrle.pipelines.corpus import encode_corpus
 
     by_source = os.environ.get("GRAFT_ENCODE_BY_SOURCE", "")
+    passes = max(1, passes)  # env can set GRAFT_PASSES=0; volume() guards too
     batch = 8192 if by_source == "local" else 2048
     out_dir = os.path.join(WORK, f"encoded_{num_cpus}")
     dt = float("inf")
@@ -523,6 +524,10 @@ def scaling_cpu() -> None:
             [sys.executable, os.path.abspath(__file__), "--cpu-child"],
             env=env, capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)))
+        if not proc.stdout.strip():
+            raise RuntimeError(
+                f"cpu child ({cpus} cpus) produced no output; stderr "
+                f"tail: {proc.stderr[-800:]}")
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     effs = []
@@ -534,7 +539,7 @@ def scaling_cpu() -> None:
         effs.append(((r_hi["bytes_per_sec"] / r_lo["bytes_per_sec"])
                      / (hi / lo), r_lo, r_hi))
     effs.sort(key=lambda t: t[0])
-    eff, best_lo, best_hi = effs[len(effs) // 2]
+    eff, best_lo, best_hi = effs[(len(effs) - 1) // 2]
     ctl = _cpu_control(levels)
     print(json.dumps({
         "metric": f"CPU-bound fsstg stage scaling (num_cpus {lo} vs {hi}, "
@@ -687,6 +692,10 @@ def scaling() -> None:
             [sys.executable, os.path.abspath(__file__), "--encode-only"],
             env=env, capture_output=True, text=True, cwd=os.path.dirname(
                 os.path.abspath(__file__)))
+        if not proc.stdout.strip():
+            raise RuntimeError(
+                f"encode child ({cpus} cpus) produced no output; stderr "
+                f"tail: {proc.stderr[-800:]}")
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     effs = []
@@ -702,7 +711,7 @@ def scaling() -> None:
         effs.append(((r_hi["tokens_per_sec"] / r_lo["tokens_per_sec"])
                      / (hi / lo), r_lo, r_hi))
     effs.sort(key=lambda t: t[0])
-    eff, best_lo, best_hi = effs[len(effs) // 2]
+    eff, best_lo, best_hi = effs[(len(effs) - 1) // 2]
     results = {lo: best_lo, hi: best_hi}
     t_lo = best_lo["tokens_per_sec"]
     t_hi = best_hi["tokens_per_sec"]

@@ -87,3 +87,39 @@ def test_prep_cli_stage_resume_requires_sentinel(tmp_path):
     # restored
     assert second["n_tokens"] == full_tokens
     assert (stage / "_SUCCESS").is_file()
+
+
+def test_prep_cli_sentinel_invalidates_on_param_change(tmp_path):
+    """The _SUCCESS sentinel records the stage-shaping parameters: a
+    rerun with a different --seq-len must regenerate the stage, not
+    reuse the old packing."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    stage = tmp_path / "stage"
+    out = tmp_path / "enc"
+
+    def run_prep(seq_len):
+        proc = subprocess.run(
+            [sys.executable, "-m", "tokrle.cli", "prep",
+             "--in-path", f"{SF}/documents.parquet",
+             "--out-dir", str(out), "--stage-dir", str(stage),
+             "--seq-len", str(seq_len), "--num-cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**os.environ, "RAY_ADDRESS": "local"})
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    import pyarrow.parquet as pq
+
+    run_prep(128)
+    n128 = pq.read_table(stage, columns=["n_tok"])
+    shutil.rmtree(out)
+    run_prep(64)
+    n64 = pq.read_table(stage, columns=["n_tok"])
+    # regenerated: every packed example now has the new length
+    assert max(x.as_py() for x in n64.column("n_tok")) <= 64
+    assert max(x.as_py() for x in n128.column("n_tok")) > 64

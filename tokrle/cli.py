@@ -295,7 +295,19 @@ def main(argv=None) -> int:
             # leaves parquet files but no sentinel, so restart
             # regenerates instead of silently encoding a partial stage
             sentinel = os.path.join(stage, "_SUCCESS")
-            if not os.path.isfile(sentinel):
+            # the sentinel records the parameters that SHAPED the stage:
+            # a rerun with different packing/filter args must regenerate,
+            # not silently reuse stale examples
+            stamp = json.dumps({
+                "in_path": args.in_path, "seq_len": args.seq_len,
+                "eos": args.eos, "min_words": args.min_words,
+                "eval_mask": None if args.no_decontam else args.eval_mask,
+            }, sort_keys=True)
+            stale = True
+            if os.path.isfile(sentinel):
+                with open(sentinel) as f:
+                    stale = f.read().strip() != stamp
+            if stale:
                 import shutil
 
                 # Never delete a directory this tool didn't build: a
@@ -319,7 +331,7 @@ def main(argv=None) -> int:
                     eval_mask=None if args.no_decontam else args.eval_mask)
                 examples.write_parquet(stage)
                 with open(sentinel, "w") as f:
-                    f.write("ok\n")
+                    f.write(stamp)
             run = encode_corpus(stage, args.out_dir, batch_size=8192,
                                 by_source="local")
             run["stage_dir"] = stage

@@ -40,8 +40,11 @@ CURVE_PATH = os.path.join(REPO, "BENCH", "scaling_curve_r5.jsonl")
 
 
 def _run_scaling() -> dict | None:
+    # pin the levels to the (2, 8) this watcher's gates and result-key
+    # lookups assume — an inherited GRAFT_SCALING_LEVELS override would
+    # silently desynchronize gate vs measurement
     env = dict(os.environ, GRAFT_SCALING_MAX_WAIT="600",
-               GRAFT_SCALING_PAIRS="1")
+               GRAFT_SCALING_PAIRS="1", GRAFT_SCALING_LEVELS="2,8")
     proc = subprocess.run([sys.executable, "bench.py", "--scaling"],
                           env=env, capture_output=True, text=True,
                           cwd=REPO)
@@ -116,17 +119,24 @@ def main() -> None:
                     return
                 with open(out_path + ".attempt", "w") as f:
                     json.dump({**res, "window_mem_gbps_2": gbps}, f)
-        elif healthy_ctl and gbps >= CURVE_FLOOR and \
+        elif cpu >= CPU_GATE and gbps >= CURVE_FLOOR and \
                 curve_runs < CURVE_POINTS and \
                 int(gbps * 10) not in _curve_buckets():
+            # curve points gate on the CPU control only (co-tenancy
+            # check): the mem control collapsing IS the throttle state
+            # the curve is measuring, so requiring it healthy would
+            # exclude exactly the windows the curve needs
             print(f"curve point at gbps={gbps}", flush=True)
             res = _run_scaling()
             curve_runs += 1
             if res:
                 os.makedirs(os.path.dirname(CURVE_PATH), exist_ok=True)
                 with open(CURVE_PATH, "a") as f:
+                    # bucket-keyed on the WINDOW probe's gbps (the value
+                    # tested above), with the in-run reading as extra
                     f.write(json.dumps({
-                        "mem_gbps_2": res.get("mem_gbps_2", gbps),
+                        "mem_gbps_2": gbps,
+                        "in_run_mem_gbps_2": res.get("mem_gbps_2"),
                         "window_mem_gbps_2": gbps,
                         "raw_eff": res["value"],
                         "cpu_ctl": cpu,
