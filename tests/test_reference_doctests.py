@@ -282,3 +282,56 @@ def test_length_mean_std_doctests():
     assert Rle([1, 2, 1], [1, 2, 3]).mean() == 1.5
     assert np.isclose(Rle([1, 2, 1], [1, 2, 3]).std(),
                       0.8660254037844386)
+
+
+def test_gt_doctest():
+    # pyrle/rle.py:372-393: r > r2 and r > scalar
+    r = Rle([1, 2, 3], [0, 5, 1])
+    r2 = Rle([2, 1, 2], [2, 3, 9])
+    check(r > r2, [1, 2, 2, 1], [0.0, 1.0, 0.0, 1.0])
+    check(r > 2, [1, 2, 3], [0.0, 1.0, 0.0])
+
+
+def test_le_doctest():
+    # pyrle/rle.py:400-421: r <= r2 and r <= scalar
+    r = Rle([1, 2, 3], [0, 5, 1])
+    r2 = Rle([2, 1, 2], [2, 3, 9])
+    check(r <= r2, [1, 2, 2, 1], [1.0, 0.0, 1.0, 0.0])
+    check(r <= 2, [1, 2, 3], [1.0, 0.0, 1.0])
+
+
+def test_lt_doctest():
+    # pyrle/rle.py:440-460: r < r2 and r < scalar
+    r = Rle([1, 2, 3], [0, 5, 1])
+    r2 = Rle([2, 1, 2], [2, 3, 9])
+    check(r < r2, [1, 2, 2, 1], [1.0, 0.0, 1.0, 0.0])
+    check(r < 2, [1, 2, 3], [1.0, 0.0, 1.0])
+
+
+def test_ne_doctest():
+    # pyrle/rle.py:502-515: unequal-length operands NaN-extend, and
+    # NaN != NaN is False in the reference's subtract-then-threshold
+    r = Rle([1, 2, 1], [1, 2, 3])
+    r2 = Rle([1, 1, 1], [1, 2, 1])
+    check(r != r2, [2, 2], [0.0, 1.0])
+
+
+def test_truediv_scalar_doctest():
+    # pyrle/rle.py:710-730 tail: r1 / 10
+    r1 = Rle([1, 2], [0, 1])
+    check(r1 / 10, [1, 2], [0.0, 0.1])
+
+
+def test_repr_roundtrip_class_docstring():
+    # pyrle/rle.py:92-113 (class docstring): construction preserves
+    # runs/values exactly
+    r = Rle([1, 2, 1, 5], [0, 2.1, 3, 4])
+    check(r, [1, 2, 1, 5], [0.0, 2.1, 3.0, 4.0])
+
+
+def test_to_frame_doctest():
+    # pyrle/rle.py:1120-1131
+    df = Rle([1, 5, 18], [0, 1, 0]).to_frame()
+    assert list(df.columns) == ["Runs", "Values"]
+    assert df["Runs"].tolist() == [1, 5, 18]
+    assert df["Values"].tolist() == [0.0, 1.0, 0.0]
