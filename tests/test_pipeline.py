@@ -1173,3 +1173,35 @@ def test_clean_corpus_rerun_counts_stable(ray_session, tmp_path):
     r1 = clean_corpus(src, out, min_words=5)
     r2 = clean_corpus(src, out, min_words=5)
     assert r1["n_kept"] == r2["n_kept"] > 0
+
+
+def test_table_encode_uint64_full_range_roundtrip(ray_session, tmp_path):
+    """Full-range uint64 (hash/signature) columns are storage+decode
+    exact through table_encode; the value-domain compressed aggregates
+    reject them LOUDLY (no int64 zone maps exist for them, and sums
+    exceed the int64 partial-row domain)."""
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (decode_table_columns,
+                                               encode_table_columns,
+                                               encoded_column_agg)
+
+    n = 3000
+    ids = np.arange(n, dtype=np.uint64)
+    u = ids * np.uint64(0x9E3779B97F4A7C15)  # wraps; top bit exercised
+    t = pa.table({"k": pa.array(ids, type=pa.uint64()),
+                  "h": pa.array(u, type=pa.uint64())})
+    enc = encode_table_columns(ray.data.from_arrow(t), ["k", "h"],
+                               batch_size=512)
+    d = str(tmp_path / "enc")
+    enc.write_parquet(d)
+    # no zone-map columns for uint64
+    names = ray.data.read_parquet(d).schema().names
+    assert "h__vmin" not in names and "k__vmin" not in names
+    dec = decode_table_columns(
+        ray.data.read_parquet(d), ["k", "h"]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert dec["h"].dtype == np.uint64
+    assert np.array_equal(dec["h"].to_numpy(), u)
+    with pytest.raises(Exception):
+        encoded_column_agg(d, ["h"])

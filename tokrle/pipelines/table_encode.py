@@ -166,7 +166,13 @@ def encode_table_columns(ds, columns: list[str], *,
             # effective when the table is clustered (sorted) on the column.
             # Integer/timestamp columns only (timestamps profile as their
             # exact int64 counts): the profile truncates float extrema.
-            if np.issubdtype(x.dtype, np.integer) or x.dtype.kind == "M":
+            # uint64 is excluded too: full-range values don't fit the
+            # int64 zone-map columns (the codec layer stores them via an
+            # xor-2^63 bias), so uint64 hash/signature columns are
+            # storage+decode only — value-domain scans/aggregates on
+            # them fail loudly on the missing __vmin/__vmax columns.
+            if (np.issubdtype(x.dtype, np.integer)
+                    and x.dtype != np.uint64) or x.dtype.kind == "M":
                 out[f"{c}__vmin"] = pa.array([int(prof.vmin)],
                                              type=pa.int64())
                 out[f"{c}__vmax"] = pa.array([int(prof.vmax)],
@@ -321,6 +327,10 @@ def encoded_column_agg(enc_dir: str, columns: list[str]):
             valids = batch.column(f"{c}__valid")
             total = 0
             for i, codec in enumerate(codecs):
+                if np.dtype(dtypes[i]) == np.uint64:
+                    raise TypeError(
+                        f"column {c!r}: uint64 sums can exceed the int64 "
+                        "partial-row domain; decode and reduce instead")
                 if len(valids[i].as_py() or b""):
                     raise ValueError(
                         f"column {c!r}: nullable chunks not supported by "
