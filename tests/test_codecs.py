@@ -574,3 +574,19 @@ def test_uint64_auto_encode(name):
     codec, payload, _ = auto_encode(x)
     d = decode(codec, payload, len(x), np.uint64)
     assert d.dtype == np.uint64 and np.array_equal(d, x)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.one_of(
+    st.integers(min_value=0, max_value=2**64 - 1),
+    st.sampled_from([0, 1, 2**63 - 1, 2**63, 2**63 + 1, 2**64 - 1])),
+    min_size=0, max_size=200))
+def test_hypothesis_uint64_framing_roundtrip(vals):
+    from tokrle.codecs.core import agg_sum, exact_sum_int
+    from tokrle.select import auto_encode
+
+    x = np.array(vals, dtype=np.uint64)
+    codec, payload, _ = auto_encode(x)
+    d = decode(codec, payload, len(x), np.uint64)
+    assert d.dtype == np.uint64 and np.array_equal(d, x)
+    assert agg_sum(codec, payload, len(x), np.uint64) == exact_sum_int(x)
