@@ -46,6 +46,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token checksums must equal the Parquet original's
         "csv_source_stats": Q.csv_source_stats,
         "jsonl_source_stats": Q.jsonl_source_stats,
+        # round 5: predicate pushdown into the encoded layout — COUNT
+        # WHERE col=value answered from zone maps + compressed-domain
+        # count_eq (rle run sums / dict code compare), no decode
+        "encoded_predicate_stats": Q.encoded_predicate_stats,
         # round 5: simhash is wrap-around uint64 arithmetic on the
         # SQL-contracted token ids, so DuckDB recomputes the full
         # 64-bit signature per doc (HUGEINT products mod 2^64) and the
@@ -604,6 +608,22 @@ def oracle_sql() -> dict[str, str]:
                cast(sum(l_partkey) AS bigint)   AS sum_l_partkey
         FROM lineitem
         WHERE l_suppkey BETWEEN {RANGE_AGG_LO} AND {RANGE_AGG_HI}
+    """
+
+    sql["encoded_predicate_stats"] = """
+        SELECT col, cast(value AS bigint) AS value,
+               cast(n_match AS bigint) AS n_match
+        FROM (
+            SELECT 'l_suppkey' AS col, 5 AS value,
+                   count(*) FILTER (l_suppkey = 5) AS n_match
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linenumber', 3,
+                   count(*) FILTER (l_linenumber = 3) FROM lineitem
+            UNION ALL
+            SELECT 'l_suppkey', -7,
+                   count(*) FILTER (l_suppkey = -7) FROM lineitem
+        ) ORDER BY col, value
     """
 
     sql["token_remap_stats"] = """

@@ -590,3 +590,79 @@ def test_hypothesis_uint64_framing_roundtrip(vals):
     d = decode(codec, payload, len(x), np.uint64)
     assert d.dtype == np.uint64 and np.array_equal(d, x)
     assert agg_sum(codec, payload, len(x), np.uint64) == exact_sum_int(x)
+
+
+# --- count_eq: the predicate-on-compressed-data primitive -----------------
+
+@pytest.mark.parametrize("codec", list(CODECS))
+def test_count_eq_matches_decode_on_corpora(codec):
+    from tokrle.codecs.core import count_eq
+
+    for name, x in CORPORA.items():
+        if codec == "bitpack" and len(x) and x.min() < 0:
+            continue
+        payload = encode(codec, x)
+        dec = decode(codec, payload, len(x), x.dtype)
+        vals = ([int(x[0]), int(x.max()), int(x.min()) - 1, 7]
+                if len(x) else [0, 7])
+        vals += [10**15, -10**15]     # outside int32 domain -> 0 fast path
+        for v in vals:
+            want = int(np.count_nonzero(dec.astype(object) == v))
+            got = count_eq(codec, payload, len(x), x.dtype, v)
+            assert got == want, (name, v, got, want)
+
+
+@given(st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                max_size=300))
+@settings(max_examples=80, deadline=None)
+def test_hypothesis_count_eq_all_codecs(vals):
+    from tokrle.codecs.core import count_eq
+
+    x = np.array(vals, dtype=np.int64)
+    targets = vals[:3] + [0, -1, 12345, 2**63 - 1]
+    for codec in ("plain", "rle", "dict", "for", "delta", "pfor",
+                  "dpfor"):
+        payload = encode(codec, x)
+        for v in targets:
+            want = int(np.count_nonzero(x == v)) if len(x) else 0
+            assert count_eq(codec, payload, len(x), x.dtype, v) == want, \
+                (codec, v)
+
+
+@pytest.mark.parametrize("name", sorted(_U64_CASES))
+def test_count_eq_uint64_framing(name):
+    """Full-range uint64 counts through the bias framing byte: present
+    values, absent values, and values no unbiased stream can hold."""
+    from tokrle.codecs.core import count_eq
+
+    x = _U64_CASES[name]
+    codec, payload, _ = auto_encode(x)
+    targets = ([int(x[0]), int(x.max()), 5] if len(x) else [0]) \
+        + [2**64 - 1, 2**63, 2**63 - 1]
+    for v in targets:
+        want = int(np.count_nonzero(x == np.uint64(v))) if len(x) else 0
+        assert count_eq(codec, payload, len(x), np.uint64, v) == want, v
+    # out-of-domain values answer 0 without touching the payload
+    assert count_eq(codec, payload, len(x), np.uint64, -1) == 0
+    assert count_eq(codec, payload, len(x), np.uint64, 1 << 64) == 0
+
+
+def test_count_eq_datetime_counts():
+    from tokrle.codecs.core import count_eq
+
+    x = np.array(["2026-01-01", "2026-01-02", "2026-01-02", "2026-03-01"],
+                 dtype="datetime64[ns]")
+    codec, payload, _ = auto_encode(x)
+    xi = x.view(np.int64)
+    for v in [int(xi[1]), int(xi[0]), 0]:
+        want = int(np.count_nonzero(xi == v))
+        assert count_eq(codec, payload, len(x), x.dtype, v) == want
+
+
+def test_count_eq_rejects_floats():
+    from tokrle.codecs.core import count_eq
+
+    x = np.array([1.5, 2.5, 1.5], dtype=np.float64)
+    codec, payload, _ = auto_encode(x)
+    with pytest.raises(TypeError, match="integer-only"):
+        count_eq(codec, payload, len(x), x.dtype, 1)

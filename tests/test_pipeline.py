@@ -1205,3 +1205,55 @@ def test_table_encode_uint64_full_range_roundtrip(ray_session, tmp_path):
     assert np.array_equal(dec["h"].to_numpy(), u)
     with pytest.raises(Exception):
         encoded_column_agg(d, ["h"])
+
+
+def test_encoded_value_count_compressed_domain(ray_session, tmp_path):
+    """COUNT WHERE col=value from zone maps + count_eq: clustered keys
+    prune chunks, absent values never scan a payload, and every count
+    matches the direct pandas answer exactly."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_value_count)
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "key": np.sort(rng.integers(0, 40, 20_000)).astype("int64"),
+        "tag": rng.integers(1, 8, 20_000).astype("int32"),
+    })
+    out_dir = str(tmp_path / "pred")
+    encode_table_columns(ray.data.from_pandas(df), ["key", "tag"],
+                         batch_size=1024).write_parquet(out_dir)
+
+    # clustered key, present value: exact count + zone-map pruning
+    got, counters = encoded_value_count(out_dir, "key", 17)
+    assert int(got["n_match"].iloc[0]) == int((df["key"] == 17).sum())
+    assert counters["chunks_skipped"] > 0, counters
+    assert counters["chunks_scanned"] + counters["chunks_skipped"] == \
+        counters["chunks_total"]
+
+    # unclustered low-cardinality column: no pruning, still exact
+    got, counters = encoded_value_count(out_dir, "tag", 3)
+    assert int(got["n_match"].iloc[0]) == int((df["tag"] == 3).sum())
+
+    # absent value: answered from zone maps alone
+    got, counters = encoded_value_count(out_dir, "key", -5)
+    assert int(got["n_match"].iloc[0]) == 0
+    assert counters["chunks_scanned"] == 0, counters
+
+
+def test_encoded_value_count_rejects_nullable(ray_session, tmp_path):
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_value_count)
+
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array([1, None, 0] * 100, type=pa.int64())}))
+    out_dir = str(tmp_path / "pred_null")
+    encode_table_columns(ds, ["x"], batch_size=64).write_parquet(out_dir)
+    # nulls encode as 0 — counting value==0 over a nullable chunk would
+    # silently include them, so the chunk must raise instead
+    with pytest.raises(Exception, match="nullable"):
+        encoded_value_count(out_dir, "x", 0)

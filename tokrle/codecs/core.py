@@ -91,6 +91,25 @@ class Codec:
         split-sum."""
         return exact_sum_int(self.decode(payload, n, dtype))
 
+    def count_eq(self, payload: bytes, n: int, dtype: np.dtype,
+                 value: int) -> int:
+        """COUNT of elements equal to ``value`` in the encoded chunk —
+        the predicate-on-compressed-data primitive (cf. the dictionary /
+        RLE predicate pushdown in column-store engines).
+
+        Codecs override this with closed forms over their own streams
+        (rle: O(#runs) run-length sum where the run value matches; dict:
+        one searchsorted into the dictionary + a code compare; for /
+        bitpack: a frame test that answers 0 without touching the codes
+        when the value lies outside the representable window).  This
+        default is the always-correct fallback: decode + vectorized
+        compare.  Integer streams only; the module-level dispatch
+        rejects floats and handles the uint64 bias framing."""
+        if n == 0:
+            return 0
+        return int(np.count_nonzero(
+            self.decode(payload, n, dtype) == dtype.type(value)))
+
 
 def _bounds(x: np.ndarray, vmin, vmax) -> tuple[int, int]:
     if vmin is None:
@@ -161,6 +180,15 @@ class BitPack(Codec):
         (w,) = struct.unpack_from("<B", payload, 0)
         return _exact_sum_u64(unpack_uints(payload[1:], n, w))
 
+    def count_eq(self, payload, n, dtype, value):
+        if n == 0:
+            return 0
+        (w,) = struct.unpack_from("<B", payload, 0)
+        if value < 0 or value >= (1 << w):   # outside the code window
+            return 0
+        return int(np.count_nonzero(
+            unpack_uints(payload[1:], n, w) == np.uint64(value)))
+
 
 class FrameOfReference(Codec):
     """Frame-of-reference: ``<q ref><B width>`` + width-bit (x - ref) codes."""
@@ -190,6 +218,16 @@ class FrameOfReference(Codec):
     def agg_sum(self, payload, n, dtype):
         ref, w = struct.unpack_from("<qB", payload, 0)
         return ref * n + _exact_sum_u64(unpack_uints(payload[9:], n, w))
+
+    def count_eq(self, payload, n, dtype, value):
+        if n == 0:
+            return 0
+        ref, w = struct.unpack_from("<qB", payload, 0)
+        target = value - ref
+        if target < 0 or target >= (1 << w):  # outside the frame window
+            return 0
+        return int(np.count_nonzero(
+            unpack_uints(payload[9:], n, w) == np.uint64(target)))
 
 
 class Dictionary(Codec):
@@ -266,6 +304,28 @@ class Dictionary(Codec):
             part = int(np.dot(deltas.astype(object), counts.astype(object)))
         return ref * n + part
 
+    def count_eq(self, payload, n, dtype, value):
+        # one searchsorted into the (sorted-unique) dictionary; absent
+        # values answer 0 from the k-element dict alone, present values
+        # cost one compare over the narrow code stream — the dictionary
+        # gather that decode pays never happens
+        if n == 0:
+            return 0
+        k, code_w, ref, dict_w = struct.unpack_from("<IBqB", payload, 0)
+        if k == 0:
+            return 0
+        target = value - ref
+        if target < 0 or target >= (1 << dict_w):  # outside dict window
+            return 0
+        (dict_len,) = struct.unpack_from("<I", payload, 14)
+        off = 18
+        deltas = unpack_uints(payload[off:off + dict_len], k, dict_w)
+        code = int(np.searchsorted(deltas, np.uint64(target)))
+        if code >= k or int(deltas[code]) != target:
+            return 0
+        codes = unpack_uints(payload[off + dict_len:], n, code_w)
+        return int(np.count_nonzero(codes == np.uint64(code)))
+
 
 class RunLength(Codec):
     """RLE: exact-equality run detection (integer-native find_runs idiom,
@@ -318,6 +378,26 @@ class RunLength(Codec):
         else:
             part = int(np.dot(vdeltas.astype(object), runs.astype(object)))
         return vref * n + part
+
+    def count_eq(self, payload, n, dtype, value):
+        # count = sum of run lengths whose run VALUE matches: O(#runs)
+        # work on a chunk of n elements — the n-element expansion that
+        # decode pays never happens
+        nruns, run_w, vref, val_w = struct.unpack_from("<IBqB", payload, 0)
+        if n == 0 or nruns == 0:
+            return 0
+        target = value - vref
+        if target < 0 or target >= (1 << val_w):  # outside value window
+            return 0
+        off = 14
+        runs_nbytes = (nruns * run_w + 7) // 8
+        vdeltas = unpack_uints(payload[off + runs_nbytes:], nruns, val_w)
+        hit = vdeltas == np.uint64(target)
+        if not hit.any():
+            return 0
+        runs = unpack_uints(payload[off:off + runs_nbytes], nruns,
+                            run_w).astype(np.int64) + 1
+        return int(runs[hit].sum())
 
 
 class Delta(Codec):
@@ -1427,3 +1507,40 @@ def agg_sum(codec: str, payload: bytes, n: int, dtype) -> int:
         s = CODECS[codec].agg_sum(payload[1:], n, np.dtype(np.int64))
         return s + (n << 63) if payload[0] else s
     return CODECS[codec].agg_sum(payload, n, dtype)
+
+
+def count_eq(codec: str, payload: bytes, n: int, dtype,
+             value: int) -> int:
+    """Exact COUNT of elements equal to ``value`` in an encoded chunk,
+    computed in the compressed domain where the codec's streams allow it
+    (rle: O(#runs) run-length sum; dict: searchsorted + code compare;
+    for/bitpack: frame test, often answering 0 with zero code-stream
+    work) and by decode + vectorized compare otherwise.  Integer and
+    datetime dtypes only — float equality is not a stable predicate
+    across engines, so it stays out of the exact contract.  A ``value``
+    outside the dtype's domain answers 0 without touching the payload."""
+    dtype = np.dtype(dtype)
+    value = int(value)
+    if dtype.kind in "mM":
+        # datetime64/timedelta64 encode as their exact int64 counts;
+        # value is the same int64 count
+        dtype = np.dtype(np.int64)
+    if dtype.kind not in "iu":
+        raise TypeError(f"count_eq is integer-only, got {dtype}")
+    if n == 0:
+        return 0
+    if dtype == np.uint64:
+        if not 0 <= value < (1 << 64):
+            return 0
+        # framing byte (see encode): the int64 stream holds x ^ 2^63
+        # when biased — an order-preserving shift, so the equality
+        # target shifts by the same constant
+        target = value - (1 << 63) if payload[0] else value
+        if not -(1 << 63) <= target < (1 << 63):
+            return 0   # unbiased stream can't hold values >= 2^63
+        return CODECS[codec].count_eq(memoryview(payload)[1:], n,
+                                      np.dtype(np.int64), target)
+    info = np.iinfo(dtype)
+    if not info.min <= value <= info.max:
+        return 0
+    return CODECS[codec].count_eq(payload, n, dtype, value)

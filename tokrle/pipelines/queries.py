@@ -2071,6 +2071,50 @@ def encoded_range_agg_stats(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def encoded_predicate_stats(sf_dir: str) -> pd.DataFrame:
+    """Predicate evaluation pushed into the encoded layout: lineitem is
+    clustered (sorted) on l_suppkey and table-encoded, then COUNT(*)
+    WHERE col = value is answered from the compressed domain — zone maps
+    prune non-overlapping chunks at the Parquet scan, and the surviving
+    chunks count matches inside the codec streams (rle: O(#runs)
+    run-length sum; dict: searchsorted + code compare; for/bitpack:
+    frame test) without ever materializing a decoded column.  Three
+    predicates pin three paths: the clustered key (pruned to a handful
+    of chunks), an unclustered low-cardinality column (no pruning,
+    compressed-domain compare everywhere), and an absent value (answered
+    from zone maps alone — zero chunks scanned)."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_value_count)
+
+    cols = ["l_suppkey", "l_linenumber"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "pred_count")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
+
+    rows = []
+    for col, value in (("l_suppkey", 5), ("l_linenumber", 3),
+                       ("l_suppkey", -7)):
+        df, counters = encoded_value_count(enc_dir, col, value)
+        if col == "l_suppkey" and counters["chunks_total"] > 8:
+            assert counters["chunks_skipped"] > 0, \
+                f"zone maps never pruned the clustered key: {counters}"
+        if value == -7:
+            assert counters["chunks_scanned"] == 0, \
+                f"absent value should be answered by zone maps: {counters}"
+        rows.append({"col": col, "value": value,
+                     "n_match": int(df["n_match"].iloc[0])})
+    out = pd.DataFrame(rows)
+    out["value"] = out["value"].astype("int64")
+    out["n_match"] = out["n_match"].astype("int64")
+    return out.sort_values(["col", "value"]).reset_index(drop=True)
+
+
 def encoded_group_agg_stats(sf_dir: str) -> pd.DataFrame:
     """GROUP BY pushed into the encoded layout: lineitem clustered on
     l_suppkey, per-supplier COUNT/SUM answered from zone maps + codec

@@ -493,6 +493,70 @@ def encoded_range_agg(enc_dir: str, key_col: str, lo: int, hi: int,
     return df, counters
 
 
+def encoded_value_count(enc_dir: str, col: str, value: int):
+    """COUNT of rows with ``col == value`` over a table-encode directory,
+    answered without decoding anything:
+
+    - chunks whose zone map excludes the value (``value < vmin or
+      value > vmax``) never leave storage — the predicate is pushed into
+      the Parquet scan over the ``__vmin``/``__vmax`` columns;
+    - surviving chunks count matches inside the compressed domain via
+      :func:`tokrle.codecs.core.count_eq` (rle: O(#runs) run-length sum;
+      dict: one searchsorted + a code compare; for/bitpack: a frame test
+      that often answers 0 with no code-stream work) — the decoded
+      column is never materialized anywhere.
+
+    Integer/timestamp zone-mapped columns only (uint64 columns carry no
+    zone maps — see :func:`encode_table_columns`); nullable chunks raise
+    (encode fills nulls with 0, which would miscount ``value == 0``).
+    Returns ``(DataFrame(n_match), counters)`` where counters report the
+    chunk split so callers can assert the layout actually pruned."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from tokrle.codecs.core import count_eq
+
+    value = int(value)
+    overlap = (pc.field(f"{col}__vmin") <= value) & \
+        (pc.field(f"{col}__vmax") >= value)
+    n_total = ray.data.read_parquet(
+        enc_dir, columns=["n_rows"]).count()
+    need = ["n_rows"] + [f"{col}__{p}"
+                         for p in ("codec", "payload", "dtype", "valid")]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        payloads = batch.column(f"{col}__payload")
+        codecs = batch.column(f"{col}__codec").to_pylist()
+        dtypes = batch.column(f"{col}__dtype").to_pylist()
+        valids = batch.column(f"{col}__valid")
+        total = 0
+        for i, codec in enumerate(codecs):
+            if len(valids[i].as_py() or b""):
+                raise ValueError(
+                    f"column {col!r}: nullable chunks not supported by "
+                    "the compressed-domain count (encode fills nulls "
+                    "with 0)")
+            total += count_eq(codec,
+                              memoryview(payloads[i].as_buffer()),
+                              int(nrows[i]), np.dtype(dtypes[i]), value)
+        return pa.table({
+            "n_match": pa.array([total], type=pa.int64()),
+            "chunks": pa.array([len(batch)], type=pa.int64())})
+
+    ds = ray.data.read_parquet(enc_dir, columns=need, filter=overlap)
+    row = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n_match", alias_name="n_match"),
+        Sum("chunks", alias_name="chunks"))
+    scanned = int(row["chunks"] or 0)
+    counters = {"chunks_total": n_total,
+                "chunks_scanned": scanned,
+                "chunks_skipped": n_total - scanned}
+    return pd.DataFrame({"n_match": [int(row["n_match"] or 0)]}), counters
+
+
 def encoded_group_agg(enc_dir: str, group_col: str, agg_cols: list[str],
                       *, with_minmax: bool = False):
     """GROUP BY ``group_col`` with COUNT/SUM (and optionally MIN/MAX, see
