@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # WHERE col=value answered from zone maps + compressed-domain
         # count_eq (rle run sums / dict code compare), no decode
         "encoded_predicate_stats": Q.encoded_predicate_stats,
+        "encoded_range_count_stats": Q.encoded_range_count_stats,
         # round 5: simhash is wrap-around uint64 arithmetic on the
         # SQL-contracted token ids, so DuckDB recomputes the full
         # 64-bit signature per doc (HUGEINT products mod 2^64) and the
@@ -624,6 +625,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'l_suppkey', -7,
                    count(*) FILTER (l_suppkey = -7) FROM lineitem
         ) ORDER BY col, value
+    """
+
+    sql["encoded_range_count_stats"] = """
+        SELECT col, cast(lo AS bigint) AS lo, cast(hi AS bigint) AS hi,
+               cast(n_match AS bigint) AS n_match
+        FROM (
+            SELECT 'l_suppkey' AS col, 3 AS lo, 6 AS hi,
+                   count(*) FILTER (l_suppkey BETWEEN 3 AND 6) AS n_match
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linenumber', 2, 4,
+                   count(*) FILTER (l_linenumber BETWEEN 2 AND 4)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_suppkey', -9, -2,
+                   count(*) FILTER (l_suppkey BETWEEN -9 AND -2)
+            FROM lineitem
+        ) ORDER BY col, lo
     """
 
     sql["token_remap_stats"] = """

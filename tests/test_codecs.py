@@ -666,3 +666,76 @@ def test_count_eq_rejects_floats():
     codec, payload, _ = auto_encode(x)
     with pytest.raises(TypeError, match="integer-only"):
         count_eq(codec, payload, len(x), x.dtype, 1)
+
+
+@pytest.mark.parametrize("codec", list(CODECS))
+def test_count_range_matches_decode_on_corpora(codec):
+    from tokrle.codecs.core import count_range
+
+    for name, x in CORPORA.items():
+        if codec == "bitpack" and len(x) and x.min() < 0:
+            continue
+        payload = encode(codec, x)
+        dec = decode(codec, payload, len(x), x.dtype).astype(object)
+        if len(x):
+            mid = int(x[len(x) // 2])
+            windows = [(int(x.min()), int(x.max())),      # covers all
+                       (mid, mid),                        # single value
+                       (int(x.min()) - 5, mid),
+                       (int(x.max()) + 1, int(x.max()) + 9),   # empty
+                       (7, 3)]                            # inverted
+        else:
+            windows = [(0, 10), (5, 3)]
+        windows += [(-10**15, 10**15)]   # clamped to the dtype domain
+        for lo, hi in windows:
+            want = int(np.count_nonzero((dec >= lo) & (dec <= hi)))
+            got = count_range(codec, payload, len(x), x.dtype, lo, hi)
+            assert got == want, (name, lo, hi, got, want)
+
+
+@given(st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                max_size=250),
+       st.integers(min_value=-2**63, max_value=2**63 - 1),
+       st.integers(min_value=0, max_value=2**16))
+@settings(max_examples=80, deadline=None)
+def test_hypothesis_count_range_all_codecs(vals, lo, width):
+    from tokrle.codecs.core import count_range
+
+    x = np.array(vals, dtype=np.int64)
+    hi = min(lo + width, 2**63 - 1)
+    want = int(np.count_nonzero(
+        (x.astype(object) >= lo) & (x.astype(object) <= hi)))
+    for codec in ("plain", "rle", "dict", "for", "delta", "pfor",
+                  "dpfor"):
+        payload = encode(codec, x)
+        assert count_range(codec, payload, len(x), x.dtype,
+                           lo, hi) == want, codec
+
+
+@pytest.mark.parametrize("name", sorted(_U64_CASES))
+def test_count_range_uint64_framing(name):
+    """Range counts across the 2^63 bias boundary: windows straddling
+    the boundary, fully above it, and outside the uint64 domain."""
+    from tokrle.codecs.core import count_range
+
+    x = _U64_CASES[name]
+    codec, payload, _ = auto_encode(x)
+    xo = x.astype(object)
+    windows = [(0, 2**64 - 1), (2**63 - 10, 2**63 + 10),
+               (2**63, 2**64 - 1), (0, 100), (-50, 50),
+               (2**64, 2**64 + 9)]
+    if len(x):
+        windows.append((int(x.min()), int(x.max())))
+    for lo, hi in windows:
+        want = int(np.count_nonzero((xo >= lo) & (xo <= hi)))
+        assert count_range(codec, payload, len(x), np.uint64,
+                           lo, hi) == want, (lo, hi)
+
+
+def test_count_range_rejects_floats():
+    from tokrle.codecs.core import count_range
+
+    x = np.array([1.5, 2.5], dtype=np.float64)
+    codec, payload, _ = auto_encode(x)
+    with pytest.raises(TypeError, match="integer-only"):
+        count_range(codec, payload, len(x), x.dtype, 0, 2)

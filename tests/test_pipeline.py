@@ -1257,3 +1257,56 @@ def test_encoded_value_count_rejects_nullable(ray_session, tmp_path):
     # silently include them, so the chunk must raise instead
     with pytest.raises(Exception, match="nullable"):
         encoded_value_count(out_dir, "x", 0)
+
+
+def test_encoded_range_count_three_way_split(ray_session, tmp_path):
+    """Range COUNT over a clustered table must prune outside chunks,
+    answer interior chunks from metadata alone, count boundary chunks in
+    the compressed domain, and match pandas exactly — clustered and
+    unclustered layouts both."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_range_count)
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "key": np.sort(rng.integers(0, 50, 30_000)).astype("int64"),
+        "tag": rng.integers(1, 8, 30_000).astype("int32"),
+    })
+    out_dir = str(tmp_path / "rcount")
+    encode_table_columns(ray.data.from_pandas(df), ["key", "tag"],
+                         batch_size=1024).write_parquet(out_dir)
+
+    got, counters = encoded_range_count(out_dir, "key", 12, 30)
+    assert int(got["n_match"].iloc[0]) == \
+        int(df["key"].between(12, 30).sum())
+    assert counters["chunks_skipped"] > 0, counters
+    assert counters["chunks_interior"] > 0, counters
+    assert counters["chunks_interior"] + counters["chunks_boundary"] + \
+        counters["chunks_skipped"] == counters["chunks_total"]
+
+    # unclustered column: boundary everywhere, still exact
+    got, counters = encoded_range_count(out_dir, "tag", 2, 4)
+    assert int(got["n_match"].iloc[0]) == \
+        int(df["tag"].between(2, 4).sum())
+
+    # disjoint window: every chunk pruned
+    got, counters = encoded_range_count(out_dir, "key", 100, 200)
+    assert int(got["n_match"].iloc[0]) == 0
+    assert counters["chunks_interior"] + counters["chunks_boundary"] == 0
+
+
+def test_encoded_range_count_rejects_nullable(ray_session, tmp_path):
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_range_count)
+
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array([1, None, 0] * 100, type=pa.int64())}))
+    out_dir = str(tmp_path / "rcount_null")
+    encode_table_columns(ds, ["x"], batch_size=64).write_parquet(out_dir)
+    with pytest.raises(Exception, match="nullable"):
+        encoded_range_count(out_dir, "x", 0, 1)

@@ -110,6 +110,22 @@ class Codec:
         return int(np.count_nonzero(
             self.decode(payload, n, dtype) == dtype.type(value)))
 
+    def count_range(self, payload: bytes, n: int, dtype: np.dtype,
+                    lo: int, hi: int) -> int:
+        """COUNT of elements in ``[lo, hi]`` (inclusive) in the encoded
+        chunk — the range-predicate sibling of :meth:`count_eq`, same
+        contract.  Overrides answer from the codec's own streams (rle:
+        O(#runs); dict: two searchsorted calls bound the code window;
+        for/bitpack: a window clamp that answers 0 or n with no
+        code-stream work); this default decodes + compares.  The
+        module-level dispatch guarantees ``lo <= hi`` and both bounds
+        within the dtype's domain."""
+        if n == 0:
+            return 0
+        x = self.decode(payload, n, dtype)
+        return int(np.count_nonzero(
+            (x >= dtype.type(lo)) & (x <= dtype.type(hi))))
+
 
 def _bounds(x: np.ndarray, vmin, vmax) -> tuple[int, int]:
     if vmin is None:
@@ -189,6 +205,19 @@ class BitPack(Codec):
         return int(np.count_nonzero(
             unpack_uints(payload[1:], n, w) == np.uint64(value)))
 
+    def count_range(self, payload, n, dtype, lo, hi):
+        if n == 0:
+            return 0
+        (w,) = struct.unpack_from("<B", payload, 0)
+        tlo, thi = max(lo, 0), min(hi, (1 << w) - 1)
+        if tlo > thi:
+            return 0            # window misses every representable code
+        if tlo == 0 and thi == (1 << w) - 1:
+            return n            # window covers every representable code
+        u = unpack_uints(payload[1:], n, w)
+        return int(np.count_nonzero(
+            (u >= np.uint64(tlo)) & (u <= np.uint64(thi))))
+
 
 class FrameOfReference(Codec):
     """Frame-of-reference: ``<q ref><B width>`` + width-bit (x - ref) codes."""
@@ -228,6 +257,19 @@ class FrameOfReference(Codec):
             return 0
         return int(np.count_nonzero(
             unpack_uints(payload[9:], n, w) == np.uint64(target)))
+
+    def count_range(self, payload, n, dtype, lo, hi):
+        if n == 0:
+            return 0
+        ref, w = struct.unpack_from("<qB", payload, 0)
+        tlo, thi = max(lo - ref, 0), min(hi - ref, (1 << w) - 1)
+        if tlo > thi:
+            return 0
+        if tlo == 0 and thi == (1 << w) - 1:
+            return n
+        u = unpack_uints(payload[9:], n, w)
+        return int(np.count_nonzero(
+            (u >= np.uint64(tlo)) & (u <= np.uint64(thi))))
 
 
 class Dictionary(Codec):
@@ -326,6 +368,33 @@ class Dictionary(Codec):
         codes = unpack_uints(payload[off + dict_len:], n, code_w)
         return int(np.count_nonzero(codes == np.uint64(code)))
 
+    def count_range(self, payload, n, dtype, lo, hi):
+        # two searchsorted calls on the sorted dictionary bound the code
+        # window [c_lo, c_hi); the code stream then answers with one
+        # range compare — no dictionary gather, and all-in / all-out
+        # windows answer from the k-element dict alone
+        if n == 0:
+            return 0
+        k, code_w, ref, dict_w = struct.unpack_from("<IBqB", payload, 0)
+        if k == 0:
+            return 0
+        tlo = max(lo - ref, 0)
+        thi = min(hi - ref, (1 << dict_w) - 1 if dict_w else 0)
+        if tlo > thi:
+            return 0
+        (dict_len,) = struct.unpack_from("<I", payload, 14)
+        off = 18
+        deltas = unpack_uints(payload[off:off + dict_len], k, dict_w)
+        c_lo = int(np.searchsorted(deltas, np.uint64(tlo), side="left"))
+        c_hi = int(np.searchsorted(deltas, np.uint64(thi), side="right"))
+        if c_lo >= c_hi:
+            return 0            # no dictionary entry falls in the range
+        if c_lo == 0 and c_hi == k:
+            return n            # every dictionary entry falls in it
+        codes = unpack_uints(payload[off + dict_len:], n, code_w)
+        return int(np.count_nonzero(
+            (codes >= np.uint64(c_lo)) & (codes < np.uint64(c_hi))))
+
 
 class RunLength(Codec):
     """RLE: exact-equality run detection (integer-native find_runs idiom,
@@ -393,6 +462,27 @@ class RunLength(Codec):
         runs_nbytes = (nruns * run_w + 7) // 8
         vdeltas = unpack_uints(payload[off + runs_nbytes:], nruns, val_w)
         hit = vdeltas == np.uint64(target)
+        if not hit.any():
+            return 0
+        runs = unpack_uints(payload[off:off + runs_nbytes], nruns,
+                            run_w).astype(np.int64) + 1
+        return int(runs[hit].sum())
+
+    def count_range(self, payload, n, dtype, lo, hi):
+        # sum of run lengths whose run value lands in [lo, hi]: O(#runs)
+        nruns, run_w, vref, val_w = struct.unpack_from("<IBqB", payload, 0)
+        if n == 0 or nruns == 0:
+            return 0
+        tlo = max(lo - vref, 0)
+        thi = min(hi - vref, (1 << val_w) - 1 if val_w else 0)
+        if tlo > thi:
+            return 0
+        if tlo == 0 and thi == ((1 << val_w) - 1 if val_w else 0):
+            return n            # window covers the whole value domain
+        off = 14
+        runs_nbytes = (nruns * run_w + 7) // 8
+        vdeltas = unpack_uints(payload[off + runs_nbytes:], nruns, val_w)
+        hit = (vdeltas >= np.uint64(tlo)) & (vdeltas <= np.uint64(thi))
         if not hit.any():
             return 0
         runs = unpack_uints(payload[off:off + runs_nbytes], nruns,
@@ -1544,3 +1634,40 @@ def count_eq(codec: str, payload: bytes, n: int, dtype,
     if not info.min <= value <= info.max:
         return 0
     return CODECS[codec].count_eq(payload, n, dtype, value)
+
+
+def count_range(codec: str, payload: bytes, n: int, dtype,
+                lo: int, hi: int) -> int:
+    """Exact COUNT of elements in ``[lo, hi]`` (inclusive) in an encoded
+    chunk — the range-predicate sibling of :func:`count_eq`, same
+    compressed-domain paths and the same integer-only contract.  Bounds
+    are clamped to the dtype's domain; an empty window answers 0 without
+    touching the payload."""
+    dtype = np.dtype(dtype)
+    lo, hi = int(lo), int(hi)
+    if dtype.kind in "mM":
+        dtype = np.dtype(np.int64)
+    if dtype.kind not in "iu":
+        raise TypeError(f"count_range is integer-only, got {dtype}")
+    if n == 0 or lo > hi:
+        return 0
+    if dtype == np.uint64:
+        lo, hi = max(lo, 0), min(hi, (1 << 64) - 1)
+        if lo > hi:
+            return 0
+        # framing byte (see encode): biased streams hold x ^ 2^63 — an
+        # order-PRESERVING bijection, so the window shifts by the same
+        # constant; unbiased streams hold values < 2^63 only
+        if payload[0]:
+            lo, hi = lo - (1 << 63), hi - (1 << 63)
+        else:
+            hi = min(hi, (1 << 63) - 1)
+            if lo > hi:
+                return 0
+        return CODECS[codec].count_range(memoryview(payload)[1:], n,
+                                         np.dtype(np.int64), lo, hi)
+    info = np.iinfo(dtype)
+    lo, hi = max(lo, int(info.min)), min(hi, int(info.max))
+    if lo > hi:
+        return 0
+    return CODECS[codec].count_range(payload, n, dtype, lo, hi)

@@ -2115,6 +2115,51 @@ def encoded_predicate_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["col", "value"]).reset_index(drop=True)
 
 
+def encoded_range_count_stats(sf_dir: str) -> pd.DataFrame:
+    """Range predicates pushed into the encoded layout: COUNT(*) WHERE
+    col BETWEEN lo AND hi splits chunks three ways on the zone maps —
+    outside chunks' payloads never leave storage, INTERIOR chunks answer
+    from the chunk's own row count (metadata only, not even the payload
+    is fetched), and boundary chunks count inside the compressed domain
+    via count_range (rle O(#runs), dict double-searchsorted, for/bitpack
+    window clamp).  Three predicates pin three shapes: the clustered key
+    (interior + pruning), an unclustered column (boundary everywhere,
+    still zero decode), and a disjoint range (all chunks pruned)."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_range_count)
+
+    cols = ["l_suppkey", "l_linenumber"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "range_count")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
+
+    rows = []
+    for col, lo, hi in (("l_suppkey", 3, 6), ("l_linenumber", 2, 4),
+                        ("l_suppkey", -9, -2)):
+        df, counters = encoded_range_count(enc_dir, col, lo, hi)
+        if col == "l_suppkey" and lo == 3 and \
+                counters["chunks_total"] > 8:
+            assert counters["chunks_skipped"] > 0, counters
+            assert counters["chunks_interior"] > 0, \
+                f"metadata-only interior path never ran: {counters}"
+        if lo == -9:
+            assert counters["chunks_interior"] + \
+                counters["chunks_boundary"] == 0, \
+                f"disjoint range should prune every chunk: {counters}"
+        rows.append({"col": col, "lo": lo, "hi": hi,
+                     "n_match": int(df["n_match"].iloc[0])})
+    out = pd.DataFrame(rows)
+    for c in ("lo", "hi", "n_match"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["col", "lo"]).reset_index(drop=True)
+
+
 def encoded_group_agg_stats(sf_dir: str) -> pd.DataFrame:
     """GROUP BY pushed into the encoded layout: lineitem clustered on
     l_suppkey, per-supplier COUNT/SUM answered from zone maps + codec

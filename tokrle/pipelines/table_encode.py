@@ -557,6 +557,90 @@ def encoded_value_count(enc_dir: str, col: str, value: int):
     return pd.DataFrame({"n_match": [int(row["n_match"] or 0)]}), counters
 
 
+def encoded_range_count(enc_dir: str, col: str, lo: int, hi: int):
+    """COUNT of rows with ``col`` in ``[lo, hi]`` over a table-encode
+    directory, split three ways on the zone maps:
+
+    - chunks OUTSIDE the range: payloads never leave storage (predicate
+      pushed into the Parquet scan);
+    - INTERIOR chunks (``vmin >= lo and vmax <= hi``): every row
+      qualifies, so the count is the chunk's ``n_rows`` — a
+      metadata-only read, not even the payload column is fetched;
+    - BOUNDARY chunks: count inside the compressed domain via
+      :func:`tokrle.codecs.core.count_range` (rle: O(#runs); dict: two
+      searchsorted calls; for/bitpack: window clamp) — still no decode.
+
+    Same contracts as :func:`encoded_value_count` (integer zone-mapped
+    columns, nullable chunks raise).  Returns ``(DataFrame(n_match),
+    counters)`` with the chunk split."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from tokrle.codecs.core import count_range
+
+    lo, hi = int(lo), int(hi)
+    inside = (pc.field(f"{col}__vmin") >= lo) & \
+        (pc.field(f"{col}__vmax") <= hi)
+    overlap = (pc.field(f"{col}__vmax") >= lo) & \
+        (pc.field(f"{col}__vmin") <= hi)
+    boundary = overlap & ~inside
+    n_total = ray.data.read_parquet(enc_dir, columns=["n_rows"]).count()
+
+    def interior_partial(batch: pa.Table) -> pa.Table:
+        valids = batch.column(f"{col}__valid")
+        for i in range(len(batch)):
+            if len(valids[i].as_py() or b""):
+                raise ValueError(
+                    f"column {col!r}: nullable chunks not supported by "
+                    "the compressed-domain count (encode fills nulls "
+                    "with 0)")
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_match": pa.array([int(nrows.sum())], type=pa.int64()),
+            "chunks": pa.array([len(batch)], type=pa.int64())})
+
+    def boundary_partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        payloads = batch.column(f"{col}__payload")
+        codecs = batch.column(f"{col}__codec").to_pylist()
+        dtypes = batch.column(f"{col}__dtype").to_pylist()
+        valids = batch.column(f"{col}__valid")
+        total = 0
+        for i, codec in enumerate(codecs):
+            if len(valids[i].as_py() or b""):
+                raise ValueError(
+                    f"column {col!r}: nullable chunks not supported by "
+                    "the compressed-domain count (encode fills nulls "
+                    "with 0)")
+            total += count_range(codec,
+                                 memoryview(payloads[i].as_buffer()),
+                                 int(nrows[i]), np.dtype(dtypes[i]),
+                                 lo, hi)
+        return pa.table({
+            "n_match": pa.array([total], type=pa.int64()),
+            "chunks": pa.array([len(batch)], type=pa.int64())})
+
+    def _run(filt, cols, fn):
+        ds = ray.data.read_parquet(enc_dir, columns=cols, filter=filt)
+        row = ds.map_batches(fn, batch_format="pyarrow").aggregate(
+            Sum("n_match", alias_name="n_match"),
+            Sum("chunks", alias_name="chunks"))
+        return int(row["n_match"] or 0), int(row["chunks"] or 0)
+
+    ni, ci = _run(inside, ["n_rows", f"{col}__valid"], interior_partial)
+    nb, cb = _run(boundary,
+                  ["n_rows"] + [f"{col}__{p}" for p in
+                                ("codec", "payload", "dtype", "valid")],
+                  boundary_partial)
+    counters = {"chunks_total": n_total,
+                "chunks_interior": ci,
+                "chunks_boundary": cb,
+                "chunks_skipped": n_total - ci - cb}
+    return pd.DataFrame({"n_match": [ni + nb]}), counters
+
+
 def encoded_group_agg(enc_dir: str, group_col: str, agg_cols: list[str],
                       *, with_minmax: bool = False):
     """GROUP BY ``group_col`` with COUNT/SUM (and optionally MIN/MAX, see
