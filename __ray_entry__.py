@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # count_eq (rle run sums / dict code compare), no decode
         "encoded_predicate_stats": Q.encoded_predicate_stats,
         "encoded_range_count_stats": Q.encoded_range_count_stats,
+        "encoded_distinct_stats": Q.encoded_distinct_stats,
         # round 5: simhash is wrap-around uint64 arithmetic on the
         # SQL-contracted token ids, so DuckDB recomputes the full
         # 64-bit signature per doc (HUGEINT products mod 2^64) and the
@@ -643,6 +644,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (l_suppkey BETWEEN -9 AND -2)
             FROM lineitem
         ) ORDER BY col, lo
+    """
+
+    sql["encoded_distinct_stats"] = """
+        SELECT col, cast(n_distinct AS bigint) AS n_distinct
+        FROM (
+            SELECT 'l_suppkey' AS col,
+                   count(DISTINCT l_suppkey) AS n_distinct FROM lineitem
+            UNION ALL
+            SELECT 'l_linenumber', count(DISTINCT l_linenumber)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_partkey', count(DISTINCT l_partkey) FROM lineitem
+        ) ORDER BY col
     """
 
     sql["token_remap_stats"] = """

@@ -739,3 +739,66 @@ def test_count_range_rejects_floats():
     codec, payload, _ = auto_encode(x)
     with pytest.raises(TypeError, match="integer-only"):
         count_range(codec, payload, len(x), x.dtype, 0, 2)
+
+
+@pytest.mark.parametrize("codec", list(CODECS))
+def test_distinct_values_matches_decode_on_corpora(codec):
+    from tokrle.codecs.core import distinct_values
+
+    for name, x in CORPORA.items():
+        if codec == "bitpack" and len(x) and x.min() < 0:
+            continue
+        payload = encode(codec, x)
+        want = np.unique(decode(codec, payload, len(x), x.dtype))
+        got = distinct_values(codec, payload, len(x), x.dtype)
+        assert got.dtype == x.dtype, (name, got.dtype)
+        assert np.array_equal(got, want), name
+
+
+@given(st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                max_size=250))
+@settings(max_examples=60, deadline=None)
+def test_hypothesis_distinct_values_all_codecs(vals):
+    from tokrle.codecs.core import distinct_values
+
+    x = np.array(vals, dtype=np.int64)
+    want = np.unique(x)
+    for codec in ("plain", "rle", "dict", "for", "delta", "pfor",
+                  "dpfor"):
+        payload = encode(codec, x)
+        assert np.array_equal(
+            distinct_values(codec, payload, len(x), x.dtype), want), codec
+
+
+@pytest.mark.parametrize("name", sorted(_U64_CASES))
+def test_distinct_values_uint64_framing(name):
+    """Distinct sets through the bias framing: sorted in uint64 order,
+    exact across the 2^63 boundary."""
+    from tokrle.codecs.core import distinct_values
+
+    x = _U64_CASES[name]
+    codec, payload, _ = auto_encode(x)
+    got = distinct_values(codec, payload, len(x), np.uint64)
+    assert got.dtype == np.uint64
+    assert np.array_equal(got, np.unique(x))
+
+
+def test_distinct_values_rle_recurring_nonadjacent():
+    """A value recurring in NON-adjacent runs must not be double-counted
+    by rle's run-values path."""
+    from tokrle.codecs.core import distinct_values
+
+    x = np.array([5] * 10 + [7] * 3 + [5] * 4 + [9] + [5] * 2,
+                 dtype=np.int64)
+    payload = encode("rle", x)
+    assert distinct_values("rle", payload, len(x),
+                           x.dtype).tolist() == [5, 7, 9]
+
+
+def test_distinct_values_rejects_floats():
+    from tokrle.codecs.core import distinct_values
+
+    x = np.array([1.5, 2.5], dtype=np.float64)
+    codec, payload, _ = auto_encode(x)
+    with pytest.raises(TypeError, match="integer-only"):
+        distinct_values(codec, payload, len(x), x.dtype)

@@ -1310,3 +1310,55 @@ def test_encoded_range_count_rejects_nullable(ray_session, tmp_path):
     encode_table_columns(ds, ["x"], batch_size=64).write_parquet(out_dir)
     with pytest.raises(Exception, match="nullable"):
         encoded_range_count(out_dir, "x", 0, 1)
+
+
+def test_encoded_distinct_count_closed_form(ray_session, tmp_path):
+    """Exact distinct counts from the encoded layout: clustered
+    low-cardinality columns answer via dict/rle closed forms, arbitrary
+    columns via decode fallback — both match pandas nunique."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_distinct_count)
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({
+        # wide-spread low-cardinality values select the dict codec, so
+        # this column's distinct sets come from the dictionary stream
+        # alone (the closed form under test)
+        "label": rng.choice(np.array([3, 900017, -12, 10**9, 77],
+                                     dtype=np.int64), 20_000),
+        "key": np.sort(rng.integers(0, 30, 20_000)).astype("int64"),
+        "wide": rng.integers(0, 10**12, 20_000).astype("int64"),
+    })
+    out_dir = str(tmp_path / "distinct")
+    encode_table_columns(ray.data.from_pandas(df),
+                         ["label", "key", "wide"],
+                         batch_size=1024).write_parquet(out_dir)
+
+    got, counters = encoded_distinct_count(out_dir, "label")
+    assert int(got["n_distinct"].iloc[0]) == df["label"].nunique()
+    assert counters["chunks_closed_form"] > 0, counters
+
+    # sorted key lands on delta-family codecs (decode fallback) and a
+    # wide uniform column on bitpack — both still exact
+    got, counters = encoded_distinct_count(out_dir, "key")
+    assert int(got["n_distinct"].iloc[0]) == df["key"].nunique()
+
+    got, counters = encoded_distinct_count(out_dir, "wide")
+    assert int(got["n_distinct"].iloc[0]) == df["wide"].nunique()
+
+
+def test_encoded_distinct_count_rejects_nullable(ray_session, tmp_path):
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_distinct_count)
+
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array([1, None, 2] * 50, type=pa.int64())}))
+    out_dir = str(tmp_path / "distinct_null")
+    encode_table_columns(ds, ["x"], batch_size=32).write_parquet(out_dir)
+    with pytest.raises(Exception, match="nullable"):
+        encoded_distinct_count(out_dir, "x")

@@ -126,6 +126,17 @@ class Codec:
         return int(np.count_nonzero(
             (x >= dtype.type(lo)) & (x <= dtype.type(hi))))
 
+    def distinct(self, payload: bytes, n: int,
+                 dtype: np.dtype) -> np.ndarray:
+        """Sorted unique values of the encoded chunk.  Dict chunks
+        answer from the dictionary stream alone (it IS the chunk's
+        distinct set by construction — zero code-stream work); rle
+        chunks from the O(#runs) value stream.  This default decodes +
+        np.unique.  Integer streams only (module dispatch contract)."""
+        if n == 0:
+            return np.empty(0, dtype=dtype)
+        return np.unique(self.decode(payload, n, dtype))
+
 
 def _bounds(x: np.ndarray, vmin, vmax) -> tuple[int, int]:
     if vmin is None:
@@ -395,6 +406,19 @@ class Dictionary(Codec):
         return int(np.count_nonzero(
             (codes >= np.uint64(c_lo)) & (codes < np.uint64(c_hi))))
 
+    def distinct(self, payload, n, dtype):
+        # the dictionary stream IS the chunk's sorted distinct set by
+        # construction (encode builds it from the chunk's uniques and
+        # every entry is referenced) — the code stream is never read
+        if n == 0:
+            return np.empty(0, dtype=dtype)
+        k, code_w, ref, dict_w = struct.unpack_from("<IBqB", payload, 0)
+        (dict_len,) = struct.unpack_from("<I", payload, 14)
+        off = 18
+        uniq = unpack_uints(payload[off:off + dict_len], k,
+                            dict_w).astype(np.int64) + ref
+        return uniq.astype(dtype)
+
 
 class RunLength(Codec):
     """RLE: exact-equality run detection (integer-native find_runs idiom,
@@ -488,6 +512,19 @@ class RunLength(Codec):
         runs = unpack_uints(payload[off:off + runs_nbytes], nruns,
                             run_w).astype(np.int64) + 1
         return int(runs[hit].sum())
+
+    def distinct(self, payload, n, dtype):
+        # unique of the O(#runs) value stream — adjacent runs always
+        # differ but a value can recur in non-adjacent runs, so a
+        # unique pass is still required
+        nruns, run_w, vref, val_w = struct.unpack_from("<IBqB", payload, 0)
+        if n == 0 or nruns == 0:
+            return np.empty(0, dtype=dtype)
+        off = 14
+        runs_nbytes = (nruns * run_w + 7) // 8
+        values = unpack_uints(payload[off + runs_nbytes:], nruns,
+                              val_w).astype(np.int64) + vref
+        return np.unique(values).astype(dtype)
 
 
 class Delta(Codec):
@@ -1671,3 +1708,28 @@ def count_range(codec: str, payload: bytes, n: int, dtype,
     if lo > hi:
         return 0
     return CODECS[codec].count_range(payload, n, dtype, lo, hi)
+
+
+def distinct_values(codec: str, payload: bytes, n: int,
+                    dtype) -> np.ndarray:
+    """Sorted unique values of an encoded chunk, answered from the
+    codec's own streams where possible (dict: the dictionary stream IS
+    the distinct set, zero code-stream work; rle: unique of the
+    O(#runs) value stream) and by decode + np.unique otherwise.
+    Integer and datetime dtypes only, same contract as
+    :func:`count_eq`."""
+    dtype = np.dtype(dtype)
+    if dtype.kind in "mM":
+        return distinct_values(codec, payload, n, np.int64).view(dtype)
+    if dtype.kind not in "iu":
+        raise TypeError(f"distinct_values is integer-only, got {dtype}")
+    if n == 0:
+        return np.empty(0, dtype=dtype)
+    if dtype == np.uint64:
+        vals = CODECS[codec].distinct(memoryview(payload)[1:], n,
+                                      np.dtype(np.int64))
+        u = vals.view(np.uint64)
+        # xor-2^63 is order-preserving int64-order -> uint64-order, so
+        # the sorted property survives the unbias in both directions
+        return (u ^ _U64_BIAS) if payload[0] else u
+    return CODECS[codec].distinct(payload, n, dtype)

@@ -2160,6 +2160,41 @@ def encoded_range_count_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["col", "lo"]).reset_index(drop=True)
 
 
+def encoded_distinct_stats(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT) from the encoded layout: per-chunk distinct
+    sets come from the codec streams (dict chunks never read their code
+    stream — the dictionary IS the distinct set; rle chunks read the
+    O(#runs) value stream), union per batch, then one hash-partitioned
+    dedupe over the already-deduped partials.  On this corpus the
+    chunks land on dpfor/bitpack (decode fallback — still exact); the
+    dict/rle closed forms are pinned by the codec-level tests and
+    test_encoded_distinct_count_closed_form."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_distinct_count)
+
+    cols = ["l_suppkey", "l_linenumber", "l_partkey"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "distinct")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
+
+    rows = []
+    for col in cols:
+        df, counters = encoded_distinct_count(enc_dir, col)
+        assert counters["chunks_total"] == \
+            counters["chunks_closed_form"] + counters["chunks_decoded"]
+        rows.append({"col": col,
+                     "n_distinct": int(df["n_distinct"].iloc[0])})
+    out = pd.DataFrame(rows)
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out.sort_values("col").reset_index(drop=True)
+
+
 def encoded_group_agg_stats(sf_dir: str) -> pd.DataFrame:
     """GROUP BY pushed into the encoded layout: lineitem clustered on
     l_suppkey, per-supplier COUNT/SUM answered from zone maps + codec

@@ -641,6 +641,69 @@ def encoded_range_count(enc_dir: str, col: str, lo: int, hi: int):
     return pd.DataFrame({"n_match": [ni + nb]}), counters
 
 
+def encoded_distinct_count(enc_dir: str, col: str):
+    """Exact COUNT(DISTINCT col) over a table-encode directory without
+    decoding: each chunk's distinct set comes from the codec's own
+    streams via :func:`tokrle.codecs.core.distinct_values` (dict chunks
+    never read their code stream — the dictionary IS the distinct set;
+    rle chunks read the O(#runs) value stream), per-batch sets union
+    before leaving the task, and a hash-partitioned two-level dedupe
+    counts the survivors — the exchange carries at most
+    (#batches x chunk cardinality) values, never rows.
+
+    Intended for low/moderate-cardinality columns (keys, labels, enum
+    codes); for high-cardinality columns the distinct set itself is the
+    data — use the HLL sketch (`functions.sketch`) there.  Same
+    contracts as :func:`encoded_value_count` (integer zone-mapped not
+    required; nullable chunks raise).  Returns ``(DataFrame(n_distinct),
+    counters)`` where counters report how many chunks answered from a
+    closed form (dict/rle) vs decode."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from tokrle.codecs.core import distinct_values
+
+    need = ["n_rows"] + [f"{col}__{p}"
+                         for p in ("codec", "payload", "dtype", "valid")]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        payloads = batch.column(f"{col}__payload")
+        codecs = batch.column(f"{col}__codec").to_pylist()
+        dtypes = batch.column(f"{col}__dtype").to_pylist()
+        valids = batch.column(f"{col}__valid")
+        parts = []
+        for i, codec in enumerate(codecs):
+            if len(valids[i].as_py() or b""):
+                raise ValueError(
+                    f"column {col!r}: nullable chunks not supported by "
+                    "the compressed-domain distinct (encode fills nulls "
+                    "with 0)")
+            parts.append(distinct_values(
+                codec, memoryview(payloads[i].as_buffer()),
+                int(nrows[i]), np.dtype(dtypes[i])))
+        if parts:
+            u = np.unique(np.concatenate(parts))
+        else:
+            u = np.empty(0, dtype=np.int64)
+        return pa.table({"v": pa.array(u)})
+
+    ds = ray.data.read_parquet(enc_dir, columns=need)
+    flat = ds.map_batches(partial, batch_format="pyarrow")
+    n_distinct = flat.groupby("v").aggregate(
+        Count(alias_name="_c")).count()
+
+    codec_meta = ray.data.read_parquet(
+        enc_dir, columns=[f"{col}__codec"]).to_pandas()
+    kinds = codec_meta[f"{col}__codec"].value_counts().to_dict()
+    closed = sum(v for k, v in kinds.items() if k in ("dict", "rle"))
+    counters = {"chunks_total": int(len(codec_meta)),
+                "chunks_closed_form": int(closed),
+                "chunks_decoded": int(len(codec_meta) - closed)}
+    return pd.DataFrame({"n_distinct": [int(n_distinct)]}), counters
+
+
 def encoded_group_agg(enc_dir: str, group_col: str, agg_cols: list[str],
                       *, with_minmax: bool = False):
     """GROUP BY ``group_col`` with COUNT/SUM (and optionally MIN/MAX, see
