@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_predicate_stats": Q.encoded_predicate_stats,
         "encoded_range_count_stats": Q.encoded_range_count_stats,
         "encoded_distinct_stats": Q.encoded_distinct_stats,
+        "encoded_histogram_stats": Q.encoded_histogram_stats,
         # round 5: simhash is wrap-around uint64 arithmetic on the
         # SQL-contracted token ids, so DuckDB recomputes the full
         # 64-bit signature per doc (HUGEINT products mod 2^64) and the
@@ -657,6 +658,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'l_partkey', count(DISTINCT l_partkey) FROM lineitem
         ) ORDER BY col
+    """
+
+    sql["encoded_histogram_stats"] = """
+        SELECT col, cast(value AS bigint) AS value,
+               cast(n AS bigint) AS n
+        FROM (
+            SELECT 'l_suppkey' AS col, l_suppkey AS value,
+                   count(*) AS n FROM lineitem GROUP BY l_suppkey
+            UNION ALL
+            SELECT 'l_linenumber', l_linenumber, count(*)
+            FROM lineitem GROUP BY l_linenumber
+        ) ORDER BY col, value
     """
 
     sql["token_remap_stats"] = """

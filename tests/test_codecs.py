@@ -802,3 +802,58 @@ def test_distinct_values_rejects_floats():
     codec, payload, _ = auto_encode(x)
     with pytest.raises(TypeError, match="integer-only"):
         distinct_values(codec, payload, len(x), x.dtype)
+
+
+@pytest.mark.parametrize("codec", list(CODECS))
+def test_value_counts_matches_decode_on_corpora(codec):
+    from tokrle.codecs.core import value_counts
+
+    for name, x in CORPORA.items():
+        if codec == "bitpack" and len(x) and x.min() < 0:
+            continue
+        payload = encode(codec, x)
+        wv, wc = np.unique(decode(codec, payload, len(x), x.dtype),
+                           return_counts=True)
+        gv, gc = value_counts(codec, payload, len(x), x.dtype)
+        assert gv.dtype == x.dtype and gc.dtype == np.int64, name
+        assert np.array_equal(gv, wv) and np.array_equal(gc, wc), name
+        assert int(gc.sum()) == len(x), name       # counts conserve n
+
+
+@given(st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                max_size=250))
+@settings(max_examples=60, deadline=None)
+def test_hypothesis_value_counts_all_codecs(vals):
+    from tokrle.codecs.core import value_counts
+
+    x = np.array(vals, dtype=np.int64)
+    wv, wc = np.unique(x, return_counts=True)
+    for codec in ("plain", "rle", "dict", "for", "delta", "pfor",
+                  "dpfor"):
+        payload = encode(codec, x)
+        gv, gc = value_counts(codec, payload, len(x), x.dtype)
+        assert np.array_equal(gv, wv) and np.array_equal(gc, wc), codec
+
+
+@pytest.mark.parametrize("name", sorted(_U64_CASES))
+def test_value_counts_uint64_framing(name):
+    from tokrle.codecs.core import value_counts
+
+    x = _U64_CASES[name]
+    codec, payload, _ = auto_encode(x)
+    wv, wc = np.unique(x, return_counts=True)
+    gv, gc = value_counts(codec, payload, len(x), np.uint64)
+    assert gv.dtype == np.uint64
+    assert np.array_equal(gv, wv) and np.array_equal(gc, wc)
+
+
+def test_value_counts_rle_nonadjacent_runs_fold():
+    """A value recurring in non-adjacent runs must fold its run lengths
+    into ONE histogram row."""
+    from tokrle.codecs.core import value_counts
+
+    x = np.array([5] * 10 + [7] * 3 + [5] * 4 + [9] + [5] * 2,
+                 dtype=np.int64)
+    payload = encode("rle", x)
+    gv, gc = value_counts("rle", payload, len(x), x.dtype)
+    assert gv.tolist() == [5, 7, 9] and gc.tolist() == [16, 3, 1]

@@ -1362,3 +1362,45 @@ def test_encoded_distinct_count_rejects_nullable(ray_session, tmp_path):
     encode_table_columns(ds, ["x"], batch_size=32).write_parquet(out_dir)
     with pytest.raises(Exception, match="nullable"):
         encoded_distinct_count(out_dir, "x")
+
+
+def test_encoded_histogram_matches_pandas(ray_session, tmp_path):
+    """GROUP BY value COUNT(*) from the encoded layout must equal pandas
+    value_counts row for row across codec mixes, and conserve row
+    totals."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_histogram)
+
+    rng = np.random.default_rng(47)
+    df = pd.DataFrame({
+        "label": rng.choice(np.array([3, 900017, -12, 10**9, 77],
+                                     dtype=np.int64), 15_000),
+        "key": np.sort(rng.integers(0, 25, 15_000)).astype("int64"),
+    })
+    out_dir = str(tmp_path / "hist")
+    encode_table_columns(ray.data.from_pandas(df), ["label", "key"],
+                         batch_size=1024).write_parquet(out_dir)
+
+    for col in ("label", "key"):
+        hist, counters = encoded_histogram(out_dir, col)
+        want = df[col].value_counts().sort_index()
+        assert hist["value"].tolist() == want.index.tolist(), col
+        assert hist["n"].tolist() == want.values.tolist(), col
+        assert int(hist["n"].sum()) == len(df), col
+
+
+def test_encoded_histogram_rejects_nullable(ray_session, tmp_path):
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_histogram)
+
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array([4, None, 2] * 50, type=pa.int64())}))
+    out_dir = str(tmp_path / "hist_null")
+    encode_table_columns(ds, ["x"], batch_size=32).write_parquet(out_dir)
+    with pytest.raises(Exception, match="nullable"):
+        encoded_histogram(out_dir, "x")

@@ -137,6 +137,22 @@ class Codec:
             return np.empty(0, dtype=dtype)
         return np.unique(self.decode(payload, n, dtype))
 
+    def value_counts(self, payload: bytes, n: int,
+                     dtype: np.dtype) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted unique values, their counts) of the encoded chunk —
+        the exact per-chunk histogram.  Dict chunks bincount the narrow
+        code stream against the dictionary (no value gather); rle
+        chunks fold run lengths per unique run value in
+        O(#runs log #runs).  This default decodes +
+        np.unique(return_counts).  Counts are int64; same integer-only
+        contract as the other compressed-domain primitives."""
+        if n == 0:
+            return (np.empty(0, dtype=dtype),
+                    np.empty(0, dtype=np.int64))
+        vals, counts = np.unique(self.decode(payload, n, dtype),
+                                 return_counts=True)
+        return vals, counts.astype(np.int64)
+
 
 def _bounds(x: np.ndarray, vmin, vmax) -> tuple[int, int]:
     if vmin is None:
@@ -419,6 +435,21 @@ class Dictionary(Codec):
                             dict_w).astype(np.int64) + ref
         return uniq.astype(dtype)
 
+    def value_counts(self, payload, n, dtype):
+        # dictionary (sorted uniques) + one bincount over the narrow
+        # code stream — the n-element value gather never happens
+        if n == 0:
+            return (np.empty(0, dtype=dtype),
+                    np.empty(0, dtype=np.int64))
+        k, code_w, ref, dict_w = struct.unpack_from("<IBqB", payload, 0)
+        (dict_len,) = struct.unpack_from("<I", payload, 14)
+        off = 18
+        uniq = unpack_uints(payload[off:off + dict_len], k,
+                            dict_w).astype(np.int64) + ref
+        codes = unpack_uints(payload[off + dict_len:], n, code_w)
+        counts = np.bincount(codes.astype(np.int64), minlength=k)
+        return uniq.astype(dtype), counts.astype(np.int64)
+
 
 class RunLength(Codec):
     """RLE: exact-equality run detection (integer-native find_runs idiom,
@@ -525,6 +556,24 @@ class RunLength(Codec):
         values = unpack_uints(payload[off + runs_nbytes:], nruns,
                               val_w).astype(np.int64) + vref
         return np.unique(values).astype(dtype)
+
+    def value_counts(self, payload, n, dtype):
+        # fold run lengths per unique run value: O(#runs log #runs),
+        # the n-element expansion never happens
+        nruns, run_w, vref, val_w = struct.unpack_from("<IBqB", payload, 0)
+        if n == 0 or nruns == 0:
+            return (np.empty(0, dtype=dtype),
+                    np.empty(0, dtype=np.int64))
+        off = 14
+        runs_nbytes = (nruns * run_w + 7) // 8
+        runs = unpack_uints(payload[off:off + runs_nbytes], nruns,
+                            run_w).astype(np.int64) + 1
+        values = unpack_uints(payload[off + runs_nbytes:], nruns,
+                              val_w).astype(np.int64) + vref
+        uniq, inv = np.unique(values, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, runs)
+        return uniq.astype(dtype), sums
 
 
 class Delta(Codec):
@@ -1733,3 +1782,29 @@ def distinct_values(codec: str, payload: bytes, n: int,
         # the sorted property survives the unbias in both directions
         return (u ^ _U64_BIAS) if payload[0] else u
     return CODECS[codec].distinct(payload, n, dtype)
+
+
+def value_counts(codec: str, payload: bytes, n: int,
+                 dtype) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-chunk histogram (sorted unique values, int64 counts)
+    of an encoded chunk, from the codec's own streams where possible
+    (dict: dictionary + one bincount over the narrow code stream; rle:
+    run-length fold per unique run value in O(#runs log #runs)) and by
+    decode + np.unique(return_counts) otherwise.  Same integer/datetime
+    contract and uint64 bias framing as :func:`distinct_values`."""
+    dtype = np.dtype(dtype)
+    if dtype.kind in "mM":
+        vals, counts = value_counts(codec, payload, n, np.int64)
+        return vals.view(dtype), counts
+    if dtype.kind not in "iu":
+        raise TypeError(f"value_counts is integer-only, got {dtype}")
+    if n == 0:
+        return (np.empty(0, dtype=dtype), np.empty(0, dtype=np.int64))
+    if dtype == np.uint64:
+        vals, counts = CODECS[codec].value_counts(
+            memoryview(payload)[1:], n, np.dtype(np.int64))
+        u = vals.view(np.uint64)
+        # order-preserving unbias keeps (values, counts) aligned AND
+        # sorted in uint64 order
+        return ((u ^ _U64_BIAS) if payload[0] else u), counts
+    return CODECS[codec].value_counts(payload, n, dtype)

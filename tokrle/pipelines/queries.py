@@ -2195,6 +2195,44 @@ def encoded_distinct_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("col").reset_index(drop=True)
 
 
+def encoded_histogram_stats(sf_dir: str) -> pd.DataFrame:
+    """Exact GROUP BY value COUNT(*) from the encoded layout: per-chunk
+    (value, count) histograms come from the codec streams (dict:
+    dictionary + code-stream bincount; rle: O(#runs) run-length fold;
+    decode fallback elsewhere), then one hash-partitioned sum over the
+    cardinality-bounded pairs.  The full l_suppkey and l_linenumber
+    histograms are returned and must equal DuckDB's GROUP BY row for
+    row; the in-query assert pins that counts conserve row totals."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_histogram)
+
+    cols = ["l_suppkey", "l_linenumber"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "hist")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
+
+    frames = []
+    total = None
+    for col in cols:
+        hist, counters = encoded_histogram(enc_dir, col)
+        if total is None:
+            total = int(hist["n"].sum())
+        else:
+            assert int(hist["n"].sum()) == total, \
+                "histograms must conserve the row total across columns"
+        hist.insert(0, "col", col)
+        frames.append(hist)
+    out = pd.concat(frames, ignore_index=True)
+    out["value"] = out["value"].astype("int64")
+    return out.sort_values(["col", "value"]).reset_index(drop=True)
+
+
 def encoded_group_agg_stats(sf_dir: str) -> pd.DataFrame:
     """GROUP BY pushed into the encoded layout: lineitem clustered on
     l_suppkey, per-supplier COUNT/SUM answered from zone maps + codec

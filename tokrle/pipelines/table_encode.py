@@ -704,6 +704,69 @@ def encoded_distinct_count(enc_dir: str, col: str):
     return pd.DataFrame({"n_distinct": [int(n_distinct)]}), counters
 
 
+def encoded_histogram(enc_dir: str, col: str):
+    """Exact GROUP BY ``col`` COUNT(*) over a table-encode directory:
+    each chunk's (value, count) histogram comes from the codec streams
+    via :func:`tokrle.codecs.core.value_counts` (dict: dictionary + one
+    bincount over the narrow code stream, no value gather; rle:
+    run-length fold per unique run value in O(#runs log #runs)), and a
+    hash-partitioned sum over the per-chunk pairs produces the global
+    histogram — the exchange carries (value, partial_count) pairs
+    bounded by chunk cardinality, never rows.
+
+    Same cardinality guidance and null contract as
+    :func:`encoded_distinct_count`.  Returns ``(DataFrame(value, n)
+    sorted by value, counters)``."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from tokrle.codecs.core import value_counts
+
+    need = ["n_rows"] + [f"{col}__{p}"
+                         for p in ("codec", "payload", "dtype", "valid")]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        payloads = batch.column(f"{col}__payload")
+        codecs = batch.column(f"{col}__codec").to_pylist()
+        dtypes = batch.column(f"{col}__dtype").to_pylist()
+        valids = batch.column(f"{col}__valid")
+        vs, cs = [], []
+        for i, codec in enumerate(codecs):
+            if len(valids[i].as_py() or b""):
+                raise ValueError(
+                    f"column {col!r}: nullable chunks not supported by "
+                    "the compressed-domain histogram (encode fills "
+                    "nulls with 0)")
+            v, c = value_counts(codec,
+                                memoryview(payloads[i].as_buffer()),
+                                int(nrows[i]), np.dtype(dtypes[i]))
+            vs.append(v)
+            cs.append(c)
+        if not vs:
+            return pa.table({"v": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        # combine within the batch before the exchange: one more
+        # unique-fold so repeated values across chunks ship once
+        v_all = np.concatenate(vs)
+        c_all = np.concatenate(cs)
+        uniq, inv = np.unique(v_all, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, c_all)
+        return pa.table({"v": pa.array(uniq), "c": pa.array(sums)})
+
+    ds = ray.data.read_parquet(enc_dir, columns=need)
+    hist = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("c", alias_name="n")).to_pandas()
+    hist = hist.rename(columns={"v": "value"})
+    hist["n"] = hist["n"].astype("int64")
+    n_chunks = ray.data.read_parquet(enc_dir, columns=["n_rows"]).count()
+    counters = {"chunks_total": int(n_chunks),
+                "hist_rows": int(len(hist))}
+    return hist.sort_values("value").reset_index(drop=True), counters
+
+
 def encoded_group_agg(enc_dir: str, group_col: str, agg_cols: list[str],
                       *, with_minmax: bool = False):
     """GROUP BY ``group_col`` with COUNT/SUM (and optionally MIN/MAX, see
