@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_range_count_stats": Q.encoded_range_count_stats,
         "encoded_distinct_stats": Q.encoded_distinct_stats,
         "encoded_histogram_stats": Q.encoded_histogram_stats,
+        "encoded_string_predicate_stats": Q.encoded_string_predicate_stats,
         # round 5: simhash is wrap-around uint64 arithmetic on the
         # SQL-contracted token ids, so DuckDB recomputes the full
         # 64-bit signature per doc (HUGEINT products mod 2^64) and the
@@ -669,6 +670,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'l_linenumber', l_linenumber, count(*)
             FROM lineitem GROUP BY l_linenumber
+        ) ORDER BY col, value
+    """
+
+    sql["encoded_string_predicate_stats"] = """
+        SELECT col, value, cast(n_match AS bigint) AS n_match
+        FROM (
+            SELECT 'lang' AS col, 'en' AS value,
+                   count(*) FILTER (lang = 'en') AS n_match
+            FROM documents
+            UNION ALL
+            SELECT 'source', 'src7',
+                   count(*) FILTER (source = 'src7') FROM documents
+            UNION ALL
+            SELECT 'lang', 'xx',
+                   count(*) FILTER (lang = 'xx') FROM documents
         ) ORDER BY col, value
     """
 

@@ -1404,3 +1404,56 @@ def test_encoded_histogram_rejects_nullable(ray_session, tmp_path):
     encode_table_columns(ds, ["x"], batch_size=32).write_parquet(out_dir)
     with pytest.raises(Exception, match="nullable"):
         encoded_histogram(out_dir, "x")
+
+
+def test_encoded_string_value_count(ray_session, tmp_path):
+    """String equality against the encoded layout: the lengths stream
+    prefilter skips chunks with no candidate byte length, matches are
+    exact vs pandas (including empty strings, non-ASCII values, and an
+    absent same-length value), and null slots never match."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_string_value_count)
+
+    rng = np.random.default_rng(53)
+    vals = np.array(["en", "de", "français", "", "zh中文", "longer-tag"],
+                    dtype=object)
+    df = pd.DataFrame({"lang": rng.choice(vals, 8_000)})
+    out_dir = str(tmp_path / "strpred")
+    encode_table_columns(ray.data.from_pandas(df), ["lang"],
+                         batch_size=512).write_parquet(out_dir)
+
+    for v in ("en", "français", "", "zh中文", "xx", "absent-but-long"):
+        got, counters = encoded_string_value_count(out_dir, "lang", v)
+        want = int((df["lang"] == v).sum())
+        assert int(got["n_match"].iloc[0]) == want, v
+        assert counters["chunks_total"] == \
+            counters["chunks_text_decoded"] + \
+            counters["chunks_skipped_by_length"], v
+
+    # a value whose byte length appears nowhere: every chunk skipped by
+    # the lengths prefilter, text never decoded
+    got, counters = encoded_string_value_count(out_dir, "lang", "xyzw")
+    assert int(got["n_match"].iloc[0]) == 0
+    assert counters["chunks_text_decoded"] == 0, counters
+
+
+def test_encoded_string_value_count_nulls_never_match(ray_session,
+                                                      tmp_path):
+    """Null slots encode as '' with a validity bitmap; counting '' must
+    exclude them (SQL col = '' never matches NULL)."""
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_string_value_count)
+
+    ds = ray.data.from_arrow(pa.table({
+        "s": pa.array(["", None, "a", "", None, "b"] * 40)}))
+    out_dir = str(tmp_path / "strpred_null")
+    encode_table_columns(ds, ["s"], batch_size=64).write_parquet(out_dir)
+    got, _ = encoded_string_value_count(out_dir, "s", "")
+    assert int(got["n_match"].iloc[0]) == 80      # the real '' rows only
+    got, _ = encoded_string_value_count(out_dir, "s", "a")
+    assert int(got["n_match"].iloc[0]) == 40

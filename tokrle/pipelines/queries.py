@@ -2233,6 +2233,43 @@ def encoded_histogram_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["col", "value"]).reset_index(drop=True)
 
 
+def encoded_string_predicate_stats(sf_dir: str) -> pd.DataFrame:
+    """String predicates against the encoded layout: documents'
+    low-cardinality string columns are table-encoded (lengths stream +
+    FSST byte stream), then COUNT(*) WHERE col = 'value' runs with the
+    LENGTHS stream as a compressed-domain prefilter — chunks with no
+    row of the right byte length never decode their text payload.
+    Three predicates pin three paths: a hit on a 2-byte value (decode +
+    byte compare), a hit on a longer value, and an absent same-length
+    value (text decodes but the byte compare rejects every candidate)."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_string_value_count)
+
+    cols = ["source", "lang"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "str_pred")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "documents", columns=cols)
+    encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
+
+    rows = []
+    for col, value in (("lang", "en"), ("source", "src7"),
+                       ("lang", "xx")):
+        df, counters = encoded_string_value_count(enc_dir, col, value)
+        assert counters["chunks_total"] == \
+            counters["chunks_text_decoded"] + \
+            counters["chunks_skipped_by_length"]
+        rows.append({"col": col, "value": value,
+                     "n_match": int(df["n_match"].iloc[0])})
+    out = pd.DataFrame(rows)
+    out["n_match"] = out["n_match"].astype("int64")
+    return out.sort_values(["col", "value"]).reset_index(drop=True)
+
+
 def encoded_group_agg_stats(sf_dir: str) -> pd.DataFrame:
     """GROUP BY pushed into the encoded layout: lineitem clustered on
     l_suppkey, per-supplier COUNT/SUM answered from zone maps + codec

@@ -704,6 +704,92 @@ def encoded_distinct_count(enc_dir: str, col: str):
     return pd.DataFrame({"n_distinct": [int(n_distinct)]}), counters
 
 
+def encoded_string_value_count(enc_dir: str, col: str, value: str):
+    """COUNT of rows with string ``col == value`` over a table-encode
+    directory, with the LENGTHS stream as a compressed-domain prefilter:
+    a chunk whose encoded per-row byte-lengths contain no
+    ``len(value)`` entry (one :func:`tokrle.codecs.core.count_eq` over
+    the narrow integer lengths payload) never decodes its text bytes —
+    for selective predicates most chunks skip the FSST decode entirely.
+    Surviving chunks decode lengths + flat bytes and compare only the
+    length-matching candidate rows, vectorized.  Null slots encode as
+    ``""`` with a validity bitmap; they are excluded from matches (SQL
+    ``col = ''`` never matches NULL), so nullable chunks stay exact
+    rather than raising.  Returns ``(DataFrame(n_match), counters)``
+    where counters report how many chunks the length prefilter
+    eliminated."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from tokrle.codecs.core import count_eq, decode as codec_decode
+
+    vbytes = value.encode("utf-8")
+    vlen = len(vbytes)
+    varr = np.frombuffer(vbytes, dtype=np.uint8)
+    need = ["n_rows"] + [f"{col}__{p}"
+                         for p in ("codec", "payload", "lens_payload",
+                                   "valid")]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        codecs = batch.column(f"{col}__codec").to_pylist()
+        lens_payloads = batch.column(f"{col}__lens_payload")
+        payloads = batch.column(f"{col}__payload")
+        valids = batch.column(f"{col}__valid")
+        total = 0
+        decoded = 0
+        for i, spec in enumerate(codecs):
+            kind, lcodec, tcodec = spec.split(":", 2)
+            if kind != "str":
+                raise TypeError(
+                    f"column {col!r}: not a string column ({spec})")
+            n = int(nrows[i])
+            if n == 0:
+                continue
+            lp = memoryview(lens_payloads[i].as_buffer())
+            # compressed-domain length prefilter: no row of the right
+            # byte length -> the text payload is never decoded
+            if count_eq(lcodec, lp, n, np.int64, vlen) == 0:
+                continue
+            decoded += 1
+            lens = codec_decode(lcodec, lp, n, np.int64)
+            cand = lens == vlen
+            vb = valids[i].as_py() or b""
+            if vb:      # null slots encode as "" — never a match
+                valid = np.unpackbits(
+                    np.frombuffer(vb, dtype=np.uint8), count=n,
+                    bitorder="little").astype(bool)
+                cand &= valid
+            if not cand.any():
+                continue
+            if vlen == 0:
+                total += int(np.count_nonzero(cand))
+                continue
+            data = codec_decode(
+                tcodec, memoryview(payloads[i].as_buffer()),
+                int(lens.sum()), np.int8).view(np.uint8)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            starts = offs[:-1][cand]
+            idx = starts[:, None] + np.arange(vlen)
+            total += int(np.count_nonzero((data[idx] == varr).all(axis=1)))
+        return pa.table({
+            "n_match": pa.array([total], type=pa.int64()),
+            "chunks": pa.array([len(batch)], type=pa.int64()),
+            "text_decoded": pa.array([decoded], type=pa.int64())})
+
+    ds = ray.data.read_parquet(enc_dir, columns=need)
+    row = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n_match", alias_name="n_match"),
+        Sum("chunks", alias_name="chunks"),
+        Sum("text_decoded", alias_name="text_decoded"))
+    counters = {"chunks_total": int(row["chunks"] or 0),
+                "chunks_text_decoded": int(row["text_decoded"] or 0),
+                "chunks_skipped_by_length":
+                    int(row["chunks"] or 0) - int(row["text_decoded"] or 0)}
+    return pd.DataFrame({"n_match": [int(row["n_match"] or 0)]}), counters
+
+
 def encoded_histogram(enc_dir: str, col: str):
     """Exact GROUP BY ``col`` COUNT(*) over a table-encode directory:
     each chunk's (value, count) histogram comes from the codec streams
