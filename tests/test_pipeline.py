@@ -1457,3 +1457,18 @@ def test_encoded_string_value_count_nulls_never_match(ray_session,
     assert int(got["n_match"].iloc[0]) == 80      # the real '' rows only
     got, _ = encoded_string_value_count(out_dir, "s", "a")
     assert int(got["n_match"].iloc[0]) == 40
+
+
+def test_encoded_string_value_count_rejects_int_column(ray_session,
+                                                       tmp_path):
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_string_value_count)
+
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(list(range(200)), type=pa.int64())}))
+    out_dir = str(tmp_path / "strpred_int")
+    encode_table_columns(ds, ["x"], batch_size=64).write_parquet(out_dir)
+    with pytest.raises(Exception, match="not a string column"):
+        encoded_string_value_count(out_dir, "x", "5")

@@ -727,6 +727,14 @@ def encoded_string_value_count(enc_dir: str, col: str, value: str):
     vbytes = value.encode("utf-8")
     vlen = len(vbytes)
     varr = np.frombuffer(vbytes, dtype=np.uint8)
+    # validate the column kind up front: an integer column has no
+    # __lens_payload, and the read below would fail with an opaque
+    # missing-column KeyError instead of naming the contract
+    spec0 = ray.data.read_parquet(
+        enc_dir, columns=[f"{col}__codec"]).take(1)
+    if spec0 and not str(spec0[0][f"{col}__codec"]).startswith("str:"):
+        raise TypeError(f"column {col!r}: not a string column "
+                        f"({spec0[0][f'{col}__codec']})")
     need = ["n_rows"] + [f"{col}__{p}"
                          for p in ("codec", "payload", "lens_payload",
                                    "valid")]
@@ -740,10 +748,10 @@ def encoded_string_value_count(enc_dir: str, col: str, value: str):
         total = 0
         decoded = 0
         for i, spec in enumerate(codecs):
-            kind, lcodec, tcodec = spec.split(":", 2)
-            if kind != "str":
+            if not spec.startswith("str:"):
                 raise TypeError(
                     f"column {col!r}: not a string column ({spec})")
+            _, lcodec, tcodec = spec.split(":", 2)
             n = int(nrows[i])
             if n == 0:
                 continue
