@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_distinct_stats": Q.encoded_distinct_stats,
         "encoded_histogram_stats": Q.encoded_histogram_stats,
         "encoded_string_predicate_stats": Q.encoded_string_predicate_stats,
+        "encoded_token_histogram_stats": Q.encoded_token_histogram_stats,
         # round 5: simhash is wrap-around uint64 arithmetic on the
         # SQL-contracted token ids, so DuckDB recomputes the full
         # 64-bit signature per doc (HUGEINT products mod 2^64) and the
@@ -686,6 +687,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'lang', 'xx',
                    count(*) FILTER (lang = 'xx') FROM documents
         ) ORDER BY col, value
+    """
+
+    sql["encoded_token_histogram_stats"] = """
+        WITH toks AS (
+            SELECT ascii(w) * 32 + length(w) AS token
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents))
+        SELECT cast(token AS bigint) AS token,
+               cast(count(*) AS bigint) AS n
+        FROM toks GROUP BY token
+        ORDER BY n DESC, token LIMIT 20
     """
 
     sql["token_remap_stats"] = """

@@ -1472,3 +1472,22 @@ def test_encoded_string_value_count_rejects_int_column(ray_session,
     encode_table_columns(ds, ["x"], batch_size=64).write_parquet(out_dir)
     with pytest.raises(Exception, match="not a string column"):
         encoded_string_value_count(out_dir, "x", "5")
+
+
+def test_encoded_token_histogram_matches_flat_counts(ray_session):
+    """Token frequencies computed from the ENCODED corpus (value_counts
+    over chunk payloads, flat buffer never rebuilt) must equal direct
+    numpy counts over the token table."""
+    from collections import Counter
+
+    from tokrle.pipelines.queries import encoded_token_histogram_stats
+    from tokrle.sources.tokens import documents_to_tokens
+
+    got = encoded_token_histogram_stats(SF)
+    flat = np.concatenate(
+        documents_to_tokens(SF).to_pandas()["tokens"].map(
+            np.asarray).to_list())
+    counts = Counter(flat.tolist())
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(zip(got["token"], got["n"])) == \
+        [(int(t), int(n)) for t, n in want]

@@ -2233,6 +2233,51 @@ def encoded_histogram_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["col", "value"]).reset_index(drop=True)
 
 
+def encoded_token_histogram_stats(sf_dir: str) -> pd.DataFrame:
+    """Top-20 token frequencies computed FROM THE ENCODED CORPUS without
+    decoding: the headline token path (tokenize -> chunk -> codec
+    auto-selection) produces (codec, payload, n_tokens) chunks, each
+    chunk's exact histogram comes from the codec streams via
+    value_counts (dict: dictionary + code bincount; rle: run-length
+    fold), and one hash-partitioned sum over the vocabulary-bounded
+    (token, count) pairs yields the global frequency table — the flat
+    token buffer is never rebuilt anywhere.  Deterministic tie-break
+    (n desc, token asc) matches the SQL oracle's ORDER BY."""
+    from ray.data.aggregate import Sum
+
+    from tokrle.codecs.core import value_counts
+    from tokrle.pipelines.encode import encode_tokens
+    from tokrle.sources.tokens import documents_to_tokens
+
+    enc = encode_tokens(documents_to_tokens(sf_dir), batch_size=8192)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vs, cs = [], []
+        for i in range(len(t)):
+            v, c = value_counts(
+                t.column("codec")[i].as_py(),
+                memoryview(t.column("payload")[i].as_buffer()),
+                int(t.column("n_tokens")[i].as_py()), np.int32)
+            vs.append(v.astype(np.int64))
+            cs.append(c)
+        if not vs:
+            return pa.table({"token": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        v_all = np.concatenate(vs)
+        uniq, inv = np.unique(v_all, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, np.concatenate(cs))
+        return pa.table({"token": pa.array(uniq), "c": pa.array(sums)})
+
+    hist = enc.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("c", alias_name="n")).to_pandas()
+    top = hist.sort_values(["n", "token"],
+                           ascending=[False, True]).head(20)
+    top["token"] = top["token"].astype("int64")
+    top["n"] = top["n"].astype("int64")
+    return top[["token", "n"]].reset_index(drop=True)
+
+
 def encoded_string_predicate_stats(sf_dir: str) -> pd.DataFrame:
     """String predicates against the encoded layout: documents'
     low-cardinality string columns are table-encoded (lengths stream +
