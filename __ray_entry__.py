@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_histogram_stats": Q.encoded_histogram_stats,
         "encoded_string_predicate_stats": Q.encoded_string_predicate_stats,
         "encoded_token_histogram_stats": Q.encoded_token_histogram_stats,
+        "encoded_filtered_agg_stats": Q.encoded_filtered_agg_stats,
         # round 5: simhash is wrap-around uint64 arithmetic on the
         # SQL-contracted token ids, so DuckDB recomputes the full
         # 64-bit signature per doc (HUGEINT products mod 2^64) and the
@@ -722,6 +723,27 @@ def oracle_sql() -> dict[str, str]:
                cast(sum(l_orderkey) AS bigint)   AS sum_l_orderkey,
                cast(sum(l_linenumber) AS bigint) AS sum_l_linenumber
         FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+    """
+
+    sql["encoded_filtered_agg_stats"] = """
+        SELECT 'l_suppkey' AS col, cast(5 AS bigint) AS value,
+               cast(count(*) AS bigint)                      AS n_match,
+               cast(coalesce(sum(l_orderkey), 0) AS bigint)  AS sum_l_orderkey,
+               cast(coalesce(sum(l_partkey), 0) AS bigint)   AS sum_l_partkey
+        FROM lineitem WHERE l_suppkey = 5
+        UNION ALL
+        SELECT 'l_linenumber', cast(3 AS bigint),
+               cast(count(*) AS bigint),
+               cast(coalesce(sum(l_orderkey), 0) AS bigint),
+               cast(coalesce(sum(l_partkey), 0) AS bigint)
+        FROM lineitem WHERE l_linenumber = 3
+        UNION ALL
+        SELECT 'l_suppkey', cast(-7 AS bigint),
+               cast(count(*) AS bigint),
+               cast(coalesce(sum(l_orderkey), 0) AS bigint),
+               cast(coalesce(sum(l_partkey), 0) AS bigint)
+        FROM lineitem WHERE l_suppkey = -7
+        ORDER BY col, value
     """
 
     sql["encoded_group_minmax_stats"] = """

@@ -857,3 +857,168 @@ def test_value_counts_rle_nonadjacent_runs_fold():
     payload = encode("rle", x)
     gv, gc = value_counts("rle", payload, len(x), x.dtype)
     assert gv.tolist() == [5, 7, 9] and gc.tolist() == [16, 3, 1]
+
+
+# --- match_eq / agg_sum_runs: selection run-lists + filtered sums ---------
+
+def _runs_oracle(mask: np.ndarray):
+    """Reference run-list from a boolean mask, built the slow clear way."""
+    starts, lengths = [], []
+    i, n = 0, len(mask)
+    while i < n:
+        if mask[i]:
+            j = i
+            while j < n and mask[j]:
+                j += 1
+            starts.append(i)
+            lengths.append(j - i)
+            i = j
+        else:
+            i += 1
+    return (np.array(starts, dtype=np.int64),
+            np.array(lengths, dtype=np.int64))
+
+
+@pytest.mark.parametrize("codec", list(CODECS))
+def test_match_eq_matches_decode_on_corpora(codec):
+    from tokrle.codecs.core import match_eq
+
+    for name, x in CORPORA.items():
+        if codec == "bitpack" and len(x) and x.min() < 0:
+            continue
+        payload = encode(codec, x)
+        dec = decode(codec, payload, len(x), x.dtype)
+        vals = ([int(x[0]), int(x.max()), int(x.min()) - 1, 7]
+                if len(x) else [0, 7])
+        vals += [10**15, -10**15]     # outside int32 domain -> empty
+        for v in vals:
+            ws, wl = _runs_oracle(dec.astype(object) == v)
+            gs, gl = match_eq(codec, payload, len(x), x.dtype, v)
+            assert np.array_equal(gs, ws) and np.array_equal(gl, wl), \
+                (name, v)
+
+
+@pytest.mark.parametrize("codec", list(CODECS))
+def test_agg_sum_runs_matches_decode_on_corpora(codec):
+    """Filtered sums over (a) the chunk's own equality selections and
+    (b) an EXTERNAL selection (as built from another column's match_eq)
+    must equal the gathered-decode sum exactly."""
+    from tokrle.codecs.core import agg_sum_runs, match_eq
+
+    rng = np.random.default_rng(13)
+    for name, x in CORPORA.items():
+        if codec == "bitpack" and len(x) and x.min() < 0:
+            continue
+        if len(x) == 0:
+            continue
+        payload = encode(codec, x)
+        dec = decode(codec, payload, len(x), x.dtype)
+        for v in (int(x[0]), int(x.max())):
+            s, l = match_eq(codec, payload, len(x), x.dtype, v)
+            want = int(sum(int(t) for t in dec[dec.astype(object) == v]))
+            assert agg_sum_runs(codec, payload, len(x), x.dtype,
+                                s, l) == want, (name, v)
+        mask = rng.random(len(x)) < 0.35     # external selection
+        s, l = _runs_oracle(mask)
+        want = int(sum(int(t) for t in dec[mask]))
+        assert agg_sum_runs(codec, payload, len(x), x.dtype,
+                            s, l) == want, name
+
+
+@given(st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                max_size=200),
+       st.integers(min_value=0, max_value=2**32))
+@settings(max_examples=60, deadline=None)
+def test_hypothesis_match_agg_runs_all_codecs(vals, seed):
+    """Full-int64 values (exercising the rle object-dtype fallback when
+    the prefix dot can't be proven int64-safe) + a random selection."""
+    from tokrle.codecs.core import agg_sum_runs, match_eq
+
+    x = np.array(vals, dtype=np.int64)
+    rng = np.random.default_rng(seed)
+    mask = rng.random(len(x)) < 0.5
+    sel_s, sel_l = _runs_oracle(mask)
+    want_sel = int(sum(int(t) for t in x[mask]))
+    targets = vals[:2] + [0, 2**63 - 1]
+    for codec in ("plain", "rle", "dict", "for", "delta", "pfor",
+                  "dpfor"):
+        payload = encode(codec, x)
+        for v in targets:
+            ws, wl = _runs_oracle(x == v) if len(x) else \
+                (np.empty(0, np.int64), np.empty(0, np.int64))
+            gs, gl = match_eq(codec, payload, len(x), x.dtype, v)
+            assert np.array_equal(gs, ws) and np.array_equal(gl, wl), \
+                (codec, v)
+            want = int(sum(int(t) for t in x[x == v]))
+            assert agg_sum_runs(codec, payload, len(x), x.dtype,
+                                gs, gl) == want, (codec, v)
+        if len(sel_s):
+            assert agg_sum_runs(codec, payload, len(x), x.dtype,
+                                sel_s, sel_l) == want_sel, codec
+
+
+@pytest.mark.parametrize("name", sorted(_U64_CASES))
+def test_match_agg_runs_uint64_framing(name):
+    """Full-range uint64 selections through the bias framing byte: the
+    positions are bias-invariant and the selected sum re-adds
+    n_selected * 2^63."""
+    from tokrle.codecs.core import agg_sum_runs, match_eq
+
+    x = _U64_CASES[name]
+    codec, payload, _ = auto_encode(x)
+    targets = ([int(x[0]), int(x.max()), 5] if len(x) else [0]) \
+        + [2**64 - 1, 2**63, 2**63 - 1]
+    for v in targets:
+        mask = x == np.uint64(v) if len(x) else np.zeros(0, bool)
+        ws, wl = _runs_oracle(mask)
+        gs, gl = match_eq(codec, payload, len(x), np.uint64, v)
+        assert np.array_equal(gs, ws) and np.array_equal(gl, wl), v
+        want = int(sum(int(t) for t in x[mask]))
+        assert agg_sum_runs(codec, payload, len(x), np.uint64,
+                            gs, gl) == want, v
+    # out-of-domain values answer empty without touching the payload
+    for v in (-1, 1 << 64):
+        gs, gl = match_eq(codec, payload, len(x), np.uint64, v)
+        assert len(gs) == 0 and len(gl) == 0
+
+
+def test_match_eq_rle_closed_form_is_canonical():
+    """Non-adjacent recurrences of the target value stay separate runs;
+    the rle path must return them sorted and gap-separated."""
+    from tokrle.codecs.core import match_eq
+
+    x = np.array([5] * 10 + [7] * 3 + [5] * 4 + [9] + [5] * 2,
+                 dtype=np.int64)
+    payload = encode("rle", x)
+    s, l = match_eq("rle", payload, len(x), x.dtype, 5)
+    assert s.tolist() == [0, 13, 18] and l.tolist() == [10, 4, 2]
+
+
+def test_agg_sum_runs_rejects_malformed_selection():
+    from tokrle.codecs.core import agg_sum_runs
+
+    x = np.arange(100, dtype=np.int64)
+    payload = encode("for", x)
+    ok = lambda s, l: agg_sum_runs("for", payload, len(x), x.dtype,
+                                   np.array(s, np.int64),
+                                   np.array(l, np.int64))
+    assert ok([10, 50], [5, 5]) == sum(range(10, 15)) + sum(range(50, 55))
+    for bad_s, bad_l in ([[10], [0]],          # zero length
+                         [[-1], [5]],          # negative start
+                         [[98], [5]],          # past the end
+                         [[10, 12], [5, 5]],   # overlapping
+                         [[50, 10], [5, 5]]):  # unsorted
+        with pytest.raises(ValueError, match="run-list"):
+            ok(bad_s, bad_l)
+
+
+def test_match_agg_runs_reject_floats():
+    from tokrle.codecs.core import agg_sum_runs, match_eq
+
+    x = np.array([1.5, 2.5, 1.5], dtype=np.float64)
+    codec, payload, _ = auto_encode(x)
+    with pytest.raises(TypeError, match="integer-only"):
+        match_eq(codec, payload, len(x), x.dtype, 1)
+    with pytest.raises(TypeError, match="integer-only"):
+        agg_sum_runs(codec, payload, len(x), x.dtype,
+                     np.array([0], np.int64), np.array([1], np.int64))

@@ -1491,3 +1491,63 @@ def test_encoded_token_histogram_matches_flat_counts(ray_session):
     want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert list(zip(got["token"], got["n"])) == \
         [(int(t), int(n)) for t, n in want]
+
+
+def test_encoded_filtered_agg_matches_pandas(ray_session, tmp_path):
+    """Filtered aggregate (SUM WHERE key = value) against the encoded
+    layout: exact vs pandas on clustered AND shuffled layouts; the
+    clustered layout must prune chunks and hit the metadata-only
+    pure-hit path; absent values answer from zone maps alone."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_filtered_agg)
+
+    rng = np.random.default_rng(23)
+    n = 30000
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 12, n)),
+        "v1": rng.integers(-1000, 1000, n),
+        "v2": rng.integers(0, 7, n),       # low-cardinality -> dict/rle
+    })
+
+    for layout, frame in (("clustered", df),
+                          ("shuffled",
+                           df.sample(frac=1, random_state=2)
+                           .reset_index(drop=True))):
+        out_dir = str(tmp_path / layout)
+        encode_table_columns(ray.data.from_pandas(frame),
+                             ["k", "v1", "v2"],
+                             batch_size=1024).write_parquet(out_dir)
+        for key in (5, 0, 11):
+            got, counters = encoded_filtered_agg(out_dir, "k", key,
+                                                 ["v1", "v2"])
+            sel = frame[frame["k"] == key]
+            assert got.loc[0, "n_match"] == len(sel), (layout, key)
+            assert got.loc[0, "sum_v1"] == int(sel["v1"].sum())
+            assert got.loc[0, "sum_v2"] == int(sel["v2"].sum())
+            if layout == "clustered":
+                assert counters["chunks_skipped"] > 0, (key, counters)
+                assert counters["pure_hit_chunks"] > 0, (key, counters)
+        # absent value: zone maps answer with zero chunks scanned
+        got, counters = encoded_filtered_agg(out_dir, "k", 99,
+                                             ["v1", "v2"])
+        assert got.loc[0, "n_match"] == 0 and counters["chunks_scanned"] \
+            == 0 and got.loc[0, "sum_v1"] == 0
+
+
+def test_encoded_filtered_agg_rejects_nullable(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_filtered_agg)
+
+    df = pd.DataFrame({"k": pd.array([1, 1, 2, None], dtype="Int64"),
+                       "v": pd.array([5, 6, 7, 8], dtype="Int64")})
+    out_dir = str(tmp_path / "nullable")
+    encode_table_columns(ray.data.from_pandas(df), ["k", "v"],
+                         batch_size=64).write_parquet(out_dir)
+    with pytest.raises(Exception, match="nullable chunks"):
+        encoded_filtered_agg(out_dir, "k", 1, ["v"])

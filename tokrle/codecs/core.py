@@ -153,6 +153,68 @@ class Codec:
                                  return_counts=True)
         return vals, counts.astype(np.int64)
 
+    def match_eq(self, payload: bytes, n: int, dtype: np.dtype,
+                 value: int) -> tuple[np.ndarray, np.ndarray]:
+        """Canonical run-list ``(starts, lengths)`` (int64, sorted,
+        gap-separated, lengths > 0) of the positions whose value equals
+        ``value`` — the selection-vector primitive behind
+        compressed-domain filtered aggregates (the positional sibling of
+        :meth:`count_eq`).  Overrides answer from the codec's own
+        streams: rle's matching runs ARE the selection runs (O(#runs),
+        and adjacent runs always differ so the list is canonical by
+        construction); dict compares the narrow code stream after one
+        dictionary searchsorted; for/bitpack answer empty payload-free
+        when the value lies outside the frame window.  This default
+        decodes + masks."""
+        if n == 0:
+            return _EMPTY_RUNS
+        return _mask_to_runs(
+            self.decode(payload, n, dtype) == dtype.type(value))
+
+    def agg_sum_runs(self, payload: bytes, n: int, dtype: np.dtype,
+                     starts: np.ndarray,
+                     lengths: np.ndarray) -> int:
+        """Exact integer SUM of the chunk's values inside the selection
+        run-list — ``SUM(col) WHERE <predicate on another column>``
+        evaluated against the encoded chunk.  The rle override zips the
+        selection runs against the codec's own value runs with a
+        prefix-weighted closed form (the reference's run-merge inner
+        loop, ref pyrle/src/rle.pyx, repurposed as a filtered aggregate:
+        nothing ever expands to n elements).  This default decodes +
+        gathers + exact-sums."""
+        if n == 0 or len(starts) == 0:
+            return 0
+        x = self.decode(payload, n, dtype)
+        return exact_sum_int(x[_runs_to_indices(starts, lengths)])
+
+
+_EMPTY_RUNS = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+
+
+def _mask_to_runs(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Boolean mask -> canonical (starts, lengths) run-list, int64."""
+    if not mask.any():
+        return _EMPTY_RUNS
+    edges = np.flatnonzero(np.diff(
+        np.concatenate(([0], mask.view(np.int8), [0])))).astype(np.int64)
+    starts, ends = edges[0::2], edges[1::2]
+    return starts, ends - starts
+
+
+def _runs_to_indices(starts: np.ndarray,
+                     lengths: np.ndarray) -> np.ndarray:
+    """Canonical (starts, lengths) run-list -> flat position vector,
+    fully vectorized (step vector + one cumsum, no per-run loop)."""
+    lengths = lengths.astype(np.int64, copy=False)
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    step = np.ones(total, dtype=np.int64)
+    step[0] = int(starts[0])
+    ends = np.cumsum(lengths)
+    step[ends[:-1]] = starts[1:] - (starts[:-1] + lengths[:-1]) + 1
+    return np.cumsum(step)
+
 
 def _bounds(x: np.ndarray, vmin, vmax) -> tuple[int, int]:
     if vmin is None:
@@ -245,6 +307,15 @@ class BitPack(Codec):
         return int(np.count_nonzero(
             (u >= np.uint64(tlo)) & (u <= np.uint64(thi))))
 
+    def match_eq(self, payload, n, dtype, value):
+        if n == 0:
+            return _EMPTY_RUNS
+        (w,) = struct.unpack_from("<B", payload, 0)
+        if value < 0 or value >= (1 << w):   # outside the code window
+            return _EMPTY_RUNS               # — codes never unpacked
+        return _mask_to_runs(
+            unpack_uints(payload[1:], n, w) == np.uint64(value))
+
 
 class FrameOfReference(Codec):
     """Frame-of-reference: ``<q ref><B width>`` + width-bit (x - ref) codes."""
@@ -297,6 +368,16 @@ class FrameOfReference(Codec):
         u = unpack_uints(payload[9:], n, w)
         return int(np.count_nonzero(
             (u >= np.uint64(tlo)) & (u <= np.uint64(thi))))
+
+    def match_eq(self, payload, n, dtype, value):
+        if n == 0:
+            return _EMPTY_RUNS
+        ref, w = struct.unpack_from("<qB", payload, 0)
+        target = value - ref
+        if target < 0 or target >= (1 << w):  # outside the frame window
+            return _EMPTY_RUNS                 # — codes never unpacked
+        return _mask_to_runs(
+            unpack_uints(payload[9:], n, w) == np.uint64(target))
 
 
 class Dictionary(Codec):
@@ -450,6 +531,27 @@ class Dictionary(Codec):
         counts = np.bincount(codes.astype(np.int64), minlength=k)
         return uniq.astype(dtype), counts.astype(np.int64)
 
+    def match_eq(self, payload, n, dtype, value):
+        # one searchsorted into the sorted dictionary; absent values
+        # answer empty from the k-element dict alone, present values
+        # cost one compare over the narrow code stream — no value gather
+        if n == 0:
+            return _EMPTY_RUNS
+        k, code_w, ref, dict_w = struct.unpack_from("<IBqB", payload, 0)
+        if k == 0:
+            return _EMPTY_RUNS
+        target = value - ref
+        if target < 0 or target >= (1 << dict_w):  # outside dict window
+            return _EMPTY_RUNS
+        (dict_len,) = struct.unpack_from("<I", payload, 14)
+        off = 18
+        deltas = unpack_uints(payload[off:off + dict_len], k, dict_w)
+        code = int(np.searchsorted(deltas, np.uint64(target)))
+        if code >= k or int(deltas[code]) != target:
+            return _EMPTY_RUNS
+        codes = unpack_uints(payload[off + dict_len:], n, code_w)
+        return _mask_to_runs(codes == np.uint64(code))
+
 
 class RunLength(Codec):
     """RLE: exact-equality run detection (integer-native find_runs idiom,
@@ -574,6 +676,66 @@ class RunLength(Codec):
         sums = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(sums, inv, runs)
         return uniq.astype(dtype), sums
+
+    def match_eq(self, payload, n, dtype, value):
+        # the matching runs ARE the selection runs: O(#runs) work, and
+        # adjacent rle runs always differ in value so the result is
+        # canonical (sorted, gap-separated) by construction
+        nruns, run_w, vref, val_w = struct.unpack_from("<IBqB", payload, 0)
+        if n == 0 or nruns == 0:
+            return _EMPTY_RUNS
+        target = value - vref
+        if target < 0 or target >= (1 << val_w):  # outside value window
+            return _EMPTY_RUNS
+        off = 14
+        runs_nbytes = (nruns * run_w + 7) // 8
+        vdeltas = unpack_uints(payload[off + runs_nbytes:], nruns, val_w)
+        hit = vdeltas == np.uint64(target)
+        if not hit.any():
+            return _EMPTY_RUNS
+        runs = unpack_uints(payload[off:off + runs_nbytes], nruns,
+                            run_w).astype(np.int64) + 1
+        starts = np.concatenate(
+            ([0], np.cumsum(runs)[:-1])).astype(np.int64)
+        return starts[hit], runs[hit]
+
+    def agg_sum_runs(self, payload, n, dtype, starts, lengths):
+        # selection runs zip against the codec's own value runs via a
+        # prefix-weighted closed form (the reference's run-merge inner
+        # loop, ref pyrle/src/rle.pyx, as a filtered aggregate):
+        # prefix(p) = sum of the first p values = W[j] + vd[j]*(p - rs[j])
+        # where j is the value run containing position p, W the weighted
+        # cumsum of full runs — the n-element expansion never happens
+        nruns, run_w, vref, val_w = struct.unpack_from("<IBqB", payload, 0)
+        total_sel = int(lengths.sum()) if len(lengths) else 0
+        if n == 0 or nruns == 0 or total_sel == 0:
+            return 0
+        off = 14
+        runs_nbytes = (nruns * run_w + 7) // 8
+        runs = unpack_uints(payload[off:off + runs_nbytes], nruns,
+                            run_w).astype(np.int64) + 1
+        vdeltas = unpack_uints(payload[off + runs_nbytes:], nruns, val_w)
+        run_starts = np.concatenate(
+            ([0], np.cumsum(runs)[:-1])).astype(np.int64)
+        ends = starts + lengths
+        j_lo = np.searchsorted(run_starts, starts, side="right") - 1
+        j_hi = np.searchsorted(run_starts, ends, side="right") - 1
+        max_delta = int(vdeltas.max())
+        if _dot_fits_i64(max_delta, n):
+            vd = vdeltas.astype(np.int64)
+            W = np.concatenate(([0], np.cumsum(vd * runs)))
+            pre_lo = W[j_lo] + vd[j_lo] * (starts - run_starts[j_lo])
+            pre_hi = W[j_hi] + vd[j_hi] * (ends - run_starts[j_hi])
+            # every prefix < 2^62 by the guard and the selection runs are
+            # disjoint, so the int64 difference-sum cannot wrap
+            part = int((pre_hi - pre_lo).sum())
+        else:
+            vd = vdeltas.astype(object)
+            W = np.concatenate(([0], np.cumsum(vd * runs.astype(object))))
+            pre_lo = W[j_lo] + vd[j_lo] * (starts - run_starts[j_lo])
+            pre_hi = W[j_hi] + vd[j_hi] * (ends - run_starts[j_hi])
+            part = int((pre_hi - pre_lo).sum())
+        return vref * total_sel + part
 
 
 class Delta(Codec):
@@ -1808,3 +1970,74 @@ def value_counts(codec: str, payload: bytes, n: int,
         # sorted in uint64 order
         return ((u ^ _U64_BIAS) if payload[0] else u), counts
     return CODECS[codec].value_counts(payload, n, dtype)
+
+
+def match_eq(codec: str, payload: bytes, n: int, dtype,
+             value: int) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical run-list (starts, lengths; int64, sorted,
+    gap-separated) of the positions equal to ``value`` in an encoded
+    chunk — the selection-vector sibling of :func:`count_eq`, answered
+    in the compressed domain where the codec's streams allow it (rle's
+    matching runs ARE the selection runs in O(#runs); dict compares the
+    narrow code stream after one searchsorted; for/bitpack answer empty
+    payload-free outside the frame window).  Same integer/datetime
+    contract and uint64 bias framing as :func:`count_eq`; out-of-domain
+    values answer empty without touching the payload."""
+    dtype = np.dtype(dtype)
+    value = int(value)
+    if dtype.kind in "mM":
+        dtype = np.dtype(np.int64)
+    if dtype.kind not in "iu":
+        raise TypeError(f"match_eq is integer-only, got {dtype}")
+    if n == 0:
+        return _EMPTY_RUNS
+    if dtype == np.uint64:
+        if not 0 <= value < (1 << 64):
+            return _EMPTY_RUNS
+        # framing byte (see encode): biased streams hold x ^ 2^63 — the
+        # equality target shifts by the same constant, POSITIONS don't
+        target = value - (1 << 63) if payload[0] else value
+        if not -(1 << 63) <= target < (1 << 63):
+            return _EMPTY_RUNS
+        return CODECS[codec].match_eq(memoryview(payload)[1:], n,
+                                      np.dtype(np.int64), target)
+    info = np.iinfo(dtype)
+    if not info.min <= value <= info.max:
+        return _EMPTY_RUNS
+    return CODECS[codec].match_eq(payload, n, dtype, value)
+
+
+def agg_sum_runs(codec: str, payload: bytes, n: int, dtype,
+                 starts: np.ndarray, lengths: np.ndarray) -> int:
+    """Exact integer SUM of an encoded chunk's values inside a canonical
+    selection run-list (as produced by :func:`match_eq`, usually on a
+    DIFFERENT column of the same chunk) — ``SUM(col) WHERE <predicate>``
+    without materializing either column.  The rle path zips selection
+    runs against value runs with a prefix-weighted closed form (the
+    reference's run-merge idiom, ref pyrle/src/rle.pyx, as a filtered
+    aggregate); other codecs decode + gather + exact-sum.  Integer
+    dtypes only, same contract and uint64 bias framing as
+    :func:`agg_sum`.  The run-list is validated (in-bounds, sorted,
+    disjoint, positive lengths) — a malformed selection raises."""
+    dtype = np.dtype(dtype)
+    if dtype.kind not in "iu":
+        raise TypeError(f"agg_sum_runs is integer-only, got {dtype}")
+    starts = np.asarray(starts, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    if len(starts) != len(lengths):
+        raise ValueError("starts/lengths shape mismatch")
+    if n == 0 or len(starts) == 0:
+        return 0
+    if (lengths <= 0).any() or starts[0] < 0 or \
+            int(starts[-1] + lengths[-1]) > n or \
+            (starts[1:] < starts[:-1] + lengths[:-1]).any():
+        raise ValueError("selection run-list must be sorted, disjoint, "
+                         "positive-length and within [0, n)")
+    if dtype == np.uint64:
+        # framing byte (see encode): sum(u) over the selection =
+        # sum(biased int64) + n_selected * 2^63, exact in Python
+        s = CODECS[codec].agg_sum_runs(memoryview(payload)[1:], n,
+                                       np.dtype(np.int64), starts,
+                                       lengths)
+        return s + (int(lengths.sum()) << 63) if payload[0] else s
+    return CODECS[codec].agg_sum_runs(payload, n, dtype, starts, lengths)

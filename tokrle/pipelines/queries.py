@@ -2344,6 +2344,59 @@ def encoded_group_agg_stats(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def encoded_filtered_agg_stats(sf_dir: str) -> pd.DataFrame:
+    """Filtered aggregates pushed into the encoded layout: SUM(cols)
+    WHERE key = value evaluated with a per-chunk selection RUN-LIST
+    built from the key column's codec streams (match_eq), then each agg
+    column summed inside those runs (agg_sum_runs — rle agg columns zip
+    selection runs against value runs with the reference's run-merge
+    idiom as a prefix-weighted closed form).  Three predicates pin the
+    three chunk classes: the clustered key (zone-map pruning +
+    PURE-HIT chunks that answer with no positional work), an
+    unclustered low-cardinality key (selection runs everywhere), and an
+    absent value (answered from zone maps alone)."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_filtered_agg)
+
+    cols = ["l_suppkey", "l_linenumber", "l_orderkey", "l_partkey"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "filtered_agg")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    chunk = 256
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=chunk).write_parquet(enc_dir)
+
+    rows = []
+    for key, value in (("l_suppkey", 5), ("l_linenumber", 3),
+                       ("l_suppkey", -7)):
+        df, counters = encoded_filtered_agg(
+            enc_dir, key, value, ["l_orderkey", "l_partkey"])
+        if key == "l_suppkey" and value == 5:
+            if counters["chunks_total"] > 16:
+                assert counters["chunks_skipped"] > 0, \
+                    f"zone maps never pruned the clustered key: {counters}"
+            if int(df["n_match"].iloc[0]) > 2 * chunk:
+                # the key's cluster spans >2 chunks, so at least one
+                # interior chunk must be a metadata-only pure hit
+                assert counters["pure_hit_chunks"] > 0, \
+                    f"clustered layout gave no pure-hit chunks: {counters}"
+        if value == -7:
+            assert counters["chunks_scanned"] == 0, \
+                f"absent value should be answered by zone maps: {counters}"
+        rows.append({"col": key, "value": value,
+                     "n_match": int(df["n_match"].iloc[0]),
+                     "sum_l_orderkey": int(df["sum_l_orderkey"].iloc[0]),
+                     "sum_l_partkey": int(df["sum_l_partkey"].iloc[0])})
+    out = pd.DataFrame(rows)
+    for c in ("value", "n_match", "sum_l_orderkey", "sum_l_partkey"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["col", "value"]).reset_index(drop=True)
+
+
 def encoded_group_minmax_stats(sf_dir: str) -> pd.DataFrame:
     """Same compressed-domain GROUP BY, now with per-group MIN/MAX:
     group-pure chunks answer MIN/MAX from the aggregate column's own

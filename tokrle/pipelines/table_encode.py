@@ -998,6 +998,111 @@ def encoded_group_agg(enc_dir: str, group_col: str, agg_cols: list[str],
     return df, counters
 
 
+def encoded_filtered_agg(enc_dir: str, key_col: str, value: int,
+                         agg_cols: list[str]):
+    """``SELECT count(*), sum(agg_cols...) WHERE key_col == value`` over
+    a table-encode directory, evaluated against the compressed layout:
+
+    - chunks whose zone map excludes the value never leave storage (the
+      predicate is pushed into the Parquet scan over ``__vmin/__vmax``);
+    - PURE-HIT chunks (``vmin == vmax == value``: every row matches —
+      the common case when the table is clustered on the key) answer
+      count from the chunk row count and each SUM via
+      :func:`tokrle.codecs.core.agg_sum` — no positional work at all;
+    - the rest build a selection run-list from the KEY column via
+      :func:`tokrle.codecs.core.match_eq` (rle: the matching runs ARE
+      the selection; dict: one searchsorted + a code compare) and sum
+      each agg column inside those runs via
+      :func:`tokrle.codecs.core.agg_sum_runs` (rle agg columns zip
+      selection runs against value runs with a prefix-weighted closed
+      form — the reference's run-merge idiom as a filtered aggregate);
+      neither column ever materializes its n-element decode when both
+      sides have compressed-domain paths.
+
+    The exchange carries ONE partial row per batch.  Integer key and agg
+    columns only; nullable chunks raise.  Returns ``(DataFrame(n_match,
+    sum_<c>...), counters)`` with the chunk-class split so callers can
+    assert the layout actually pruned."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from tokrle.codecs.core import agg_sum, agg_sum_runs, match_eq
+
+    value = int(value)
+    overlap = (pc.field(f"{key_col}__vmin") <= value) & \
+        (pc.field(f"{key_col}__vmax") >= value)
+    n_total = ray.data.read_parquet(enc_dir, columns=["n_rows"]).count()
+    need = ["n_rows", f"{key_col}__vmin", f"{key_col}__vmax"] + [
+        f"{c}__{p}" for c in dict.fromkeys([key_col] + agg_cols)
+        for p in ("codec", "payload", "dtype", "valid")]
+
+    def _chunk_col(batch, c, i):
+        if len(batch.column(f"{c}__valid")[i].as_py() or b""):
+            raise ValueError(
+                f"column {c!r}: nullable chunks not supported by the "
+                "compressed-domain filtered aggregate")
+        return (batch.column(f"{c}__codec")[i].as_py(),
+                memoryview(batch.column(f"{c}__payload")[i].as_buffer()),
+                np.dtype(batch.column(f"{c}__dtype")[i].as_py()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        vmins = batch.column(f"{key_col}__vmin").to_numpy(
+            zero_copy_only=False)
+        vmaxs = batch.column(f"{key_col}__vmax").to_numpy(
+            zero_copy_only=False)
+        n_match, pure_hit, run_scanned = 0, 0, 0
+        sums = {c: 0 for c in agg_cols}
+        for i in range(len(batch)):
+            n = int(nrows[i])
+            if int(vmins[i]) == int(vmaxs[i]) == value:
+                # every row matches: count from metadata, sums via the
+                # whole-chunk closed form — no selection built
+                pure_hit += 1
+                n_match += n
+                for c in agg_cols:
+                    codec, payload, dt = _chunk_col(batch, c, i)
+                    sums[c] += agg_sum(codec, payload, n, dt)
+                continue
+            codec, payload, dt = _chunk_col(batch, key_col, i)
+            starts, lengths = match_eq(codec, payload, n, dt, value)
+            if not len(starts):
+                continue
+            run_scanned += 1
+            n_match += int(lengths.sum())
+            for c in agg_cols:
+                codec, payload, dt = _chunk_col(batch, c, i)
+                sums[c] += agg_sum_runs(codec, payload, n, dt,
+                                        starts, lengths)
+        out = {"n_match": pa.array([n_match], type=pa.int64()),
+               "chunks": pa.array([len(batch)], type=pa.int64()),
+               "pure_hit": pa.array([pure_hit], type=pa.int64()),
+               "run_scanned": pa.array([run_scanned], type=pa.int64())}
+        for c in agg_cols:
+            out[f"sum_{c}"] = pa.array([sums[c]], type=pa.int64())
+        return pa.table(out)
+
+    ds = ray.data.read_parquet(enc_dir, columns=need, filter=overlap)
+    aggs = [Sum("n_match", alias_name="n_match"),
+            Sum("chunks", alias_name="chunks"),
+            Sum("pure_hit", alias_name="pure_hit"),
+            Sum("run_scanned", alias_name="run_scanned")] + \
+        [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in agg_cols]
+    row = ds.map_batches(partial, batch_format="pyarrow").aggregate(*aggs)
+    scanned = int(row["chunks"] or 0)
+    counters = {"chunks_total": n_total,
+                "chunks_scanned": scanned,
+                "chunks_skipped": n_total - scanned,
+                "pure_hit_chunks": int(row["pure_hit"] or 0),
+                "run_scanned_chunks": int(row["run_scanned"] or 0)}
+    data = {"n_match": [int(row["n_match"] or 0)]}
+    for c in agg_cols:
+        data[f"sum_{c}"] = [int(row[f"sum_{c}"] or 0)]
+    return pd.DataFrame(data), counters
+
+
 def _column_checksums(ds, columns: list[str]) -> dict:
     """Order-independent per-column checksums, computed distributed: row
     count plus a sum of vectorized 64-bit content hashes per column (so
