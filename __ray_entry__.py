@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_string_predicate_stats": Q.encoded_string_predicate_stats,
         "encoded_token_histogram_stats": Q.encoded_token_histogram_stats,
         "encoded_filtered_agg_stats": Q.encoded_filtered_agg_stats,
+        "encoded_conjunction_stats": Q.encoded_conjunction_stats,
         # round 5: simhash is wrap-around uint64 arithmetic on the
         # SQL-contracted token ids, so DuckDB recomputes the full
         # 64-bit signature per doc (HUGEINT products mod 2^64) and the
@@ -744,6 +745,24 @@ def oracle_sql() -> dict[str, str]:
                cast(coalesce(sum(l_partkey), 0) AS bigint)
         FROM lineitem WHERE l_suppkey = -7
         ORDER BY col, value
+    """
+
+    sql["encoded_conjunction_stats"] = """
+        SELECT 'eq_x_range' AS "case",
+               cast(count(*) AS bigint)                     AS n_match,
+               cast(coalesce(sum(l_orderkey), 0) AS bigint) AS sum_l_orderkey
+        FROM lineitem WHERE l_suppkey = 5 AND l_linenumber BETWEEN 2 AND 4
+        UNION ALL
+        SELECT 'range_x_eq', cast(count(*) AS bigint),
+               cast(coalesce(sum(l_orderkey), 0) AS bigint)
+        FROM lineitem
+        WHERE l_suppkey BETWEEN 10 AND 20 AND l_linenumber = 1
+        UNION ALL
+        SELECT 'impossible', cast(count(*) AS bigint),
+               cast(coalesce(sum(l_orderkey), 0) AS bigint)
+        FROM lineitem
+        WHERE l_suppkey = 5 AND l_linenumber BETWEEN 100 AND 200
+        ORDER BY "case"
     """
 
     sql["encoded_group_minmax_stats"] = """

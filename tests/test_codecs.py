@@ -1022,3 +1022,95 @@ def test_match_agg_runs_reject_floats():
     with pytest.raises(TypeError, match="integer-only"):
         agg_sum_runs(codec, payload, len(x), x.dtype,
                      np.array([0], np.int64), np.array([1], np.int64))
+
+
+# --- match_range / runs_intersect: range selections + predicate AND -------
+
+@pytest.mark.parametrize("codec", list(CODECS))
+def test_match_range_matches_decode_on_corpora(codec):
+    from tokrle.codecs.core import match_range
+
+    for name, x in CORPORA.items():
+        if codec == "bitpack" and len(x) and x.min() < 0:
+            continue
+        payload = encode(codec, x)
+        dec = decode(codec, payload, len(x), x.dtype)
+        if len(x):
+            vmin, vmax = int(x.min()), int(x.max())
+            windows = [(vmin, vmax),             # full domain -> full run
+                       (vmin + 1, vmax - 1),
+                       (0, 3), (vmax + 1, vmax + 10),   # empty
+                       (-10**15, 10**15)]
+        else:
+            windows = [(0, 5)]
+        for lo, hi in windows:
+            if lo > hi:
+                continue
+            d = dec.astype(object)
+            ws, wl = _runs_oracle(
+                np.array([(lo <= t <= hi) for t in d], dtype=bool)
+                if len(x) else np.zeros(0, bool))
+            gs, gl = match_range(codec, payload, len(x), x.dtype, lo, hi)
+            assert np.array_equal(gs, ws) and np.array_equal(gl, wl), \
+                (name, lo, hi)
+
+
+def test_match_range_rle_coalesces_adjacent_runs():
+    """A range can match NEIGHBOURING rle runs; the closed form must
+    coalesce them into one canonical selection run."""
+    from tokrle.codecs.core import match_range
+
+    x = np.repeat(np.array([1, 2, 3, 7, 2, 1, 8, 2, 3], np.int64), 4)
+    payload = encode("rle", x)
+    s, l = match_range("rle", payload, len(x), x.dtype, 1, 3)
+    assert s.tolist() == [0, 16, 28] and l.tolist() == [12, 8, 8]
+
+
+@pytest.mark.parametrize("name", sorted(_U64_CASES))
+def test_match_range_uint64_framing(name):
+    from tokrle.codecs.core import match_range
+
+    x = _U64_CASES[name]
+    codec, payload, _ = auto_encode(x)
+    windows = ([(int(x.min()), int(x.max())),
+                (int(x.min()) + 1, int(x.max()) - 1)] if len(x) else []) \
+        + [(2**63 - 5, 2**63 + 5), (0, 2**64 - 1), (2**64, 2**64 + 5)]
+    for lo, hi in windows:
+        if lo > hi:
+            continue
+        mask = np.array([lo <= int(t) <= hi for t in x], dtype=bool) \
+            if len(x) else np.zeros(0, bool)
+        ws, wl = _runs_oracle(mask)
+        gs, gl = match_range(codec, payload, len(x), np.uint64, lo, hi)
+        assert np.array_equal(gs, ws) and np.array_equal(gl, wl), (lo, hi)
+
+
+@given(st.lists(st.booleans(), max_size=120),
+       st.lists(st.booleans(), max_size=120))
+@settings(max_examples=120, deadline=None)
+def test_hypothesis_runs_intersect(ma, mb):
+    """Run-list intersection == boolean AND, for every mask pair."""
+    from tokrle.codecs.core import _mask_to_runs, runs_intersect
+
+    n = min(len(ma), len(mb))
+    a = np.array(ma[:n], dtype=bool)
+    b = np.array(mb[:n], dtype=bool)
+    gs, gl = runs_intersect(*_mask_to_runs(a), *_mask_to_runs(b))
+    ws, wl = _runs_oracle(a & b)
+    assert np.array_equal(gs, ws) and np.array_equal(gl, wl)
+
+
+def test_runs_intersect_output_is_bounded():
+    """Interval-intersection output can't exceed len(a) + len(b) — the
+    no-quadratic-blow-up guarantee the pipeline relies on."""
+    from tokrle.codecs.core import _mask_to_runs, runs_intersect
+
+    rng = np.random.default_rng(3)
+    a = rng.random(10000) < 0.5
+    b = rng.random(10000) < 0.5
+    sa, la = _mask_to_runs(a)
+    sb, lb = _mask_to_runs(b)
+    gs, gl = runs_intersect(sa, la, sb, lb)
+    assert len(gs) <= len(sa) + len(sb)
+    ws, wl = _runs_oracle(a & b)
+    assert np.array_equal(gs, ws) and np.array_equal(gl, wl)

@@ -1551,3 +1551,52 @@ def test_encoded_filtered_agg_rejects_nullable(ray_session, tmp_path):
                          batch_size=64).write_parquet(out_dir)
     with pytest.raises(Exception, match="nullable chunks"):
         encoded_filtered_agg(out_dir, "k", 1, ["v"])
+
+
+def test_encoded_conjunction_agg_matches_pandas(ray_session, tmp_path):
+    """Compound-predicate aggregate (AND via run-list intersection)
+    against the encoded layout: exact vs pandas on clustered AND
+    shuffled layouts, including zone-map ALL-match shortcuts and
+    impossible conjunctions answered scan-free."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_conjunction_agg)
+
+    rng = np.random.default_rng(31)
+    n = 30000
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 12, n)),
+        "r": rng.integers(0, 100, n),
+        "v": rng.integers(-1000, 1000, n),
+    })
+
+    for layout, frame in (("clustered", df),
+                          ("shuffled",
+                           df.sample(frac=1, random_state=3)
+                           .reset_index(drop=True))):
+        out_dir = str(tmp_path / layout)
+        encode_table_columns(ray.data.from_pandas(frame), ["k", "r", "v"],
+                             batch_size=1024).write_parquet(out_dir)
+        preds = [("eq", "k", 5), ("range", "r", 20, 60)]
+        got, counters = encoded_conjunction_agg(out_dir, preds, ["v"])
+        sel = frame[(frame["k"] == 5) & frame["r"].between(20, 60)]
+        assert got.loc[0, "n_match"] == len(sel), layout
+        assert got.loc[0, "sum_v"] == int(sel["v"].sum()), layout
+        assert counters["intersected_chunks"] > 0, (layout, counters)
+        if layout == "clustered":
+            assert counters["chunks_skipped"] > 0, counters
+
+        # range covering a predicate column's whole domain: that
+        # predicate is an ALL-match everywhere and builds no run-list
+        got2, c2 = encoded_conjunction_agg(
+            out_dir, [("range", "r", 0, 99), ("eq", "k", 5)], ["v"])
+        sel2 = frame[frame["k"] == 5]
+        assert got2.loc[0, "n_match"] == len(sel2)
+        assert got2.loc[0, "sum_v"] == int(sel2["v"].sum())
+
+        # impossible second predicate: zone maps answer scan-free
+        got3, c3 = encoded_conjunction_agg(
+            out_dir, [("eq", "k", 5), ("range", "r", 500, 600)], ["v"])
+        assert got3.loc[0, "n_match"] == 0 and c3["chunks_scanned"] == 0

@@ -171,6 +171,22 @@ class Codec:
         return _mask_to_runs(
             self.decode(payload, n, dtype) == dtype.type(value))
 
+    def match_range(self, payload: bytes, n: int, dtype: np.dtype,
+                    lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
+        """Canonical run-list of the positions whose value lies in
+        ``[lo, hi]`` (inclusive) — the range-predicate sibling of
+        :meth:`match_eq`, same contract.  Overrides: rle selects
+        matching value runs in O(#runs) and coalesces the ADJACENT ones
+        (a range, unlike an equality, can match neighbouring runs);
+        dict bounds a code window with two searchsorted calls;
+        for/bitpack answer empty or the full chunk payload-free when
+        the window misses or covers the whole frame.  This default
+        decodes + masks."""
+        if n == 0:
+            return _EMPTY_RUNS
+        x = self.decode(payload, n, dtype)
+        return _mask_to_runs((x >= dtype.type(lo)) & (x <= dtype.type(hi)))
+
     def agg_sum_runs(self, payload: bytes, n: int, dtype: np.dtype,
                      starts: np.ndarray,
                      lengths: np.ndarray) -> int:
@@ -199,6 +215,43 @@ def _mask_to_runs(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         np.concatenate(([0], mask.view(np.int8), [0])))).astype(np.int64)
     starts, ends = edges[0::2], edges[1::2]
     return starts, ends - starts
+
+
+def _full_run(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """The run-list selecting every position of an n-element chunk."""
+    return (np.zeros(1, dtype=np.int64), np.full(1, n, dtype=np.int64))
+
+
+def runs_intersect(starts_a: np.ndarray, lengths_a: np.ndarray,
+                   starts_b: np.ndarray, lengths_b: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Intersection of two canonical selection run-lists — predicate AND
+    evaluated directly on the run representation (the reference's
+    run-merge inner loop, ref pyrle/src/rle.pyx, as set algebra), fully
+    vectorized.  Because both inputs are sorted and gap-separated, each
+    overlapping (a, b) pair needs one of the two starts inside the other
+    interval, so the pair count — and the output — is bounded by
+    ``len(a) + len(b)``: no quadratic blow-up.  The result is canonical
+    by construction."""
+    if len(starts_a) == 0 or len(starts_b) == 0:
+        return _EMPTY_RUNS
+    ends_a = starts_a + lengths_a
+    ends_b = starts_b + lengths_b
+    # a-interval i overlaps exactly the b-intervals in [lo_i, hi_i)
+    lo = np.searchsorted(ends_b, starts_a, side="right")
+    hi = np.searchsorted(starts_b, ends_a, side="left")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return _EMPTY_RUNS
+    pa_idx = np.repeat(np.arange(len(starts_a), dtype=np.int64), counts)
+    seg_off = np.cumsum(counts) - counts     # output offset per a-interval
+    pb_idx = np.repeat(lo, counts) + \
+        (np.arange(total, dtype=np.int64) - np.repeat(seg_off, counts))
+    s = np.maximum(starts_a[pa_idx], starts_b[pb_idx])
+    e = np.minimum(ends_a[pa_idx], ends_b[pb_idx])
+    keep = e > s
+    return s[keep], (e - s)[keep]
 
 
 def _runs_to_indices(starts: np.ndarray,
@@ -316,6 +369,18 @@ class BitPack(Codec):
         return _mask_to_runs(
             unpack_uints(payload[1:], n, w) == np.uint64(value))
 
+    def match_range(self, payload, n, dtype, lo, hi):
+        if n == 0:
+            return _EMPTY_RUNS
+        (w,) = struct.unpack_from("<B", payload, 0)
+        tlo, thi = max(lo, 0), min(hi, (1 << w) - 1)
+        if tlo > thi:
+            return _EMPTY_RUNS               # window misses every code
+        if tlo == 0 and thi == (1 << w) - 1:
+            return _full_run(n)              # window covers every code
+        u = unpack_uints(payload[1:], n, w)
+        return _mask_to_runs((u >= np.uint64(tlo)) & (u <= np.uint64(thi)))
+
 
 class FrameOfReference(Codec):
     """Frame-of-reference: ``<q ref><B width>`` + width-bit (x - ref) codes."""
@@ -378,6 +443,18 @@ class FrameOfReference(Codec):
             return _EMPTY_RUNS                 # — codes never unpacked
         return _mask_to_runs(
             unpack_uints(payload[9:], n, w) == np.uint64(target))
+
+    def match_range(self, payload, n, dtype, lo, hi):
+        if n == 0:
+            return _EMPTY_RUNS
+        ref, w = struct.unpack_from("<qB", payload, 0)
+        tlo, thi = max(lo - ref, 0), min(hi - ref, (1 << w) - 1)
+        if tlo > thi:
+            return _EMPTY_RUNS
+        if tlo == 0 and thi == (1 << w) - 1:
+            return _full_run(n)
+        u = unpack_uints(payload[9:], n, w)
+        return _mask_to_runs((u >= np.uint64(tlo)) & (u <= np.uint64(thi)))
 
 
 class Dictionary(Codec):
@@ -552,6 +629,31 @@ class Dictionary(Codec):
         codes = unpack_uints(payload[off + dict_len:], n, code_w)
         return _mask_to_runs(codes == np.uint64(code))
 
+    def match_range(self, payload, n, dtype, lo, hi):
+        # two searchsorted calls bound the code window [c_lo, c_hi);
+        # all-in / all-out windows answer from the k-element dict alone
+        if n == 0:
+            return _EMPTY_RUNS
+        k, code_w, ref, dict_w = struct.unpack_from("<IBqB", payload, 0)
+        if k == 0:
+            return _EMPTY_RUNS
+        tlo = max(lo - ref, 0)
+        thi = min(hi - ref, (1 << dict_w) - 1 if dict_w else 0)
+        if tlo > thi:
+            return _EMPTY_RUNS
+        (dict_len,) = struct.unpack_from("<I", payload, 14)
+        off = 18
+        deltas = unpack_uints(payload[off:off + dict_len], k, dict_w)
+        c_lo = int(np.searchsorted(deltas, np.uint64(tlo), side="left"))
+        c_hi = int(np.searchsorted(deltas, np.uint64(thi), side="right"))
+        if c_lo >= c_hi:
+            return _EMPTY_RUNS
+        if c_lo == 0 and c_hi == k:
+            return _full_run(n)
+        codes = unpack_uints(payload[off + dict_len:], n, code_w)
+        return _mask_to_runs((codes >= np.uint64(c_lo)) &
+                             (codes < np.uint64(c_hi)))
+
 
 class RunLength(Codec):
     """RLE: exact-equality run detection (integer-native find_runs idiom,
@@ -698,6 +800,38 @@ class RunLength(Codec):
         starts = np.concatenate(
             ([0], np.cumsum(runs)[:-1])).astype(np.int64)
         return starts[hit], runs[hit]
+
+    def match_range(self, payload, n, dtype, lo, hi):
+        # select matching value runs in O(#runs), then coalesce the
+        # ADJACENT matches (a range, unlike an equality, can match
+        # neighbouring runs) — still canonical, still no expansion
+        nruns, run_w, vref, val_w = struct.unpack_from("<IBqB", payload, 0)
+        if n == 0 or nruns == 0:
+            return _EMPTY_RUNS
+        tlo = max(lo - vref, 0)
+        thi = min(hi - vref, (1 << val_w) - 1 if val_w else 0)
+        if tlo > thi:
+            return _EMPTY_RUNS
+        off = 14
+        runs_nbytes = (nruns * run_w + 7) // 8
+        if tlo == 0 and thi == ((1 << val_w) - 1 if val_w else 0):
+            return _full_run(n)   # window covers the whole value domain
+        vdeltas = unpack_uints(payload[off + runs_nbytes:], nruns, val_w)
+        hit = (vdeltas >= np.uint64(tlo)) & (vdeltas <= np.uint64(thi))
+        idx = np.flatnonzero(hit)
+        if len(idx) == 0:
+            return _EMPTY_RUNS
+        runs = unpack_uints(payload[off:off + runs_nbytes], nruns,
+                            run_w).astype(np.int64) + 1
+        run_starts = np.concatenate(
+            ([0], np.cumsum(runs)[:-1])).astype(np.int64)
+        # consecutive hit indices are positionally adjacent runs: group
+        # them and emit one coalesced selection run per group
+        brk = np.flatnonzero(np.diff(idx) > 1)
+        first = idx[np.concatenate(([0], brk + 1))]
+        last = idx[np.concatenate((brk, [len(idx) - 1]))]
+        starts = run_starts[first]
+        return starts, run_starts[last] + runs[last] - starts
 
     def agg_sum_runs(self, payload, n, dtype, starts, lengths):
         # selection runs zip against the codec's own value runs via a
@@ -2005,6 +2139,44 @@ def match_eq(codec: str, payload: bytes, n: int, dtype,
     if not info.min <= value <= info.max:
         return _EMPTY_RUNS
     return CODECS[codec].match_eq(payload, n, dtype, value)
+
+
+def match_range(codec: str, payload: bytes, n: int, dtype,
+                lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical run-list of the positions whose value lies in
+    ``[lo, hi]`` (inclusive) — the range-predicate sibling of
+    :func:`match_eq`, same compressed-domain paths (rle: O(#runs) with
+    adjacent-match coalescing; dict: a searchsorted code window;
+    for/bitpack: empty or the full chunk payload-free) and the same
+    integer/datetime contract, bound clamping and uint64 bias framing
+    as :func:`count_range`."""
+    dtype = np.dtype(dtype)
+    lo, hi = int(lo), int(hi)
+    if dtype.kind in "mM":
+        dtype = np.dtype(np.int64)
+    if dtype.kind not in "iu":
+        raise TypeError(f"match_range is integer-only, got {dtype}")
+    if n == 0 or lo > hi:
+        return _EMPTY_RUNS
+    if dtype == np.uint64:
+        lo, hi = max(lo, 0), min(hi, (1 << 64) - 1)
+        if lo > hi:
+            return _EMPTY_RUNS
+        # framing byte (see encode): the bias is order-PRESERVING, so
+        # the window shifts by the same constant and POSITIONS don't
+        if payload[0]:
+            lo, hi = lo - (1 << 63), hi - (1 << 63)
+        else:
+            hi = min(hi, (1 << 63) - 1)
+            if lo > hi:
+                return _EMPTY_RUNS
+        return CODECS[codec].match_range(memoryview(payload)[1:], n,
+                                         np.dtype(np.int64), lo, hi)
+    info = np.iinfo(dtype)
+    lo, hi = max(lo, int(info.min)), min(hi, int(info.max))
+    if lo > hi:
+        return _EMPTY_RUNS
+    return CODECS[codec].match_range(payload, n, dtype, lo, hi)
 
 
 def agg_sum_runs(codec: str, payload: bytes, n: int, dtype,

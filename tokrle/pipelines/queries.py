@@ -2397,6 +2397,59 @@ def encoded_filtered_agg_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["col", "value"]).reset_index(drop=True)
 
 
+def encoded_conjunction_stats(sf_dir: str) -> pd.DataFrame:
+    """Compound predicates (AND) pushed into the encoded layout: each
+    predicate evaluates to a selection run-list in the compressed
+    domain (match_eq / match_range) and the conjunction is taken by
+    run-list INTERSECTION — the reference's run-merge inner loop as set
+    algebra — then the agg columns sum inside the intersected runs.
+    Three conjunctions pin three shapes: clustered-eq x unclustered-
+    range (pruning + genuine intersection), double-range (zone-map
+    ALL-match chunks skip their run-list entirely), and an impossible
+    second predicate (zone maps answer 0 with nothing scanned)."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_conjunction_agg)
+
+    cols = ["l_suppkey", "l_linenumber", "l_orderkey"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "conj_agg")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=256).write_parquet(enc_dir)
+
+    cases = [
+        ("eq_x_range", [("eq", "l_suppkey", 5),
+                        ("range", "l_linenumber", 2, 4)]),
+        ("range_x_eq", [("range", "l_suppkey", 10, 20),
+                        ("eq", "l_linenumber", 1)]),
+        ("impossible", [("eq", "l_suppkey", 5),
+                        ("range", "l_linenumber", 100, 200)]),
+    ]
+    rows = []
+    for name, preds in cases:
+        df, counters = encoded_conjunction_agg(enc_dir, preds,
+                                               ["l_orderkey"])
+        if name == "eq_x_range" and counters["chunks_total"] > 16:
+            assert counters["chunks_skipped"] > 0, \
+                f"zone maps never pruned: {counters}"
+            assert counters["intersected_chunks"] > 0, \
+                f"no chunk took the intersection path: {counters}"
+        if name == "impossible":
+            assert counters["chunks_scanned"] == 0, \
+                f"impossible predicate should scan nothing: {counters}"
+        rows.append({"case": name,
+                     "n_match": int(df["n_match"].iloc[0]),
+                     "sum_l_orderkey": int(df["sum_l_orderkey"].iloc[0])})
+    out = pd.DataFrame(rows)
+    out["n_match"] = out["n_match"].astype("int64")
+    out["sum_l_orderkey"] = out["sum_l_orderkey"].astype("int64")
+    return out.sort_values("case").reset_index(drop=True)
+
+
 def encoded_group_minmax_stats(sf_dir: str) -> pd.DataFrame:
     """Same compressed-domain GROUP BY, now with per-group MIN/MAX:
     group-pure chunks answer MIN/MAX from the aggregate column's own

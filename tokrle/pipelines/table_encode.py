@@ -1103,6 +1103,143 @@ def encoded_filtered_agg(enc_dir: str, key_col: str, value: int,
     return pd.DataFrame(data), counters
 
 
+def encoded_conjunction_agg(enc_dir: str, predicates: list[tuple],
+                            agg_cols: list[str]):
+    """``SELECT count(*), sum(agg_cols...) WHERE p1 AND p2 AND ...``
+    over a table-encode directory, with every predicate evaluated in
+    the compressed domain and the conjunction taken by RUN-LIST
+    INTERSECTION (:func:`tokrle.codecs.core.runs_intersect` — the
+    reference's run-merge inner loop as set algebra, output bounded by
+    the two lists' combined length).
+
+    ``predicates`` is a list of ``("eq", col, value)`` /
+    ``("range", col, lo, hi)`` tuples.  Per chunk:
+
+    - the scan filter is the AND of every predicate's zone-map overlap
+      test — a chunk any predicate excludes never leaves storage;
+    - a predicate whose zone map proves the WHOLE chunk matches
+      (eq: ``vmin == vmax == value``; range: ``lo <= vmin and
+      vmax <= hi``) contributes no run-list at all (ALL-match);
+    - the rest build selection run-lists via match_eq / match_range and
+      fold through runs_intersect, short-circuiting to nothing on the
+      first empty result;
+    - all-ALL chunks answer count from metadata and sums via the
+      whole-chunk closed form; otherwise agg_sum_runs sums inside the
+      intersected selection.
+
+    One partial row per batch on the exchange; integer columns only;
+    nullable chunks raise.  Returns ``(DataFrame(n_match, sum_<c>...),
+    counters)``."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from tokrle.codecs.core import (agg_sum, agg_sum_runs, match_eq,
+                                    match_range, runs_intersect)
+
+    preds = []
+    for p in predicates:
+        if p[0] == "eq":
+            preds.append(("eq", p[1], int(p[2]), int(p[2])))
+        elif p[0] == "range":
+            preds.append(("range", p[1], int(p[2]), int(p[3])))
+        else:
+            raise ValueError(f"unknown predicate kind {p[0]!r}")
+
+    overlap = None
+    for _, col, lo, hi in preds:
+        t = (pc.field(f"{col}__vmin") <= hi) & \
+            (pc.field(f"{col}__vmax") >= lo)
+        overlap = t if overlap is None else overlap & t
+    n_total = ray.data.read_parquet(enc_dir, columns=["n_rows"]).count()
+    pred_cols = list(dict.fromkeys(c for _, c, _, _ in preds))
+    need = ["n_rows"] + [f"{c}__{p}" for c in pred_cols
+                         for p in ("vmin", "vmax")] + [
+        f"{c}__{p}"
+        for c in dict.fromkeys(pred_cols + list(agg_cols))
+        for p in ("codec", "payload", "dtype", "valid")]
+
+    def _chunk_col(batch, c, i):
+        if len(batch.column(f"{c}__valid")[i].as_py() or b""):
+            raise ValueError(
+                f"column {c!r}: nullable chunks not supported by the "
+                "compressed-domain conjunction aggregate")
+        return (batch.column(f"{c}__codec")[i].as_py(),
+                memoryview(batch.column(f"{c}__payload")[i].as_buffer()),
+                np.dtype(batch.column(f"{c}__dtype")[i].as_py()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        zmin = {c: batch.column(f"{c}__vmin").to_numpy(
+            zero_copy_only=False) for c in pred_cols}
+        zmax = {c: batch.column(f"{c}__vmax").to_numpy(
+            zero_copy_only=False) for c in pred_cols}
+        n_match, all_hit, intersected = 0, 0, 0
+        sums = {c: 0 for c in agg_cols}
+        for i in range(len(batch)):
+            n = int(nrows[i])
+            sel = None          # None == ALL positions so far
+            alive = True
+            for kind, col, lo, hi in preds:
+                if lo <= int(zmin[col][i]) and int(zmax[col][i]) <= hi:
+                    continue    # zone map proves the whole chunk matches
+                codec, payload, dt = _chunk_col(batch, col, i)
+                if kind == "eq":
+                    runs = match_eq(codec, payload, n, dt, lo)
+                else:
+                    runs = match_range(codec, payload, n, dt, lo, hi)
+                if not len(runs[0]):
+                    alive = False
+                    break
+                sel = runs if sel is None else \
+                    runs_intersect(*sel, *runs)
+                if not len(sel[0]):
+                    alive = False
+                    break
+            if not alive:
+                continue
+            if sel is None:
+                # every predicate was an ALL-match: metadata count +
+                # whole-chunk closed-form sums, no selection built
+                all_hit += 1
+                n_match += n
+                for c in agg_cols:
+                    codec, payload, dt = _chunk_col(batch, c, i)
+                    sums[c] += agg_sum(codec, payload, n, dt)
+                continue
+            intersected += 1
+            n_match += int(sel[1].sum())
+            for c in agg_cols:
+                codec, payload, dt = _chunk_col(batch, c, i)
+                sums[c] += agg_sum_runs(codec, payload, n, dt, *sel)
+        out = {"n_match": pa.array([n_match], type=pa.int64()),
+               "chunks": pa.array([len(batch)], type=pa.int64()),
+               "all_hit": pa.array([all_hit], type=pa.int64()),
+               "intersected": pa.array([intersected], type=pa.int64())}
+        for c in agg_cols:
+            out[f"sum_{c}"] = pa.array([sums[c]], type=pa.int64())
+        return pa.table(out)
+
+    ds = ray.data.read_parquet(enc_dir, columns=need, filter=overlap)
+    aggs = [Sum("n_match", alias_name="n_match"),
+            Sum("chunks", alias_name="chunks"),
+            Sum("all_hit", alias_name="all_hit"),
+            Sum("intersected", alias_name="intersected")] + \
+        [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in agg_cols]
+    row = ds.map_batches(partial, batch_format="pyarrow").aggregate(*aggs)
+    scanned = int(row["chunks"] or 0)
+    counters = {"chunks_total": n_total,
+                "chunks_scanned": scanned,
+                "chunks_skipped": n_total - scanned,
+                "all_hit_chunks": int(row["all_hit"] or 0),
+                "intersected_chunks": int(row["intersected"] or 0)}
+    data = {"n_match": [int(row["n_match"] or 0)]}
+    for c in agg_cols:
+        data[f"sum_{c}"] = [int(row[f"sum_{c}"] or 0)]
+    return pd.DataFrame(data), counters
+
+
 def _column_checksums(ds, columns: list[str]) -> dict:
     """Order-independent per-column checksums, computed distributed: row
     count plus a sum of vectorized 64-bit content hashes per column (so
