@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_token_histogram_stats": Q.encoded_token_histogram_stats,
         "encoded_filtered_agg_stats": Q.encoded_filtered_agg_stats,
         "encoded_conjunction_stats": Q.encoded_conjunction_stats,
+        "encoded_boolean_stats": Q.encoded_boolean_stats,
         # round 5: simhash is wrap-around uint64 arithmetic on the
         # SQL-contracted token ids, so DuckDB recomputes the full
         # 64-bit signature per doc (HUGEINT products mod 2^64) and the
@@ -762,6 +763,26 @@ def oracle_sql() -> dict[str, str]:
                cast(coalesce(sum(l_orderkey), 0) AS bigint)
         FROM lineitem
         WHERE l_suppkey = 5 AND l_linenumber BETWEEN 100 AND 200
+        ORDER BY "case"
+    """
+
+    sql["encoded_boolean_stats"] = """
+        SELECT 'or_of_eqs' AS "case",
+               cast(count(*) AS bigint)                     AS n_match,
+               cast(coalesce(sum(l_orderkey), 0) AS bigint) AS sum_l_orderkey
+        FROM lineitem WHERE l_suppkey = 5 OR l_suppkey = 9
+        UNION ALL
+        SELECT 'and_not', cast(count(*) AS bigint),
+               cast(coalesce(sum(l_orderkey), 0) AS bigint)
+        FROM lineitem
+        WHERE l_suppkey BETWEEN 10 AND 20
+          AND NOT (l_linenumber BETWEEN 3 AND 7)
+        UNION ALL
+        SELECT 'nested', cast(count(*) AS bigint),
+               cast(coalesce(sum(l_orderkey), 0) AS bigint)
+        FROM lineitem
+        WHERE (l_suppkey = 5 AND l_linenumber = 1)
+           OR (l_suppkey = 7 AND NOT l_linenumber = 2)
         ORDER BY "case"
     """
 

@@ -1114,3 +1114,41 @@ def test_runs_intersect_output_is_bounded():
     assert len(gs) <= len(sa) + len(sb)
     ws, wl = _runs_oracle(a & b)
     assert np.array_equal(gs, ws) and np.array_equal(gl, wl)
+
+
+@given(st.lists(st.booleans(), max_size=120),
+       st.lists(st.booleans(), max_size=120))
+@settings(max_examples=120, deadline=None)
+def test_hypothesis_runs_union_complement(ma, mb):
+    """Run-list union == boolean OR; complement == boolean NOT — with
+    De Morgan closing the algebra: NOT(a OR b) == NOT a AND NOT b."""
+    from tokrle.codecs.core import (_mask_to_runs, runs_complement,
+                                    runs_intersect, runs_union)
+
+    n = min(len(ma), len(mb))
+    a = np.array(ma[:n], dtype=bool)
+    b = np.array(mb[:n], dtype=bool)
+    ra, rb = _mask_to_runs(a), _mask_to_runs(b)
+    gu = runs_union(*ra, *rb)
+    wu = _runs_oracle(a | b)
+    assert np.array_equal(gu[0], wu[0]) and np.array_equal(gu[1], wu[1])
+    gc = runs_complement(*ra, n)
+    wc = _runs_oracle(~a)
+    assert np.array_equal(gc[0], wc[0]) and np.array_equal(gc[1], wc[1])
+    # De Morgan on the run representation
+    lhs = runs_complement(*gu, n)
+    rhs = runs_intersect(*runs_complement(*ra, n),
+                         *runs_complement(*rb, n))
+    assert np.array_equal(lhs[0], rhs[0]) and \
+        np.array_equal(lhs[1], rhs[1])
+
+
+def test_runs_union_merges_touching_intervals():
+    """Intervals that touch end-to-start must coalesce into one
+    canonical run (gap-separated invariant)."""
+    from tokrle.codecs.core import runs_union
+
+    s, l = runs_union(np.array([0, 10], np.int64),
+                      np.array([5, 5], np.int64),
+                      np.array([5], np.int64), np.array([5], np.int64))
+    assert s.tolist() == [0] and l.tolist() == [15]

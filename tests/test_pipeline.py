@@ -1600,3 +1600,52 @@ def test_encoded_conjunction_agg_matches_pandas(ray_session, tmp_path):
         got3, c3 = encoded_conjunction_agg(
             out_dir, [("eq", "k", 5), ("range", "r", 500, 600)], ["v"])
         assert got3.loc[0, "n_match"] == 0 and c3["chunks_scanned"] == 0
+
+
+def test_encoded_boolean_agg_matches_pandas(ray_session, tmp_path):
+    """Boolean predicate trees (AND/OR/NOT) over the encoded layout:
+    exact vs pandas on clustered and shuffled layouts, including a
+    NOT branch (which disables zone pruning but must stay run-exact)
+    and an OR whose zone filter still prunes."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_agg)
+
+    rng = np.random.default_rng(37)
+    n = 30000
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 12, n)),
+        "r": rng.integers(0, 100, n),
+        "v": rng.integers(-1000, 1000, n),
+    })
+
+    for layout, frame in (("clustered", df),
+                          ("shuffled",
+                           df.sample(frac=1, random_state=4)
+                           .reset_index(drop=True))):
+        out_dir = str(tmp_path / layout)
+        encode_table_columns(ray.data.from_pandas(frame), ["k", "r", "v"],
+                             batch_size=1024).write_parquet(out_dir)
+
+        cases = [
+            (("or", ("eq", "k", 3), ("eq", "k", 8)),
+             frame[(frame["k"] == 3) | (frame["k"] == 8)]),
+            (("and", ("range", "k", 2, 6),
+              ("not", ("range", "r", 30, 70))),
+             frame[frame["k"].between(2, 6) & ~frame["r"].between(30, 70)]),
+            (("or", ("and", ("eq", "k", 5), ("range", "r", 0, 49)),
+              ("not", ("range", "k", 0, 10))),
+             frame[((frame["k"] == 5) & frame["r"].between(0, 49)) |
+                   ~frame["k"].between(0, 10)]),
+        ]
+        for expr, sel in cases:
+            got, counters = encoded_boolean_agg(out_dir, expr, ["v"])
+            assert got.loc[0, "n_match"] == len(sel), (layout, expr)
+            assert got.loc[0, "sum_v"] == int(sel["v"].sum()), \
+                (layout, expr)
+        if layout == "clustered":
+            _, c_or = encoded_boolean_agg(
+                out_dir, ("or", ("eq", "k", 3), ("eq", "k", 8)), ["v"])
+            assert c_or["chunks_skipped"] > 0, c_or

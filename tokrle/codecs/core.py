@@ -254,6 +254,43 @@ def runs_intersect(starts_a: np.ndarray, lengths_a: np.ndarray,
     return s[keep], (e - s)[keep]
 
 
+def runs_union(starts_a: np.ndarray, lengths_a: np.ndarray,
+               starts_b: np.ndarray, lengths_b: np.ndarray
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Union of two canonical selection run-lists — predicate OR on the
+    run representation.  Merge the interval lists by start, then one
+    running-max coalesce pass: an interval opens a new output run only
+    when it starts past everything accumulated so far (touching
+    intervals merge, keeping the result canonical: gap-separated)."""
+    if len(starts_a) == 0:
+        return starts_b.astype(np.int64), lengths_b.astype(np.int64)
+    if len(starts_b) == 0:
+        return starts_a.astype(np.int64), lengths_a.astype(np.int64)
+    s = np.concatenate((starts_a, starts_b)).astype(np.int64)
+    e = s + np.concatenate((lengths_a, lengths_b)).astype(np.int64)
+    order = np.argsort(s, kind="mergesort")
+    s, e = s[order], e[order]
+    cummax = np.maximum.accumulate(e)
+    new = np.concatenate(([True], s[1:] > cummax[:-1]))
+    group_end = np.concatenate((np.flatnonzero(new)[1:] - 1,
+                                [len(s) - 1]))
+    return s[new], cummax[group_end] - s[new]
+
+
+def runs_complement(starts: np.ndarray, lengths: np.ndarray,
+                    n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Complement of a canonical selection run-list within ``[0, n)`` —
+    predicate NOT on the run representation: the gaps between runs
+    (plus the head before the first and the tail after the last)."""
+    if len(starts) == 0:
+        return (_EMPTY_RUNS if n == 0 else _full_run(n))
+    ends = starts + lengths
+    gap_s = np.concatenate(([0], ends)).astype(np.int64)
+    gap_e = np.concatenate((starts, [n])).astype(np.int64)
+    keep = gap_e > gap_s
+    return gap_s[keep], (gap_e - gap_s)[keep]
+
+
 def _runs_to_indices(starts: np.ndarray,
                      lengths: np.ndarray) -> np.ndarray:
     """Canonical (starts, lengths) run-list -> flat position vector,

@@ -2450,6 +2450,53 @@ def encoded_conjunction_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("case").reset_index(drop=True)
 
 
+def encoded_boolean_stats(sf_dir: str) -> pd.DataFrame:
+    """Arbitrary boolean predicate trees over the encoded layout: AND /
+    OR / NOT evaluated as runs_intersect / runs_union / runs_complement
+    on selection run-lists — the reference's run-merge inner loop as a
+    complete boolean algebra over compressed selections.  Three trees
+    pin OR-of-equalities, AND-with-NOT (NOT branches disable zone-map
+    pruning but stay run-exact), and a two-level nested tree."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_agg)
+
+    cols = ["l_suppkey", "l_linenumber", "l_orderkey"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "bool_agg")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=256).write_parquet(enc_dir)
+
+    cases = [
+        ("or_of_eqs", ("or", ("eq", "l_suppkey", 5),
+                       ("eq", "l_suppkey", 9))),
+        ("and_not", ("and", ("range", "l_suppkey", 10, 20),
+                     ("not", ("range", "l_linenumber", 3, 7)))),
+        ("nested", ("or",
+                    ("and", ("eq", "l_suppkey", 5),
+                     ("eq", "l_linenumber", 1)),
+                    ("and", ("eq", "l_suppkey", 7),
+                     ("not", ("eq", "l_linenumber", 2))))),
+    ]
+    rows = []
+    for name, expr in cases:
+        df, counters = encoded_boolean_agg(enc_dir, expr, ["l_orderkey"])
+        if name == "or_of_eqs" and counters["chunks_total"] > 16:
+            assert counters["chunks_skipped"] > 0, \
+                f"OR of overlaps never pruned: {counters}"
+        rows.append({"case": name,
+                     "n_match": int(df["n_match"].iloc[0]),
+                     "sum_l_orderkey": int(df["sum_l_orderkey"].iloc[0])})
+    out = pd.DataFrame(rows)
+    out["n_match"] = out["n_match"].astype("int64")
+    out["sum_l_orderkey"] = out["sum_l_orderkey"].astype("int64")
+    return out.sort_values("case").reset_index(drop=True)
+
+
 def encoded_group_minmax_stats(sf_dir: str) -> pd.DataFrame:
     """Same compressed-domain GROUP BY, now with per-group MIN/MAX:
     group-pure chunks answer MIN/MAX from the aggregate column's own

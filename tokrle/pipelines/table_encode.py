@@ -1240,6 +1240,175 @@ def encoded_conjunction_agg(enc_dir: str, predicates: list[tuple],
     return pd.DataFrame(data), counters
 
 
+def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str]):
+    """COUNT/SUM under an arbitrary boolean predicate TREE, evaluated
+    entirely on the run representation: leaves are ``("eq", col, v)`` /
+    ``("range", col, lo, hi)`` selection run-lists from the codec
+    streams, and the connectives ``("and", a, b)`` / ``("or", a, b)`` /
+    ``("not", a)`` are :func:`runs_intersect` / :func:`runs_union` /
+    :func:`runs_complement` — the reference's run-merge inner loop
+    (ref pyrle/src/rle.pyx) as a complete boolean algebra; nothing ever
+    expands to n elements.
+
+    Per chunk, leaves short-circuit on zone maps (whole-chunk ALL-match
+    or MISS answered metadata-only), ``and`` skips its right branch on
+    an empty left, ``or`` on an ALL left.  A conservative zone-map scan
+    filter is pushed into the Parquet read: the and/or tree maps to the
+    and/or of the leaves' overlap tests, while any ``not`` branch is
+    unprunable (the complement of a zone test is not sound) and reads
+    everything.  One partial row per batch on the exchange; integer
+    columns only; nullable chunks raise."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from tokrle.codecs.core import (agg_sum, agg_sum_runs, match_eq,
+                                    match_range, runs_complement,
+                                    runs_intersect, runs_union)
+
+    ALL = "__ALL__"     # sentinel: every position of the chunk matches
+
+    def leaves(e):
+        if e[0] in ("and", "or"):
+            yield from leaves(e[1])
+            yield from leaves(e[2])
+        elif e[0] == "not":
+            yield from leaves(e[1])
+        else:
+            yield e
+
+    def leaf_bounds(e):
+        if e[0] == "eq":
+            return e[1], int(e[2]), int(e[2])
+        if e[0] == "range":
+            return e[1], int(e[2]), int(e[3])
+        raise ValueError(f"unknown predicate kind {e[0]!r}")
+
+    def zone_filter(e):
+        """Conservative pushdown: None == unprunable (reads all)."""
+        if e[0] == "and":
+            a, b = zone_filter(e[1]), zone_filter(e[2])
+            return a & b if a is not None and b is not None else \
+                (a if b is None else b)
+        if e[0] == "or":
+            a, b = zone_filter(e[1]), zone_filter(e[2])
+            return a | b if a is not None and b is not None else None
+        if e[0] == "not":
+            return None
+        col, lo, hi = leaf_bounds(e)
+        return (pc.field(f"{col}__vmin") <= hi) & \
+            (pc.field(f"{col}__vmax") >= lo)
+
+    pred_cols = list(dict.fromkeys(c for c, _, _ in
+                                   (leaf_bounds(lf) for lf in
+                                    leaves(expr))))
+    n_total = ray.data.read_parquet(enc_dir, columns=["n_rows"]).count()
+    need = ["n_rows"] + [f"{c}__{p}" for c in pred_cols
+                         for p in ("vmin", "vmax")] + [
+        f"{c}__{p}"
+        for c in dict.fromkeys(pred_cols + list(agg_cols))
+        for p in ("codec", "payload", "dtype", "valid")]
+
+    def _chunk_col(batch, c, i):
+        if len(batch.column(f"{c}__valid")[i].as_py() or b""):
+            raise ValueError(
+                f"column {c!r}: nullable chunks not supported by the "
+                "compressed-domain boolean aggregate")
+        return (batch.column(f"{c}__codec")[i].as_py(),
+                memoryview(batch.column(f"{c}__payload")[i].as_buffer()),
+                np.dtype(batch.column(f"{c}__dtype")[i].as_py()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        zmin = {c: batch.column(f"{c}__vmin").to_numpy(
+            zero_copy_only=False) for c in pred_cols}
+        zmax = {c: batch.column(f"{c}__vmax").to_numpy(
+            zero_copy_only=False) for c in pred_cols}
+
+        def ev(e, i, n):
+            kind = e[0]
+            if kind == "and":
+                a = ev(e[1], i, n)
+                if a is not ALL and not len(a[0]):
+                    return a                      # short-circuit empty
+                b = ev(e[2], i, n)
+                if a is ALL:
+                    return b
+                if b is ALL:
+                    return a
+                return runs_intersect(*a, *b)
+            if kind == "or":
+                a = ev(e[1], i, n)
+                if a is ALL:
+                    return ALL                    # short-circuit all
+                b = ev(e[2], i, n)
+                if b is ALL:
+                    return ALL
+                return runs_union(*a, *b)
+            if kind == "not":
+                a = ev(e[1], i, n)
+                if a is ALL:
+                    return (np.empty(0, np.int64), np.empty(0, np.int64))
+                return runs_complement(*a, n)
+            col, lo, hi = leaf_bounds(e)
+            cmin, cmax = int(zmin[col][i]), int(zmax[col][i])
+            if lo <= cmin and cmax <= hi:
+                return ALL          # zone map proves the chunk matches
+            if hi < cmin or lo > cmax:
+                return (np.empty(0, np.int64), np.empty(0, np.int64))
+            codec, payload, dt = _chunk_col(batch, col, i)
+            if kind == "eq":
+                return match_eq(codec, payload, n, dt, lo)
+            return match_range(codec, payload, n, dt, lo, hi)
+
+        n_match, all_hit, run_chunks = 0, 0, 0
+        sums = {c: 0 for c in agg_cols}
+        for i in range(len(batch)):
+            n = int(nrows[i])
+            sel = ev(expr, i, n)
+            if sel is ALL:
+                all_hit += 1
+                n_match += n
+                for c in agg_cols:
+                    codec, payload, dt = _chunk_col(batch, c, i)
+                    sums[c] += agg_sum(codec, payload, n, dt)
+                continue
+            if not len(sel[0]):
+                continue
+            run_chunks += 1
+            n_match += int(sel[1].sum())
+            for c in agg_cols:
+                codec, payload, dt = _chunk_col(batch, c, i)
+                sums[c] += agg_sum_runs(codec, payload, n, dt, *sel)
+        out = {"n_match": pa.array([n_match], type=pa.int64()),
+               "chunks": pa.array([len(batch)], type=pa.int64()),
+               "all_hit": pa.array([all_hit], type=pa.int64()),
+               "run_chunks": pa.array([run_chunks], type=pa.int64())}
+        for c in agg_cols:
+            out[f"sum_{c}"] = pa.array([sums[c]], type=pa.int64())
+        return pa.table(out)
+
+    flt = zone_filter(expr)
+    ds = ray.data.read_parquet(enc_dir, columns=need, filter=flt)
+    aggs = [Sum("n_match", alias_name="n_match"),
+            Sum("chunks", alias_name="chunks"),
+            Sum("all_hit", alias_name="all_hit"),
+            Sum("run_chunks", alias_name="run_chunks")] + \
+        [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in agg_cols]
+    row = ds.map_batches(partial, batch_format="pyarrow").aggregate(*aggs)
+    scanned = int(row["chunks"] or 0)
+    counters = {"chunks_total": n_total,
+                "chunks_scanned": scanned,
+                "chunks_skipped": n_total - scanned,
+                "all_hit_chunks": int(row["all_hit"] or 0),
+                "run_chunks": int(row["run_chunks"] or 0)}
+    data = {"n_match": [int(row["n_match"] or 0)]}
+    for c in agg_cols:
+        data[f"sum_{c}"] = [int(row[f"sum_{c}"] or 0)]
+    return pd.DataFrame(data), counters
+
+
 def _column_checksums(ds, columns: list[str]) -> dict:
     """Order-independent per-column checksums, computed distributed: row
     count plus a sum of vectorized 64-bit content hashes per column (so
