@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_filtered_agg_stats": Q.encoded_filtered_agg_stats,
         "encoded_conjunction_stats": Q.encoded_conjunction_stats,
         "encoded_boolean_stats": Q.encoded_boolean_stats,
+        "encoded_scan_where_stats": Q.encoded_scan_where_stats,
         # round 5: simhash is wrap-around uint64 arithmetic on the
         # SQL-contracted token ids, so DuckDB recomputes the full
         # 64-bit signature per doc (HUGEINT products mod 2^64) and the
@@ -784,6 +785,17 @@ def oracle_sql() -> dict[str, str]:
         WHERE (l_suppkey = 5 AND l_linenumber = 1)
            OR (l_suppkey = 7 AND NOT l_linenumber = 2)
         ORDER BY "case"
+    """
+
+    sql["encoded_scan_where_stats"] = """
+        SELECT cast(count(*) AS bigint)        AS n_match,
+               cast(sum(l_orderkey) AS bigint) AS sum_l_orderkey,
+               cast(min(l_orderkey) AS bigint) AS min_l_orderkey,
+               cast(max(l_orderkey) AS bigint) AS max_l_orderkey,
+               cast(sum(l_partkey) AS bigint)  AS sum_l_partkey
+        FROM lineitem
+        WHERE (l_suppkey = 5 AND l_linenumber BETWEEN 1 AND 3)
+           OR l_suppkey = 9
     """
 
     sql["encoded_group_minmax_stats"] = """

@@ -1152,3 +1152,46 @@ def test_runs_union_merges_touching_intervals():
                       np.array([5, 5], np.int64),
                       np.array([5], np.int64), np.array([5], np.int64))
     assert s.tolist() == [0] and l.tolist() == [15]
+
+
+@pytest.mark.parametrize("codec", list(CODECS))
+def test_gather_runs_matches_decode_on_corpora(codec):
+    """Late materialization: gather_runs over sparse AND dense
+    selections must equal the positional gather of a full decode —
+    both the per-run decode_range path and the decode+gather path."""
+    from tokrle.codecs.core import gather_runs
+
+    rng = np.random.default_rng(51)
+    for name, x in CORPORA.items():
+        if codec == "bitpack" and len(x) and x.min() < 0:
+            continue
+        if len(x) < 10:
+            continue
+        payload = encode(codec, x)
+        dec = decode(codec, payload, len(x), x.dtype)
+        # sparse (few tiny runs -> random-access path where supported)
+        sparse = np.zeros(len(x), bool)
+        sparse[rng.choice(len(x), size=max(1, len(x) // 100),
+                          replace=False)] = True
+        # dense (majority selected -> decode+gather path)
+        dense = rng.random(len(x)) < 0.7
+        for mask in (sparse, dense):
+            s, l = _runs_oracle(mask)
+            got = gather_runs(codec, payload, len(x), x.dtype, s, l)
+            assert got.dtype == x.dtype, name
+            assert np.array_equal(got, dec[mask]), (name, mask.sum())
+
+
+@pytest.mark.parametrize("name", sorted(_U64_CASES))
+def test_gather_runs_uint64_framing(name):
+    from tokrle.codecs.core import gather_runs
+
+    x = _U64_CASES[name]
+    if len(x) < 4:
+        return
+    codec, payload, _ = auto_encode(x)
+    mask = np.zeros(len(x), bool)
+    mask[:: max(1, len(x) // 7)] = True
+    s, l = _runs_oracle(mask)
+    got = gather_runs(codec, payload, len(x), np.uint64, s, l)
+    assert got.dtype == np.uint64 and np.array_equal(got, x[mask])

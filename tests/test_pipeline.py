@@ -1649,3 +1649,50 @@ def test_encoded_boolean_agg_matches_pandas(ray_session, tmp_path):
             _, c_or = encoded_boolean_agg(
                 out_dir, ("or", ("eq", "k", 3), ("eq", "k", 8)), ["v"])
             assert c_or["chunks_skipped"] > 0, c_or
+
+
+def test_encoded_scan_where_matches_pandas(ray_session, tmp_path):
+    """Predicate-tree row retrieval with late materialization: the
+    retrieved multiset (values AND dtypes) must equal the pandas
+    selection, on clustered and shuffled layouts; a miss-everything
+    predicate returns zero rows."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_scan_where)
+
+    rng = np.random.default_rng(43)
+    n = 30000
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 12, n)).astype(np.int64),
+        "r": rng.integers(0, 100, n).astype(np.int32),
+        "v": rng.integers(-1000, 1000, n).astype(np.int64),
+    })
+
+    for layout, frame in (("clustered", df),
+                          ("shuffled",
+                           df.sample(frac=1, random_state=5)
+                           .reset_index(drop=True))):
+        out_dir = str(tmp_path / layout)
+        encode_table_columns(ray.data.from_pandas(frame), ["k", "r", "v"],
+                             batch_size=1024).write_parquet(out_dir)
+        cases = [
+            (("eq", "k", 5), frame[frame["k"] == 5]),
+            (("and", ("eq", "k", 5), ("range", "r", 20, 60)),
+             frame[(frame["k"] == 5) & frame["r"].between(20, 60)]),
+            (("or", ("eq", "k", 3), ("not", ("range", "r", 0, 90))),
+             frame[(frame["k"] == 3) | ~frame["r"].between(0, 90)]),
+        ]
+        for expr, sel in cases:
+            got = encoded_scan_where(out_dir, expr,
+                                     ["v", "r"]).to_pandas()
+            assert len(got) == len(sel), (layout, expr)
+            assert sorted(got["v"].tolist()) == \
+                sorted(sel["v"].tolist()), (layout, expr)
+            assert sorted(got["r"].tolist()) == \
+                sorted(sel["r"].tolist()), (layout, expr)
+            assert got["r"].dtype == np.int32      # dtype preserved
+        got = encoded_scan_where(out_dir, ("eq", "k", 99),
+                                 ["v"]).to_pandas()
+        assert len(got) == 0

@@ -1997,6 +1997,34 @@ def decode_range(codec: str, payload: bytes, n: int, dtype,
     return c.decode(payload, n, dtype)[start:stop].copy()
 
 
+def gather_runs(codec: str, payload: bytes, n: int, dtype,
+                starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Decode ONLY the positions inside a canonical selection run-list
+    (as produced by :func:`match_eq` / :func:`match_range`) — late
+    materialization for predicate scans.  Bit-addressable codecs
+    (plain/bitpack/for/dict/pfor) fetch each run via
+    :func:`decode_range`, touching O(selected) payload bytes; the
+    sequential codecs (rle/delta/fsst*) decode once and gather, never
+    once per run.  Concatenated in position order."""
+    dtype = np.dtype(dtype)
+    starts = np.asarray(starts, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    if n == 0 or len(starts) == 0:
+        return np.empty(0, dtype=dtype)
+    has_ra = getattr(
+        CODECS[codec], "decode_range", None) is not None
+    total = int(lengths.sum())
+    # per-run random access only pays when the codec supports it AND
+    # the selection is sparse; otherwise one decode + vectorized gather
+    if has_ra and total * 4 < n:
+        parts = [decode_range(codec, payload, n, dtype, int(s),
+                              int(s + ln))
+                 for s, ln in zip(starts, lengths)]
+        return np.concatenate(parts)
+    return decode(codec, payload, n, dtype)[
+        _runs_to_indices(starts, lengths)]
+
+
 def agg_sum(codec: str, payload: bytes, n: int, dtype) -> int:
     """Exact integer SUM of an encoded chunk, computed in the compressed
     domain where the codec's streams allow it (rle: runs x values over

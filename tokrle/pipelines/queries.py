@@ -2497,6 +2497,48 @@ def encoded_boolean_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("case").reset_index(drop=True)
 
 
+def encoded_scan_where_stats(sf_dir: str) -> pd.DataFrame:
+    """Row retrieval under a boolean predicate tree with LATE
+    MATERIALIZATION: the predicate evaluates to selection run-lists on
+    the encoded layout and only then are the projected columns decoded,
+    only at the selected positions (bit-addressable codecs fetch each
+    run via decode_range — O(selected) payload bytes).  The retrieved
+    row set streams into one deterministic aggregate row the SQL oracle
+    reproduces over the same predicate."""
+    import os
+    import shutil
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_scan_where)
+
+    cols = ["l_suppkey", "l_linenumber", "l_orderkey", "l_partkey"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "scan_where")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=256).write_parquet(enc_dir)
+
+    expr = ("or",
+            ("and", ("eq", "l_suppkey", 5),
+             ("range", "l_linenumber", 1, 3)),
+            ("eq", "l_suppkey", 9))
+    rows = encoded_scan_where(enc_dir, expr,
+                              ["l_orderkey", "l_partkey"])
+    row = rows.aggregate(
+        Count(alias_name="n_match"),
+        Sum("l_orderkey", alias_name="sum_l_orderkey"),
+        Min("l_orderkey", alias_name="min_l_orderkey"),
+        Max("l_orderkey", alias_name="max_l_orderkey"),
+        Sum("l_partkey", alias_name="sum_l_partkey"))
+    out = pd.DataFrame([{k: int(row[k]) for k in
+                         ("n_match", "sum_l_orderkey", "min_l_orderkey",
+                          "max_l_orderkey", "sum_l_partkey")}])
+    return out
+
+
 def encoded_group_minmax_stats(sf_dir: str) -> pd.DataFrame:
     """Same compressed-domain GROUP BY, now with per-group MIN/MAX:
     group-pure chunks answer MIN/MAX from the aggregate column's own

@@ -1240,6 +1240,103 @@ def encoded_conjunction_agg(enc_dir: str, predicates: list[tuple],
     return pd.DataFrame(data), counters
 
 
+# Sentinel: every position of the chunk matches.  Detected by TYPE
+# (isinstance(..., str)) rather than identity — the evaluator and its
+# callers can land on opposite sides of a cloudpickle boundary, where
+# a captured global's identity is not preserved.
+_ALL = "__ALL__"
+
+
+def _expr_leaves(e):
+    if e[0] in ("and", "or"):
+        yield from _expr_leaves(e[1])
+        yield from _expr_leaves(e[2])
+    elif e[0] == "not":
+        yield from _expr_leaves(e[1])
+    else:
+        yield e
+
+
+def _expr_leaf_bounds(e):
+    if e[0] == "eq":
+        return e[1], int(e[2]), int(e[2])
+    if e[0] == "range":
+        return e[1], int(e[2]), int(e[3])
+    raise ValueError(f"unknown predicate kind {e[0]!r}")
+
+
+def _expr_pred_cols(expr) -> list[str]:
+    return list(dict.fromkeys(c for c, _, _ in
+                              (_expr_leaf_bounds(lf) for lf in
+                               _expr_leaves(expr))))
+
+
+def _expr_zone_filter(e):
+    """Conservative zone-map pushdown for a predicate tree: the and/or
+    tree maps to the and/or of the leaves' overlap tests; any ``not``
+    branch is unprunable (the complement of a zone test is not sound)
+    and returns None == read everything."""
+    import pyarrow.compute as pc
+
+    if e[0] == "and":
+        a, b = _expr_zone_filter(e[1]), _expr_zone_filter(e[2])
+        return a & b if a is not None and b is not None else \
+            (a if b is None else b)
+    if e[0] == "or":
+        a, b = _expr_zone_filter(e[1]), _expr_zone_filter(e[2])
+        return a | b if a is not None and b is not None else None
+    if e[0] == "not":
+        return None
+    col, lo, hi = _expr_leaf_bounds(e)
+    return (pc.field(f"{col}__vmin") <= hi) & \
+        (pc.field(f"{col}__vmax") >= lo)
+
+
+def _expr_eval(e, i: int, n: int, zmin: dict, zmax: dict, chunk_col):
+    """Evaluate a predicate tree against chunk ``i``: returns the
+    ``_ALL`` sentinel or a canonical selection run-list.  Leaves
+    short-circuit on zone maps; ``and`` skips its right branch on an
+    empty left, ``or`` on an ALL left."""
+    from tokrle.codecs.core import (match_eq, match_range,
+                                    runs_complement, runs_intersect,
+                                    runs_union)
+
+    kind = e[0]
+    if kind == "and":
+        a = _expr_eval(e[1], i, n, zmin, zmax, chunk_col)
+        if not isinstance(a, str) and not len(a[0]):
+            return a
+        b = _expr_eval(e[2], i, n, zmin, zmax, chunk_col)
+        if isinstance(a, str):
+            return b
+        if isinstance(b, str):
+            return a
+        return runs_intersect(*a, *b)
+    if kind == "or":
+        a = _expr_eval(e[1], i, n, zmin, zmax, chunk_col)
+        if isinstance(a, str):
+            return _ALL
+        b = _expr_eval(e[2], i, n, zmin, zmax, chunk_col)
+        if isinstance(b, str):
+            return _ALL
+        return runs_union(*a, *b)
+    if kind == "not":
+        a = _expr_eval(e[1], i, n, zmin, zmax, chunk_col)
+        if isinstance(a, str):
+            return (np.empty(0, np.int64), np.empty(0, np.int64))
+        return runs_complement(*a, n)
+    col, lo, hi = _expr_leaf_bounds(e)
+    cmin, cmax = int(zmin[col][i]), int(zmax[col][i])
+    if lo <= cmin and cmax <= hi:
+        return _ALL             # zone map proves the chunk matches
+    if hi < cmin or lo > cmax:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    codec, payload, dt = chunk_col(col, i)
+    if kind == "eq":
+        return match_eq(codec, payload, n, dt, lo)
+    return match_range(codec, payload, n, dt, lo, hi)
+
+
 def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str]):
     """COUNT/SUM under an arbitrary boolean predicate TREE, evaluated
     entirely on the run representation: leaves are ``("eq", col, v)`` /
@@ -1259,50 +1356,12 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str]):
     everything.  One partial row per batch on the exchange; integer
     columns only; nullable chunks raise."""
     import pandas as pd
-    import pyarrow.compute as pc
     import ray.data
     from ray.data.aggregate import Sum
 
-    from tokrle.codecs.core import (agg_sum, agg_sum_runs, match_eq,
-                                    match_range, runs_complement,
-                                    runs_intersect, runs_union)
+    from tokrle.codecs.core import agg_sum, agg_sum_runs
 
-    ALL = "__ALL__"     # sentinel: every position of the chunk matches
-
-    def leaves(e):
-        if e[0] in ("and", "or"):
-            yield from leaves(e[1])
-            yield from leaves(e[2])
-        elif e[0] == "not":
-            yield from leaves(e[1])
-        else:
-            yield e
-
-    def leaf_bounds(e):
-        if e[0] == "eq":
-            return e[1], int(e[2]), int(e[2])
-        if e[0] == "range":
-            return e[1], int(e[2]), int(e[3])
-        raise ValueError(f"unknown predicate kind {e[0]!r}")
-
-    def zone_filter(e):
-        """Conservative pushdown: None == unprunable (reads all)."""
-        if e[0] == "and":
-            a, b = zone_filter(e[1]), zone_filter(e[2])
-            return a & b if a is not None and b is not None else \
-                (a if b is None else b)
-        if e[0] == "or":
-            a, b = zone_filter(e[1]), zone_filter(e[2])
-            return a | b if a is not None and b is not None else None
-        if e[0] == "not":
-            return None
-        col, lo, hi = leaf_bounds(e)
-        return (pc.field(f"{col}__vmin") <= hi) & \
-            (pc.field(f"{col}__vmax") >= lo)
-
-    pred_cols = list(dict.fromkeys(c for c, _, _ in
-                                   (leaf_bounds(lf) for lf in
-                                    leaves(expr))))
+    pred_cols = _expr_pred_cols(expr)
     n_total = ray.data.read_parquet(enc_dir, columns=["n_rows"]).count()
     need = ["n_rows"] + [f"{c}__{p}" for c in pred_cols
                          for p in ("vmin", "vmax")] + [
@@ -1326,48 +1385,13 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str]):
         zmax = {c: batch.column(f"{c}__vmax").to_numpy(
             zero_copy_only=False) for c in pred_cols}
 
-        def ev(e, i, n):
-            kind = e[0]
-            if kind == "and":
-                a = ev(e[1], i, n)
-                if a is not ALL and not len(a[0]):
-                    return a                      # short-circuit empty
-                b = ev(e[2], i, n)
-                if a is ALL:
-                    return b
-                if b is ALL:
-                    return a
-                return runs_intersect(*a, *b)
-            if kind == "or":
-                a = ev(e[1], i, n)
-                if a is ALL:
-                    return ALL                    # short-circuit all
-                b = ev(e[2], i, n)
-                if b is ALL:
-                    return ALL
-                return runs_union(*a, *b)
-            if kind == "not":
-                a = ev(e[1], i, n)
-                if a is ALL:
-                    return (np.empty(0, np.int64), np.empty(0, np.int64))
-                return runs_complement(*a, n)
-            col, lo, hi = leaf_bounds(e)
-            cmin, cmax = int(zmin[col][i]), int(zmax[col][i])
-            if lo <= cmin and cmax <= hi:
-                return ALL          # zone map proves the chunk matches
-            if hi < cmin or lo > cmax:
-                return (np.empty(0, np.int64), np.empty(0, np.int64))
-            codec, payload, dt = _chunk_col(batch, col, i)
-            if kind == "eq":
-                return match_eq(codec, payload, n, dt, lo)
-            return match_range(codec, payload, n, dt, lo, hi)
-
         n_match, all_hit, run_chunks = 0, 0, 0
         sums = {c: 0 for c in agg_cols}
         for i in range(len(batch)):
             n = int(nrows[i])
-            sel = ev(expr, i, n)
-            if sel is ALL:
+            sel = _expr_eval(expr, i, n, zmin, zmax,
+                             lambda col, j: _chunk_col(batch, col, j))
+            if isinstance(sel, str):
                 all_hit += 1
                 n_match += n
                 for c in agg_cols:
@@ -1389,7 +1413,7 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str]):
             out[f"sum_{c}"] = pa.array([sums[c]], type=pa.int64())
         return pa.table(out)
 
-    flt = zone_filter(expr)
+    flt = _expr_zone_filter(expr)
     ds = ray.data.read_parquet(enc_dir, columns=need, filter=flt)
     aggs = [Sum("n_match", alias_name="n_match"),
             Sum("chunks", alias_name="chunks"),
@@ -1407,6 +1431,81 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str]):
     for c in agg_cols:
         data[f"sum_{c}"] = [int(row[f"sum_{c}"] or 0)]
     return pd.DataFrame(data), counters
+
+
+def encoded_scan_where(enc_dir: str, expr: tuple, out_cols: list[str]):
+    """``SELECT out_cols WHERE <predicate tree>`` over a table-encode
+    directory — the row-RETRIEVAL sibling of
+    :func:`encoded_boolean_agg`, with LATE MATERIALIZATION: the
+    predicate evaluates to a selection run-list per chunk (zone-map
+    short-circuits included), and only then are the projected columns
+    decoded, and only at the selected positions
+    (:func:`tokrle.codecs.core.gather_runs` — bit-addressable codecs
+    fetch each run via decode_range, touching O(selected) payload
+    bytes; sequential codecs decode once and gather).  Chunks the scan
+    filter or the evaluator rules out never decode anything.
+
+    Returns a lazy ``ray.data.Dataset`` of the matching rows (streamed,
+    never collected); integer predicate and projection columns only;
+    nullable chunks raise."""
+    import ray.data
+
+    from tokrle.codecs.core import decode as codec_decode
+    from tokrle.codecs.core import gather_runs
+
+    pred_cols = _expr_pred_cols(expr)
+    need = ["n_rows"] + [f"{c}__{p}" for c in pred_cols
+                         for p in ("vmin", "vmax")] + [
+        f"{c}__{p}"
+        for c in dict.fromkeys(pred_cols + list(out_cols))
+        for p in ("codec", "payload", "dtype", "valid")]
+
+    def _chunk_col(batch, c, i):
+        if len(batch.column(f"{c}__valid")[i].as_py() or b""):
+            raise ValueError(
+                f"column {c!r}: nullable chunks not supported by the "
+                "compressed-domain scan")
+        return (batch.column(f"{c}__codec")[i].as_py(),
+                memoryview(batch.column(f"{c}__payload")[i].as_buffer()),
+                np.dtype(batch.column(f"{c}__dtype")[i].as_py()))
+
+    def extract(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        zmin = {c: batch.column(f"{c}__vmin").to_numpy(
+            zero_copy_only=False) for c in pred_cols}
+        zmax = {c: batch.column(f"{c}__vmax").to_numpy(
+            zero_copy_only=False) for c in pred_cols}
+        parts: dict = {c: [] for c in out_cols}
+        for i in range(len(batch)):
+            n = int(nrows[i])
+            sel = _expr_eval(expr, i, n, zmin, zmax,
+                             lambda col, j: _chunk_col(batch, col, j))
+            if isinstance(sel, str):        # ALL: plain full decode
+                for c in out_cols:
+                    codec, payload, dt = _chunk_col(batch, c, i)
+                    parts[c].append(codec_decode(codec, payload, n, dt))
+                continue
+            if not len(sel[0]):
+                continue
+            for c in out_cols:
+                codec, payload, dt = _chunk_col(batch, c, i)
+                parts[c].append(gather_runs(codec, payload, n, dt,
+                                            *sel))
+        out = {}
+        for c in out_cols:
+            if parts[c]:
+                out[c] = pa.array(np.concatenate(parts[c]))
+            else:
+                # schema-stable empties: the column's true dtype comes
+                # from any chunk's metadata, selected or not
+                dt = np.dtype(batch.column(f"{c}__dtype")[0].as_py()) \
+                    if len(batch) else np.dtype(np.int64)
+                out[c] = pa.array(np.empty(0, dtype=dt))
+        return pa.table(out)
+
+    ds = ray.data.read_parquet(enc_dir, columns=need,
+                               filter=_expr_zone_filter(expr))
+    return ds.map_batches(extract, batch_format="pyarrow")
 
 
 def _column_checksums(ds, columns: list[str]) -> dict:
