@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_conjunction_stats": Q.encoded_conjunction_stats,
         "encoded_boolean_stats": Q.encoded_boolean_stats,
         "encoded_scan_where_stats": Q.encoded_scan_where_stats,
+        "encoded_topk_stats": Q.encoded_topk_stats,
         # round 5: simhash is wrap-around uint64 arithmetic on the
         # SQL-contracted token ids, so DuckDB recomputes the full
         # 64-bit signature per doc (HUGEINT products mod 2^64) and the
@@ -796,6 +797,21 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE (l_suppkey = 5 AND l_linenumber BETWEEN 1 AND 3)
            OR l_suppkey = 9
+    """
+
+    sql["encoded_topk_stats"] = """
+        WITH s AS (SELECT l_suppkey AS value FROM lineitem
+                   ORDER BY value DESC LIMIT 20),
+             p AS (SELECT l_partkey AS value FROM lineitem
+                   ORDER BY value DESC LIMIT 25)
+        SELECT 'l_suppkey' AS col, cast(value AS bigint) AS value,
+               cast(count(*) AS bigint) AS n
+        FROM s GROUP BY value
+        UNION ALL
+        SELECT 'l_partkey', cast(value AS bigint),
+               cast(count(*) AS bigint)
+        FROM p GROUP BY value
+        ORDER BY col, value DESC
     """
 
     sql["encoded_group_minmax_stats"] = """

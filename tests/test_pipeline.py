@@ -1696,3 +1696,41 @@ def test_encoded_scan_where_matches_pandas(ray_session, tmp_path):
         got = encoded_scan_where(out_dir, ("eq", "k", 99),
                                  ["v"]).to_pandas()
         assert len(got) == 0
+
+
+def test_encoded_topk_rows_matches_pandas(ray_session, tmp_path):
+    """Metadata-pruned top-k: the returned (value, n) multiset must
+    equal pandas nlargest exactly — high-cardinality (many distinct
+    values in the top-k), heavy-tie, k > n_rows, and clustered-pruning
+    cases."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_topk_rows)
+
+    rng = np.random.default_rng(47)
+    n = 30000
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 12, n)).astype(np.int64),
+        "hi": rng.integers(0, 10**9, n).astype(np.int64),   # high card
+        "lo": rng.integers(0, 5, n).astype(np.int64),       # heavy ties
+    })
+    out_dir = str(tmp_path / "topk")
+    encode_table_columns(ray.data.from_pandas(df), ["k", "hi", "lo"],
+                         batch_size=1024).write_parquet(out_dir)
+
+    def want_multiset(col, k):
+        top = df[col].nlargest(k)
+        return top.value_counts().sort_index(ascending=False)
+
+    for col, k in (("hi", 37), ("lo", 100), ("k", 17),
+                   ("hi", n + 50)):       # k past the table size
+        got, counters = encoded_topk_rows(out_dir, col, k)
+        want = want_multiset(col, k)
+        assert got["value"].tolist() == want.index.tolist(), (col, k)
+        assert got["n"].tolist() == want.values.tolist(), (col, k)
+        assert int(got["n"].sum()) == min(k, n)
+    # the clustered key's top-k must prune chunks via the vmin threshold
+    _, c = encoded_topk_rows(out_dir, "k", 17)
+    assert c["chunks_skipped"] > 0, c

@@ -2539,6 +2539,48 @@ def encoded_scan_where_stats(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def encoded_topk_stats(sf_dir: str) -> pd.DataFrame:
+    """ORDER BY col DESC LIMIT k against the encoded layout with
+    metadata-only pruning: the exclusion threshold T comes from
+    (n_rows, vmin) zone maps alone — once >= k rows provably sit at or
+    above T, every chunk with vmax < T never leaves storage — and the
+    survivors answer from their codec streams (value_counts) trimmed to
+    a per-chunk k-row budget, so the exchange is bounded by
+    #chunks x k pairs.  On the l_suppkey-clustered layout the key's
+    top-k prunes almost everything; asserts the pruning actually
+    happened."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_topk_rows)
+
+    cols = ["l_suppkey", "l_partkey"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "topk")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=256).write_parquet(enc_dir)
+
+    rows = []
+    for col, k in (("l_suppkey", 20), ("l_partkey", 25)):
+        df, counters = encoded_topk_rows(enc_dir, col, k)
+        if col == "l_suppkey" and counters["chunks_total"] > 16:
+            assert counters["chunks_skipped"] > 0, \
+                f"clustered top-k never pruned: {counters}"
+        assert int(df["n"].sum()) == k, \
+            f"top-k multiset must hold exactly k rows: {df}"
+        for _, r in df.iterrows():
+            rows.append({"col": col, "value": int(r["value"]),
+                         "n": int(r["n"])})
+    out = pd.DataFrame(rows)
+    out["value"] = out["value"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["col", "value"],
+                           ascending=[True, False]).reset_index(drop=True)
+
+
 def encoded_group_minmax_stats(sf_dir: str) -> pd.DataFrame:
     """Same compressed-domain GROUP BY, now with per-group MIN/MAX:
     group-pure chunks answer MIN/MAX from the aggregate column's own

@@ -1508,6 +1508,119 @@ def encoded_scan_where(enc_dir: str, expr: tuple, out_cols: list[str]):
     return ds.map_batches(extract, batch_format="pyarrow")
 
 
+def encoded_topk_rows(enc_dir: str, col: str, k: int):
+    """The k largest values of ``col`` (row multiset, ties by count)
+    over a table-encode directory — ``ORDER BY col DESC LIMIT k``
+    answered with METADATA-ONLY pruning first, codec streams second:
+
+    - pass 0 reads just ``(n_rows, vmin)`` and derives the exclusion
+      threshold T: sort chunks by vmin descending and cumsum their row
+      counts — once >= k rows provably have values >= T (every row of a
+      chunk is >= its vmin), any chunk with ``vmax < T`` cannot
+      contribute and never leaves storage;
+    - surviving chunks answer from their codec streams via
+      :func:`tokrle.codecs.core.value_counts` (dict: dictionary + code
+      bincount; rle: run fold — no decode), keep only values >= T, and
+      TRIM to their own top-k row budget (sorted desc, cumulative count
+      cut at k) so the exchange carries at most #chunks x k pairs;
+    - one groupby-sum over the pairs, then the driver cuts the global
+      multiset at exactly k rows.
+
+    Returns ``(DataFrame(value, n) sorted desc with sum(n) == min(k,
+    total rows), counters)``.  Integer zone-mapped columns only;
+    nullable chunks raise."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from tokrle.codecs.core import value_counts
+
+    k = int(k)
+    if k <= 0:
+        raise ValueError("k must be positive")
+    meta = ray.data.read_parquet(
+        enc_dir, columns=["n_rows", f"{col}__vmin"]).to_pandas()
+    n_total_chunks = len(meta)
+    if n_total_chunks == 0:
+        return (pd.DataFrame({"value": pd.Series([], dtype="int64"),
+                              "n": pd.Series([], dtype="int64")}),
+                {"chunks_total": 0, "chunks_scanned": 0,
+                 "chunks_skipped": 0})
+    m = meta.sort_values(f"{col}__vmin", ascending=False)
+    cum = m["n_rows"].cumsum()
+    covered = cum.searchsorted(k)     # first index with cumsum >= k
+    if covered >= len(m):
+        t_bound = None                # fewer than k rows exist: scan all
+    else:
+        t_bound = int(m[f"{col}__vmin"].iloc[covered])
+
+    need = ["n_rows"] + [f"{col}__{p}"
+                         for p in ("codec", "payload", "dtype", "valid")]
+    flt = None if t_bound is None else \
+        (pc.field(f"{col}__vmax") >= t_bound)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        vs, cs = [], []
+        for i in range(len(batch)):
+            if len(batch.column(f"{col}__valid")[i].as_py() or b""):
+                raise ValueError(
+                    f"column {col!r}: nullable chunks not supported by "
+                    "the compressed-domain top-k")
+            vals, counts = value_counts(
+                batch.column(f"{col}__codec")[i].as_py(),
+                memoryview(batch.column(
+                    f"{col}__payload")[i].as_buffer()),
+                int(nrows[i]),
+                np.dtype(batch.column(f"{col}__dtype")[i].as_py()))
+            if t_bound is not None:
+                keep = vals >= vals.dtype.type(t_bound)
+                vals, counts = vals[keep], counts[keep]
+            if len(vals) == 0:
+                continue
+            # per-chunk row budget: largest values until k rows covered
+            vals, counts = vals[::-1], counts[::-1]     # descending
+            cut = int(np.searchsorted(np.cumsum(counts), k)) + 1
+            vs.append(vals[:cut].astype(np.int64))
+            cs.append(counts[:cut])
+        if not vs:
+            return pa.table({"value": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64()),
+                             "chunks": pa.array([len(batch)],
+                                                type=pa.int64())})
+        out_v = np.concatenate(vs)
+        out_c = np.concatenate(cs)
+        pad = np.zeros(len(out_v), np.int64)
+        pad[0] = len(batch)
+        return pa.table({"value": pa.array(out_v),
+                         "c": pa.array(out_c),
+                         "chunks": pa.array(pad)})
+
+    ds = ray.data.read_parquet(enc_dir, columns=need, filter=flt)
+    hist = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("value").aggregate(Sum("c", alias_name="n"),
+                                    Sum("chunks", alias_name="chunks")) \
+        .to_pandas()
+    scanned = int(hist["chunks"].sum()) if len(hist) else 0
+    hist = hist.drop(columns=["chunks"]) \
+        .sort_values("value", ascending=False).reset_index(drop=True)
+    cum = hist["n"].cumsum()
+    # k past the table size keeps every row (cut clamps to the
+    # histogram length; nothing to trim since cumsum never reaches k)
+    cut = min(int(cum.searchsorted(k)) + 1, len(hist))
+    top = hist.iloc[:cut].copy()
+    if len(top) and int(cum.iloc[cut - 1]) > k:
+        top.loc[top.index[-1], "n"] -= int(cum.iloc[cut - 1]) - k
+    top["value"] = top["value"].astype("int64")
+    top["n"] = top["n"].astype("int64")
+    counters = {"chunks_total": n_total_chunks,
+                "chunks_scanned": scanned,
+                "chunks_skipped": n_total_chunks - scanned,
+                "threshold": t_bound}
+    return top.reset_index(drop=True), counters
+
+
 def _column_checksums(ds, columns: list[str]) -> dict:
     """Order-independent per-column checksums, computed distributed: row
     count plus a sum of vectorized 64-bit content hashes per column (so
