@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_boolean_stats": Q.encoded_boolean_stats,
         "encoded_scan_where_stats": Q.encoded_scan_where_stats,
         "encoded_topk_stats": Q.encoded_topk_stats,
+        "encoded_semijoin_stats": Q.encoded_semijoin_stats,
         # round 5: simhash is wrap-around uint64 arithmetic on the
         # SQL-contracted token ids, so DuckDB recomputes the full
         # 64-bit signature per doc (HUGEINT products mod 2^64) and the
@@ -812,6 +813,23 @@ def oracle_sql() -> dict[str, str]:
                cast(count(*) AS bigint)
         FROM p GROUP BY value
         ORDER BY col, value DESC
+    """
+
+    sql["encoded_semijoin_stats"] = """
+        SELECT 'semijoin' AS "case",
+               cast(count(*) AS bigint)                     AS n_match,
+               cast(coalesce(sum(l_orderkey), 0) AS bigint) AS sum_l_orderkey
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                            WHERE s_nationkey = 1)
+        UNION ALL
+        SELECT 'semijoin_and_range', cast(count(*) AS bigint),
+               cast(coalesce(sum(l_orderkey), 0) AS bigint)
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                            WHERE s_nationkey = 1)
+          AND l_linenumber BETWEEN 1 AND 3
+        ORDER BY "case"
     """
 
     sql["encoded_group_minmax_stats"] = """

@@ -1195,3 +1195,61 @@ def test_gather_runs_uint64_framing(name):
     s, l = _runs_oracle(mask)
     got = gather_runs(codec, payload, len(x), np.uint64, s, l)
     assert got.dtype == np.uint64 and np.array_equal(got, x[mask])
+
+
+@pytest.mark.parametrize("codec", list(CODECS))
+def test_match_in_matches_decode_on_corpora(codec):
+    from tokrle.codecs.core import match_in
+
+    rng = np.random.default_rng(67)
+    for name, x in CORPORA.items():
+        if codec == "bitpack" and len(x) and x.min() < 0:
+            continue
+        payload = encode(codec, x)
+        dec = decode(codec, payload, len(x), x.dtype)
+        sets = ([[int(x[0]), int(x.max())],
+                 sorted({int(v) for v in
+                         x[rng.choice(len(x), min(40, len(x)),
+                                      replace=False)]}),
+                 [int(x.max()) + 1, 10**15]] if len(x) else [[0]]) \
+            + [[], [-10**15, 10**15]]
+        for tgt in sets:
+            tset = set(tgt)
+            mask = np.array([int(v) in tset for v in dec], bool) \
+                if len(x) else np.zeros(0, bool)
+            ws, wl = _runs_oracle(mask)
+            gs, gl = match_in(codec, payload, len(x), x.dtype, tgt)
+            assert np.array_equal(gs, ws) and np.array_equal(gl, wl), \
+                (name, len(tgt))
+
+
+@pytest.mark.parametrize("name", sorted(_U64_CASES))
+def test_match_in_uint64_framing(name):
+    from tokrle.codecs.core import match_in
+
+    x = _U64_CASES[name]
+    codec, payload, _ = auto_encode(x)
+    sets = ([[int(x[0]), int(x.max())]] if len(x) else []) + \
+        [[2**63 - 1, 2**63, 2**64 - 1], [-5, 2**64, 2**64 + 7], []]
+    for tgt in sets:
+        tset = {t for t in tgt if 0 <= t < 2**64}
+        mask = np.array([int(v) in tset for v in x], bool)
+        ws, wl = _runs_oracle(mask)
+        gs, gl = match_in(codec, payload, len(x), np.uint64, tgt)
+        assert np.array_equal(gs, ws) and np.array_equal(gl, wl), tgt
+
+
+def test_match_in_rle_coalesces_and_dict_full_cover():
+    from tokrle.codecs.core import match_in
+
+    # neighbouring rle runs with different values, both in the set
+    x = np.repeat(np.array([1, 2, 9, 2, 1], np.int64), 3)
+    payload = encode("rle", x)
+    s, l = match_in("rle", payload, len(x), x.dtype, [1, 2])
+    assert s.tolist() == [0, 9] and l.tolist() == [6, 6]
+    # a set covering the whole dictionary answers the full chunk from
+    # the dict stream alone
+    y = np.array([5, 7, 5, 7, 9] * 20, np.int64)
+    payload = encode("dict", y)
+    s, l = match_in("dict", payload, len(y), y.dtype, [5, 7, 9, 11])
+    assert s.tolist() == [0] and l.tolist() == [len(y)]

@@ -1734,3 +1734,48 @@ def test_encoded_topk_rows_matches_pandas(ray_session, tmp_path):
     # the clustered key's top-k must prune chunks via the vmin threshold
     _, c = encoded_topk_rows(out_dir, "k", 17)
     assert c["chunks_skipped"] > 0, c
+
+
+def test_encoded_boolean_agg_in_leaf(ray_session, tmp_path):
+    """IN-list leaves inside predicate trees: exact vs pandas isin,
+    including the narrow-window ALL shortcut (a set covering the zone
+    window) and an all-misses set answered scan-free."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_agg)
+
+    rng = np.random.default_rng(53)
+    n = 20000
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 12, n)).astype(np.int64),
+        "v": rng.integers(-1000, 1000, n).astype(np.int64),
+    })
+    out_dir = str(tmp_path / "in_leaf")
+    encode_table_columns(ray.data.from_pandas(df), ["k", "v"],
+                         batch_size=1024).write_parquet(out_dir)
+
+    cases = [
+        [2, 5, 9],
+        list(range(0, 12)),        # covers every zone window -> ALL
+        [99, 120],                 # nothing matches, zone-pruned
+        [],
+    ]
+    for keys in cases:
+        got, counters = encoded_boolean_agg(
+            out_dir, ("in", "k", keys), ["v"])
+        sel = df[df["k"].isin(keys)]
+        assert got.loc[0, "n_match"] == len(sel), keys
+        assert got.loc[0, "sum_v"] == int(sel["v"].sum()), keys
+    _, c_all = encoded_boolean_agg(out_dir,
+                                   ("in", "k", list(range(12))), ["v"])
+    assert c_all["all_hit_chunks"] > 0, c_all
+    _, c_miss = encoded_boolean_agg(out_dir, ("in", "k", [99]), ["v"])
+    assert c_miss["chunks_scanned"] == 0, c_miss
+    # IN composed under NOT: complement of the set
+    got, _ = encoded_boolean_agg(out_dir,
+                                 ("not", ("in", "k", [2, 5, 9])), ["v"])
+    sel = df[~df["k"].isin([2, 5, 9])]
+    assert got.loc[0, "n_match"] == len(sel)
+    assert got.loc[0, "sum_v"] == int(sel["v"].sum())

@@ -187,6 +187,19 @@ class Codec:
         x = self.decode(payload, n, dtype)
         return _mask_to_runs((x >= dtype.type(lo)) & (x <= dtype.type(hi)))
 
+    def match_in(self, payload: bytes, n: int, dtype: np.dtype,
+                 targets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Canonical run-list of the positions whose value is in the
+        SORTED ``targets`` array — the IN-list / semi-join predicate.
+        Overrides: rle tests its O(#runs) value stream against the
+        targets and coalesces adjacent matches; dict intersects the two
+        sorted sets and tests the narrow code stream.  This default
+        decodes + isin."""
+        if n == 0 or len(targets) == 0:
+            return _EMPTY_RUNS
+        return _mask_to_runs(np.isin(self.decode(payload, n, dtype),
+                                     targets.astype(dtype)))
+
     def agg_sum_runs(self, payload: bytes, n: int, dtype: np.dtype,
                      starts: np.ndarray,
                      lengths: np.ndarray) -> int:
@@ -666,6 +679,27 @@ class Dictionary(Codec):
         codes = unpack_uints(payload[off + dict_len:], n, code_w)
         return _mask_to_runs(codes == np.uint64(code))
 
+    def match_in(self, payload, n, dtype, targets):
+        # intersect the sorted dictionary with the sorted targets (two
+        # small arrays), then one boolean-table lookup over the narrow
+        # code stream — absent sets answer from the dict alone
+        if n == 0 or len(targets) == 0:
+            return _EMPTY_RUNS
+        k, code_w, ref, dict_w = struct.unpack_from("<IBqB", payload, 0)
+        if k == 0:
+            return _EMPTY_RUNS
+        (dict_len,) = struct.unpack_from("<I", payload, 14)
+        off = 18
+        uniq = unpack_uints(payload[off:off + dict_len], k,
+                            dict_w).astype(np.int64) + ref
+        code_hit = np.isin(uniq, targets.astype(np.int64))
+        if not code_hit.any():
+            return _EMPTY_RUNS
+        if code_hit.all():
+            return _full_run(n)    # every dictionary entry is a target
+        codes = unpack_uints(payload[off + dict_len:], n, code_w)
+        return _mask_to_runs(code_hit[codes])
+
     def match_range(self, payload, n, dtype, lo, hi):
         # two searchsorted calls bound the code window [c_lo, c_hi);
         # all-in / all-out windows answer from the k-element dict alone
@@ -864,6 +898,32 @@ class RunLength(Codec):
             ([0], np.cumsum(runs)[:-1])).astype(np.int64)
         # consecutive hit indices are positionally adjacent runs: group
         # them and emit one coalesced selection run per group
+        brk = np.flatnonzero(np.diff(idx) > 1)
+        first = idx[np.concatenate(([0], brk + 1))]
+        last = idx[np.concatenate((brk, [len(idx) - 1]))]
+        starts = run_starts[first]
+        return starts, run_starts[last] + runs[last] - starts
+
+    def match_in(self, payload, n, dtype, targets):
+        # test the O(#runs) value stream against the sorted targets,
+        # then coalesce adjacent matches (neighbouring runs with
+        # DIFFERENT values can both be in the set) — same grouping as
+        # match_range, never an n-element expansion
+        nruns, run_w, vref, val_w = struct.unpack_from("<IBqB", payload, 0)
+        if n == 0 or nruns == 0 or len(targets) == 0:
+            return _EMPTY_RUNS
+        off = 14
+        runs_nbytes = (nruns * run_w + 7) // 8
+        values = unpack_uints(payload[off + runs_nbytes:], nruns,
+                              val_w).astype(np.int64) + vref
+        hit = np.isin(values, targets.astype(np.int64))
+        idx = np.flatnonzero(hit)
+        if len(idx) == 0:
+            return _EMPTY_RUNS
+        runs = unpack_uints(payload[off:off + runs_nbytes], nruns,
+                            run_w).astype(np.int64) + 1
+        run_starts = np.concatenate(
+            ([0], np.cumsum(runs)[:-1])).astype(np.int64)
         brk = np.flatnonzero(np.diff(idx) > 1)
         first = idx[np.concatenate(([0], brk + 1))]
         last = idx[np.concatenate((brk, [len(idx) - 1]))]
@@ -2242,6 +2302,46 @@ def match_range(codec: str, payload: bytes, n: int, dtype,
     if lo > hi:
         return _EMPTY_RUNS
     return CODECS[codec].match_range(payload, n, dtype, lo, hi)
+
+
+def match_in(codec: str, payload: bytes, n: int, dtype,
+             targets) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical run-list of the positions whose value is in
+    ``targets`` (any iterable of ints) — the IN-list / semi-join
+    predicate, answered in the compressed domain where the codec's
+    streams allow it (rle: O(#runs) value test + adjacent-match
+    coalescing; dict: sorted-set intersection + one boolean-table
+    lookup over the narrow code stream).  Same integer/datetime
+    contract and uint64 bias framing as :func:`match_eq`; out-of-domain
+    targets are dropped, an empty surviving set answers empty without
+    touching the payload."""
+    dtype = np.dtype(dtype)
+    tgt = sorted({int(t) for t in targets})
+    if dtype.kind in "mM":
+        dtype = np.dtype(np.int64)
+    if dtype.kind not in "iu":
+        raise TypeError(f"match_in is integer-only, got {dtype}")
+    if n == 0 or not tgt:
+        return _EMPTY_RUNS
+    if dtype == np.uint64:
+        tgt = [t for t in tgt if 0 <= t < (1 << 64)]
+        # framing byte (see encode): biased streams hold x ^ 2^63 as an
+        # order-preserving shift — targets shift by the same constant
+        if payload[0]:
+            tgt = [t - (1 << 63) for t in tgt]
+        else:
+            tgt = [t for t in tgt if t < (1 << 63)]
+        if not tgt:
+            return _EMPTY_RUNS
+        return CODECS[codec].match_in(memoryview(payload)[1:], n,
+                                      np.dtype(np.int64),
+                                      np.array(tgt, dtype=np.int64))
+    info = np.iinfo(dtype)
+    tgt = [t for t in tgt if info.min <= t <= info.max]
+    if not tgt:
+        return _EMPTY_RUNS
+    return CODECS[codec].match_in(payload, n, dtype,
+                                  np.array(tgt, dtype=np.int64))
 
 
 def agg_sum_runs(codec: str, payload: bytes, n: int, dtype,

@@ -2581,6 +2581,50 @@ def encoded_topk_stats(sf_dir: str) -> pd.DataFrame:
                            ascending=[True, False]).reset_index(drop=True)
 
 
+def encoded_semijoin_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-join pushed into the encoded layout as an IN-list leaf: the
+    key set comes from a driver-side scan of the SMALL dimension side
+    (suppliers of one nation — broadcast semantics: the sorted key
+    array rides into every task, the fact table never shuffles) and the
+    fact side evaluates ``l_suppkey IN keys`` in the compressed domain
+    (rle: O(#runs) value test; dict: sorted-set intersection + one
+    boolean-table code lookup), combined with a range predicate through
+    the same run-list algebra."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_agg)
+
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    keys = sorted(int(k) for k in
+                  sup.loc[sup["s_nationkey"] == 1, "s_suppkey"])
+
+    cols = ["l_suppkey", "l_linenumber", "l_orderkey"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "semijoin")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=256).write_parquet(enc_dir)
+
+    rows = []
+    for name, expr in (
+            ("semijoin", ("in", "l_suppkey", keys)),
+            ("semijoin_and_range",
+             ("and", ("in", "l_suppkey", keys),
+              ("range", "l_linenumber", 1, 3)))):
+        df, counters = encoded_boolean_agg(enc_dir, expr, ["l_orderkey"])
+        rows.append({"case": name,
+                     "n_match": int(df["n_match"].iloc[0]),
+                     "sum_l_orderkey": int(df["sum_l_orderkey"].iloc[0])})
+    out = pd.DataFrame(rows)
+    out["n_match"] = out["n_match"].astype("int64")
+    out["sum_l_orderkey"] = out["sum_l_orderkey"].astype("int64")
+    return out.sort_values("case").reset_index(drop=True)
+
+
 def encoded_group_minmax_stats(sf_dir: str) -> pd.DataFrame:
     """Same compressed-domain GROUP BY, now with per-group MIN/MAX:
     group-pure chunks answer MIN/MAX from the aggregate column's own

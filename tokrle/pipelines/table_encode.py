@@ -1258,10 +1258,18 @@ def _expr_leaves(e):
 
 
 def _expr_leaf_bounds(e):
+    """(col, lo, hi) value bounds of a leaf — used for zone-map tests.
+    For ``in`` leaves the bounds are the set's min/max (conservative:
+    bound coverage does NOT imply membership, see _expr_eval)."""
     if e[0] == "eq":
         return e[1], int(e[2]), int(e[2])
     if e[0] == "range":
         return e[1], int(e[2]), int(e[3])
+    if e[0] == "in":
+        vals = [int(v) for v in e[2]]
+        if not vals:
+            return e[1], 1, 0          # empty set: an always-false leaf
+        return e[1], min(vals), max(vals)
     raise ValueError(f"unknown predicate kind {e[0]!r}")
 
 
@@ -1297,7 +1305,7 @@ def _expr_eval(e, i: int, n: int, zmin: dict, zmax: dict, chunk_col):
     ``_ALL`` sentinel or a canonical selection run-list.  Leaves
     short-circuit on zone maps; ``and`` skips its right branch on an
     empty left, ``or`` on an ALL left."""
-    from tokrle.codecs.core import (match_eq, match_range,
+    from tokrle.codecs.core import (match_eq, match_in, match_range,
                                     runs_complement, runs_intersect,
                                     runs_union)
 
@@ -1327,10 +1335,22 @@ def _expr_eval(e, i: int, n: int, zmin: dict, zmax: dict, chunk_col):
         return runs_complement(*a, n)
     col, lo, hi = _expr_leaf_bounds(e)
     cmin, cmax = int(zmin[col][i]), int(zmax[col][i])
-    if lo <= cmin and cmax <= hi:
-        return _ALL             # zone map proves the chunk matches
     if hi < cmin or lo > cmax:
         return (np.empty(0, np.int64), np.empty(0, np.int64))
+    if kind == "in":
+        # bound coverage does NOT imply set membership: the ALL
+        # shortcut needs the set to contain EVERY value the chunk can
+        # hold — only worth checking on narrow zone windows
+        tgt = sorted({int(v) for v in e[2]})
+        if cmax - cmin < 1024 and len(tgt) > cmax - cmin:
+            t = np.array(tgt, dtype=np.int64)
+            window = t[(t >= cmin) & (t <= cmax)]
+            if len(window) == cmax - cmin + 1:
+                return _ALL    # the set covers the whole zone window
+        codec, payload, dt = chunk_col(col, i)
+        return match_in(codec, payload, n, dt, tgt)
+    if lo <= cmin and cmax <= hi:
+        return _ALL             # zone map proves the chunk matches
     codec, payload, dt = chunk_col(col, i)
     if kind == "eq":
         return match_eq(codec, payload, n, dt, lo)
