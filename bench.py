@@ -442,6 +442,140 @@ def volume() -> None:
     ray.shutdown()
 
 
+def pushdown() -> None:
+    """--pushdown: compressed-domain query layer vs forced-decode
+    baselines on the SAME encoded lineitem layout at $GRAFT_SF_DIR.
+    Each query runs best-of-2 both ways; the decode baseline reads the
+    same encoded parquet, decodes every chunk and answers with pandas/
+    numpy — so the speedup isolates pruning + closed forms, not I/O
+    format differences."""
+    ray_up(NUM_CPUS)
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (decode_table_columns,
+                                               encode_table_columns,
+                                               encoded_boolean_agg,
+                                               encoded_filtered_agg,
+                                               encoded_topk_rows,
+                                               encoded_value_count)
+
+    cols = ["l_suppkey", "l_linenumber", "l_orderkey", "l_partkey"]
+    # replicate lineitem to a scale where the work, not the Ray job
+    # fabric, is what's measured (default ~38M rows at sf0.1)
+    rep = int(os.environ.get("GRAFT_PUSHDOWN_REPEAT", "64"))
+    enc_dir = os.path.join(WORK, "pushdown_enc")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    base = ray.data.read_parquet(
+        os.path.join(SF_DIR, "lineitem.parquet"), columns=cols)
+    ds = base.union(*[base for _ in range(rep - 1)]) if rep > 1 else base
+    ds = ds.sort("l_suppkey")
+    n_rows = ds.count()
+    encode_table_columns(ds, cols, batch_size=65536).write_parquet(enc_dir)
+
+    def decoded():
+        return decode_table_columns(
+            ray.data.read_parquet(enc_dir), cols)
+
+    def naive_count_eq():
+        def f(t: pa.Table) -> pa.Table:
+            v = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+            return pa.table({"c": pa.array([int((v == 5).sum())])})
+        from ray.data.aggregate import Sum
+        return int(decoded().map_batches(
+            f, batch_format="pyarrow").aggregate(Sum("c"))["sum(c)"])
+
+    def naive_filtered_sum():
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+            v = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            m = k == 5
+            return pa.table({"n": pa.array([int(m.sum())]),
+                             "s": pa.array([int(v[m].sum())])})
+        from ray.data.aggregate import Sum
+        row = decoded().map_batches(f, batch_format="pyarrow") \
+            .aggregate(Sum("n"), Sum("s"))
+        return int(row["sum(n)"]), int(row["sum(s)"])
+
+    def naive_topk():
+        import pandas as pd
+        parts = []
+        for b in decoded().select_columns(["l_partkey"]).iter_batches(
+                batch_format="pandas", batch_size=65536):
+            parts.append(b["l_partkey"].nlargest(25))
+        return pd.concat(parts).nlargest(25).sum()
+
+    def enc_count_eq():
+        df, _ = encoded_value_count(enc_dir, "l_suppkey", 5)
+        return int(df["n_match"].iloc[0])
+
+    def enc_filtered_sum():
+        df, _ = encoded_filtered_agg(enc_dir, "l_suppkey", 5,
+                                     ["l_orderkey"])
+        return (int(df["n_match"].iloc[0]),
+                int(df["sum_l_orderkey"].iloc[0]))
+
+    def enc_boolean():
+        df, _ = encoded_boolean_agg(
+            enc_dir, ("and", ("eq", "l_suppkey", 5),
+                      ("range", "l_linenumber", 1, 3)), ["l_orderkey"])
+        return (int(df["n_match"].iloc[0]),
+                int(df["sum_l_orderkey"].iloc[0]))
+
+    def naive_boolean():
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+            ln = t.column("l_linenumber").to_numpy(zero_copy_only=False)
+            v = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            m = (k == 5) & (ln >= 1) & (ln <= 3)
+            return pa.table({"n": pa.array([int(m.sum())]),
+                             "s": pa.array([int(v[m].sum())])})
+        from ray.data.aggregate import Sum
+        row = decoded().map_batches(f, batch_format="pyarrow") \
+            .aggregate(Sum("n"), Sum("s"))
+        return int(row["sum(n)"]), int(row["sum(s)"])
+
+    def enc_topk():
+        df, _ = encoded_topk_rows(enc_dir, "l_partkey", 25)
+        return int((df["value"] * df["n"]).sum())
+
+    def best_of(fn, passes=2):
+        dt, res = float("inf"), None
+        for _ in range(max(1, passes)):
+            t0 = time.perf_counter()
+            r = fn()
+            e = time.perf_counter() - t0
+            if e < dt:
+                dt, res = e, r
+        return dt, res
+
+    out: dict = {"metric": "compressed-domain pushdown speedup",
+                 "unit": "x (decode-baseline sec / pushdown sec)",
+                 "sf": SF_DIR, "num_cpus": NUM_CPUS,
+                 "n_rows": n_rows, "repeat": rep, "queries": {}}
+    for name, enc_fn, naive_fn in (
+            ("count_eq", enc_count_eq, naive_count_eq),
+            ("filtered_sum", enc_filtered_sum, naive_filtered_sum),
+            ("boolean_and", enc_boolean, naive_boolean),
+            ("topk", enc_topk, naive_topk)):
+        t_enc, r_enc = best_of(enc_fn)
+        t_naive, r_naive = best_of(naive_fn)
+        assert r_enc == r_naive, (name, r_enc, r_naive)
+        out["queries"][name] = {
+            "pushdown_sec": round(t_enc, 3),
+            "decode_baseline_sec": round(t_naive, 3),
+            "speedup": round(t_naive / t_enc, 2) if t_enc else 0.0,
+            "answers_match": True}
+    out["value"] = round(
+        sum(q["speedup"] for q in out["queries"].values()) /
+        len(out["queries"]), 2)
+    out.update(_host_health())
+    print(json.dumps(out))
+    import ray
+    ray.shutdown()
+
+
 def cpu_scaling_child() -> None:
     """CPU-bound engine stage for the secondary scaling datum: fsstg
     (FSST-proper greedy parse) over the documents text, replicated to a
@@ -751,6 +885,8 @@ if __name__ == "__main__":
         encode_only()
     elif "--volume-prep" in sys.argv:
         volume_prep()
+    elif "--pushdown" in sys.argv:
+        pushdown()
     elif "--volume" in sys.argv:
         volume()
     else:

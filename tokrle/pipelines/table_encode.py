@@ -13,6 +13,8 @@ Decode is the stateless inverse; round-trips are bit-identical per row.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -272,7 +274,7 @@ def range_scan(enc_dir: str, columns: list[str],
     for c, lo, hi in preds:
         e = (pc.field(f"{c}__vmax") >= lo) & (pc.field(f"{c}__vmin") <= hi)
         keep = e if keep is None else keep & e
-    n_total = ray.data.read_parquet(enc_dir, columns=["n_rows"]).count()
+    n_total = _n_chunks(enc_dir)
     n_kept = ray.data.read_parquet(enc_dir, columns=["n_rows"],
                                    filter=keep).count()
     dec = decode_table_columns(
@@ -404,7 +406,7 @@ def encoded_range_agg(enc_dir: str, key_col: str, lo: int, hi: int,
     boundary = overlap & ~inside
 
     meta_cols = ["n_rows", f"{key_col}__vmin", f"{key_col}__vmax"]
-    n_total = ray.data.read_parquet(enc_dir, columns=meta_cols).count()
+    n_total = _n_chunks(enc_dir)
     agg_payload_cols = ["n_rows"] + [
         f"{c}__{part}" for c in agg_cols
         for part in ("codec", "payload", "dtype", "valid")]
@@ -521,8 +523,7 @@ def encoded_value_count(enc_dir: str, col: str, value: int):
     value = int(value)
     overlap = (pc.field(f"{col}__vmin") <= value) & \
         (pc.field(f"{col}__vmax") >= value)
-    n_total = ray.data.read_parquet(
-        enc_dir, columns=["n_rows"]).count()
+    n_total = _n_chunks(enc_dir)
     need = ["n_rows"] + [f"{col}__{p}"
                          for p in ("codec", "payload", "dtype", "valid")]
 
@@ -586,7 +587,7 @@ def encoded_range_count(enc_dir: str, col: str, lo: int, hi: int):
     overlap = (pc.field(f"{col}__vmax") >= lo) & \
         (pc.field(f"{col}__vmin") <= hi)
     boundary = overlap & ~inside
-    n_total = ray.data.read_parquet(enc_dir, columns=["n_rows"]).count()
+    n_total = _n_chunks(enc_dir)
 
     def interior_partial(batch: pa.Table) -> pa.Table:
         valids = batch.column(f"{col}__valid")
@@ -855,7 +856,7 @@ def encoded_histogram(enc_dir: str, col: str):
         .groupby("v").aggregate(Sum("c", alias_name="n")).to_pandas()
     hist = hist.rename(columns={"v": "value"})
     hist["n"] = hist["n"].astype("int64")
-    n_chunks = ray.data.read_parquet(enc_dir, columns=["n_rows"]).count()
+    n_chunks = _n_chunks(enc_dir)
     counters = {"chunks_total": int(n_chunks),
                 "hist_rows": int(len(hist))}
     return hist.sort_values("value").reset_index(drop=True), counters
@@ -1033,7 +1034,7 @@ def encoded_filtered_agg(enc_dir: str, key_col: str, value: int,
     value = int(value)
     overlap = (pc.field(f"{key_col}__vmin") <= value) & \
         (pc.field(f"{key_col}__vmax") >= value)
-    n_total = ray.data.read_parquet(enc_dir, columns=["n_rows"]).count()
+    n_total = _n_chunks(enc_dir)
     need = ["n_rows", f"{key_col}__vmin", f"{key_col}__vmax"] + [
         f"{c}__{p}" for c in dict.fromkeys([key_col] + agg_cols)
         for p in ("codec", "payload", "dtype", "valid")]
@@ -1152,7 +1153,7 @@ def encoded_conjunction_agg(enc_dir: str, predicates: list[tuple],
         t = (pc.field(f"{col}__vmin") <= hi) & \
             (pc.field(f"{col}__vmax") >= lo)
         overlap = t if overlap is None else overlap & t
-    n_total = ray.data.read_parquet(enc_dir, columns=["n_rows"]).count()
+    n_total = _n_chunks(enc_dir)
     pred_cols = list(dict.fromkeys(c for _, c, _, _ in preds))
     need = ["n_rows"] + [f"{c}__{p}" for c in pred_cols
                          for p in ("vmin", "vmax")] + [
@@ -1238,6 +1239,23 @@ def encoded_conjunction_agg(enc_dir: str, predicates: list[tuple],
     for c in agg_cols:
         data[f"sum_{c}"] = [int(row[f"sum_{c}"] or 0)]
     return pd.DataFrame(data), counters
+
+
+def _n_chunks(enc_dir: str) -> int:
+    """Number of chunk rows in a table-encode directory, from Parquet
+    FILE METADATA alone — no Ray job, no column read.  The query
+    pipelines use this for their pruning counters; spending a whole
+    cluster job to count rows that the footers already record is pure
+    overhead (it dominated small-scale latency)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in sorted(glob.glob(os.path.join(enc_dir, "**", "*.parquet"),
+                              recursive=True)):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
 
 
 # Sentinel: every position of the chunk matches.  Detected by TYPE
@@ -1382,7 +1400,7 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str]):
     from tokrle.codecs.core import agg_sum, agg_sum_runs
 
     pred_cols = _expr_pred_cols(expr)
-    n_total = ray.data.read_parquet(enc_dir, columns=["n_rows"]).count()
+    n_total = _n_chunks(enc_dir)
     need = ["n_rows"] + [f"{c}__{p}" for c in pred_cols
                          for p in ("vmin", "vmax")] + [
         f"{c}__{p}"
@@ -1559,7 +1577,11 @@ def encoded_topk_rows(enc_dir: str, col: str, k: int):
     k = int(k)
     if k <= 0:
         raise ValueError("k must be positive")
-    meta = ray.data.read_parquet(
+    # pass 0 is a driver-side read of two tiny int columns straight
+    # from the parquet footprint — no Ray job for metadata (at 1e8
+    # chunks this is still two int64 vectors)
+    import pyarrow.parquet as pq
+    meta = pq.read_table(
         enc_dir, columns=["n_rows", f"{col}__vmin"]).to_pandas()
     n_total_chunks = len(meta)
     if n_total_chunks == 0:
