@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_filtered_agg_stats": Q.encoded_filtered_agg_stats,
         "encoded_conjunction_stats": Q.encoded_conjunction_stats,
         "encoded_boolean_stats": Q.encoded_boolean_stats,
+        "encoded_group_where_stats": Q.encoded_group_where_stats,
         "encoded_scan_where_stats": Q.encoded_scan_where_stats,
         "encoded_topk_stats": Q.encoded_topk_stats,
         "encoded_semijoin_stats": Q.encoded_semijoin_stats,
@@ -787,6 +788,24 @@ def oracle_sql() -> dict[str, str]:
         WHERE (l_suppkey = 5 AND l_linenumber = 1)
            OR (l_suppkey = 7 AND NOT l_linenumber = 2)
         ORDER BY "case"
+    """
+
+    sql["encoded_group_where_stats"] = """
+        SELECT * FROM (
+            SELECT 'clustered_group' AS which,
+                   cast(l_suppkey AS bigint)                    AS grp,
+                   cast(count(*) AS bigint)                     AS n,
+                   cast(sum(l_orderkey) AS bigint) AS sum_l_orderkey
+            FROM lineitem WHERE l_linenumber BETWEEN 1 AND 3
+            GROUP BY l_suppkey
+            UNION ALL
+            SELECT 'mixed_group', cast(l_linenumber AS bigint),
+                   cast(count(*) AS bigint),
+                   cast(sum(l_orderkey) AS bigint)
+            FROM lineitem
+            WHERE l_suppkey BETWEEN 10 AND 60 AND NOT l_linenumber = 3
+            GROUP BY l_linenumber
+        ) ORDER BY which, grp
     """
 
     sql["encoded_scan_where_stats"] = """

@@ -1651,6 +1651,76 @@ def test_encoded_boolean_agg_matches_pandas(ray_session, tmp_path):
             assert c_or["chunks_skipped"] > 0, c_or
 
 
+def test_encoded_filtered_group_agg_matches_pandas(ray_session, tmp_path):
+    """GROUP BY under a boolean predicate tree in the compressed
+    domain: exact vs pandas on clustered and shuffled layouts.  On the
+    clustered layout (group == sort key) the group-pure path must fire
+    (group column never decodes); a miss-everything predicate returns
+    an empty frame with nothing scanned."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_filtered_group_agg)
+
+    rng = np.random.default_rng(53)
+    n = 30000
+    df = pd.DataFrame({
+        "g": np.sort(rng.integers(0, 12, n)),
+        "r": rng.integers(0, 100, n),
+        "v": rng.integers(-1000, 1000, n),
+    })
+
+    cases = [
+        ("and", ("range", "g", 2, 9), ("not", ("range", "r", 30, 70))),
+        ("or", ("eq", "g", 3), ("eq", "g", 8)),
+        ("range", "r", 10, 55),
+    ]
+
+    def oracle(frame, expr):
+        def ev(e):
+            if e[0] == "and":
+                return ev(e[1]) & ev(e[2])
+            if e[0] == "or":
+                return ev(e[1]) | ev(e[2])
+            if e[0] == "not":
+                return ~ev(e[1])
+            if e[0] == "eq":
+                return frame[e[1]] == e[2]
+            return frame[e[1]].between(e[2], e[3])
+        sel = frame[ev(expr)]
+        return sel.groupby("g").agg(
+            n=("v", "size"), sum_v=("v", "sum")).reset_index()
+
+    for layout, frame in (("clustered", df),
+                          ("shuffled",
+                           df.sample(frac=1, random_state=7)
+                           .reset_index(drop=True))):
+        out_dir = str(tmp_path / layout)
+        encode_table_columns(ray.data.from_pandas(frame), ["g", "r", "v"],
+                             batch_size=1024).write_parquet(out_dir)
+        for expr in cases:
+            want = oracle(frame, expr)
+            got, counters = encoded_filtered_group_agg(
+                out_dir, "g", expr, ["v"])
+            assert list(got["g"]) == list(want["g"]), (layout, expr)
+            assert list(got["n"]) == list(want["n"]), (layout, expr)
+            assert list(got["sum_v"]) == list(want["sum_v"]), \
+                (layout, expr)
+        if layout == "clustered":
+            _, c = encoded_filtered_group_agg(
+                out_dir, "g", ("range", "r", 10, 55), ["v"])
+            assert c["pure_group_chunks"] > 0, c
+            _, c_or = encoded_filtered_group_agg(
+                out_dir, "g", ("or", ("eq", "g", 3), ("eq", "g", 8)),
+                ["v"])
+            assert c_or["chunks_skipped"] > 0, c_or
+        # miss-everything predicate: empty frame, nothing scanned
+        got0, c0 = encoded_filtered_group_agg(
+            out_dir, "g", ("eq", "g", 99), ["v"])
+        assert len(got0) == 0 and c0["chunks_scanned"] == 0, (layout, c0)
+
+
 def test_encoded_scan_where_matches_pandas(ray_session, tmp_path):
     """Predicate-tree row retrieval with late materialization: the
     retrieved multiset (values AND dtypes) must equal the pandas

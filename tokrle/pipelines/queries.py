@@ -2497,6 +2497,55 @@ def encoded_boolean_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("case").reset_index(drop=True)
 
 
+def encoded_group_where_stats(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY under a boolean predicate tree, entirely in the
+    compressed domain (:func:`encoded_filtered_group_agg`): the
+    predicate evaluates to selection run-lists, then group-pure chunks
+    (group == the layout's sort key) answer from zone maps + closed-
+    form sums without decoding anything, and mixed chunks late-
+    materialize only the selected positions.  Two cases pin both
+    paths: grouping BY the clustered key (pure path must fire) and
+    grouping by an unclustered column under a tree with a NOT."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_filtered_group_agg)
+
+    cols = ["l_suppkey", "l_linenumber", "l_orderkey"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "group_where")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=256).write_parquet(enc_dir)
+
+    cases = [
+        ("clustered_group", "l_suppkey",
+         ("range", "l_linenumber", 1, 3)),
+        ("mixed_group", "l_linenumber",
+         ("and", ("range", "l_suppkey", 10, 60),
+          ("not", ("eq", "l_linenumber", 3)))),
+    ]
+    frames = []
+    for name, group_col, expr in cases:
+        df, counters = encoded_filtered_group_agg(
+            enc_dir, group_col, expr, ["l_orderkey"])
+        if name == "clustered_group" and counters["chunks_total"] > 16:
+            assert counters["pure_group_chunks"] > 0, \
+                f"clustered grouping never took the pure path: {counters}"
+        if name == "mixed_group" and counters["chunks_total"] > 16:
+            assert counters["chunks_skipped"] > 0, \
+                f"zone maps never pruned: {counters}"
+        df = df.rename(columns={group_col: "grp"})
+        df.insert(0, "which", name)
+        frames.append(df)
+    out = pd.concat(frames, ignore_index=True)
+    for c in ("grp", "n", "sum_l_orderkey"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["which", "grp"]).reset_index(drop=True)
+
+
 def encoded_scan_where_stats(sf_dir: str) -> pd.DataFrame:
     """Row retrieval under a boolean predicate tree with LATE
     MATERIALIZATION: the predicate evaluates to selection run-lists on

@@ -1471,6 +1471,167 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str]):
     return pd.DataFrame(data), counters
 
 
+def encoded_filtered_group_agg(enc_dir: str, group_col: str, expr: tuple,
+                               agg_cols: list[str]):
+    """``SELECT group_col, count(*), sum(agg_cols...) WHERE <predicate
+    tree> GROUP BY group_col`` over a table-encode directory — the
+    grouped sibling of :func:`encoded_boolean_agg`.  The predicate
+    evaluates per chunk to the ``_ALL`` sentinel or a selection
+    run-list (zone-map short-circuits included, conservative zone scan
+    filter pushed into the Parquet read), then the grouping splits on
+    the GROUP column's zone map:
+
+    - GROUP-PURE chunks (``vmin == vmax`` — the common case when the
+      table is clustered on the group key): the group id comes from the
+      zone map, the count from the selection alone, and each SUM from
+      :func:`agg_sum` (ALL) / :func:`agg_sum_runs` (run-list) — the
+      group column never decodes and the agg columns never expand;
+    - MIXED chunks materialize the group/agg columns ONLY at the
+      selected positions (:func:`gather_runs` late materialization)
+      and fold with one argsort + ``add.reduceat`` over the selected
+      subset, never the full chunk.
+
+    The exchange carries (group, count, partial sums) rows plus one
+    fixed-size counter row per batch — never table rows.  Returns
+    ``(DataFrame, counters)`` with int64 ``group_col``/``n``/
+    ``sum_<c>`` columns sorted by group; integer columns only;
+    nullable chunks raise."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from tokrle.codecs.core import (agg_sum, agg_sum_runs,
+                                    decode as codec_decode, gather_runs)
+
+    pred_cols = _expr_pred_cols(expr)
+    n_total = _n_chunks(enc_dir)
+    need = ["n_rows"] + [
+        f"{c}__{p}"
+        for c in dict.fromkeys([group_col] + pred_cols)
+        for p in ("vmin", "vmax")] + [
+        f"{c}__{p}"
+        for c in dict.fromkeys([group_col] + pred_cols + list(agg_cols))
+        for p in ("codec", "payload", "dtype", "valid")]
+
+    def _chunk_col(batch, c, i):
+        if len(batch.column(f"{c}__valid")[i].as_py() or b""):
+            raise ValueError(
+                f"column {c!r}: nullable chunks not supported by the "
+                "compressed-domain grouped aggregate")
+        return (batch.column(f"{c}__codec")[i].as_py(),
+                memoryview(batch.column(f"{c}__payload")[i].as_buffer()),
+                np.dtype(batch.column(f"{c}__dtype")[i].as_py()))
+
+    sum_names = [f"sum_{c}" for c in agg_cols]
+    ctr_names = ["c_scanned", "c_all", "c_run", "c_pure"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        zcols = dict.fromkeys([group_col] + pred_cols)
+        zmin = {c: batch.column(f"{c}__vmin").to_numpy(
+            zero_copy_only=False) for c in zcols}
+        zmax = {c: batch.column(f"{c}__vmax").to_numpy(
+            zero_copy_only=False) for c in zcols}
+
+        grp_parts, n_parts = [], []
+        sum_parts = {c: [] for c in agg_cols}
+        n_all, n_run, n_pure = 0, 0, 0
+        for i in range(len(batch)):
+            n = int(nrows[i])
+            sel = _expr_eval(expr, i, n, zmin, zmax,
+                             lambda col, j: _chunk_col(batch, col, j))
+            is_all = isinstance(sel, str)
+            if not is_all and not len(sel[0]):
+                continue
+            n_all += is_all
+            n_run += not is_all
+            gmin, gmax = int(zmin[group_col][i]), int(zmax[group_col][i])
+            if gmin == gmax:
+                # group-pure: zone map names the group; nothing decodes
+                n_pure += 1
+                grp_parts.append(np.array([gmin], np.int64))
+                n_sel = n if is_all else int(sel[1].sum())
+                n_parts.append(np.array([n_sel], np.int64))
+                for c in agg_cols:
+                    codec, payload, dt = _chunk_col(batch, c, i)
+                    s = agg_sum(codec, payload, n, dt) if is_all else \
+                        agg_sum_runs(codec, payload, n, dt, *sel)
+                    sum_parts[c].append(np.array([s], np.int64))
+                continue
+            # mixed chunk: late-materialize group + agg values at the
+            # selected positions only, then one sorted fold
+            gc, gp, gdt = _chunk_col(batch, group_col, i)
+            g = (codec_decode(gc, gp, n, gdt) if is_all else
+                 gather_runs(gc, gp, n, gdt, *sel)).astype(np.int64)
+            order = np.argsort(g, kind="mergesort")
+            gs = g[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], gs[1:] != gs[:-1])))
+            grp_parts.append(gs[starts])
+            n_parts.append(np.diff(np.concatenate((starts, [len(gs)]))))
+            for c in agg_cols:
+                codec, payload, dt = _chunk_col(batch, c, i)
+                v = (codec_decode(codec, payload, n, dt) if is_all else
+                     gather_runs(codec, payload, n, dt, *sel)) \
+                    .astype(np.int64)[order]
+                sum_parts[c].append(np.add.reduceat(v, starts)
+                                    if len(starts)
+                                    else np.empty(0, np.int64))
+        grp = np.concatenate(grp_parts) if grp_parts else \
+            np.empty(0, np.int64)
+        k = len(grp)
+        out = {"kind": np.zeros(k + 1, np.int64),
+               "grp": np.concatenate((grp, [0])).astype(np.int64),
+               "n": np.concatenate(
+                   (np.concatenate(n_parts) if n_parts
+                    else np.empty(0, np.int64), [0])).astype(np.int64)}
+        for c in agg_cols:
+            out[f"sum_{c}"] = np.concatenate(
+                (np.concatenate(sum_parts[c]) if sum_parts[c]
+                 else np.empty(0, np.int64), [0])).astype(np.int64)
+        # one counter row per batch (kind=1, grp=0): chunk accounting
+        # rides the same exchange without a second read job
+        out["kind"][k] = 1
+        for nm, val in zip(ctr_names,
+                           (len(batch), n_all, n_run, n_pure)):
+            col = np.zeros(k + 1, np.int64)
+            col[k] = val
+            out[nm] = col
+        return pa.table({nm: pa.array(v, type=pa.int64())
+                         for nm, v in out.items()})
+
+    flt = _expr_zone_filter(expr)
+    ds = ray.data.read_parquet(enc_dir, columns=need, filter=flt)
+    aggs = [Sum("n", alias_name="n")] + \
+        [Sum(nm, alias_name=nm) for nm in sum_names] + \
+        [Sum(nm, alias_name=nm) for nm in ctr_names]
+    df = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["kind", "grp"]).aggregate(*aggs).to_pandas()
+    if df.empty:  # zone filter pruned every chunk: no partials at all
+        empty = pd.DataFrame({group_col: pd.Series([], dtype="int64"),
+                              "n": pd.Series([], dtype="int64"),
+                              **{nm: pd.Series([], dtype="int64")
+                                 for nm in sum_names}})
+        return empty, {"chunks_total": n_total, "chunks_scanned": 0,
+                       "chunks_skipped": n_total, "all_hit_chunks": 0,
+                       "run_chunks": 0, "pure_group_chunks": 0}
+    ctr = df[df["kind"] == 1]
+    scanned = int(ctr["c_scanned"].sum())
+    counters = {"chunks_total": n_total,
+                "chunks_scanned": scanned,
+                "chunks_skipped": n_total - scanned,
+                "all_hit_chunks": int(ctr["c_all"].sum()),
+                "run_chunks": int(ctr["c_run"].sum()),
+                "pure_group_chunks": int(ctr["c_pure"].sum())}
+    df = df[(df["kind"] == 0) & (df["n"] > 0)] \
+        .drop(columns=["kind"] + ctr_names) \
+        .rename(columns={"grp": group_col}) \
+        .sort_values(group_col).reset_index(drop=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df, counters
+
+
 def encoded_scan_where(enc_dir: str, expr: tuple, out_cols: list[str]):
     """``SELECT out_cols WHERE <predicate tree>`` over a table-encode
     directory — the row-RETRIEVAL sibling of
