@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_conjunction_stats": Q.encoded_conjunction_stats,
         "encoded_boolean_stats": Q.encoded_boolean_stats,
         "encoded_group_where_stats": Q.encoded_group_where_stats,
+        "encoded_join_stats": Q.encoded_join_stats,
         "encoded_scan_where_stats": Q.encoded_scan_where_stats,
         "encoded_topk_stats": Q.encoded_topk_stats,
         "encoded_semijoin_stats": Q.encoded_semijoin_stats,
@@ -788,6 +789,15 @@ def oracle_sql() -> dict[str, str]:
         WHERE (l_suppkey = 5 AND l_linenumber = 1)
            OR (l_suppkey = 7 AND NOT l_linenumber = 2)
         ORDER BY "case"
+    """
+
+    sql["encoded_join_stats"] = """
+        SELECT cast(s_nationkey AS bigint)     AS s_nationkey,
+               cast(count(*) AS bigint)        AS n,
+               cast(sum(l_orderkey) AS bigint) AS sum_l_orderkey
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey < 13 AND l_linenumber BETWEEN 1 AND 2
+        GROUP BY s_nationkey ORDER BY s_nationkey
     """
 
     sql["encoded_group_where_stats"] = """

@@ -1721,6 +1721,61 @@ def test_encoded_filtered_group_agg_matches_pandas(ray_session, tmp_path):
         assert len(got0) == 0 and c0["chunks_scanned"] == 0, (layout, c0)
 
 
+def test_encoded_lookup_join_matches_pandas(ray_session, tmp_path):
+    """Broadcast lookup join in the compressed domain: fact rows whose
+    key hits the dimension late-materialize and pick up the dimension
+    attributes; result must equal pandas merge (inner) exactly, on
+    clustered and shuffled layouts, with and without an extra
+    predicate.  Duplicate dim keys and column collisions raise."""
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_lookup_join)
+
+    rng = np.random.default_rng(71)
+    n = 20000
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 12, n)),
+        "r": rng.integers(0, 100, n),
+        "v": rng.integers(-1000, 1000, n),
+    })
+    dim = pd.DataFrame({"dk": np.arange(2, 9),
+                        "attr": np.arange(2, 9) * 100 + 7})
+
+    for layout, frame in (("clustered", df),
+                          ("shuffled",
+                           df.sample(frac=1, random_state=9)
+                           .reset_index(drop=True))):
+        out_dir = str(tmp_path / layout)
+        encode_table_columns(ray.data.from_pandas(frame), ["k", "r", "v"],
+                             batch_size=1024).write_parquet(out_dir)
+        for expr, mask in ((None, np.ones(len(frame), bool)),
+                           (("range", "r", 20, 60),
+                            frame["r"].between(20, 60).to_numpy())):
+            want = frame[mask].merge(
+                dim, left_on="k", right_on="dk")[["k", "v", "attr"]] \
+                .sort_values(["k", "v", "attr"]).reset_index(drop=True)
+            got = encoded_lookup_join(
+                out_dir, "k", dim, "dk", ["attr"], ["v"], expr=expr) \
+                .to_pandas().sort_values(["k", "v", "attr"]) \
+                .reset_index(drop=True)
+            assert len(got) == len(want), (layout, expr)
+            for c in ("k", "v", "attr"):
+                assert list(got[c]) == list(want[c]), (layout, expr, c)
+
+    out_dir = str(tmp_path / "clustered")
+    with _pytest.raises(ValueError, match="unique"):
+        encoded_lookup_join(out_dir, "k",
+                            pd.DataFrame({"dk": [1, 1], "attr": [2, 3]}),
+                            "dk", ["attr"], ["v"])
+    with _pytest.raises(ValueError, match="collide"):
+        encoded_lookup_join(out_dir, "k",
+                            pd.DataFrame({"dk": [1], "v": [2]}),
+                            "dk", ["v"], ["v"])
+
+
 def test_encoded_scan_where_matches_pandas(ray_session, tmp_path):
     """Predicate-tree row retrieval with late materialization: the
     retrieved multiset (values AND dtypes) must equal the pandas

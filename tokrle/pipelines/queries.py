@@ -2674,6 +2674,45 @@ def encoded_semijoin_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("case").reset_index(drop=True)
 
 
+def encoded_join_stats(sf_dir: str) -> pd.DataFrame:
+    """Broadcast lookup join pushed into the encoded layout
+    (:func:`encoded_lookup_join`): lineitem (fact, encoded) joins a
+    SUBSET of suppliers (dimension, nationkey < 13) on suppkey under a
+    linenumber predicate — membership evaluates as an ``in`` leaf on
+    the codec streams, matching rows late-materialize and pick up
+    ``s_nationkey`` via the broadcast lookup, and the joined stream
+    folds to per-nation totals without the fact table ever shuffling."""
+    import os
+    import shutil
+
+    from ray.data.aggregate import Count, Sum
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_lookup_join)
+
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    dim = sup[sup["s_nationkey"] < 13].reset_index(drop=True)
+
+    cols = ["l_suppkey", "l_linenumber", "l_orderkey"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "lookup_join")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=256).write_parquet(enc_dir)
+
+    joined = encoded_lookup_join(
+        enc_dir, "l_suppkey", dim, "s_suppkey", ["s_nationkey"],
+        ["l_orderkey"], expr=("range", "l_linenumber", 1, 2))
+    out = joined.groupby("s_nationkey").aggregate(
+        Count(alias_name="n"),
+        Sum("l_orderkey", alias_name="sum_l_orderkey")).to_pandas()
+    for c in ("s_nationkey", "n", "sum_l_orderkey"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("s_nationkey").reset_index(drop=True)
+
+
 def encoded_group_minmax_stats(sf_dir: str) -> pd.DataFrame:
     """Same compressed-domain GROUP BY, now with per-group MIN/MAX:
     group-pure chunks answer MIN/MAX from the aggregate column's own

@@ -1707,6 +1707,113 @@ def encoded_scan_where(enc_dir: str, expr: tuple, out_cols: list[str]):
     return ds.map_batches(extract, batch_format="pyarrow")
 
 
+def encoded_lookup_join(enc_dir: str, key_col: str, dim, dim_key: str,
+                        dim_cols: list[str], out_cols: list[str],
+                        expr: tuple | None = None):
+    """INNER JOIN of the encoded FACT table against a SMALL dimension
+    frame (``dim``, pandas) on ``key_col == dim_key`` — broadcast hash
+    join re-expressed in the compressed domain.  The dimension's sorted
+    key array becomes an ``in`` leaf of the predicate tree (optionally
+    ANDed with ``expr``), so membership evaluates on the codec streams
+    (rle: O(#runs); dict: sorted-set intersection + boolean-table code
+    lookup) with zone-map chunk pruning; only then are ``key_col`` and
+    ``out_cols`` late-materialized at the matching positions, and the
+    dimension attributes ``dim_cols`` attach via one ``searchsorted``
+    against the broadcast keys.  The fact table never shuffles and
+    never decodes non-matching rows; the dimension rides into each task
+    once (closure capture — dimension sides that don't fit a task
+    closure belong in a shuffle join, not here).
+
+    Returns a lazy ``ray.data.Dataset`` of joined rows (``key_col`` +
+    ``out_cols`` from the fact side, ``dim_cols`` from the dimension).
+    Dimension keys must be unique; fact columns integer-only; nullable
+    chunks raise."""
+    import ray.data
+
+    from tokrle.codecs.core import decode as codec_decode
+    from tokrle.codecs.core import gather_runs
+
+    keys = np.asarray(dim[dim_key], dtype=np.int64)
+    if len(np.unique(keys)) != len(keys):
+        raise ValueError(f"dim[{dim_key!r}] must be unique for a lookup "
+                         "join (got duplicate keys)")
+    order = np.argsort(keys, kind="mergesort")
+    skeys = keys[order]
+    dvals = {c: np.asarray(dim[c])[order] for c in dim_cols}
+    overlap = set(dim_cols) & set([key_col] + list(out_cols))
+    if overlap:
+        raise ValueError(f"dim_cols collide with fact columns: "
+                         f"{sorted(overlap)}")
+
+    join_expr = ("in", key_col, [int(k) for k in skeys])
+    if expr is not None:
+        join_expr = ("and", join_expr, expr)
+
+    pred_cols = _expr_pred_cols(join_expr)
+    fact_cols = list(dict.fromkeys([key_col] + list(out_cols)))
+    need = ["n_rows"] + [f"{c}__{p}" for c in pred_cols
+                         for p in ("vmin", "vmax")] + [
+        f"{c}__{p}"
+        for c in dict.fromkeys(pred_cols + fact_cols)
+        for p in ("codec", "payload", "dtype", "valid")]
+
+    def _chunk_col(batch, c, i):
+        if len(batch.column(f"{c}__valid")[i].as_py() or b""):
+            raise ValueError(
+                f"column {c!r}: nullable chunks not supported by the "
+                "compressed-domain lookup join")
+        return (batch.column(f"{c}__codec")[i].as_py(),
+                memoryview(batch.column(f"{c}__payload")[i].as_buffer()),
+                np.dtype(batch.column(f"{c}__dtype")[i].as_py()))
+
+    def joined(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        zmin = {c: batch.column(f"{c}__vmin").to_numpy(
+            zero_copy_only=False) for c in pred_cols}
+        zmax = {c: batch.column(f"{c}__vmax").to_numpy(
+            zero_copy_only=False) for c in pred_cols}
+        parts: dict = {c: [] for c in fact_cols}
+        key_parts: list = []
+        for i in range(len(batch)):
+            n = int(nrows[i])
+            sel = _expr_eval(join_expr, i, n, zmin, zmax,
+                             lambda col, j: _chunk_col(batch, col, j))
+            if isinstance(sel, str):
+                for c in fact_cols:
+                    codec, payload, dt = _chunk_col(batch, c, i)
+                    parts[c].append(codec_decode(codec, payload, n, dt))
+            elif len(sel[0]):
+                for c in fact_cols:
+                    codec, payload, dt = _chunk_col(batch, c, i)
+                    parts[c].append(gather_runs(codec, payload, n, dt,
+                                                *sel))
+            else:
+                continue
+            key_parts.append(parts[key_col][-1].astype(np.int64))
+        out = {}
+        for c in fact_cols:
+            if parts[c]:
+                out[c] = pa.array(np.concatenate(parts[c]))
+            else:
+                dt = np.dtype(batch.column(f"{c}__dtype")[0].as_py()) \
+                    if len(batch) else np.dtype(np.int64)
+                out[c] = pa.array(np.empty(0, dtype=dt))
+        # the `in` leaf guarantees membership (an ALL shortcut requires
+        # the set to cover the chunk's whole zone window), so the
+        # searchsorted positions are exact hits by construction
+        kv = np.concatenate(key_parts) if key_parts else \
+            np.empty(0, np.int64)
+        idx = np.searchsorted(skeys, kv)
+        for c in dim_cols:
+            out[c] = pa.array(dvals[c][idx] if len(kv)
+                              else dvals[c][:0])
+        return pa.table(out)
+
+    ds = ray.data.read_parquet(enc_dir, columns=need,
+                               filter=_expr_zone_filter(join_expr))
+    return ds.map_batches(joined, batch_format="pyarrow")
+
+
 def encoded_topk_rows(enc_dir: str, col: str, k: int):
     """The k largest values of ``col`` (row multiset, ties by count)
     over a table-encode directory — ``ORDER BY col DESC LIMIT k``
