@@ -458,6 +458,8 @@ def pushdown() -> None:
                                                encode_table_columns,
                                                encoded_boolean_agg,
                                                encoded_filtered_agg,
+                                               encoded_filtered_group_agg,
+                                               encoded_lookup_join,
                                                encoded_topk_rows,
                                                encoded_value_count)
 
@@ -540,6 +542,66 @@ def pushdown() -> None:
         df, _ = encoded_topk_rows(enc_dir, "l_partkey", 25)
         return int((df["value"] * df["n"]).sum())
 
+    def enc_group_where():
+        df, _ = encoded_filtered_group_agg(
+            enc_dir, "l_suppkey", ("range", "l_linenumber", 1, 3),
+            ["l_orderkey"])
+        return (len(df), int(df["n"].sum()),
+                int(df["sum_l_orderkey"].sum()))
+
+    def naive_group_where():
+        from ray.data.aggregate import Sum
+
+        def f(t: pa.Table) -> pa.Table:
+            ln = t.column("l_linenumber").to_numpy(zero_copy_only=False)
+            k = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+            v = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            m = (ln >= 1) & (ln <= 3)
+            ks, kv = k[m], v[m]
+            order = np.argsort(ks, kind="mergesort")
+            ks, kv = ks[order], kv[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], ks[1:] != ks[:-1]))) \
+                if len(ks) else np.empty(0, np.int64)
+            return pa.table({
+                "g": pa.array(ks[starts]),
+                "n": pa.array(np.diff(np.concatenate(
+                    (starts, [len(ks)]))).astype(np.int64)),
+                "s": pa.array(np.add.reduceat(kv, starts)
+                              if len(starts) else np.empty(0, np.int64))})
+        g = decoded().map_batches(f, batch_format="pyarrow") \
+            .groupby("g").aggregate(Sum("n", alias_name="n"),
+                                    Sum("s", alias_name="s")).to_pandas()
+        return len(g), int(g["n"].sum()), int(g["s"].sum())
+
+    def enc_lookup_join():
+        import pandas as pd
+        from ray.data.aggregate import Count, Sum
+        dim = pd.DataFrame({"k": np.arange(1, 201),
+                            "region": np.arange(1, 201) % 5})
+        j = encoded_lookup_join(enc_dir, "l_suppkey", dim, "k",
+                                ["region"], ["l_orderkey"])
+        row = j.groupby("region").aggregate(
+            Count(alias_name="n"),
+            Sum("l_orderkey", alias_name="s")).to_pandas()
+        return (int(row["n"].sum()), int(row["s"].sum()))
+
+    def naive_lookup_join():
+        from ray.data.aggregate import Sum
+
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+            v = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            m = (k >= 1) & (k <= 200)
+            return pa.table({
+                "n": pa.array([int(m.sum())]),
+                "s": pa.array([int(v[m].sum())]),
+            })
+        row = decoded().select_columns(["l_suppkey", "l_orderkey"]) \
+            .map_batches(f, batch_format="pyarrow") \
+            .aggregate(Sum("n"), Sum("s"))
+        return (int(row["sum(n)"]), int(row["sum(s)"]))
+
     def best_of(fn, passes=2):
         dt, res = float("inf"), None
         for _ in range(max(1, passes)):
@@ -558,7 +620,9 @@ def pushdown() -> None:
             ("count_eq", enc_count_eq, naive_count_eq),
             ("filtered_sum", enc_filtered_sum, naive_filtered_sum),
             ("boolean_and", enc_boolean, naive_boolean),
-            ("topk", enc_topk, naive_topk)):
+            ("topk", enc_topk, naive_topk),
+            ("group_where", enc_group_where, naive_group_where),
+            ("lookup_join", enc_lookup_join, naive_lookup_join)):
         t_enc, r_enc = best_of(enc_fn)
         t_naive, r_naive = best_of(naive_fn)
         assert r_enc == r_naive, (name, r_enc, r_naive)
