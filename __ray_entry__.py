@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_filtered_agg_stats": Q.encoded_filtered_agg_stats,
         "encoded_conjunction_stats": Q.encoded_conjunction_stats,
         "encoded_boolean_stats": Q.encoded_boolean_stats,
+        "encoded_where_str_stats": Q.encoded_where_str_stats,
         "encoded_group_where_stats": Q.encoded_group_where_stats,
         "encoded_join_stats": Q.encoded_join_stats,
         "encoded_scan_where_stats": Q.encoded_scan_where_stats,
@@ -788,6 +789,24 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE (l_suppkey = 5 AND l_linenumber = 1)
            OR (l_suppkey = 7 AND NOT l_linenumber = 2)
+        ORDER BY "case"
+    """
+
+    sql["encoded_where_str_stats"] = """
+        SELECT 'flag_eq' AS "case",
+               cast(count(*) AS bigint)                     AS n_match,
+               cast(coalesce(sum(l_orderkey), 0) AS bigint) AS sum_l_orderkey
+        FROM lineitem WHERE l_returnflag = 'R'
+        UNION ALL
+        SELECT 'str_and_range', cast(count(*) AS bigint),
+               cast(coalesce(sum(l_orderkey), 0) AS bigint)
+        FROM lineitem
+        WHERE l_returnflag = 'A' AND l_suppkey BETWEEN 10 AND 60
+        UNION ALL
+        SELECT 'str_or_not', cast(count(*) AS bigint),
+               cast(coalesce(sum(l_orderkey), 0) AS bigint)
+        FROM lineitem
+        WHERE l_linestatus = 'F' OR NOT l_returnflag = 'N'
         ORDER BY "case"
     """
 

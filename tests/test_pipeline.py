@@ -1904,3 +1904,101 @@ def test_encoded_boolean_agg_in_leaf(ray_session, tmp_path):
     sel = df[~df["k"].isin([2, 5, 9])]
     assert got.loc[0, "n_match"] == len(sel)
     assert got.loc[0, "sum_v"] == int(sel["v"].sum())
+
+
+def test_eq_str_leaf_predicate_trees(ray_session, tmp_path):
+    """String-equality leaves (eq_str -> match_eq_str) across every
+    pushdown entry point: exact vs pandas on a mixed int/string table,
+    including the lengths-stream prefilter (a value whose byte length
+    appears in no chunk decodes no text), composition under AND/OR/NOT,
+    late-materialized scans, the lookup join, and the grouped path."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_agg,
+                                               encoded_filtered_group_agg,
+                                               encoded_lookup_join,
+                                               encoded_scan_where)
+
+    rng = np.random.default_rng(61)
+    n = 20000
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 50, n)).astype(np.int64),
+        "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        "flag": rng.choice(["A", "B", "NONE", "longer_value"], n),
+    })
+    out_dir = str(tmp_path / "eq_str")
+    encode_table_columns(ray.data.from_pandas(df), ["k", "v", "flag"],
+                         batch_size=1024).write_parquet(out_dir)
+
+    # lone string leaf
+    got, counters = encoded_boolean_agg(
+        out_dir, ("eq_str", "flag", "A"), ["v"])
+    sel = df[df["flag"] == "A"]
+    assert got.loc[0, "n_match"] == len(sel)
+    assert got.loc[0, "sum_v"] == int(sel["v"].sum())
+    assert counters["run_chunks"] > 0
+
+    # a byte length present in NO chunk: the lengths prefilter answers
+    # every chunk empty without decoding text payloads
+    got, _ = encoded_boolean_agg(
+        out_dir, ("eq_str", "flag", "zz"), ["v"])
+    assert got.loc[0, "n_match"] == 0
+
+    # composition with integer leaves under AND / OR / NOT
+    expr = ("and", ("range", "k", 10, 40),
+            ("or", ("eq_str", "flag", "B"),
+             ("not", ("eq_str", "flag", "NONE"))))
+    m = df["k"].between(10, 40) & ((df["flag"] == "B")
+                                   | (df["flag"] != "NONE"))
+    got, _ = encoded_boolean_agg(out_dir, expr, ["v"])
+    assert got.loc[0, "n_match"] == int(m.sum())
+    assert got.loc[0, "sum_v"] == int(df.loc[m, "v"].sum())
+
+    # grouped path, group-pure and mixed chunks both exercised
+    gdf, _ = encoded_filtered_group_agg(
+        out_dir, "k", ("eq_str", "flag", "longer_value"), ["v"])
+    egrp = (df[df["flag"] == "longer_value"].groupby("k")
+            .agg(n=("v", "size"), sum_v=("v", "sum")).reset_index())
+    assert list(gdf["k"]) == list(egrp["k"])
+    assert list(gdf["n"]) == list(egrp["n"])
+    assert list(gdf["sum_v"]) == list(egrp["sum_v"])
+
+    # late-materialized scan under a mixed tree
+    rows = encoded_scan_where(
+        out_dir, ("and", ("eq_str", "flag", "B"),
+                  ("range", "v", 0, 100)), ["k", "v"]).to_pandas()
+    em = df[(df["flag"] == "B") & df["v"].between(0, 100)]
+    assert len(rows) == len(em)
+    assert int(rows["v"].sum()) == int(em["v"].sum())
+
+    # lookup join with a string residual predicate
+    dim = pd.DataFrame({"dk": [5, 6, 7], "name": [50, 60, 70]})
+    j = encoded_lookup_join(out_dir, "k", dim, "dk", ["name"], ["v"],
+                            expr=("eq_str", "flag", "A")).to_pandas()
+    ej = df[df["k"].isin([5, 6, 7]) & (df["flag"] == "A")]
+    assert len(j) == len(ej)
+    assert int(j["v"].sum()) == int(ej["v"].sum())
+
+
+def test_eq_str_leaf_nullable_raises(ray_session, tmp_path):
+    """Nullable string chunks under an eq_str leaf raise (the layer
+    contract that keeps NOT over string leaves sound — SQL <> excludes
+    NULLs, a complemented run-list would not)."""
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_agg)
+
+    df = pd.DataFrame({
+        "k": np.arange(100, dtype=np.int64),
+        "flag": ["A", None] * 50,
+    })
+    out_dir = str(tmp_path / "eq_str_null")
+    encode_table_columns(ray.data.from_pandas(df), ["k", "flag"],
+                         batch_size=64).write_parquet(out_dir)
+    with pytest.raises(Exception, match="nullable chunks"):
+        encoded_boolean_agg(out_dir, ("eq_str", "flag", "A"), ["k"])

@@ -2344,6 +2344,45 @@ def match_in(codec: str, payload: bytes, n: int, dtype,
                                   np.array(tgt, dtype=np.int64))
 
 
+def match_eq_str(spec: str, lens_payload: bytes, text_payload: bytes,
+                 n: int, value: str) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical run-list of the positions where a STRING chunk equals
+    ``value`` — the string-equality predicate leaf.  ``spec`` is the
+    table-encode string codec spec (``"str:<lens_codec>:<text_codec>"``,
+    see tokrle/pipelines/table_encode.py).  The integer LENGTHS stream
+    is the compressed-domain prefilter: a chunk with no row of the
+    right byte length (:func:`count_eq` over the narrow lengths
+    payload) answers empty without ever decoding its text bytes.
+    Surviving chunks decode lengths + flat bytes and byte-compare only
+    the length-matching candidate rows, vectorized.  Non-null chunks
+    only (callers enforce the layer's nullable-chunks-raise contract,
+    which keeps ``NOT`` over this leaf sound — SQL's ``<>`` excludes
+    NULLs, a complemented run-list would not)."""
+    if not spec.startswith("str:"):
+        raise TypeError(f"match_eq_str needs a string chunk, got {spec!r}")
+    _, lcodec, tcodec = spec.split(":", 2)
+    vbytes = value.encode("utf-8")
+    vlen = len(vbytes)
+    if n == 0:
+        return _EMPTY_RUNS
+    if count_eq(lcodec, lens_payload, n, np.int64, vlen) == 0:
+        return _EMPTY_RUNS
+    lens = decode(lcodec, lens_payload, n, np.int64)
+    cand = lens == vlen
+    if vlen == 0:
+        return _mask_to_runs(cand)
+    data = decode(tcodec, text_payload, int(lens.sum()),
+                  np.int8).view(np.uint8)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    cand_idx = np.flatnonzero(cand)
+    idx = offs[:-1][cand_idx][:, None] + np.arange(vlen)
+    eq = (data[idx] == np.frombuffer(vbytes, dtype=np.uint8)) \
+        .all(axis=1)
+    mask = np.zeros(n, dtype=bool)
+    mask[cand_idx[eq]] = True
+    return _mask_to_runs(mask)
+
+
 def agg_sum_runs(codec: str, payload: bytes, n: int, dtype,
                  starts: np.ndarray, lengths: np.ndarray) -> int:
     """Exact integer SUM of an encoded chunk's values inside a canonical

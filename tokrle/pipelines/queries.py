@@ -2674,6 +2674,51 @@ def encoded_semijoin_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("case").reset_index(drop=True)
 
 
+def encoded_where_str_stats(sf_dir: str) -> pd.DataFrame:
+    """STRING equality leaves inside compressed-domain predicate trees
+    (``eq_str`` -> :func:`tokrle.codecs.core.match_eq_str`): the
+    string column's encoded LENGTHS stream is the prefilter (a chunk
+    with no row of the right byte length answers empty without
+    decoding its FSST text bytes), surviving chunks byte-compare only
+    the length-matching candidates, and the resulting run-list joins
+    the same runs_intersect/union/complement algebra as the integer
+    leaves.  Three trees pin a lone string leaf, string AND integer
+    range, and OR with a NOT over a second string column."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_agg)
+
+    cols = ["l_suppkey", "l_orderkey", "l_returnflag", "l_linestatus"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "where_str")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=256).write_parquet(enc_dir)
+
+    cases = [
+        ("flag_eq", ("eq_str", "l_returnflag", "R")),
+        ("str_and_range",
+         ("and", ("eq_str", "l_returnflag", "A"),
+          ("range", "l_suppkey", 10, 60))),
+        ("str_or_not",
+         ("or", ("eq_str", "l_linestatus", "F"),
+          ("not", ("eq_str", "l_returnflag", "N")))),
+    ]
+    rows = []
+    for name, expr in cases:
+        df, counters = encoded_boolean_agg(enc_dir, expr, ["l_orderkey"])
+        rows.append({"case": name,
+                     "n_match": int(df["n_match"].iloc[0]),
+                     "sum_l_orderkey": int(df["sum_l_orderkey"].iloc[0])})
+    out = pd.DataFrame(rows)
+    out["n_match"] = out["n_match"].astype("int64")
+    out["sum_l_orderkey"] = out["sum_l_orderkey"].astype("int64")
+    return out.sort_values("case").reset_index(drop=True)
+
+
 def encoded_join_stats(sf_dir: str) -> pd.DataFrame:
     """Broadcast lookup join pushed into the encoded layout
     (:func:`encoded_lookup_join`): lineitem (fact, encoded) joins a

@@ -1292,9 +1292,31 @@ def _expr_leaf_bounds(e):
 
 
 def _expr_pred_cols(expr) -> list[str]:
-    return list(dict.fromkeys(c for c, _, _ in
-                              (_expr_leaf_bounds(lf) for lf in
-                               _expr_leaves(expr))))
+    """Distinct INTEGER predicate columns of a tree (zone-mapped)."""
+    return list(dict.fromkeys(
+        c for c, _, _ in (_expr_leaf_bounds(lf) for lf in
+                          _expr_leaves(expr) if lf[0] != "eq_str")))
+
+
+def _expr_str_cols(expr) -> list[str]:
+    """Distinct STRING predicate columns of a tree (``eq_str`` leaves:
+    lengths-stream prefilter instead of zone maps)."""
+    return list(dict.fromkeys(lf[1] for lf in _expr_leaves(expr)
+                              if lf[0] == "eq_str"))
+
+
+def _chunk_str_col(batch: pa.Table, c: str, i: int):
+    """(spec, lens_payload, text_payload) of string chunk ``i`` — the
+    inputs of :func:`tokrle.codecs.core.match_eq_str`.  Nullable chunks
+    raise (the layer contract; also keeps NOT over string leaves sound,
+    SQL ``<>`` excludes NULLs)."""
+    if len(batch.column(f"{c}__valid")[i].as_py() or b""):
+        raise ValueError(
+            f"column {c!r}: nullable chunks not supported by "
+            "compressed-domain string predicates")
+    return (batch.column(f"{c}__codec")[i].as_py(),
+            memoryview(batch.column(f"{c}__lens_payload")[i].as_buffer()),
+            memoryview(batch.column(f"{c}__payload")[i].as_buffer()))
 
 
 def _expr_zone_filter(e):
@@ -1313,44 +1335,58 @@ def _expr_zone_filter(e):
         return a | b if a is not None and b is not None else None
     if e[0] == "not":
         return None
+    if e[0] == "eq_str":
+        # string columns carry no zone map; their compressed-domain
+        # prune is the lengths-stream prefilter inside match_eq_str
+        return None
     col, lo, hi = _expr_leaf_bounds(e)
     return (pc.field(f"{col}__vmin") <= hi) & \
         (pc.field(f"{col}__vmax") >= lo)
 
 
-def _expr_eval(e, i: int, n: int, zmin: dict, zmax: dict, chunk_col):
+def _expr_eval(e, i: int, n: int, zmin: dict, zmax: dict, chunk_col,
+               str_chunk=None):
     """Evaluate a predicate tree against chunk ``i``: returns the
     ``_ALL`` sentinel or a canonical selection run-list.  Leaves
     short-circuit on zone maps; ``and`` skips its right branch on an
-    empty left, ``or`` on an ALL left."""
-    from tokrle.codecs.core import (match_eq, match_in, match_range,
-                                    runs_complement, runs_intersect,
-                                    runs_union)
+    empty left, ``or`` on an ALL left.  ``eq_str`` leaves need the
+    ``str_chunk`` accessor ((spec, lens_payload, text_payload) per
+    (col, i)); they prune via the lengths-stream prefilter inside
+    :func:`tokrle.codecs.core.match_eq_str` instead of zone maps."""
+    from tokrle.codecs.core import (match_eq, match_eq_str, match_in,
+                                    match_range, runs_complement,
+                                    runs_intersect, runs_union)
 
     kind = e[0]
     if kind == "and":
-        a = _expr_eval(e[1], i, n, zmin, zmax, chunk_col)
+        a = _expr_eval(e[1], i, n, zmin, zmax, chunk_col, str_chunk)
         if not isinstance(a, str) and not len(a[0]):
             return a
-        b = _expr_eval(e[2], i, n, zmin, zmax, chunk_col)
+        b = _expr_eval(e[2], i, n, zmin, zmax, chunk_col, str_chunk)
         if isinstance(a, str):
             return b
         if isinstance(b, str):
             return a
         return runs_intersect(*a, *b)
     if kind == "or":
-        a = _expr_eval(e[1], i, n, zmin, zmax, chunk_col)
+        a = _expr_eval(e[1], i, n, zmin, zmax, chunk_col, str_chunk)
         if isinstance(a, str):
             return _ALL
-        b = _expr_eval(e[2], i, n, zmin, zmax, chunk_col)
+        b = _expr_eval(e[2], i, n, zmin, zmax, chunk_col, str_chunk)
         if isinstance(b, str):
             return _ALL
         return runs_union(*a, *b)
     if kind == "not":
-        a = _expr_eval(e[1], i, n, zmin, zmax, chunk_col)
+        a = _expr_eval(e[1], i, n, zmin, zmax, chunk_col, str_chunk)
         if isinstance(a, str):
             return (np.empty(0, np.int64), np.empty(0, np.int64))
         return runs_complement(*a, n)
+    if kind == "eq_str":
+        if str_chunk is None:
+            raise ValueError("eq_str leaf reached an evaluator with no "
+                             "string-chunk accessor")
+        spec, lp, tp = str_chunk(e[1], i)
+        return match_eq_str(spec, lp, tp, n, e[2])
     col, lo, hi = _expr_leaf_bounds(e)
     cmin, cmax = int(zmin[col][i]), int(zmax[col][i])
     if hi < cmin or lo > cmax:
@@ -1400,12 +1436,15 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str]):
     from tokrle.codecs.core import agg_sum, agg_sum_runs
 
     pred_cols = _expr_pred_cols(expr)
+    str_cols = _expr_str_cols(expr)
     n_total = _n_chunks(enc_dir)
     need = ["n_rows"] + [f"{c}__{p}" for c in pred_cols
                          for p in ("vmin", "vmax")] + [
         f"{c}__{p}"
         for c in dict.fromkeys(pred_cols + list(agg_cols))
-        for p in ("codec", "payload", "dtype", "valid")]
+        for p in ("codec", "payload", "dtype", "valid")] + [
+        f"{c}__{p}" for c in str_cols
+        for p in ("codec", "payload", "lens_payload", "valid")]
 
     def _chunk_col(batch, c, i):
         if len(batch.column(f"{c}__valid")[i].as_py() or b""):
@@ -1428,7 +1467,8 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str]):
         for i in range(len(batch)):
             n = int(nrows[i])
             sel = _expr_eval(expr, i, n, zmin, zmax,
-                             lambda col, j: _chunk_col(batch, col, j))
+                             lambda col, j: _chunk_col(batch, col, j),
+                             lambda col, j: _chunk_str_col(batch, col, j))
             if isinstance(sel, str):
                 all_hit += 1
                 n_match += n
@@ -1504,6 +1544,7 @@ def encoded_filtered_group_agg(enc_dir: str, group_col: str, expr: tuple,
                                     decode as codec_decode, gather_runs)
 
     pred_cols = _expr_pred_cols(expr)
+    str_cols = _expr_str_cols(expr)
     n_total = _n_chunks(enc_dir)
     need = ["n_rows"] + [
         f"{c}__{p}"
@@ -1511,7 +1552,9 @@ def encoded_filtered_group_agg(enc_dir: str, group_col: str, expr: tuple,
         for p in ("vmin", "vmax")] + [
         f"{c}__{p}"
         for c in dict.fromkeys([group_col] + pred_cols + list(agg_cols))
-        for p in ("codec", "payload", "dtype", "valid")]
+        for p in ("codec", "payload", "dtype", "valid")] + [
+        f"{c}__{p}" for c in str_cols
+        for p in ("codec", "payload", "lens_payload", "valid")]
 
     def _chunk_col(batch, c, i):
         if len(batch.column(f"{c}__valid")[i].as_py() or b""):
@@ -1539,7 +1582,8 @@ def encoded_filtered_group_agg(enc_dir: str, group_col: str, expr: tuple,
         for i in range(len(batch)):
             n = int(nrows[i])
             sel = _expr_eval(expr, i, n, zmin, zmax,
-                             lambda col, j: _chunk_col(batch, col, j))
+                             lambda col, j: _chunk_col(batch, col, j),
+                             lambda col, j: _chunk_str_col(batch, col, j))
             is_all = isinstance(sel, str)
             if not is_all and not len(sel[0]):
                 continue
@@ -1653,11 +1697,14 @@ def encoded_scan_where(enc_dir: str, expr: tuple, out_cols: list[str]):
     from tokrle.codecs.core import gather_runs
 
     pred_cols = _expr_pred_cols(expr)
+    str_cols = _expr_str_cols(expr)
     need = ["n_rows"] + [f"{c}__{p}" for c in pred_cols
                          for p in ("vmin", "vmax")] + [
         f"{c}__{p}"
         for c in dict.fromkeys(pred_cols + list(out_cols))
-        for p in ("codec", "payload", "dtype", "valid")]
+        for p in ("codec", "payload", "dtype", "valid")] + [
+        f"{c}__{p}" for c in str_cols
+        for p in ("codec", "payload", "lens_payload", "valid")]
 
     def _chunk_col(batch, c, i):
         if len(batch.column(f"{c}__valid")[i].as_py() or b""):
@@ -1678,7 +1725,8 @@ def encoded_scan_where(enc_dir: str, expr: tuple, out_cols: list[str]):
         for i in range(len(batch)):
             n = int(nrows[i])
             sel = _expr_eval(expr, i, n, zmin, zmax,
-                             lambda col, j: _chunk_col(batch, col, j))
+                             lambda col, j: _chunk_col(batch, col, j),
+                             lambda col, j: _chunk_str_col(batch, col, j))
             if isinstance(sel, str):        # ALL: plain full decode
                 for c in out_cols:
                     codec, payload, dt = _chunk_col(batch, c, i)
@@ -1750,12 +1798,15 @@ def encoded_lookup_join(enc_dir: str, key_col: str, dim, dim_key: str,
         join_expr = ("and", join_expr, expr)
 
     pred_cols = _expr_pred_cols(join_expr)
+    str_cols = _expr_str_cols(join_expr)
     fact_cols = list(dict.fromkeys([key_col] + list(out_cols)))
     need = ["n_rows"] + [f"{c}__{p}" for c in pred_cols
                          for p in ("vmin", "vmax")] + [
         f"{c}__{p}"
         for c in dict.fromkeys(pred_cols + fact_cols)
-        for p in ("codec", "payload", "dtype", "valid")]
+        for p in ("codec", "payload", "dtype", "valid")] + [
+        f"{c}__{p}" for c in str_cols
+        for p in ("codec", "payload", "lens_payload", "valid")]
 
     def _chunk_col(batch, c, i):
         if len(batch.column(f"{c}__valid")[i].as_py() or b""):
@@ -1777,7 +1828,8 @@ def encoded_lookup_join(enc_dir: str, key_col: str, dim, dim_key: str,
         for i in range(len(batch)):
             n = int(nrows[i])
             sel = _expr_eval(join_expr, i, n, zmin, zmax,
-                             lambda col, j: _chunk_col(batch, col, j))
+                             lambda col, j: _chunk_col(batch, col, j),
+                             lambda col, j: _chunk_str_col(batch, col, j))
             if isinstance(sel, str):
                 for c in fact_cols:
                     codec, payload, dt = _chunk_col(batch, c, i)
