@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_conjunction_stats": Q.encoded_conjunction_stats,
         "encoded_boolean_stats": Q.encoded_boolean_stats,
         "encoded_where_str_stats": Q.encoded_where_str_stats,
+        "encoded_prefix_stats": Q.encoded_prefix_stats,
+        "encoded_group_str_stats": Q.encoded_group_str_stats,
         "encoded_group_where_stats": Q.encoded_group_where_stats,
         "encoded_join_stats": Q.encoded_join_stats,
         "encoded_scan_where_stats": Q.encoded_scan_where_stats,
@@ -808,6 +810,40 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE l_linestatus = 'F' OR NOT l_returnflag = 'N'
         ORDER BY "case"
+    """
+
+    sql["encoded_prefix_stats"] = """
+        SELECT 'prefix_src1' AS "case",
+               cast(count(*) AS bigint)                   AS n_match,
+               cast(coalesce(sum(n_chars), 0) AS bigint)  AS sum_n_chars
+        FROM documents WHERE source LIKE 'src1%'
+        UNION ALL
+        SELECT 'prefix_and_lang', cast(count(*) AS bigint),
+               cast(coalesce(sum(n_chars), 0) AS bigint)
+        FROM documents WHERE source LIKE 'src1%' AND lang = 'en'
+        UNION ALL
+        SELECT 'not_prefix', cast(count(*) AS bigint),
+               cast(coalesce(sum(n_chars), 0) AS bigint)
+        FROM documents
+        WHERE source NOT LIKE 'src1%'
+          AND doc_id BETWEEN 0 AND 10000000
+        ORDER BY "case"
+    """
+
+    sql["encoded_group_str_stats"] = """
+        SELECT * FROM (
+            SELECT 'by_lang' AS which, lang AS grp,
+                   cast(count(*) AS bigint)     AS n,
+                   cast(sum(n_chars) AS bigint) AS sum_n_chars
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 'by_source_filtered', source,
+                   cast(count(*) AS bigint),
+                   cast(sum(n_chars) AS bigint)
+            FROM documents
+            WHERE lang = 'en' AND source NOT LIKE 'src1%'
+            GROUP BY source
+        ) ORDER BY which, grp
     """
 
     sql["encoded_join_stats"] = """

@@ -2002,3 +2002,95 @@ def test_eq_str_leaf_nullable_raises(ray_session, tmp_path):
                          batch_size=64).write_parquet(out_dir)
     with pytest.raises(Exception, match="nullable chunks"):
         encoded_boolean_agg(out_dir, ("eq_str", "flag", "A"), ["k"])
+
+
+def test_prefix_str_leaf_and_group_by_str(ray_session, tmp_path):
+    """prefix_str leaves (match_prefix_str: lengths-stream >=len
+    prefilter + first-bytes compare) and GROUP BY a string column
+    (encoded_group_by_str: gather_str_runs late materialization),
+    exact vs pandas, including empty prefix (matches everything),
+    a prefix longer than every row (matches nothing), and grouping
+    under a mixed int/string predicate tree."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_agg,
+                                               encoded_group_by_str)
+
+    rng = np.random.default_rng(67)
+    n = 20000
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 50, n)).astype(np.int64),
+        "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        "src": rng.choice(["src0", "src1", "src10", "src15",
+                           "other", ""], n),
+    })
+    out_dir = str(tmp_path / "prefix_str")
+    encode_table_columns(ray.data.from_pandas(df), ["k", "v", "src"],
+                         batch_size=1024).write_parquet(out_dir)
+
+    got, _ = encoded_boolean_agg(
+        out_dir, ("prefix_str", "src", "src1"), ["v"])
+    sel = df[df["src"].str.startswith("src1")]
+    assert got.loc[0, "n_match"] == len(sel)
+    assert got.loc[0, "sum_v"] == int(sel["v"].sum())
+
+    got, _ = encoded_boolean_agg(out_dir, ("prefix_str", "src", ""),
+                                 ["v"])
+    assert got.loc[0, "n_match"] == n           # '' prefixes every row
+
+    got, _ = encoded_boolean_agg(
+        out_dir, ("prefix_str", "src", "src10xxx"), ["v"])
+    assert got.loc[0, "n_match"] == 0           # longer than every row
+
+    # GROUP BY string, no predicate: every group, exact
+    gdf, ctr = encoded_group_by_str(out_dir, "src", ["v"])
+    egrp = (df.groupby("src").agg(n=("v", "size"), sum_v=("v", "sum"))
+            .reset_index())
+    assert list(gdf["src"]) == list(egrp["src"])
+    assert list(gdf["n"]) == list(egrp["n"])
+    assert list(gdf["sum_v"]) == list(egrp["sum_v"])
+    assert ctr["all_hit_chunks"] == ctr["chunks_scanned"]
+
+    # GROUP BY string under a mixed tree with NOT over a prefix leaf
+    expr = ("and", ("range", "k", 10, 40),
+            ("not", ("prefix_str", "src", "src1")))
+    m = df["k"].between(10, 40) & ~df["src"].str.startswith("src1")
+    gdf, _ = encoded_group_by_str(out_dir, "src", ["v"], expr=expr)
+    egrp = (df[m].groupby("src").agg(n=("v", "size"), sum_v=("v", "sum"))
+            .reset_index())
+    assert list(gdf["src"]) == list(egrp["src"])
+    assert list(gdf["sum_v"]) == list(egrp["sum_v"])
+
+
+def test_gather_str_runs_kernel():
+    """gather_str_runs against a plain-Python oracle: selected rows'
+    strings in position order, zero-length rows included, across both
+    text codecs and an empty selection."""
+    from tokrle.codecs.core import encode as codec_encode
+    from tokrle.codecs.core import gather_str_runs
+    from tokrle.select import auto_encode
+
+    rng = np.random.default_rng(71)
+    words = ["", "a", "bb", "unicodeé中", "longer_value",
+             "x" * 300]
+    vals = [words[i] for i in rng.integers(0, len(words), 500)]
+    data = "".join(vals).encode("utf-8")
+    lens = np.array([len(w.encode("utf-8")) for w in vals],
+                    dtype=np.int64)
+    lcodec, lpayload, _ = auto_encode(lens)
+    for tcodec in ("fsst", "fsstg"):
+        tpayload = codec_encode(
+            tcodec, np.frombuffer(data, dtype=np.uint8).view(np.int8))
+        spec = f"str:{lcodec}:{tcodec}"
+        starts = np.array([0, 10, 499], dtype=np.int64)
+        lengths = np.array([3, 5, 1], dtype=np.int64)
+        got = gather_str_runs(spec, lpayload, tpayload, len(vals),
+                              starts, lengths).to_pylist()
+        exp = vals[0:3] + vals[10:15] + vals[499:500]
+        assert got == exp, tcodec
+        empty = gather_str_runs(spec, lpayload, tpayload, len(vals),
+                                np.empty(0, np.int64),
+                                np.empty(0, np.int64))
+        assert len(empty) == 0

@@ -2383,6 +2383,87 @@ def match_eq_str(spec: str, lens_payload: bytes, text_payload: bytes,
     return _mask_to_runs(mask)
 
 
+def match_prefix_str(spec: str, lens_payload: bytes, text_payload: bytes,
+                     n: int, prefix: str) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical run-list of the positions where a STRING chunk STARTS
+    WITH ``prefix`` (SQL ``LIKE 'prefix%'``) — the prefix predicate
+    leaf, sibling of :func:`match_eq_str`.  The lengths stream is again
+    the compressed-domain prefilter: a chunk with no row of at least
+    ``len(prefix)`` bytes (:func:`count_range` over the narrow lengths
+    payload) answers empty without decoding its text bytes; surviving
+    chunks byte-compare only the first ``len(prefix)`` bytes of the
+    long-enough candidate rows, vectorized.  Non-null chunks only
+    (callers enforce the nullable-chunks-raise contract)."""
+    if not spec.startswith("str:"):
+        raise TypeError(
+            f"match_prefix_str needs a string chunk, got {spec!r}")
+    _, lcodec, tcodec = spec.split(":", 2)
+    pbytes = prefix.encode("utf-8")
+    plen = len(pbytes)
+    if n == 0:
+        return _EMPTY_RUNS
+    if plen == 0:
+        return (np.array([0], dtype=np.int64),
+                np.array([n], dtype=np.int64))   # '' prefixes every row
+    if count_range(lcodec, lens_payload, n, np.int64, plen,
+                   np.iinfo(np.int64).max) == 0:
+        return _EMPTY_RUNS
+    lens = decode(lcodec, lens_payload, n, np.int64)
+    cand = lens >= plen
+    data = decode(tcodec, text_payload, int(lens.sum()),
+                  np.int8).view(np.uint8)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    cand_idx = np.flatnonzero(cand)
+    idx = offs[:-1][cand_idx][:, None] + np.arange(plen)
+    eq = (data[idx] == np.frombuffer(pbytes, dtype=np.uint8)) \
+        .all(axis=1)
+    mask = np.zeros(n, dtype=bool)
+    mask[cand_idx[eq]] = True
+    return _mask_to_runs(mask)
+
+
+def gather_str_runs(spec: str, lens_payload: bytes, text_payload: bytes,
+                    n: int, starts: np.ndarray, lengths: np.ndarray):
+    """Late-materialize a STRING chunk at the positions of a canonical
+    selection run-list: returns a ``pyarrow`` ``large_string`` array of
+    the selected rows, in position order — the string sibling of
+    :func:`gather_runs`.  Decodes the lengths stream once, then copies
+    ONLY the selected rows' byte ranges out of the decoded flat text
+    (one vectorized gather; zero-length rows are handled by the
+    repeat-based index construction).  Pass the FULL-chunk run-list to
+    decode everything."""
+    import pyarrow as pa
+
+    if not spec.startswith("str:"):
+        raise TypeError(
+            f"gather_str_runs needs a string chunk, got {spec!r}")
+    _, lcodec, tcodec = spec.split(":", 2)
+    idx = _runs_to_indices(starts, lengths)
+    if n == 0 or not len(idx):
+        return pa.array([], type=pa.large_utf8())
+    lens = decode(lcodec, lens_payload, n, np.int64)
+    data = decode(tcodec, text_payload, int(lens.sum()),
+                  np.int8).view(np.uint8)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    sel_lens = lens[idx]
+    byte_starts = offs[:-1][idx]
+    cs = np.cumsum(sel_lens)
+    total = int(cs[-1]) if len(cs) else 0
+    if total:
+        out_idx = (np.repeat(byte_starts, sel_lens)
+                   + np.arange(total, dtype=np.int64)
+                   - np.repeat(cs - sel_lens, sel_lens))
+        sel_bytes = np.ascontiguousarray(data[out_idx])
+    else:
+        sel_bytes = np.empty(0, dtype=np.uint8)
+    value_offsets = np.concatenate(
+        ([0], cs)).astype(np.int64)
+    return pa.Array.from_buffers(
+        pa.large_utf8(), len(idx),
+        [None, pa.py_buffer(value_offsets.tobytes()),
+         pa.py_buffer(sel_bytes.tobytes())])
+
+
 def agg_sum_runs(codec: str, payload: bytes, n: int, dtype,
                  starts: np.ndarray, lengths: np.ndarray) -> int:
     """Exact integer SUM of an encoded chunk's values inside a canonical

@@ -2719,6 +2719,91 @@ def encoded_where_str_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("case").reset_index(drop=True)
 
 
+def encoded_prefix_stats(sf_dir: str) -> pd.DataFrame:
+    """String PREFIX predicates (SQL ``LIKE 'p%'``) in the compressed
+    domain (``prefix_str`` -> :func:`tokrle.codecs.core
+    .match_prefix_str`): the lengths stream prefilters chunks (no row
+    of at least ``len(prefix)`` bytes -> no text decode), survivors
+    byte-compare only the first ``len(prefix)`` bytes of long-enough
+    rows, and the run-list composes with eq_str and integer leaves.
+    The documents table's ``source`` column has real prefix structure
+    ('src1' prefixes 'src10'..'src19')."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_agg)
+
+    cols = ["doc_id", "n_chars", "lang", "source"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "prefix_str")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "documents", columns=cols).sort("doc_id")
+    encode_table_columns(ds, cols, batch_size=256).write_parquet(enc_dir)
+
+    cases = [
+        ("prefix_src1", ("prefix_str", "source", "src1")),
+        ("prefix_and_lang",
+         ("and", ("prefix_str", "source", "src1"),
+          ("eq_str", "lang", "en"))),
+        ("not_prefix",
+         ("and", ("not", ("prefix_str", "source", "src1")),
+          ("range", "doc_id", 0, 10_000_000))),
+    ]
+    rows = []
+    for name, expr in cases:
+        df, counters = encoded_boolean_agg(enc_dir, expr, ["n_chars"])
+        rows.append({"case": name,
+                     "n_match": int(df["n_match"].iloc[0]),
+                     "sum_n_chars": int(df["sum_n_chars"].iloc[0])})
+    out = pd.DataFrame(rows)
+    out["n_match"] = out["n_match"].astype("int64")
+    out["sum_n_chars"] = out["sum_n_chars"].astype("int64")
+    return out.sort_values("case").reset_index(drop=True)
+
+
+def encoded_group_str_stats(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY a STRING column in the compressed domain
+    (:func:`encoded_group_by_str`): the group column late-materializes
+    only the predicate-selected rows (one lengths decode + one
+    vectorized byte gather per chunk) and each batch folds to
+    per-group partials before the exchange — the exchange carries
+    distinct group strings, never rows.  Two cases: ungrouped-filter
+    GROUP BY lang over everything, and GROUP BY source under a mixed
+    string/integer predicate tree."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_group_by_str)
+
+    cols = ["doc_id", "n_chars", "lang", "source"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "group_str")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "documents", columns=cols).sort("doc_id")
+    encode_table_columns(ds, cols, batch_size=256).write_parquet(enc_dir)
+
+    frames = []
+    for name, group_col, expr in (
+            ("by_lang", "lang", None),
+            ("by_source_filtered", "source",
+             ("and", ("eq_str", "lang", "en"),
+              ("not", ("prefix_str", "source", "src1"))))):
+        df, counters = encoded_group_by_str(enc_dir, group_col, ["n_chars"],
+                                            expr=expr)
+        assert counters["chunks_scanned"] > 0, counters
+        df = df.rename(columns={group_col: "grp"})
+        df.insert(0, "which", name)
+        frames.append(df)
+    out = pd.concat(frames, ignore_index=True)
+    for c in ("n", "sum_n_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["which", "grp"]).reset_index(drop=True)
+
+
 def encoded_join_stats(sf_dir: str) -> pd.DataFrame:
     """Broadcast lookup join pushed into the encoded layout
     (:func:`encoded_lookup_join`): lineitem (fact, encoded) joins a

@@ -1291,18 +1291,25 @@ def _expr_leaf_bounds(e):
     raise ValueError(f"unknown predicate kind {e[0]!r}")
 
 
+#: leaf kinds that test a STRING column (lengths-stream prefilter
+#: instead of zone maps; see match_eq_str / match_prefix_str)
+_STR_LEAVES = ("eq_str", "prefix_str")
+
+
 def _expr_pred_cols(expr) -> list[str]:
     """Distinct INTEGER predicate columns of a tree (zone-mapped)."""
     return list(dict.fromkeys(
         c for c, _, _ in (_expr_leaf_bounds(lf) for lf in
-                          _expr_leaves(expr) if lf[0] != "eq_str")))
+                          _expr_leaves(expr)
+                          if lf[0] not in _STR_LEAVES)))
 
 
 def _expr_str_cols(expr) -> list[str]:
-    """Distinct STRING predicate columns of a tree (``eq_str`` leaves:
-    lengths-stream prefilter instead of zone maps)."""
+    """Distinct STRING predicate columns of a tree (``eq_str`` /
+    ``prefix_str`` leaves: lengths-stream prefilter instead of zone
+    maps)."""
     return list(dict.fromkeys(lf[1] for lf in _expr_leaves(expr)
-                              if lf[0] == "eq_str"))
+                              if lf[0] in _STR_LEAVES))
 
 
 def _chunk_str_col(batch: pa.Table, c: str, i: int):
@@ -1335,9 +1342,10 @@ def _expr_zone_filter(e):
         return a | b if a is not None and b is not None else None
     if e[0] == "not":
         return None
-    if e[0] == "eq_str":
+    if e[0] in _STR_LEAVES:
         # string columns carry no zone map; their compressed-domain
-        # prune is the lengths-stream prefilter inside match_eq_str
+        # prune is the lengths-stream prefilter inside match_eq_str /
+        # match_prefix_str
         return None
     col, lo, hi = _expr_leaf_bounds(e)
     return (pc.field(f"{col}__vmin") <= hi) & \
@@ -1354,8 +1362,9 @@ def _expr_eval(e, i: int, n: int, zmin: dict, zmax: dict, chunk_col,
     (col, i)); they prune via the lengths-stream prefilter inside
     :func:`tokrle.codecs.core.match_eq_str` instead of zone maps."""
     from tokrle.codecs.core import (match_eq, match_eq_str, match_in,
-                                    match_range, runs_complement,
-                                    runs_intersect, runs_union)
+                                    match_prefix_str, match_range,
+                                    runs_complement, runs_intersect,
+                                    runs_union)
 
     kind = e[0]
     if kind == "and":
@@ -1381,12 +1390,14 @@ def _expr_eval(e, i: int, n: int, zmin: dict, zmax: dict, chunk_col,
         if isinstance(a, str):
             return (np.empty(0, np.int64), np.empty(0, np.int64))
         return runs_complement(*a, n)
-    if kind == "eq_str":
+    if kind in _STR_LEAVES:
         if str_chunk is None:
-            raise ValueError("eq_str leaf reached an evaluator with no "
-                             "string-chunk accessor")
+            raise ValueError(f"{kind} leaf reached an evaluator with "
+                             "no string-chunk accessor")
         spec, lp, tp = str_chunk(e[1], i)
-        return match_eq_str(spec, lp, tp, n, e[2])
+        if kind == "eq_str":
+            return match_eq_str(spec, lp, tp, n, e[2])
+        return match_prefix_str(spec, lp, tp, n, e[2])
     col, lo, hi = _expr_leaf_bounds(e)
     cmin, cmax = int(zmin[col][i]), int(zmax[col][i])
     if hi < cmin or lo > cmax:
@@ -1672,6 +1683,144 @@ def encoded_filtered_group_agg(enc_dir: str, group_col: str, expr: tuple,
         .rename(columns={"grp": group_col}) \
         .sort_values(group_col).reset_index(drop=True)
     for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df, counters
+
+
+def encoded_group_by_str(enc_dir: str, group_col: str,
+                         agg_cols: list[str], expr: tuple | None = None):
+    """``SELECT group_col, count(*), sum(agg_cols...) [WHERE <predicate
+    tree>] GROUP BY group_col`` where the GROUP column is a STRING —
+    the string sibling of :func:`encoded_filtered_group_agg`.  The
+    predicate (integer and/or string leaves) evaluates to a selection
+    run-list per chunk; the group column late-materializes ONLY the
+    selected rows (:func:`tokrle.codecs.core.gather_str_runs` — one
+    lengths decode + one vectorized byte gather), integer agg columns
+    gather the same positions, and each batch folds to
+    (group string, count, partial sums) rows before the exchange — the
+    exchange carries per-batch distinct group values, never table
+    rows.  Returns ``(DataFrame, counters)`` sorted by group; nullable
+    chunks raise."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from tokrle.codecs.core import (decode as codec_decode,
+                                    gather_runs, gather_str_runs)
+
+    pred_cols = _expr_pred_cols(expr) if expr is not None else []
+    str_cols = _expr_str_cols(expr) if expr is not None else []
+    n_total = _n_chunks(enc_dir)
+    need = ["n_rows"] + [f"{c}__{p}" for c in pred_cols
+                         for p in ("vmin", "vmax")] + [
+        f"{c}__{p}"
+        for c in dict.fromkeys(pred_cols + list(agg_cols))
+        for p in ("codec", "payload", "dtype", "valid")] + [
+        f"{c}__{p}"
+        for c in dict.fromkeys(str_cols + [group_col])
+        for p in ("codec", "payload", "lens_payload", "valid")]
+
+    def _chunk_col(batch, c, i):
+        if len(batch.column(f"{c}__valid")[i].as_py() or b""):
+            raise ValueError(
+                f"column {c!r}: nullable chunks not supported by the "
+                "compressed-domain string grouping")
+        return (batch.column(f"{c}__codec")[i].as_py(),
+                memoryview(batch.column(f"{c}__payload")[i].as_buffer()),
+                np.dtype(batch.column(f"{c}__dtype")[i].as_py()))
+
+    sum_names = [f"sum_{c}" for c in agg_cols]
+    ctr_names = ["c_scanned", "c_all", "c_run"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        zmin = {c: batch.column(f"{c}__vmin").to_numpy(
+            zero_copy_only=False) for c in pred_cols}
+        zmax = {c: batch.column(f"{c}__vmax").to_numpy(
+            zero_copy_only=False) for c in pred_cols}
+        grp_parts: list = []
+        val_parts = {c: [] for c in agg_cols}
+        n_all, n_run = 0, 0
+        for i in range(len(batch)):
+            n = int(nrows[i])
+            if n == 0:
+                continue
+            if expr is None:
+                sel = _ALL
+            else:
+                sel = _expr_eval(
+                    expr, i, n, zmin, zmax,
+                    lambda col, j: _chunk_col(batch, col, j),
+                    lambda col, j: _chunk_str_col(batch, col, j))
+            is_all = isinstance(sel, str)
+            if not is_all and not len(sel[0]):
+                continue
+            n_all += is_all
+            n_run += not is_all
+            runs = (np.zeros(1, np.int64),
+                    np.full(1, n, np.int64)) if is_all else sel
+            spec, lp, tp = _chunk_str_col(batch, group_col, i)
+            grp_parts.append(gather_str_runs(spec, lp, tp, n, *runs))
+            for c in agg_cols:
+                codec, payload, dt = _chunk_col(batch, c, i)
+                v = (codec_decode(codec, payload, n, dt) if is_all
+                     else gather_runs(codec, payload, n, dt, *runs))
+                val_parts[c].append(v.astype(np.int64))
+        if grp_parts:
+            grp = pa.concat_arrays(grp_parts)
+            fold = pd.DataFrame({"grp": grp.to_pandas()})
+            for c in agg_cols:
+                fold[c] = np.concatenate(val_parts[c])
+            agg = fold.groupby("grp", sort=False).agg(
+                n=("grp", "size"),
+                **{f"sum_{c}": (c, "sum") for c in agg_cols}) \
+                .reset_index()
+        else:
+            agg = pd.DataFrame({"grp": pd.Series([], dtype=object),
+                                "n": pd.Series([], dtype="int64"),
+                                **{nm: pd.Series([], dtype="int64")
+                                   for nm in sum_names}})
+        k = len(agg)
+        out = {"kind": pa.array(np.r_[np.zeros(k, np.int64), [1]]),
+               "grp": pa.array(list(agg["grp"]) + [""],
+                               type=pa.large_utf8()),
+               "n": pa.array(np.r_[agg["n"].to_numpy(np.int64), [0]])}
+        for nm in sum_names:
+            out[nm] = pa.array(np.r_[agg[nm].to_numpy(np.int64), [0]])
+        for nm, val in zip(ctr_names, (len(batch), n_all, n_run)):
+            col = np.zeros(k + 1, np.int64)
+            col[k] = val
+            out[nm] = pa.array(col)
+        return pa.table(out)
+
+    flt = _expr_zone_filter(expr) if expr is not None else None
+    ds = ray.data.read_parquet(enc_dir, columns=need, filter=flt)
+    aggs = [Sum("n", alias_name="n")] + \
+        [Sum(nm, alias_name=nm) for nm in sum_names] + \
+        [Sum(nm, alias_name=nm) for nm in ctr_names]
+    df = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["kind", "grp"]).aggregate(*aggs).to_pandas()
+    if df.empty:
+        empty = pd.DataFrame({group_col: pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype="int64"),
+                              **{nm: pd.Series([], dtype="int64")
+                                 for nm in sum_names}})
+        return empty, {"chunks_total": n_total, "chunks_scanned": 0,
+                       "chunks_skipped": n_total, "all_hit_chunks": 0,
+                       "run_chunks": 0}
+    ctr = df[df["kind"] == 1]
+    scanned = int(ctr["c_scanned"].sum())
+    counters = {"chunks_total": n_total,
+                "chunks_scanned": scanned,
+                "chunks_skipped": n_total - scanned,
+                "all_hit_chunks": int(ctr["c_all"].sum()),
+                "run_chunks": int(ctr["c_run"].sum())}
+    df = df[(df["kind"] == 0) & (df["n"] > 0)] \
+        .drop(columns=["kind"] + ctr_names) \
+        .rename(columns={"grp": group_col}) \
+        .sort_values(group_col).reset_index(drop=True)
+    df[group_col] = df[group_col].astype(str)
+    for c in ["n"] + sum_names:
         df[c] = df[c].astype("int64")
     return df, counters
 
