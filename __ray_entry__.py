@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_boolean_stats": Q.encoded_boolean_stats,
         "encoded_where_str_stats": Q.encoded_where_str_stats,
         "encoded_prefix_stats": Q.encoded_prefix_stats,
+        "encoded_minmax_stats": Q.encoded_minmax_stats,
         "encoded_group_str_stats": Q.encoded_group_str_stats,
         "encoded_group_where_stats": Q.encoded_group_where_stats,
         "encoded_join_stats": Q.encoded_join_stats,
@@ -809,6 +810,29 @@ def oracle_sql() -> dict[str, str]:
                cast(coalesce(sum(l_orderkey), 0) AS bigint)
         FROM lineitem
         WHERE l_linestatus = 'F' OR NOT l_returnflag = 'N'
+        ORDER BY "case"
+    """
+
+    sql["encoded_minmax_stats"] = """
+        SELECT 'clustered_range' AS "case",
+               cast(count(*) AS bigint)        AS n_match,
+               cast(sum(l_orderkey) AS bigint) AS sum_l_orderkey,
+               cast(min(l_orderkey) AS bigint) AS min_l_orderkey,
+               cast(max(l_orderkey) AS bigint) AS max_l_orderkey,
+               cast(sum(l_partkey) AS bigint)  AS sum_l_partkey,
+               cast(min(l_partkey) AS bigint)  AS min_l_partkey,
+               cast(max(l_partkey) AS bigint)  AS max_l_partkey
+        FROM lineitem WHERE l_suppkey BETWEEN 1 AND 7
+        UNION ALL
+        SELECT 'mixed_not', cast(count(*) AS bigint),
+               cast(sum(l_orderkey) AS bigint),
+               cast(min(l_orderkey) AS bigint),
+               cast(max(l_orderkey) AS bigint),
+               cast(sum(l_partkey) AS bigint),
+               cast(min(l_partkey) AS bigint),
+               cast(max(l_partkey) AS bigint)
+        FROM lineitem
+        WHERE l_suppkey BETWEEN 2 AND 5 AND NOT l_linenumber = 1
         ORDER BY "case"
     """
 

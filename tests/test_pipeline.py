@@ -2094,3 +2094,48 @@ def test_gather_str_runs_kernel():
                                 np.empty(0, np.int64),
                                 np.empty(0, np.int64))
         assert len(empty) == 0
+
+
+def test_encoded_boolean_agg_minmax(ray_session, tmp_path):
+    """with_minmax: ALL-match chunks answer min/max from the agg
+    column's zone map, run chunks from gathered positions; empty
+    selections return None (SQL NULL semantics)."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_agg)
+
+    rng = np.random.default_rng(73)
+    n = 20000
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 12, n)).astype(np.int64),
+        "v": rng.integers(-10**12, 10**12, n).astype(np.int64),
+    })
+    out_dir = str(tmp_path / "minmax")
+    encode_table_columns(ray.data.from_pandas(df), ["k", "v"],
+                         batch_size=1024).write_parquet(out_dir)
+
+    # clustered range: interior chunks are zone-map ALL hits
+    got, counters = encoded_boolean_agg(
+        out_dir, ("range", "k", 2, 9), ["v"], with_minmax=True)
+    sel = df[df["k"].between(2, 9)]
+    assert got.loc[0, "n_match"] == len(sel)
+    assert got.loc[0, "min_v"] == int(sel["v"].min())
+    assert got.loc[0, "max_v"] == int(sel["v"].max())
+    assert counters["all_hit_chunks"] > 0
+
+    # run-list path under a NOT
+    got, _ = encoded_boolean_agg(
+        out_dir, ("and", ("range", "k", 3, 5), ("not", ("eq", "k", 4))),
+        ["v"], with_minmax=True)
+    sel = df[df["k"].between(3, 5) & (df["k"] != 4)]
+    assert got.loc[0, "min_v"] == int(sel["v"].min())
+    assert got.loc[0, "max_v"] == int(sel["v"].max())
+
+    # empty selection: min/max are None, sum 0, count 0
+    got, _ = encoded_boolean_agg(out_dir, ("eq", "k", 99), ["v"],
+                                 with_minmax=True)
+    assert got.loc[0, "n_match"] == 0
+    assert got.loc[0, "min_v"] is None or pd.isna(got.loc[0, "min_v"])
+    assert got.loc[0, "max_v"] is None or pd.isna(got.loc[0, "max_v"])

@@ -2719,6 +2719,56 @@ def encoded_where_str_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("case").reset_index(drop=True)
 
 
+def encoded_minmax_stats(sf_dir: str) -> pd.DataFrame:
+    """Exact MIN/MAX under boolean predicate trees in the compressed
+    domain (``encoded_boolean_agg(with_minmax=True)``): chunks the
+    predicate matches WHOLLY answer min/max from the aggregate
+    column's own zone map (zero decode — the clustered case makes
+    this the common path), run-list chunks late-materialize only the
+    selected positions.  Two trees pin the zone-map path (a clustered
+    range where interior chunks are ALL-matches) and the gathered
+    path (an unclustered predicate with a NOT)."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_agg)
+
+    cols = ["l_suppkey", "l_linenumber", "l_orderkey", "l_partkey"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "minmax")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=256).write_parquet(enc_dir)
+
+    # ranges inside 0..9 so every scale factor (sf0.001's l_suppkey
+    # domain is 0..9) selects a non-empty set — SQL min/sum over an
+    # empty set is NULL, which has no stable int64 representation
+    cases = [
+        ("clustered_range", ("range", "l_suppkey", 1, 7)),
+        ("mixed_not",
+         ("and", ("range", "l_suppkey", 2, 5),
+          ("not", ("eq", "l_linenumber", 1)))),
+    ]
+    rows = []
+    for name, expr in cases:
+        df, counters = encoded_boolean_agg(
+            enc_dir, expr, ["l_orderkey", "l_partkey"],
+            with_minmax=True)
+        if name == "clustered_range" and counters["chunks_total"] > 16:
+            assert counters["all_hit_chunks"] > 0, \
+                f"clustered range never hit the zone-map path: {counters}"
+        r = {"case": name}
+        r.update({k: int(df[k].iloc[0]) for k in df.columns})
+        rows.append(r)
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        if c != "case":
+            out[c] = out[c].astype("int64")
+    return out.sort_values("case").reset_index(drop=True)
+
+
 def encoded_prefix_stats(sf_dir: str) -> pd.DataFrame:
     """String PREFIX predicates (SQL ``LIKE 'p%'``) in the compressed
     domain (``prefix_str`` -> :func:`tokrle.codecs.core

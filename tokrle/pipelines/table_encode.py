@@ -1422,7 +1422,8 @@ def _expr_eval(e, i: int, n: int, zmin: dict, zmax: dict, chunk_col,
     return match_range(codec, payload, n, dt, lo, hi)
 
 
-def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str]):
+def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str],
+                        with_minmax: bool = False):
     """COUNT/SUM under an arbitrary boolean predicate TREE, evaluated
     entirely on the run representation: leaves are ``("eq", col, v)`` /
     ``("range", col, lo, hi)`` selection run-lists from the codec
@@ -1439,12 +1440,19 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str]):
     and/or of the leaves' overlap tests, while any ``not`` branch is
     unprunable (the complement of a zone test is not sound) and reads
     everything.  One partial row per batch on the exchange; integer
-    columns only; nullable chunks raise."""
+    columns only; nullable chunks raise.
+
+    ``with_minmax=True`` adds exact per-column MIN/MAX of the selected
+    rows: ALL-match chunks answer from the aggregate column's own zone
+    map (zero decode), run-list chunks late-materialize only the
+    selected positions (:func:`gather_runs`).  ``min_<c>``/``max_<c>``
+    are ``None`` when nothing matches (SQL ``min()`` over an empty set
+    is NULL)."""
     import pandas as pd
     import ray.data
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Min, Sum
 
-    from tokrle.codecs.core import agg_sum, agg_sum_runs
+    from tokrle.codecs.core import agg_sum, agg_sum_runs, gather_runs
 
     pred_cols = _expr_pred_cols(expr)
     str_cols = _expr_str_cols(expr)
@@ -1456,6 +1464,10 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str]):
         for p in ("codec", "payload", "dtype", "valid")] + [
         f"{c}__{p}" for c in str_cols
         for p in ("codec", "payload", "lens_payload", "valid")]
+    if with_minmax:
+        need += [f"{c}__{p}" for c in agg_cols
+                 for p in ("vmin", "vmax")
+                 if f"{c}__{p}" not in need]
 
     def _chunk_col(batch, c, i):
         if len(batch.column(f"{c}__valid")[i].as_py() or b""):
@@ -1475,6 +1487,9 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str]):
 
         n_match, all_hit, run_chunks = 0, 0, 0
         sums = {c: 0 for c in agg_cols}
+        imax = np.iinfo(np.int64).max
+        mins = {c: imax for c in agg_cols}
+        maxs = {c: -imax - 1 for c in agg_cols}
         for i in range(len(batch)):
             n = int(nrows[i])
             sel = _expr_eval(expr, i, n, zmin, zmax,
@@ -1486,6 +1501,13 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str]):
                 for c in agg_cols:
                     codec, payload, dt = _chunk_col(batch, c, i)
                     sums[c] += agg_sum(codec, payload, n, dt)
+                    if with_minmax:
+                        # whole chunk selected: its zone map IS the
+                        # exact extrema — nothing decodes
+                        mins[c] = min(mins[c], int(
+                            batch.column(f"{c}__vmin")[i].as_py()))
+                        maxs[c] = max(maxs[c], int(
+                            batch.column(f"{c}__vmax")[i].as_py()))
                 continue
             if not len(sel[0]):
                 continue
@@ -1494,12 +1516,21 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str]):
             for c in agg_cols:
                 codec, payload, dt = _chunk_col(batch, c, i)
                 sums[c] += agg_sum_runs(codec, payload, n, dt, *sel)
+                if with_minmax:
+                    v = gather_runs(codec, payload, n, dt, *sel)
+                    mins[c] = min(mins[c], int(v.min()))
+                    maxs[c] = max(maxs[c], int(v.max()))
         out = {"n_match": pa.array([n_match], type=pa.int64()),
                "chunks": pa.array([len(batch)], type=pa.int64()),
                "all_hit": pa.array([all_hit], type=pa.int64()),
                "run_chunks": pa.array([run_chunks], type=pa.int64())}
         for c in agg_cols:
             out[f"sum_{c}"] = pa.array([sums[c]], type=pa.int64())
+            if with_minmax:
+                # sentinel extrema (no matches in this batch) fold
+                # away in the cross-batch Min/Max
+                out[f"min_{c}"] = pa.array([mins[c]], type=pa.int64())
+                out[f"max_{c}"] = pa.array([maxs[c]], type=pa.int64())
         return pa.table(out)
 
     flt = _expr_zone_filter(expr)
@@ -1509,6 +1540,10 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str]):
             Sum("all_hit", alias_name="all_hit"),
             Sum("run_chunks", alias_name="run_chunks")] + \
         [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in agg_cols]
+    if with_minmax:
+        aggs += [Min(f"min_{c}", alias_name=f"min_{c}")
+                 for c in agg_cols] + \
+            [Max(f"max_{c}", alias_name=f"max_{c}") for c in agg_cols]
     row = ds.map_batches(partial, batch_format="pyarrow").aggregate(*aggs)
     scanned = int(row["chunks"] or 0)
     counters = {"chunks_total": n_total,
@@ -1516,9 +1551,15 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str]):
                 "chunks_skipped": n_total - scanned,
                 "all_hit_chunks": int(row["all_hit"] or 0),
                 "run_chunks": int(row["run_chunks"] or 0)}
-    data = {"n_match": [int(row["n_match"] or 0)]}
+    matched = int(row["n_match"] or 0)
+    data = {"n_match": [matched]}
     for c in agg_cols:
         data[f"sum_{c}"] = [int(row[f"sum_{c}"] or 0)]
+        if with_minmax:
+            data[f"min_{c}"] = [int(row[f"min_{c}"])
+                                if matched else None]
+            data[f"max_{c}"] = [int(row[f"max_{c}"])
+                                if matched else None]
     return pd.DataFrame(data), counters
 
 
