@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_where_str_stats": Q.encoded_where_str_stats,
         "encoded_prefix_stats": Q.encoded_prefix_stats,
         "encoded_minmax_stats": Q.encoded_minmax_stats,
+        "encoded_scan_str_stats": Q.encoded_scan_str_stats,
         "encoded_group_str_stats": Q.encoded_group_str_stats,
         "encoded_group_where_stats": Q.encoded_group_where_stats,
         "encoded_join_stats": Q.encoded_join_stats,
@@ -852,6 +853,15 @@ def oracle_sql() -> dict[str, str]:
         WHERE source NOT LIKE 'src1%'
           AND doc_id BETWEEN 0 AND 10000000
         ORDER BY "case"
+    """
+
+    sql["encoded_scan_str_stats"] = """
+        SELECT lang,
+               cast(count(*) AS bigint)     AS n,
+               cast(sum(n_chars) AS bigint) AS sum_n_chars
+        FROM documents
+        WHERE source LIKE 'src1%' AND doc_id BETWEEN 0 AND 10000000
+        GROUP BY lang ORDER BY lang
     """
 
     sql["encoded_group_str_stats"] = """

@@ -2139,3 +2139,49 @@ def test_encoded_boolean_agg_minmax(ray_session, tmp_path):
     assert got.loc[0, "n_match"] == 0
     assert got.loc[0, "min_v"] is None or pd.isna(got.loc[0, "min_v"])
     assert got.loc[0, "max_v"] is None or pd.isna(got.loc[0, "max_v"])
+
+
+def test_encoded_scan_where_string_projection(ray_session, tmp_path):
+    """String projections in the late-materialized scan: selected rows'
+    strings decode via gather_str_runs (only at selected positions),
+    exact row multiset vs pandas; a fully-zone-pruned scan still
+    reports the typed projection schema via the seed block."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_scan_where)
+
+    rng = np.random.default_rng(79)
+    n = 20000
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 50, n)).astype(np.int64),
+        "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        "src": rng.choice(["src0", "src1", "src10", "src15",
+                           "other", ""], n),
+    })
+    out_dir = str(tmp_path / "scan_str")
+    encode_table_columns(ray.data.from_pandas(df), ["k", "v", "src"],
+                         batch_size=1024).write_parquet(out_dir)
+
+    expr = ("and", ("range", "k", 10, 40),
+            ("prefix_str", "src", "src1"))
+    rows = encoded_scan_where(out_dir, expr,
+                              ["src", "v", "k"]).to_pandas()
+    em = df[df["k"].between(10, 40) & df["src"].str.startswith("src1")]
+    a = sorted(map(tuple, rows[["k", "v", "src"]]
+                   .itertuples(index=False)))
+    b = sorted(map(tuple, em[["k", "v", "src"]]
+                   .itertuples(index=False)))
+    assert a == b
+
+    # ALL path decodes every row including strings
+    rows = encoded_scan_where(out_dir, ("range", "k", 0, 49),
+                              ["src"]).to_pandas()
+    assert len(rows) == n
+    assert sorted(rows["src"].unique()) == sorted(df["src"].unique())
+
+    # fully zone-pruned: dataset schema still names typed projections
+    ds = encoded_scan_where(out_dir, ("eq", "k", 9999), ["src", "v"])
+    assert ds.schema().names == ["src", "v"]
+    assert ds.count() == 0

@@ -2813,6 +2813,41 @@ def encoded_prefix_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("case").reset_index(drop=True)
 
 
+def encoded_scan_str_stats(sf_dir: str) -> pd.DataFrame:
+    """Late-materialized row retrieval with STRING projections:
+    ``SELECT lang, n_chars WHERE source LIKE 'src1%' AND doc_id <= m``
+    on the encoded layout — the predicate evaluates to selection
+    run-lists, the ``lang`` strings decode ONLY at selected positions
+    (:func:`tokrle.codecs.core.gather_str_runs`), and the retrieved
+    stream folds to per-lang totals the SQL oracle reproduces."""
+    import os
+    import shutil
+
+    from ray.data.aggregate import Count, Sum
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_scan_where)
+
+    cols = ["doc_id", "n_chars", "lang", "source"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "scan_str")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "documents", columns=cols).sort("doc_id")
+    encode_table_columns(ds, cols, batch_size=256).write_parquet(enc_dir)
+
+    expr = ("and", ("prefix_str", "source", "src1"),
+            ("range", "doc_id", 0, 10_000_000))
+    rows = encoded_scan_where(enc_dir, expr, ["lang", "n_chars"])
+    out = rows.groupby("lang").aggregate(
+        Count(alias_name="n"),
+        Sum("n_chars", alias_name="sum_n_chars")).to_pandas()
+    out["lang"] = out["lang"].astype(str)
+    for c in ("n", "sum_n_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def encoded_group_str_stats(sf_dir: str) -> pd.DataFrame:
     """GROUP BY a STRING column in the compressed domain
     (:func:`encoded_group_by_str`): the group column late-materializes

@@ -1879,22 +1879,53 @@ def encoded_scan_where(enc_dir: str, expr: tuple, out_cols: list[str]):
     filter or the evaluator rules out never decode anything.
 
     Returns a lazy ``ray.data.Dataset`` of the matching rows (streamed,
-    never collected); integer predicate and projection columns only;
-    nullable chunks raise."""
+    never collected).  Projection columns may be integer OR string
+    (string projections late-materialize via
+    :func:`tokrle.codecs.core.gather_str_runs` — one lengths decode +
+    one vectorized byte gather of only the selected rows); nullable
+    chunks raise."""
+    import glob
+    import os
+
+    import pyarrow.parquet as _pq
     import ray.data
 
     from tokrle.codecs.core import decode as codec_decode
-    from tokrle.codecs.core import gather_runs
+    from tokrle.codecs.core import gather_runs, gather_str_runs
 
     pred_cols = _expr_pred_cols(expr)
     str_cols = _expr_str_cols(expr)
+    # footer-schema probe (no data read): a projection column with a
+    # __lens_payload field is a string/list column and needs that
+    # stream; the str-vs-list dispatch happens on the codec spec
+    files = sorted(glob.glob(os.path.join(enc_dir, "**", "*.parquet"),
+                             recursive=True))
+    fields = set(_pq.ParquetFile(files[0]).schema_arrow.names) \
+        if files else set()
+    out_str = [c for c in out_cols if f"{c}__lens_payload" in fields]
+    # dtype probe (first footer row group only): pins the output schema
+    # so a fully-zone-pruned scan still yields a typed empty dataset,
+    # and rejects unsupported projections before any task runs
+    out_dtypes = {}
+    if files:
+        first = _pq.ParquetFile(files[0]).read_row_group(
+            0, columns=[f"{c}__dtype" for c in out_cols])
+        for c in out_cols:
+            d = first.column(f"{c}__dtype")[0].as_py()
+            if c in out_str and d != "str":
+                raise TypeError(f"column {c!r}: only string and integer "
+                                f"projections supported (dtype {d})")
+            out_dtypes[c] = d
     need = ["n_rows"] + [f"{c}__{p}" for c in pred_cols
                          for p in ("vmin", "vmax")] + [
         f"{c}__{p}"
         for c in dict.fromkeys(pred_cols + list(out_cols))
         for p in ("codec", "payload", "dtype", "valid")] + [
-        f"{c}__{p}" for c in str_cols
-        for p in ("codec", "payload", "lens_payload", "valid")]
+        f"{c}__lens_payload"
+        for c in dict.fromkeys(str_cols + out_str)] + [
+        f"{c}__{p}" for c in str_cols if c not in out_cols
+        for p in ("codec", "payload", "valid")]
+    need = list(dict.fromkeys(need))
 
     def _chunk_col(batch, c, i):
         if len(batch.column(f"{c}__valid")[i].as_py() or b""):
@@ -1917,20 +1948,33 @@ def encoded_scan_where(enc_dir: str, expr: tuple, out_cols: list[str]):
             sel = _expr_eval(expr, i, n, zmin, zmax,
                              lambda col, j: _chunk_col(batch, col, j),
                              lambda col, j: _chunk_str_col(batch, col, j))
-            if isinstance(sel, str):        # ALL: plain full decode
-                for c in out_cols:
-                    codec, payload, dt = _chunk_col(batch, c, i)
-                    parts[c].append(codec_decode(codec, payload, n, dt))
-                continue
-            if not len(sel[0]):
+            if isinstance(sel, str):        # ALL: select every row
+                runs = (np.zeros(1, np.int64), np.full(1, n, np.int64))
+            elif len(sel[0]):
+                runs = sel
+            else:
                 continue
             for c in out_cols:
+                if c in out_str:
+                    spec, lp, tp = _chunk_str_col(batch, c, i)
+                    if not spec.startswith("str:"):
+                        raise TypeError(
+                            f"column {c!r}: only string and integer "
+                            f"projections supported ({spec})")
+                    parts[c].append(gather_str_runs(spec, lp, tp, n,
+                                                    *runs))
+                    continue
                 codec, payload, dt = _chunk_col(batch, c, i)
-                parts[c].append(gather_runs(codec, payload, n, dt,
-                                            *sel))
+                parts[c].append(
+                    codec_decode(codec, payload, n, dt)
+                    if isinstance(sel, str)
+                    else gather_runs(codec, payload, n, dt, *runs))
         out = {}
         for c in out_cols:
-            if parts[c]:
+            if c in out_str:
+                out[c] = pa.concat_arrays(parts[c]) if parts[c] else \
+                    pa.array([], type=pa.large_utf8())
+            elif parts[c]:
                 out[c] = pa.array(np.concatenate(parts[c]))
             else:
                 # schema-stable empties: the column's true dtype comes
@@ -1942,7 +1986,15 @@ def encoded_scan_where(enc_dir: str, expr: tuple, out_cols: list[str]):
 
     ds = ray.data.read_parquet(enc_dir, columns=need,
                                filter=_expr_zone_filter(expr))
-    return ds.map_batches(extract, batch_format="pyarrow")
+    mapped = ds.map_batches(extract, batch_format="pyarrow")
+    # schema seed: one empty typed block so a scan whose zone filter
+    # prunes EVERY chunk still reports the projection schema
+    seed = pa.table({
+        c: (pa.array([], type=pa.large_utf8()) if c in out_str
+            else pa.array(np.empty(
+                0, dtype=np.dtype(out_dtypes.get(c, "int64")))))
+        for c in out_cols})
+    return mapped.union(ray.data.from_arrow(seed))
 
 
 def encoded_lookup_join(enc_dir: str, key_col: str, dim, dim_key: str,
