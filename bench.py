@@ -459,11 +459,13 @@ def pushdown() -> None:
                                                encoded_boolean_agg,
                                                encoded_filtered_agg,
                                                encoded_filtered_group_agg,
+                                               encoded_group_by_str,
                                                encoded_lookup_join,
                                                encoded_topk_rows,
                                                encoded_value_count)
 
-    cols = ["l_suppkey", "l_linenumber", "l_orderkey", "l_partkey"]
+    cols = ["l_suppkey", "l_linenumber", "l_orderkey", "l_partkey",
+            "l_returnflag"]
     # replicate lineitem to a scale where the work, not the Ray job
     # fabric, is what's measured (default ~38M rows at sf0.1)
     rep = int(os.environ.get("GRAFT_PUSHDOWN_REPEAT", "64"))
@@ -602,6 +604,59 @@ def pushdown() -> None:
             .aggregate(Sum("n"), Sum("s"))
         return (int(row["sum(n)"]), int(row["sum(s)"]))
 
+    def enc_where_str():
+        df, _ = encoded_boolean_agg(
+            enc_dir, ("and", ("eq_str", "l_returnflag", "R"),
+                      ("range", "l_linenumber", 1, 3)), ["l_orderkey"])
+        return (int(df["n_match"].iloc[0]),
+                int(df["sum_l_orderkey"].iloc[0]))
+
+    def naive_where_str():
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Sum
+
+        def f(t: pa.Table) -> pa.Table:
+            flag = pc.equal(t.column("l_returnflag"), "R") \
+                .to_numpy(zero_copy_only=False)
+            ln = t.column("l_linenumber").to_numpy(zero_copy_only=False)
+            v = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            m = flag & (ln >= 1) & (ln <= 3)
+            return pa.table({"n": pa.array([int(m.sum())]),
+                             "s": pa.array([int(v[m].sum())])})
+        row = decoded().map_batches(f, batch_format="pyarrow") \
+            .aggregate(Sum("n"), Sum("s"))
+        return int(row["sum(n)"]), int(row["sum(s)"])
+
+    def enc_group_str():
+        df, _ = encoded_group_by_str(
+            enc_dir, "l_returnflag", ["l_orderkey"],
+            expr=("range", "l_linenumber", 1, 3))
+        return (len(df), tuple(df["l_returnflag"]),
+                int(df["n"].sum()), int(df["sum_l_orderkey"].sum()))
+
+    def naive_group_str():
+        from ray.data.aggregate import Sum
+
+        def f(t: pa.Table) -> pa.Table:
+            import pandas as pd
+            ln = t.column("l_linenumber").to_numpy(zero_copy_only=False)
+            m = (ln >= 1) & (ln <= 3)
+            fold = pd.DataFrame({
+                "g": t.column("l_returnflag").to_pandas()[m],
+                "v": t.column("l_orderkey")
+                     .to_numpy(zero_copy_only=False)[m]})
+            agg = fold.groupby("g", sort=False).agg(
+                n=("v", "size"), s=("v", "sum")).reset_index()
+            return pa.table({"g": pa.array(agg["g"]),
+                             "n": pa.array(agg["n"].to_numpy(np.int64)),
+                             "s": pa.array(agg["s"].to_numpy(np.int64))})
+        g = decoded().map_batches(f, batch_format="pyarrow") \
+            .groupby("g").aggregate(Sum("n", alias_name="n"),
+                                    Sum("s", alias_name="s")) \
+            .to_pandas().sort_values("g")
+        return (len(g), tuple(g["g"]),
+                int(g["n"].sum()), int(g["s"].sum()))
+
     def best_of(fn, passes=2):
         dt, res = float("inf"), None
         for _ in range(max(1, passes)):
@@ -622,7 +677,9 @@ def pushdown() -> None:
             ("boolean_and", enc_boolean, naive_boolean),
             ("topk", enc_topk, naive_topk),
             ("group_where", enc_group_where, naive_group_where),
-            ("lookup_join", enc_lookup_join, naive_lookup_join)):
+            ("lookup_join", enc_lookup_join, naive_lookup_join),
+            ("where_str", enc_where_str, naive_where_str),
+            ("group_str", enc_group_str, naive_group_str)):
         t_enc, r_enc = best_of(enc_fn)
         t_naive, r_naive = best_of(naive_fn)
         assert r_enc == r_naive, (name, r_enc, r_naive)
