@@ -802,6 +802,10 @@ def oracle_sql() -> dict[str, str]:
                cast(coalesce(sum(l_orderkey), 0) AS bigint) AS sum_l_orderkey
         FROM lineitem WHERE l_returnflag = 'R'
         UNION ALL
+        SELECT 'flag_in', cast(count(*) AS bigint),
+               cast(coalesce(sum(l_orderkey), 0) AS bigint)
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        UNION ALL
         SELECT 'str_and_range', cast(count(*) AS bigint),
                cast(coalesce(sum(l_orderkey), 0) AS bigint)
         FROM lineitem

@@ -2185,3 +2185,43 @@ def test_encoded_scan_where_string_projection(ray_session, tmp_path):
     ds = encoded_scan_where(out_dir, ("eq", "k", 9999), ["src", "v"])
     assert ds.schema().names == ["src", "v"]
     assert ds.count() == 0
+
+
+def test_in_str_leaf(ray_session, tmp_path):
+    """in_str leaves (match_in_str: one text decode for the whole value
+    set, per-length candidate classes): exact vs pandas isin, including
+    the empty string in the set, a set with no candidate byte length
+    (no text decode), the empty set, duplicates in the set, and
+    composition under NOT."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_agg)
+
+    rng = np.random.default_rng(83)
+    n = 20000
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 50, n)).astype(np.int64),
+        "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        "src": rng.choice(["src0", "src1", "src10", "src15",
+                           "other", ""], n),
+    })
+    out_dir = str(tmp_path / "in_str")
+    encode_table_columns(ray.data.from_pandas(df), ["k", "v", "src"],
+                         batch_size=1024).write_parquet(out_dir)
+
+    for vals in (["src1", "other"], ["src1", "src10", ""],
+                 ["zz", "yy"], [], ["src1", "src1", "nope"]):
+        got, _ = encoded_boolean_agg(out_dir, ("in_str", "src", vals),
+                                     ["v"])
+        sel = df[df["src"].isin(vals)]
+        assert got.loc[0, "n_match"] == len(sel), vals
+        assert got.loc[0, "sum_v"] == int(sel["v"].sum()), vals
+
+    expr = ("and", ("range", "k", 5, 45),
+            ("not", ("in_str", "src", ["src0", "other"])))
+    m = df["k"].between(5, 45) & ~df["src"].isin(["src0", "other"])
+    got, _ = encoded_boolean_agg(out_dir, expr, ["v"])
+    assert got.loc[0, "n_match"] == int(m.sum())
+    assert got.loc[0, "sum_v"] == int(df.loc[m, "v"].sum())

@@ -2383,6 +2383,57 @@ def match_eq_str(spec: str, lens_payload: bytes, text_payload: bytes,
     return _mask_to_runs(mask)
 
 
+def match_in_str(spec: str, lens_payload: bytes, text_payload: bytes,
+                 n: int, values: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical run-list of the positions where a STRING chunk equals
+    ANY of ``values`` (SQL ``col IN (...)``) — evaluated in ONE pass:
+    the lengths stream prefilters per distinct VALUE LENGTH (a chunk
+    with no row of any candidate byte length answers empty without
+    decoding text), the text decodes at most once, and each length
+    class byte-compares its candidate rows against only the values of
+    that length.  Equivalent to an OR-chain of :func:`match_eq_str`
+    but without re-decoding the text per value.  Non-null chunks only
+    (callers enforce the nullable-chunks-raise contract)."""
+    if not spec.startswith("str:"):
+        raise TypeError(f"match_in_str needs a string chunk, got {spec!r}")
+    _, lcodec, tcodec = spec.split(":", 2)
+    if n == 0 or not values:
+        return _EMPTY_RUNS
+    by_len: dict[int, list[bytes]] = {}
+    for v in dict.fromkeys(values):
+        b = v.encode("utf-8")
+        by_len.setdefault(len(b), []).append(b)
+    # lengths prefilter per candidate byte length; text decodes only
+    # if at least one length class has candidate rows
+    live = [ln for ln in by_len
+            if ln == 0 or count_eq(lcodec, lens_payload, n,
+                                   np.int64, ln) > 0]
+    if not live:
+        return _EMPTY_RUNS
+    lens = decode(lcodec, lens_payload, n, np.int64)
+    mask = np.zeros(n, dtype=bool)
+    data = None
+    for ln in live:
+        cand_idx = np.flatnonzero(lens == ln)
+        if not len(cand_idx):
+            continue
+        if ln == 0:
+            mask[cand_idx] = True        # '' is the only 0-byte value
+            continue
+        if data is None:
+            data = decode(tcodec, text_payload, int(lens.sum()),
+                          np.int8).view(np.uint8)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+        idx = offs[:-1][cand_idx][:, None] + np.arange(ln)
+        window = data[idx]
+        hit = np.zeros(len(cand_idx), dtype=bool)
+        for vb in by_len[ln]:
+            hit |= (window == np.frombuffer(vb, dtype=np.uint8)) \
+                .all(axis=1)
+        mask[cand_idx[hit]] = True
+    return _mask_to_runs(mask)
+
+
 def match_prefix_str(spec: str, lens_payload: bytes, text_payload: bytes,
                      n: int, prefix: str) -> tuple[np.ndarray, np.ndarray]:
     """Canonical run-list of the positions where a STRING chunk STARTS

@@ -2700,6 +2700,7 @@ def encoded_where_str_stats(sf_dir: str) -> pd.DataFrame:
 
     cases = [
         ("flag_eq", ("eq_str", "l_returnflag", "R")),
+        ("flag_in", ("in_str", "l_returnflag", ["A", "R"])),
         ("str_and_range",
          ("and", ("eq_str", "l_returnflag", "A"),
           ("range", "l_suppkey", 10, 60))),

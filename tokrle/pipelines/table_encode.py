@@ -1293,7 +1293,7 @@ def _expr_leaf_bounds(e):
 
 #: leaf kinds that test a STRING column (lengths-stream prefilter
 #: instead of zone maps; see match_eq_str / match_prefix_str)
-_STR_LEAVES = ("eq_str", "prefix_str")
+_STR_LEAVES = ("eq_str", "prefix_str", "in_str")
 
 
 def _expr_pred_cols(expr) -> list[str]:
@@ -1362,9 +1362,9 @@ def _expr_eval(e, i: int, n: int, zmin: dict, zmax: dict, chunk_col,
     (col, i)); they prune via the lengths-stream prefilter inside
     :func:`tokrle.codecs.core.match_eq_str` instead of zone maps."""
     from tokrle.codecs.core import (match_eq, match_eq_str, match_in,
-                                    match_prefix_str, match_range,
-                                    runs_complement, runs_intersect,
-                                    runs_union)
+                                    match_in_str, match_prefix_str,
+                                    match_range, runs_complement,
+                                    runs_intersect, runs_union)
 
     kind = e[0]
     if kind == "and":
@@ -1397,6 +1397,8 @@ def _expr_eval(e, i: int, n: int, zmin: dict, zmax: dict, chunk_col,
         spec, lp, tp = str_chunk(e[1], i)
         if kind == "eq_str":
             return match_eq_str(spec, lp, tp, n, e[2])
+        if kind == "in_str":
+            return match_in_str(spec, lp, tp, n, e[2])
         return match_prefix_str(spec, lp, tp, n, e[2])
     col, lo, hi = _expr_leaf_bounds(e)
     cmin, cmax = int(zmin[col][i]), int(zmax[col][i])
