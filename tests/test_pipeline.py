@@ -2225,3 +2225,126 @@ def test_in_str_leaf(ray_session, tmp_path):
     got, _ = encoded_boolean_agg(out_dir, expr, ["v"])
     assert got.loc[0, "n_match"] == int(m.sum())
     assert got.loc[0, "sum_v"] == int(df.loc[m, "v"].sum())
+
+
+def test_sdict_string_dictionary_chunks(ray_session, tmp_path):
+    """Low-cardinality string columns auto-select the sdict form
+    (distinct set + integer code stream).  Every string operation must
+    behave identically to the plain str form: roundtrip decode,
+    eq/in/prefix predicates (which run on codes, no text decode),
+    GROUP BY string, scan projection, value count, and nullable
+    roundtrips ('' + validity bitmap)."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq2
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (decode_table_columns,
+                                               encode_table_columns,
+                                               encoded_boolean_agg,
+                                               encoded_group_by_str,
+                                               encoded_scan_where,
+                                               encoded_string_value_count)
+
+    rng = np.random.default_rng(89)
+    n = 20000
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 50, n)).astype(np.int64),
+        "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        "src": rng.choice(["src0", "src1", "src10", "src15",
+                           "other", ""], n),
+    })
+    out_dir = str(tmp_path / "sdict")
+    encode_table_columns(ray.data.from_pandas(df), ["k", "v", "src"],
+                         batch_size=1024).write_parquet(out_dir)
+
+    specs = set()
+    for f in glob.glob(out_dir + "/*.parquet"):
+        specs.update(pq2.read_table(
+            f, columns=["src__codec"]).column(0).to_pylist())
+    assert specs and all(s.startswith("sdict:") for s in specs), specs
+
+    back = decode_table_columns(
+        ray.data.read_parquet(out_dir), ["k", "v", "src"]).to_pandas()
+    assert sorted(back["src"]) == sorted(df["src"])
+
+    got, _ = encoded_boolean_agg(out_dir, ("eq_str", "src", "src1"),
+                                 ["v"])
+    sel = df[df["src"] == "src1"]
+    assert got.loc[0, "n_match"] == len(sel)
+    assert got.loc[0, "sum_v"] == int(sel["v"].sum())
+
+    got, _ = encoded_boolean_agg(
+        out_dir, ("in_str", "src", ["src1", "other", ""]), ["v"])
+    assert got.loc[0, "n_match"] == int(
+        df["src"].isin(["src1", "other", ""]).sum())
+
+    got, _ = encoded_boolean_agg(
+        out_dir, ("prefix_str", "src", "src1"), ["v"])
+    sel = df[df["src"].str.startswith("src1")]
+    assert got.loc[0, "n_match"] == len(sel)
+    assert got.loc[0, "sum_v"] == int(sel["v"].sum())
+
+    gdf, _ = encoded_group_by_str(out_dir, "src", ["v"],
+                                  expr=("range", "k", 10, 40))
+    eg = (df[df["k"].between(10, 40)].groupby("src")
+          .agg(n=("v", "size"), sum_v=("v", "sum")).reset_index())
+    assert list(gdf["src"]) == list(eg["src"])
+    assert list(gdf["sum_v"]) == list(eg["sum_v"])
+
+    rows = encoded_scan_where(
+        out_dir, ("and", ("range", "k", 10, 40),
+                  ("eq_str", "src", "other")), ["src", "v"]).to_pandas()
+    em = df[df["k"].between(10, 40) & (df["src"] == "other")]
+    assert len(rows) == len(em)
+    assert int(rows["v"].sum()) == int(em["v"].sum())
+
+    cdf, ctr = encoded_string_value_count(out_dir, "src", "src15")
+    assert cdf["n_match"].iloc[0] == int((df["src"] == "src15").sum())
+    assert ctr["chunks_text_decoded"] == 0     # codes answered it
+
+    # nullable sdict: nulls encode as '' + validity; never match,
+    # roundtrip restores them
+    df2 = pd.DataFrame({
+        "k": np.arange(1000, dtype=np.int64),
+        "s": pd.array(["a", None, "bb", "a"] * 250, dtype="string")})
+    enc2 = str(tmp_path / "sdict_null")
+    encode_table_columns(ray.data.from_pandas(df2), ["k", "s"],
+                         batch_size=256).write_parquet(enc2)
+    b2 = decode_table_columns(
+        ray.data.read_parquet(enc2), ["k", "s"]).to_pandas()
+    assert int(b2["s"].isna().sum()) == 250
+    assert int((b2["s"].dropna() == "a").sum()) == 500
+    cdf, _ = encoded_string_value_count(enc2, "s", "")
+    assert cdf["n_match"].iloc[0] == 0
+    cdf, _ = encoded_string_value_count(enc2, "s", "a")
+    assert cdf["n_match"].iloc[0] == 500
+
+
+def test_sdict_high_cardinality_stays_plain(ray_session, tmp_path):
+    """High-cardinality / long-value string columns must NOT take the
+    dictionary form (the probe is skipped for long values and the
+    cardinality gate rejects wide distinct sets)."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq2
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (decode_table_columns,
+                                               encode_table_columns)
+
+    df = pd.DataFrame({
+        "t": [f"unique-value-{i}-" + "x" * 300 for i in range(2000)]})
+    out_dir = str(tmp_path / "plainstr")
+    encode_table_columns(ray.data.from_pandas(df), ["t"],
+                         batch_size=512).write_parquet(out_dir)
+    specs = set()
+    for f in glob.glob(out_dir + "/*.parquet"):
+        specs.update(pq2.read_table(
+            f, columns=["t__codec"]).column(0).to_pylist())
+    assert specs and all(s.startswith("str:") for s in specs), specs
+    back = decode_table_columns(
+        ray.data.read_parquet(out_dir), ["t"]).to_pandas()
+    assert sorted(back["t"]) == sorted(df["t"])

@@ -2357,14 +2357,23 @@ def match_eq_str(spec: str, lens_payload: bytes, text_payload: bytes,
     the length-matching candidate rows, vectorized.  Non-null chunks
     only (callers enforce the layer's nullable-chunks-raise contract,
     which keeps ``NOT`` over this leaf sound — SQL's ``<>`` excludes
-    NULLs, a complemented run-list would not)."""
-    if not spec.startswith("str:"):
-        raise TypeError(f"match_eq_str needs a string chunk, got {spec!r}")
-    _, lcodec, tcodec = spec.split(":", 2)
+    NULLs, a complemented run-list would not).  ``sdict:`` chunks
+    answer on the CODE stream: the value maps to its dictionary code
+    (or misses entirely) and :func:`match_eq` runs on the integer
+    codes — the text bytes are never touched."""
     vbytes = value.encode("utf-8")
     vlen = len(vbytes)
     if n == 0:
         return _EMPTY_RUNS
+    if spec.startswith("sdict:"):
+        ccodec, codes_p, dlens, dbytes = sdict_unpack(spec, text_payload)
+        codes = _sdict_codes_of(dlens, dbytes, [vbytes])
+        if not codes:
+            return _EMPTY_RUNS
+        return match_eq(ccodec, codes_p, n, np.int64, codes[0])
+    if not spec.startswith("str:"):
+        raise TypeError(f"match_eq_str needs a string chunk, got {spec!r}")
+    _, lcodec, tcodec = spec.split(":", 2)
     if count_eq(lcodec, lens_payload, n, np.int64, vlen) == 0:
         return _EMPTY_RUNS
     lens = decode(lcodec, lens_payload, n, np.int64)
@@ -2383,6 +2392,66 @@ def match_eq_str(spec: str, lens_payload: bytes, text_payload: bytes,
     return _mask_to_runs(mask)
 
 
+def sdict_pack(codes_payload: bytes, dlens_payload: bytes,
+               dbytes_payload: bytes, n_distinct: int) -> bytes:
+    """Frame a STRING-DICTIONARY chunk payload: the distinct set's
+    lengths + flat bytes ride ahead of the code stream so every reader
+    can unpack the (small) dictionary without a second field.  Layout:
+    ``u32 n_distinct | u32 len(dlens) | dlens | u32 len(dbytes) |
+    dbytes | codes``.  The codec spec carrying it is
+    ``"sdict:<codes_codec>:<dlens_codec>:<dtext_codec>"``; the chunk's
+    ``__lens_payload`` still holds the PER-ROW byte lengths (so the
+    lengths-stream prefilters work unchanged on sdict chunks)."""
+    head = np.array([n_distinct, len(dlens_payload)],
+                    dtype=np.uint32).tobytes()
+    mid = np.array([len(dbytes_payload)], dtype=np.uint32).tobytes()
+    return head + bytes(dlens_payload) + mid + bytes(dbytes_payload) \
+        + bytes(codes_payload)
+
+
+def sdict_unpack(spec: str, payload: bytes):
+    """Inverse of :func:`sdict_pack`: ``(codes_codec, codes_payload,
+    dlens int64[k], dbytes uint8[...])`` with the distinct set decoded
+    (it is small by construction — the encoder only picks sdict for
+    low-cardinality chunks)."""
+    _, ccodec, lcodec, tcodec = spec.split(":", 3)
+    mv = memoryview(payload)
+    k, llen = (int(x) for x in np.frombuffer(mv[:8], np.uint32))
+    off = 8
+    dlens_p = mv[off:off + llen]
+    off += llen
+    tlen = int(np.frombuffer(mv[off:off + 4], np.uint32)[0])
+    off += 4
+    dbytes_p = mv[off:off + tlen]
+    off += tlen
+    dlens = decode(lcodec, dlens_p, k, np.int64)
+    dbytes = decode(tcodec, dbytes_p, int(dlens.sum()),
+                    np.int8).view(np.uint8)
+    return ccodec, mv[off:], dlens, dbytes
+
+
+def _sdict_codes_of(dlens: np.ndarray, dbytes: np.ndarray,
+                    targets: list[bytes]) -> list[int]:
+    """Dictionary codes of the byte strings in ``targets`` that exist
+    in the distinct set (k <= 256 by encoder construction, so the
+    scan is over a tiny set)."""
+    offs = np.concatenate(([0], np.cumsum(dlens)))
+    dvals = {bytes(dbytes[offs[j]:offs[j + 1]]): j
+             for j in range(len(dlens))}
+    return sorted(dvals[t] for t in set(targets) if t in dvals)
+
+
+def _sdict_distinct_array(dlens: np.ndarray, dbytes: np.ndarray):
+    """The distinct set as a pyarrow large_string array."""
+    import pyarrow as pa
+
+    offs = np.concatenate(([0], np.cumsum(dlens))).astype(np.int64)
+    return pa.Array.from_buffers(
+        pa.large_utf8(), len(dlens),
+        [None, pa.py_buffer(offs.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(dbytes).tobytes())])
+
+
 def match_in_str(spec: str, lens_payload: bytes, text_payload: bytes,
                  n: int, values: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """Canonical run-list of the positions where a STRING chunk equals
@@ -2393,12 +2462,21 @@ def match_in_str(spec: str, lens_payload: bytes, text_payload: bytes,
     class byte-compares its candidate rows against only the values of
     that length.  Equivalent to an OR-chain of :func:`match_eq_str`
     but without re-decoding the text per value.  Non-null chunks only
-    (callers enforce the nullable-chunks-raise contract)."""
+    (callers enforce the nullable-chunks-raise contract).  ``sdict:``
+    chunks map the values to their dictionary codes and run
+    :func:`match_in` on the integer code stream — no text decode."""
+    if n == 0 or not values:
+        return _EMPTY_RUNS
+    if spec.startswith("sdict:"):
+        ccodec, codes_p, dlens, dbytes = sdict_unpack(spec, text_payload)
+        codes = _sdict_codes_of(
+            dlens, dbytes, [v.encode("utf-8") for v in values])
+        if not codes:
+            return _EMPTY_RUNS
+        return match_in(ccodec, codes_p, n, np.int64, codes)
     if not spec.startswith("str:"):
         raise TypeError(f"match_in_str needs a string chunk, got {spec!r}")
     _, lcodec, tcodec = spec.split(":", 2)
-    if n == 0 or not values:
-        return _EMPTY_RUNS
     by_len: dict[int, list[bytes]] = {}
     for v in dict.fromkeys(values):
         b = v.encode("utf-8")
@@ -2444,11 +2522,9 @@ def match_prefix_str(spec: str, lens_payload: bytes, text_payload: bytes,
     payload) answers empty without decoding its text bytes; surviving
     chunks byte-compare only the first ``len(prefix)`` bytes of the
     long-enough candidate rows, vectorized.  Non-null chunks only
-    (callers enforce the nullable-chunks-raise contract)."""
-    if not spec.startswith("str:"):
-        raise TypeError(
-            f"match_prefix_str needs a string chunk, got {spec!r}")
-    _, lcodec, tcodec = spec.split(":", 2)
+    (callers enforce the nullable-chunks-raise contract).  ``sdict:``
+    chunks prefix-test only the (small) distinct set, then run
+    :func:`match_in` on the matching codes — no per-row text work."""
     pbytes = prefix.encode("utf-8")
     plen = len(pbytes)
     if n == 0:
@@ -2456,6 +2532,20 @@ def match_prefix_str(spec: str, lens_payload: bytes, text_payload: bytes,
     if plen == 0:
         return (np.array([0], dtype=np.int64),
                 np.array([n], dtype=np.int64))   # '' prefixes every row
+    if spec.startswith("sdict:"):
+        ccodec, codes_p, dlens, dbytes = sdict_unpack(spec, text_payload)
+        offs = np.concatenate(([0], np.cumsum(dlens)))
+        codes = sorted(
+            j for j in range(len(dlens))
+            if dlens[j] >= plen
+            and bytes(dbytes[offs[j]:offs[j] + plen]) == pbytes)
+        if not codes:
+            return _EMPTY_RUNS
+        return match_in(ccodec, codes_p, n, np.int64, codes)
+    if not spec.startswith("str:"):
+        raise TypeError(
+            f"match_prefix_str needs a string chunk, got {spec!r}")
+    _, lcodec, tcodec = spec.split(":", 2)
     if count_range(lcodec, lens_payload, n, np.int64, plen,
                    np.iinfo(np.int64).max) == 0:
         return _EMPTY_RUNS
@@ -2482,9 +2572,20 @@ def gather_str_runs(spec: str, lens_payload: bytes, text_payload: bytes,
     ONLY the selected rows' byte ranges out of the decoded flat text
     (one vectorized gather; zero-length rows are handled by the
     repeat-based index construction).  Pass the FULL-chunk run-list to
-    decode everything."""
+    decode everything.  ``sdict:`` chunks gather CODES at the selected
+    positions (:func:`gather_runs` on the integer code stream) and
+    take from the distinct-set array — selected text bytes are never
+    copied row by row."""
     import pyarrow as pa
 
+    if spec.startswith("sdict:"):
+        ccodec, codes_p, dlens, dbytes = sdict_unpack(spec, text_payload)
+        if n == 0 or (len(starts) == 0):
+            return pa.array([], type=pa.large_utf8())
+        codes_sel = gather_runs(ccodec, codes_p, n, np.int64,
+                                starts, lengths)
+        dist = _sdict_distinct_array(dlens, dbytes)
+        return dist.take(pa.array(codes_sel))
     if not spec.startswith("str:"):
         raise TypeError(
             f"gather_str_runs needs a string chunk, got {spec!r}")

@@ -141,9 +141,48 @@ def encode_table_columns(ds, columns: list[str], *,
                     col = pc.fill_null(col, "")
                 lens, data = _string_buffers(col)
                 lcodec, lpayload, lprof = auto_encode(lens)
+                raw_bytes += lens.sum() + len(batch) * 4   # data + offsets
+                # low-cardinality chunks take the STRING-DICTIONARY
+                # form: distinct set + integer code stream.  Predicates
+                # then evaluate on codes (match_eq/match_in — no text
+                # decode at all) and gathers become dictionary takes.
+                # The per-row lens stream is kept so lengths-based
+                # prefilters work identically on both forms.
+                de = None
+                if len(batch) >= 8 and len(lens) and \
+                        int(lens.max()) <= 256:
+                    # short values only: long-text columns are never
+                    # low-cardinality and the distinct probe would
+                    # hash every byte for nothing
+                    de = col.dictionary_encode()
+                    if isinstance(de, pa.ChunkedArray):
+                        de = de.combine_chunks()
+                n_u = len(de.dictionary) if de is not None else 0
+                if 0 < n_u <= 256 and len(batch) >= 4 * n_u:
+                    dlens, dbytes = _string_buffers(de.dictionary)
+                    codes = de.indices.to_numpy(zero_copy_only=False)
+                    ccodec, cpayload, _ = auto_encode(
+                        codes.astype(np.int64))
+                    dl_codec, dl_payload, _ = auto_encode(dlens)
+                    dt_codec = pick_text_codec(dbytes)
+                    db_payload = codec_encode(dt_codec,
+                                              dbytes.view(np.int8))
+                    from tokrle.codecs.core import sdict_pack
+                    packed = sdict_pack(cpayload, dl_payload,
+                                        db_payload, n_u)
+                    enc_bytes += len(lpayload) + len(packed)
+                    out[f"{c}__codec"] = pa.array(
+                        [f"sdict:{ccodec}:{dl_codec}:{dt_codec}"],
+                        type=pa.string())
+                    out[f"{c}__dtype"] = pa.array(["str"],
+                                                  type=pa.string())
+                    out[f"{c}__lens_payload"] = pa.array(
+                        [lpayload], type=pa.binary())
+                    out[f"{c}__payload"] = pa.array([packed],
+                                                    type=pa.binary())
+                    continue
                 tcodec = pick_text_codec(data)
                 bpayload = codec_encode(tcodec, data.view(np.int8))
-                raw_bytes += lens.sum() + len(batch) * 4   # data + offsets
                 enc_bytes += len(lpayload) + len(bpayload)
                 out[f"{c}__codec"] = pa.array(
                     [f"str:{lcodec}:{tcodec}"], type=pa.string())
@@ -225,6 +264,18 @@ def decode_table_columns(encoded_ds, columns: list[str]):
                     else:
                         cols[c] = pa.LargeListArray.from_arrays(
                             pa.array(offs), pa.array(v), mask=mask)
+                    continue
+                if codec.startswith("sdict:"):
+                    from tokrle.codecs.core import (_sdict_distinct_array,
+                                                    sdict_unpack)
+                    ccodec, codes_p, dlens, dbytes = sdict_unpack(
+                        codec, payload)
+                    codes_v = codec_decode(ccodec, codes_p, n, np.int64)
+                    arr = _sdict_distinct_array(dlens, dbytes) \
+                        .take(pa.array(codes_v))
+                    if arr.nbytes < 2**31:
+                        arr = arr.cast(pa.string())
+                    cols[c] = _apply_validity(arr, vbits)
                     continue
                 if codec.startswith("str:"):
                     _, lcodec, tcodec = codec.split(":")
@@ -733,7 +784,8 @@ def encoded_string_value_count(enc_dir: str, col: str, value: str):
     # missing-column KeyError instead of naming the contract
     spec0 = ray.data.read_parquet(
         enc_dir, columns=[f"{col}__codec"]).take(1)
-    if spec0 and not str(spec0[0][f"{col}__codec"]).startswith("str:"):
+    if spec0 and not str(spec0[0][f"{col}__codec"]) \
+            .startswith(("str:", "sdict:")):
         raise TypeError(f"column {col!r}: not a string column "
                         f"({spec0[0][f'{col}__codec']})")
     need = ["n_rows"] + [f"{col}__{p}"
@@ -749,13 +801,35 @@ def encoded_string_value_count(enc_dir: str, col: str, value: str):
         total = 0
         decoded = 0
         for i, spec in enumerate(codecs):
+            n = int(nrows[i])
+            if n == 0:
+                continue
+            if spec.startswith("sdict:"):
+                # dictionary form: the value maps to a code (or misses)
+                # and the count comes from the integer code stream —
+                # neither the text nor the per-row lengths decode
+                from tokrle.codecs.core import (_sdict_codes_of,
+                                                sdict_unpack)
+                ccodec, codes_p, dlens, dbytes = sdict_unpack(
+                    spec, memoryview(payloads[i].as_buffer()))
+                hit = _sdict_codes_of(dlens, dbytes, [vbytes])
+                if not hit:
+                    continue
+                vb = valids[i].as_py() or b""
+                if not vb:
+                    total += count_eq(ccodec, codes_p, n, np.int64,
+                                      hit[0])
+                    continue
+                cv = codec_decode(ccodec, codes_p, n, np.int64)
+                valid = np.unpackbits(
+                    np.frombuffer(vb, dtype=np.uint8), count=n,
+                    bitorder="little").astype(bool)
+                total += int(((cv == hit[0]) & valid).sum())
+                continue
             if not spec.startswith("str:"):
                 raise TypeError(
                     f"column {col!r}: not a string column ({spec})")
             _, lcodec, tcodec = spec.split(":", 2)
-            n = int(nrows[i])
-            if n == 0:
-                continue
             lp = memoryview(lens_payloads[i].as_buffer())
             # compressed-domain length prefilter: no row of the right
             # byte length -> the text payload is never decoded
@@ -1959,7 +2033,7 @@ def encoded_scan_where(enc_dir: str, expr: tuple, out_cols: list[str]):
             for c in out_cols:
                 if c in out_str:
                     spec, lp, tp = _chunk_str_col(batch, c, i)
-                    if not spec.startswith("str:"):
+                    if not spec.startswith(("str:", "sdict:")):
                         raise TypeError(
                             f"column {c!r}: only string and integer "
                             f"projections supported ({spec})")
