@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_prefix_stats": Q.encoded_prefix_stats,
         "encoded_minmax_stats": Q.encoded_minmax_stats,
         "encoded_scan_str_stats": Q.encoded_scan_str_stats,
+        "encoded_str_distinct_stats": Q.encoded_str_distinct_stats,
         "encoded_group_str_stats": Q.encoded_group_str_stats,
         "encoded_group_where_stats": Q.encoded_group_where_stats,
         "encoded_join_stats": Q.encoded_join_stats,
@@ -857,6 +858,16 @@ def oracle_sql() -> dict[str, str]:
         WHERE source NOT LIKE 'src1%'
           AND doc_id BETWEEN 0 AND 10000000
         ORDER BY "case"
+    """
+
+    sql["encoded_str_distinct_stats"] = """
+        SELECT 'lang' AS col,
+               cast(count(DISTINCT lang) AS bigint) AS n_distinct
+        FROM documents
+        UNION ALL
+        SELECT 'source', cast(count(DISTINCT source) AS bigint)
+        FROM documents
+        ORDER BY col
     """
 
     sql["encoded_scan_str_stats"] = """

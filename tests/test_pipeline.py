@@ -2348,3 +2348,41 @@ def test_sdict_high_cardinality_stays_plain(ray_session, tmp_path):
     back = decode_table_columns(
         ray.data.read_parquet(out_dir), ["t"]).to_pandas()
     assert sorted(back["t"]) == sorted(df["t"])
+
+
+def test_encoded_str_distinct(ray_session, tmp_path):
+    """Exact COUNT(DISTINCT) over string columns: sdict chunks answer
+    from the dictionary header alone (code/text streams untouched),
+    plain chunks decode + dedup locally, NULL slots are excluded."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_str_distinct)
+
+    rng = np.random.default_rng(97)
+    n = 20000
+    df = pd.DataFrame({
+        "src": rng.choice(["src0", "src1", "src10", "src15",
+                           "other", ""], n),
+        "t": [f"u{i % 3000}" for i in range(n)],  # >256/chunk: plain
+    })
+    out_dir = str(tmp_path / "sdist")
+    encode_table_columns(ray.data.from_pandas(df), ["src", "t"],
+                         batch_size=1024).write_parquet(out_dir)
+
+    d, ctr = encoded_str_distinct(out_dir, "src")
+    assert d["n_distinct"].iloc[0] == df["src"].nunique()
+    assert ctr["chunks_header_only"] == ctr["chunks_total"]
+
+    d, ctr = encoded_str_distinct(out_dir, "t")
+    assert d["n_distinct"].iloc[0] == df["t"].nunique()
+    assert ctr["chunks_header_only"] == 0
+
+    df2 = pd.DataFrame({
+        "s": pd.array(["a", None, "bb", "a"] * 250, dtype="string")})
+    enc2 = str(tmp_path / "sdist_null")
+    encode_table_columns(ray.data.from_pandas(df2), ["s"],
+                         batch_size=256).write_parquet(enc2)
+    d, _ = encoded_str_distinct(enc2, "s")
+    assert d["n_distinct"].iloc[0] == 2     # NULL excluded

@@ -2814,6 +2814,39 @@ def encoded_prefix_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("case").reset_index(drop=True)
 
 
+def encoded_str_distinct_stats(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT) over STRING columns in the compressed
+    domain (:func:`encoded_str_distinct`): low-cardinality chunks
+    encode as string DICTIONARIES (sdict), whose header is exactly
+    the chunk's present-value set — so distinct counting reads the
+    dictionary headers alone and the code/text streams never decode.
+    The exchange carries per-chunk distinct sets, never rows."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_str_distinct)
+
+    cols = ["lang", "source"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "str_distinct")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "documents", columns=cols)
+    encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
+
+    rows = []
+    for col in cols:
+        df, counters = encoded_str_distinct(enc_dir, col)
+        assert counters["chunks_header_only"] > 0, \
+            f"{col}: dictionary headers never answered: {counters}"
+        rows.append({"col": col,
+                     "n_distinct": int(df["n_distinct"].iloc[0])})
+    out = pd.DataFrame(rows)
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out.sort_values("col").reset_index(drop=True)
+
+
 def encoded_scan_str_stats(sf_dir: str) -> pd.DataFrame:
     """Late-materialized row retrieval with STRING projections:
     ``SELECT lang, n_chars WHERE source LIKE 'src1%' AND doc_id <= m``

@@ -1804,6 +1804,90 @@ def encoded_filtered_group_agg(enc_dir: str, group_col: str, expr: tuple,
     return df, counters
 
 
+def encoded_str_distinct(enc_dir: str, col: str):
+    """Exact DISTINCT over a STRING column of a table-encode directory
+    — the string sibling of :func:`encoded_distinct_count`.  ``sdict``
+    chunks answer from the dictionary HEADER alone (the distinct set
+    rides ahead of the code stream and contains exactly the present
+    values — the code stream never decodes); plain ``str`` chunks
+    decode and dedup locally.  The exchange carries per-chunk distinct
+    value sets (cardinality-bounded), never rows.  Null slots are
+    excluded (SQL ``COUNT(DISTINCT col)`` ignores NULLs).  Returns
+    ``(DataFrame(n_distinct), counters)``."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from tokrle.codecs.core import (_mask_to_runs, _sdict_distinct_array,
+                                    gather_str_runs, sdict_unpack)
+
+    need = ["n_rows"] + [f"{col}__{p}"
+                         for p in ("codec", "payload", "lens_payload",
+                                   "valid")]
+    n_total = _n_chunks(enc_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        codecs = batch.column(f"{col}__codec").to_pylist()
+        out_vals: list = []
+        header_only = 0
+        for i, spec in enumerate(codecs):
+            n = int(nrows[i])
+            if n == 0:
+                continue
+            if not spec.startswith(("str:", "sdict:")):
+                raise TypeError(
+                    f"column {col!r}: not a string column ({spec})")
+            vb = batch.column(f"{col}__valid")[i].as_py() or b""
+            lp = memoryview(
+                batch.column(f"{col}__lens_payload")[i].as_buffer())
+            tp = memoryview(
+                batch.column(f"{col}__payload")[i].as_buffer())
+            if spec.startswith("sdict:") and not vb:
+                # header-only: the dictionary IS the present-value set
+                # (dictionary_encode emits exactly the values that
+                # occur) — the code stream never decodes
+                _, _, dlens, dbytes = sdict_unpack(spec, tp)
+                out_vals.append(_sdict_distinct_array(dlens, dbytes))
+                header_only += 1
+                continue
+            if vb:     # null slots excluded: COUNT(DISTINCT) skips NULL
+                valid = np.unpackbits(
+                    np.frombuffer(vb, dtype=np.uint8), count=n,
+                    bitorder="little").astype(bool)
+                runs = _mask_to_runs(valid)
+            else:
+                runs = (np.zeros(1, np.int64), np.full(1, n, np.int64))
+            arr = gather_str_runs(spec, lp, tp, n, *runs)
+            out_vals.append(pc.unique(arr))
+        u = pc.unique(pa.concat_arrays(out_vals)) if out_vals else \
+            pa.array([], type=pa.large_utf8())
+        hdr = np.zeros(max(len(u), 1), np.int64)
+        hdr[0] = header_only
+        # the counter rides the value exchange (first slot; a sentinel
+        # row carries it when the batch yielded no values)
+        vals = u if len(u) else pa.array([""], type=pa.large_utf8())
+        kind = np.zeros(max(len(u), 1), np.int64)
+        if not len(u):
+            kind[0] = 1
+        return pa.table({"v": vals,
+                         "kind": pa.array(kind),
+                         "hdr": pa.array(hdr)})
+
+    ds = ray.data.read_parquet(enc_dir, columns=need)
+    flat = ds.map_batches(partial, batch_format="pyarrow")
+    agg = flat.groupby(["kind", "v"]).aggregate(
+        Count(alias_name="_c"),
+        Sum("hdr", alias_name="hdr")).to_pandas()
+    real = agg[agg["kind"] == 0]
+    counters = {"chunks_total": n_total,
+                "chunks_header_only": int(agg["hdr"].sum()),
+                "chunks_decoded": n_total - int(agg["hdr"].sum())}
+    return (pd.DataFrame({"n_distinct": [int(len(real))]}),
+            counters)
+
+
 def encoded_group_by_str(enc_dir: str, group_col: str,
                          agg_cols: list[str], expr: tuple | None = None):
     """``SELECT group_col, count(*), sum(agg_cols...) [WHERE <predicate
