@@ -576,33 +576,42 @@ def pushdown() -> None:
                                     Sum("s", alias_name="s")).to_pandas()
         return len(g), int(g["n"].sum()), int(g["s"].sum())
 
+    # dimension covers ~20% of the key domain so membership pruning
+    # has something to prune; BOTH sides attach the dim attribute and
+    # fold per region so the work compared is the same join+aggregate
+    _dim_keys = np.arange(1, 21)
+
     def enc_lookup_join():
         import pandas as pd
         from ray.data.aggregate import Count, Sum
-        dim = pd.DataFrame({"k": np.arange(1, 201),
-                            "region": np.arange(1, 201) % 5})
+        dim = pd.DataFrame({"k": _dim_keys,
+                            "region": _dim_keys % 5})
         j = encoded_lookup_join(enc_dir, "l_suppkey", dim, "k",
                                 ["region"], ["l_orderkey"])
         row = j.groupby("region").aggregate(
             Count(alias_name="n"),
             Sum("l_orderkey", alias_name="s")).to_pandas()
-        return (int(row["n"].sum()), int(row["s"].sum()))
+        return (len(row), int(row["n"].sum()), int(row["s"].sum()))
 
     def naive_lookup_join():
-        from ray.data.aggregate import Sum
+        from ray.data.aggregate import Count, Sum
+
+        lo, hi = int(_dim_keys.min()), int(_dim_keys.max())
 
         def f(t: pa.Table) -> pa.Table:
             k = t.column("l_suppkey").to_numpy(zero_copy_only=False)
             v = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-            m = (k >= 1) & (k <= 200)
+            m = (k >= lo) & (k <= hi)
             return pa.table({
-                "n": pa.array([int(m.sum())]),
-                "s": pa.array([int(v[m].sum())]),
+                "region": pa.array((k[m] % 5).astype(np.int64)),
+                "l_orderkey": pa.array(v[m]),
             })
         row = decoded().select_columns(["l_suppkey", "l_orderkey"]) \
             .map_batches(f, batch_format="pyarrow") \
-            .aggregate(Sum("n"), Sum("s"))
-        return (int(row["sum(n)"]), int(row["sum(s)"]))
+            .groupby("region").aggregate(
+                Count(alias_name="n"),
+                Sum("l_orderkey", alias_name="s")).to_pandas()
+        return (len(row), int(row["n"].sum()), int(row["s"].sum()))
 
     def enc_where_str():
         df, _ = encoded_boolean_agg(
