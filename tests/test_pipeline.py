@@ -2386,3 +2386,56 @@ def test_encoded_str_distinct(ray_session, tmp_path):
                          batch_size=256).write_parquet(enc2)
     d, _ = encoded_str_distinct(enc2, "s")
     assert d["n_distinct"].iloc[0] == 2     # NULL excluded
+
+
+def test_string_zone_maps_prune(ray_session, tmp_path):
+    """String zone maps (__smin/__smax): a layout clustered by the
+    string column skips non-overlapping chunks at the Parquet read for
+    eq_str / prefix_str / in_str leaves, and pruning is conservative
+    (exact answers on unsorted data too)."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_agg)
+
+    rng = np.random.default_rng(101)
+    n = 40000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 50, n).astype(np.int64),
+        "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        "src": np.sort(rng.choice(
+            ["alpha", "beta", "src0", "src1", "src10", "src15",
+             "zeta"], n)),
+    })
+    out_dir = str(tmp_path / "szone")
+    encode_table_columns(ray.data.from_pandas(df), ["k", "v", "src"],
+                         batch_size=1024).write_parquet(out_dir)
+
+    got, ctr = encoded_boolean_agg(out_dir, ("eq_str", "src", "beta"),
+                                   ["v"])
+    sel = df[df["src"] == "beta"]
+    assert got.loc[0, "n_match"] == len(sel)
+    assert got.loc[0, "sum_v"] == int(sel["v"].sum())
+    assert ctr["chunks_skipped"] > 0, ctr
+
+    got, ctr = encoded_boolean_agg(
+        out_dir, ("prefix_str", "src", "src1"), ["v"])
+    sel = df[df["src"].str.startswith("src1")]
+    assert got.loc[0, "n_match"] == len(sel)
+    assert ctr["chunks_skipped"] > 0, ctr
+
+    # conservativeness fuzz on UNSORTED data: answers stay exact
+    df2 = df.assign(src=rng.permutation(df["src"].values))
+    enc2 = str(tmp_path / "szone_fuzz")
+    encode_table_columns(ray.data.from_pandas(df2), ["k", "v", "src"],
+                         batch_size=512).write_parquet(enc2)
+    for expr, mk in (
+            (("eq_str", "src", "src10"), df2["src"] == "src10"),
+            (("prefix_str", "src", "src"),
+             df2["src"].str.startswith("src")),
+            (("in_str", "src", ["beta", "src15"]),
+             df2["src"].isin(["beta", "src15"]))):
+        got, _ = encoded_boolean_agg(enc2, expr, ["v"])
+        assert got.loc[0, "n_match"] == int(mk.sum()), expr
+        assert got.loc[0, "sum_v"] == int(df2.loc[mk, "v"].sum()), expr

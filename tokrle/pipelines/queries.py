@@ -2790,7 +2790,9 @@ def encoded_prefix_stats(sf_dir: str) -> pd.DataFrame:
                            sf_dir.strip("/").replace("/", "_"),
                            "prefix_str")
     shutil.rmtree(enc_dir, ignore_errors=True)
-    ds = _read(sf_dir, "documents", columns=cols).sort("doc_id")
+    # clustered BY THE STRING so the string zone maps (__smin/__smax)
+    # prune whole chunks at the Parquet read
+    ds = _read(sf_dir, "documents", columns=cols).sort("source")
     encode_table_columns(ds, cols, batch_size=256).write_parquet(enc_dir)
 
     cases = [
@@ -2805,6 +2807,9 @@ def encoded_prefix_stats(sf_dir: str) -> pd.DataFrame:
     rows = []
     for name, expr in cases:
         df, counters = encoded_boolean_agg(enc_dir, expr, ["n_chars"])
+        if name == "prefix_src1" and counters["chunks_total"] > 16:
+            assert counters["chunks_skipped"] > 0, \
+                f"string zone maps never pruned: {counters}"
         rows.append({"case": name,
                      "n_match": int(df["n_match"].iloc[0]),
                      "sum_n_chars": int(df["sum_n_chars"].iloc[0])})

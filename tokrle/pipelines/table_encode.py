@@ -142,6 +142,24 @@ def encode_table_columns(ds, columns: list[str], *,
                 lens, data = _string_buffers(col)
                 lcodec, lpayload, lprof = auto_encode(lens)
                 raw_bytes += lens.sum() + len(batch) * 4   # data + offsets
+                # string zone map: chunk min/max values (UTF-8 byte
+                # order == code-point order, so pyarrow footer-filter
+                # comparisons agree with Python's).  eq/in/prefix
+                # leaves push a conservative overlap test into the
+                # Parquet read — clustered-by-string layouts skip
+                # non-overlapping chunks without touching payloads.
+                # Null slots were canonicalized to '' above, which only
+                # widens the window (never unsound).
+                if len(batch):
+                    import pyarrow.compute as pc
+                    mm = pc.min_max(col)
+                    out[f"{c}__smin"] = pa.array(
+                        [mm["min"].as_py()], type=pa.string())
+                    out[f"{c}__smax"] = pa.array(
+                        [mm["max"].as_py()], type=pa.string())
+                else:
+                    out[f"{c}__smin"] = pa.array([""], type=pa.string())
+                    out[f"{c}__smax"] = pa.array([""], type=pa.string())
                 # low-cardinality chunks take the STRING-DICTIONARY
                 # form: distinct set + integer code stream.  Predicates
                 # then evaluate on codes (match_eq/match_in — no text
@@ -1417,10 +1435,29 @@ def _expr_zone_filter(e):
     if e[0] == "not":
         return None
     if e[0] in _STR_LEAVES:
-        # string columns carry no zone map; their compressed-domain
-        # prune is the lengths-stream prefilter inside match_eq_str /
-        # match_prefix_str
-        return None
+        # string zone maps (__smin/__smax, chunk min/max values):
+        # conservative overlap tests per leaf kind.  UTF-8 byte order
+        # equals code-point order, so the pyarrow comparisons agree
+        # with the evaluator's byte-compare semantics.
+        col = e[1]
+        smin = pc.field(f"{col}__smin")
+        smax = pc.field(f"{col}__smax")
+        if e[0] == "eq_str":
+            return (smin <= e[2]) & (smax >= e[2])
+        if e[0] == "in_str":
+            vals = sorted(dict.fromkeys(e[2]))
+            if not vals:
+                return pc.field("n_rows") < 0   # empty set: always false
+            # conservative [min, max] window of the set
+            return (smin <= vals[-1]) & (smax >= vals[0])
+        p = e[2]                                # prefix_str
+        if not p:
+            return None                         # '' prefixes everything
+        # a chunk may contain a p-prefixed value iff smax >= p and
+        # smin < successor(p); smin < successor(p) <=> smin <= p OR
+        # smin itself starts with p
+        return (smax >= p) & ((smin <= p)
+                              | pc.starts_with(smin, pattern=p))
     col, lo, hi = _expr_leaf_bounds(e)
     return (pc.field(f"{col}__vmin") <= hi) & \
         (pc.field(f"{col}__vmax") >= lo)
