@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_minmax_stats": Q.encoded_minmax_stats,
         "encoded_scan_str_stats": Q.encoded_scan_str_stats,
         "encoded_str_distinct_stats": Q.encoded_str_distinct_stats,
+        "encoded_str_minmax_stats": Q.encoded_str_minmax_stats,
         "encoded_group_str_stats": Q.encoded_group_str_stats,
         "encoded_group_where_stats": Q.encoded_group_where_stats,
         "encoded_join_stats": Q.encoded_join_stats,
@@ -858,6 +859,14 @@ def oracle_sql() -> dict[str, str]:
         WHERE source NOT LIKE 'src1%'
           AND doc_id BETWEEN 0 AND 10000000
         ORDER BY "case"
+    """
+
+    sql["encoded_str_minmax_stats"] = """
+        SELECT 'lang' AS col, min(lang) AS vmin, max(lang) AS vmax
+        FROM documents
+        UNION ALL
+        SELECT 'source', min(source), max(source) FROM documents
+        ORDER BY col
     """
 
     sql["encoded_str_distinct_stats"] = """

@@ -2439,3 +2439,36 @@ def test_string_zone_maps_prune(ray_session, tmp_path):
         got, _ = encoded_boolean_agg(enc2, expr, ["v"])
         assert got.loc[0, "n_match"] == int(mk.sum()), expr
         assert got.loc[0, "sum_v"] == int(df2.loc[mk, "v"].sum()), expr
+
+
+def test_encoded_str_minmax(ray_session, tmp_path):
+    """String MIN/MAX from zone maps alone (non-null chunks read two
+    short metadata fields, payloads untouched); nullable chunks decode
+    valid rows only so '' null-slots never corrupt the minimum."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_str_minmax)
+
+    rng = np.random.default_rng(103)
+    df = pd.DataFrame({"src": rng.choice(
+        ["alpha", "beta", "src0", "src15", "zeta"], 20000)})
+    out_dir = str(tmp_path / "sminmax")
+    encode_table_columns(ray.data.from_pandas(df), ["src"],
+                         batch_size=1024).write_parquet(out_dir)
+    d, ctr = encoded_str_minmax(out_dir, "src")
+    assert d["min_src"].iloc[0] == df["src"].min()
+    assert d["max_src"].iloc[0] == df["src"].max()
+    assert ctr["chunks_metadata_only"] == ctr["chunks_total"]
+    assert ctr["chunks_decoded"] == 0
+
+    df2 = pd.DataFrame({
+        "s": pd.array(["m", None, "bb", "zz"] * 250, dtype="string")})
+    enc2 = str(tmp_path / "sminmax_null")
+    encode_table_columns(ray.data.from_pandas(df2), ["s"],
+                         batch_size=256).write_parquet(enc2)
+    d, ctr = encoded_str_minmax(enc2, "s")
+    assert d["min_s"].iloc[0] == "bb"     # NULL ('' slot) skipped
+    assert d["max_s"].iloc[0] == "zz"
+    assert ctr["chunks_decoded"] > 0

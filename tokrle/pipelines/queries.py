@@ -2852,6 +2852,37 @@ def encoded_str_distinct_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("col").reset_index(drop=True)
 
 
+def encoded_str_minmax_stats(sf_dir: str) -> pd.DataFrame:
+    """MIN/MAX of STRING columns answered from the string ZONE MAPS
+    alone (:func:`encoded_str_minmax`): the scan reads two short
+    string fields per chunk — payloads never leave storage (the
+    non-null case; nullable chunks would decode their valid rows)."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_str_minmax)
+
+    cols = ["lang", "source"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "str_minmax")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "documents", columns=cols)
+    encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
+
+    rows = []
+    for col in cols:
+        df, counters = encoded_str_minmax(enc_dir, col)
+        assert counters["chunks_metadata_only"] == \
+            counters["chunks_total"], counters
+        rows.append({"col": col,
+                     "vmin": str(df[f"min_{col}"].iloc[0]),
+                     "vmax": str(df[f"max_{col}"].iloc[0])})
+    return (pd.DataFrame(rows).sort_values("col")
+            .reset_index(drop=True))
+
+
 def encoded_scan_str_stats(sf_dir: str) -> pd.DataFrame:
     """Late-materialized row retrieval with STRING projections:
     ``SELECT lang, n_chars WHERE source LIKE 'src1%' AND doc_id <= m``

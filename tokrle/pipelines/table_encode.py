@@ -1925,6 +1925,97 @@ def encoded_str_distinct(enc_dir: str, col: str):
             counters)
 
 
+def encoded_str_minmax(enc_dir: str, col: str):
+    """``SELECT min(col), max(col)`` over a STRING column — answered
+    from the string ZONE MAPS alone (``__smin``/``__smax``, recorded at
+    encode time): the scan reads two short string fields per chunk and
+    folds; payloads never leave storage.  NOTE: chunks whose validity
+    bitmap is non-empty fall back to a decode of that chunk (null
+    slots canonicalize to ``''`` at encode, which would corrupt the
+    metadata min — SQL min/max skip NULLs).  Returns
+    ``(DataFrame(min_<col>, max_<col>), counters)``."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from tokrle.codecs.core import _mask_to_runs, gather_str_runs
+
+    n_total = _n_chunks(enc_dir)
+    nullable = pc.binary_length(pc.field(f"{col}__valid")) > 0
+
+    def meta_fold(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        keep = nrows > 0
+        smin = pa.array(batch.column(f"{col}__smin").to_pandas()[keep])
+        smax = pa.array(batch.column(f"{col}__smax").to_pandas()[keep])
+        has = len(smin) > 0
+        return pa.table({
+            "mn": pa.array(
+                [pc.min_max(smin)["min"].as_py() if has else ""],
+                type=pa.large_utf8()),
+            "mx": pa.array(
+                [pc.min_max(smax)["max"].as_py() if has else ""],
+                type=pa.large_utf8()),
+            "has": pa.array([int(has)], type=pa.int64()),
+            "meta": pa.array([int(keep.sum())], type=pa.int64()),
+            "dec": pa.array([0], type=pa.int64())})
+
+    def decode_fold(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        mn, mx, decoded = None, None, 0
+        for i in range(len(batch)):
+            n = int(nrows[i])
+            if n == 0:
+                continue
+            vb = batch.column(f"{col}__valid")[i].as_py() or b""
+            valid = np.unpackbits(
+                np.frombuffer(vb, dtype=np.uint8), count=n,
+                bitorder="little").astype(bool)
+            if not valid.any():   # all-NULL chunk contributes nothing
+                continue
+            decoded += 1
+            spec = batch.column(f"{col}__codec")[i].as_py()
+            lp = memoryview(
+                batch.column(f"{col}__lens_payload")[i].as_buffer())
+            tp = memoryview(
+                batch.column(f"{col}__payload")[i].as_buffer())
+            arr = gather_str_runs(spec, lp, tp, n,
+                                  *_mask_to_runs(valid))
+            mm = pc.min_max(arr)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            mn = lo if mn is None or lo < mn else mn
+            mx = hi if mx is None or hi > mx else mx
+        has = mn is not None
+        return pa.table({
+            "mn": pa.array([mn if has else ""], type=pa.large_utf8()),
+            "mx": pa.array([mx if has else ""], type=pa.large_utf8()),
+            "has": pa.array([int(has)], type=pa.int64()),
+            "meta": pa.array([0], type=pa.int64()),
+            "dec": pa.array([decoded], type=pa.int64())})
+
+    # metadata pass: two short string fields per NON-NULL chunk —
+    # payloads never leave storage
+    meta_ds = ray.data.read_parquet(
+        enc_dir, columns=["n_rows", f"{col}__smin", f"{col}__smax"],
+        filter=~nullable).map_batches(meta_fold, batch_format="pyarrow")
+    # nullable chunks (rare) decode their valid rows only
+    dec_ds = ray.data.read_parquet(
+        enc_dir, columns=["n_rows", f"{col}__codec", f"{col}__payload",
+                          f"{col}__lens_payload", f"{col}__valid"],
+        filter=nullable).map_batches(decode_fold, batch_format="pyarrow")
+    df = meta_ds.union(dec_ds).to_pandas()
+    real = df[df["has"] > 0]
+    counters = {"chunks_total": n_total,
+                "chunks_metadata_only": int(df["meta"].sum()),
+                "chunks_decoded": int(df["dec"].sum())}
+    if real.empty:
+        return (pd.DataFrame({f"min_{col}": [None],
+                              f"max_{col}": [None]}), counters)
+    return (pd.DataFrame({f"min_{col}": [str(real["mn"].min())],
+                          f"max_{col}": [str(real["mx"].max())]}),
+            counters)
+
+
 def encoded_group_by_str(enc_dir: str, group_col: str,
                          agg_cols: list[str], expr: tuple | None = None):
     """``SELECT group_col, count(*), sum(agg_cols...) [WHERE <predicate
