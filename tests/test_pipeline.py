@@ -2472,3 +2472,37 @@ def test_encoded_str_minmax(ray_session, tmp_path):
     assert d["min_s"].iloc[0] == "bb"     # NULL ('' slot) skipped
     assert d["max_s"].iloc[0] == "zz"
     assert ctr["chunks_decoded"] > 0
+
+
+def test_encoded_lookup_join_string_projection(ray_session, tmp_path):
+    """Fact-side string projections in the broadcast lookup join:
+    selected rows' strings late-materialize (gather_str_runs /
+    dictionary takes) alongside the integer key and dim attributes,
+    exact row multiset vs pandas under a string residual predicate."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_lookup_join)
+
+    rng = np.random.default_rng(107)
+    n = 20000
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 50, n)).astype(np.int64),
+        "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        "src": rng.choice(["src0", "src1", "other", ""], n),
+    })
+    out_dir = str(tmp_path / "join_str")
+    encode_table_columns(ray.data.from_pandas(df), ["k", "v", "src"],
+                         batch_size=1024).write_parquet(out_dir)
+    dim = pd.DataFrame({"dk": [5, 6, 7], "name": [50, 60, 70]})
+    j = encoded_lookup_join(
+        out_dir, "k", dim, "dk", ["name"], ["src", "v"],
+        expr=("not", ("eq_str", "src", "other"))).to_pandas()
+    ej = df[df["k"].isin([5, 6, 7]) & (df["src"] != "other")]
+    a = sorted(map(tuple, j[["k", "v", "src"]]
+                   .itertuples(index=False)))
+    b = sorted(map(tuple, ej[["k", "v", "src"]]
+                   .itertuples(index=False)))
+    assert a == b
+    assert (j["name"] == j["k"] * 10).all()

@@ -2304,12 +2304,18 @@ def encoded_lookup_join(enc_dir: str, key_col: str, dim, dim_key: str,
 
     Returns a lazy ``ray.data.Dataset`` of joined rows (``key_col`` +
     ``out_cols`` from the fact side, ``dim_cols`` from the dimension).
-    Dimension keys must be unique; fact columns integer-only; nullable
-    chunks raise."""
+    Dimension keys must be unique; fact out columns may be integer OR
+    string (string projections late-materialize via
+    :func:`tokrle.codecs.core.gather_str_runs`); nullable chunks
+    raise."""
+    import glob
+    import os
+
+    import pyarrow.parquet as _pq
     import ray.data
 
     from tokrle.codecs.core import decode as codec_decode
-    from tokrle.codecs.core import gather_runs
+    from tokrle.codecs.core import gather_runs, gather_str_runs
 
     keys = np.asarray(dim[dim_key], dtype=np.int64)
     if len(np.unique(keys)) != len(keys):
@@ -2330,13 +2336,26 @@ def encoded_lookup_join(enc_dir: str, key_col: str, dim, dim_key: str,
     pred_cols = _expr_pred_cols(join_expr)
     str_cols = _expr_str_cols(join_expr)
     fact_cols = list(dict.fromkeys([key_col] + list(out_cols)))
+    # footer-schema probe (no data read): fact columns with a
+    # __lens_payload field are string projections
+    files = sorted(glob.glob(os.path.join(enc_dir, "**", "*.parquet"),
+                             recursive=True))
+    fields = set(_pq.ParquetFile(files[0]).schema_arrow.names) \
+        if files else set()
+    out_str = [c for c in fact_cols if f"{c}__lens_payload" in fields]
+    if key_col in out_str:
+        raise TypeError(f"join key {key_col!r} must be an integer "
+                        "column")
     need = ["n_rows"] + [f"{c}__{p}" for c in pred_cols
                          for p in ("vmin", "vmax")] + [
         f"{c}__{p}"
         for c in dict.fromkeys(pred_cols + fact_cols)
         for p in ("codec", "payload", "dtype", "valid")] + [
-        f"{c}__{p}" for c in str_cols
-        for p in ("codec", "payload", "lens_payload", "valid")]
+        f"{c}__lens_payload"
+        for c in dict.fromkeys(str_cols + out_str)] + [
+        f"{c}__{p}" for c in str_cols if c not in fact_cols
+        for p in ("codec", "payload", "valid")]
+    need = list(dict.fromkeys(need))
 
     def _chunk_col(batch, c, i):
         if len(batch.column(f"{c}__valid")[i].as_py() or b""):
@@ -2361,20 +2380,29 @@ def encoded_lookup_join(enc_dir: str, key_col: str, dim, dim_key: str,
                              lambda col, j: _chunk_col(batch, col, j),
                              lambda col, j: _chunk_str_col(batch, col, j))
             if isinstance(sel, str):
-                for c in fact_cols:
-                    codec, payload, dt = _chunk_col(batch, c, i)
-                    parts[c].append(codec_decode(codec, payload, n, dt))
+                runs = (np.zeros(1, np.int64), np.full(1, n, np.int64))
             elif len(sel[0]):
-                for c in fact_cols:
-                    codec, payload, dt = _chunk_col(batch, c, i)
-                    parts[c].append(gather_runs(codec, payload, n, dt,
-                                                *sel))
+                runs = sel
             else:
                 continue
+            for c in fact_cols:
+                if c in out_str:
+                    spec, lp, tp = _chunk_str_col(batch, c, i)
+                    parts[c].append(gather_str_runs(spec, lp, tp, n,
+                                                    *runs))
+                    continue
+                codec, payload, dt = _chunk_col(batch, c, i)
+                parts[c].append(
+                    codec_decode(codec, payload, n, dt)
+                    if isinstance(sel, str)
+                    else gather_runs(codec, payload, n, dt, *runs))
             key_parts.append(parts[key_col][-1].astype(np.int64))
         out = {}
         for c in fact_cols:
-            if parts[c]:
+            if c in out_str:
+                out[c] = pa.concat_arrays(parts[c]) if parts[c] else \
+                    pa.array([], type=pa.large_utf8())
+            elif parts[c]:
                 out[c] = pa.array(np.concatenate(parts[c]))
             else:
                 dt = np.dtype(batch.column(f"{c}__dtype")[0].as_py()) \
