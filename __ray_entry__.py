@@ -890,18 +890,25 @@ def oracle_sql() -> dict[str, str]:
 
     sql["encoded_group_str_stats"] = """
         SELECT * FROM (
-            SELECT 'by_lang' AS which, lang AS grp,
+            SELECT 'by_lang' AS which, lang AS grp, '' AS grp2,
                    cast(count(*) AS bigint)     AS n,
                    cast(sum(n_chars) AS bigint) AS sum_n_chars
             FROM documents GROUP BY lang
             UNION ALL
-            SELECT 'by_source_filtered', source,
+            SELECT 'by_source_filtered', source, '',
                    cast(count(*) AS bigint),
                    cast(sum(n_chars) AS bigint)
             FROM documents
             WHERE lang = 'en' AND source NOT LIKE 'src1%'
             GROUP BY source
-        ) ORDER BY which, grp
+            UNION ALL
+            SELECT 'by_lang_source', lang, source,
+                   cast(count(*) AS bigint),
+                   cast(sum(n_chars) AS bigint)
+            FROM documents
+            WHERE source LIKE 'src1%'
+            GROUP BY lang, source
+        ) ORDER BY which, grp, grp2
     """
 
     sql["encoded_join_stats"] = """

@@ -2506,3 +2506,45 @@ def test_encoded_lookup_join_string_projection(ray_session, tmp_path):
                    .itertuples(index=False)))
     assert a == b
     assert (j["name"] == j["k"] * 10).all()
+
+
+def test_encoded_group_by_str_composite(ray_session, tmp_path):
+    """Composite string grouping (GROUP BY two string columns) under a
+    mixed predicate tree: exact group tuples/counts/sums vs pandas."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_group_by_str)
+
+    rng = np.random.default_rng(109)
+    n = 20000
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 50, n)).astype(np.int64),
+        "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        "lang": rng.choice(["en", "de", "fr"], n),
+        "src": rng.choice(["src0", "src1", "other"], n),
+    })
+    out_dir = str(tmp_path / "gmulti")
+    encode_table_columns(ray.data.from_pandas(df),
+                         ["k", "v", "lang", "src"],
+                         batch_size=1024).write_parquet(out_dir)
+
+    gdf, _ = encoded_group_by_str(out_dir, ["lang", "src"], ["v"])
+    eg = (df.groupby(["lang", "src"])
+          .agg(n=("v", "size"), sum_v=("v", "sum")).reset_index()
+          .sort_values(["lang", "src"]).reset_index(drop=True))
+    assert list(map(tuple, gdf[["lang", "src"]]
+                    .itertuples(index=False))) == \
+        list(map(tuple, eg[["lang", "src"]].itertuples(index=False)))
+    assert list(gdf["n"]) == list(eg["n"])
+    assert list(gdf["sum_v"]) == list(eg["sum_v"])
+
+    expr = ("and", ("range", "k", 10, 40), ("eq_str", "lang", "en"))
+    m = df["k"].between(10, 40) & (df["lang"] == "en")
+    gdf, _ = encoded_group_by_str(out_dir, ["lang", "src"], ["v"],
+                                  expr=expr)
+    eg = (df[m].groupby(["lang", "src"])
+          .agg(n=("v", "size"), sum_v=("v", "sum")).reset_index())
+    assert list(gdf["n"]) == list(eg["n"])
+    assert list(gdf["sum_v"]) == list(eg["sum_v"])

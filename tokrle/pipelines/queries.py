@@ -2946,17 +2946,25 @@ def encoded_group_str_stats(sf_dir: str) -> pd.DataFrame:
             ("by_lang", "lang", None),
             ("by_source_filtered", "source",
              ("and", ("eq_str", "lang", "en"),
-              ("not", ("prefix_str", "source", "src1"))))):
+              ("not", ("prefix_str", "source", "src1")))),
+            ("by_lang_source", ["lang", "source"],
+             ("prefix_str", "source", "src1"))):
         df, counters = encoded_group_by_str(enc_dir, group_col, ["n_chars"],
                                             expr=expr)
         assert counters["chunks_scanned"] > 0, counters
-        df = df.rename(columns={group_col: "grp"})
+        if isinstance(group_col, list):
+            df = df.rename(columns={group_col[0]: "grp",
+                                    group_col[1]: "grp2"})
+        else:
+            df = df.rename(columns={group_col: "grp"})
+            df.insert(1, "grp2", "")
         df.insert(0, "which", name)
         frames.append(df)
     out = pd.concat(frames, ignore_index=True)
     for c in ("n", "sum_n_chars"):
         out[c] = out[c].astype("int64")
-    return out.sort_values(["which", "grp"]).reset_index(drop=True)
+    return out.sort_values(["which", "grp", "grp2"]) \
+        .reset_index(drop=True)
 
 
 def encoded_join_stats(sf_dir: str) -> pd.DataFrame:

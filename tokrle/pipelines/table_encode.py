@@ -2016,20 +2016,22 @@ def encoded_str_minmax(enc_dir: str, col: str):
             counters)
 
 
-def encoded_group_by_str(enc_dir: str, group_col: str,
+def encoded_group_by_str(enc_dir: str, group_col,
                          agg_cols: list[str], expr: tuple | None = None):
-    """``SELECT group_col, count(*), sum(agg_cols...) [WHERE <predicate
-    tree>] GROUP BY group_col`` where the GROUP column is a STRING —
-    the string sibling of :func:`encoded_filtered_group_agg`.  The
-    predicate (integer and/or string leaves) evaluates to a selection
-    run-list per chunk; the group column late-materializes ONLY the
-    selected rows (:func:`tokrle.codecs.core.gather_str_runs` — one
-    lengths decode + one vectorized byte gather), integer agg columns
-    gather the same positions, and each batch folds to
-    (group string, count, partial sums) rows before the exchange — the
-    exchange carries per-batch distinct group values, never table
-    rows.  Returns ``(DataFrame, counters)`` sorted by group; nullable
-    chunks raise."""
+    """``SELECT group_col(s), count(*), sum(agg_cols...) [WHERE
+    <predicate tree>] GROUP BY group_col(s)`` where the GROUP
+    column(s) are STRINGS — the string sibling of
+    :func:`encoded_filtered_group_agg`.  ``group_col`` may be one
+    column name or a LIST (composite grouping, e.g. (lang, source)).
+    The predicate (integer and/or string leaves) evaluates to a
+    selection run-list per chunk; each group column late-materializes
+    ONLY the selected rows (:func:`tokrle.codecs.core.gather_str_runs`
+    — one lengths decode + one vectorized byte gather, or a dictionary
+    take on sdict chunks), integer agg columns gather the same
+    positions, and each batch folds to (group tuple, count, partial
+    sums) rows before the exchange — the exchange carries per-batch
+    distinct group tuples, never table rows.  Returns ``(DataFrame,
+    counters)`` sorted by the group columns; nullable chunks raise."""
     import pandas as pd
     import ray.data
     from ray.data.aggregate import Sum
@@ -2037,6 +2039,8 @@ def encoded_group_by_str(enc_dir: str, group_col: str,
     from tokrle.codecs.core import (decode as codec_decode,
                                     gather_runs, gather_str_runs)
 
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    gnames = [f"g{j}" for j in range(len(gcols))]
     pred_cols = _expr_pred_cols(expr) if expr is not None else []
     str_cols = _expr_str_cols(expr) if expr is not None else []
     n_total = _n_chunks(enc_dir)
@@ -2046,7 +2050,7 @@ def encoded_group_by_str(enc_dir: str, group_col: str,
         for c in dict.fromkeys(pred_cols + list(agg_cols))
         for p in ("codec", "payload", "dtype", "valid")] + [
         f"{c}__{p}"
-        for c in dict.fromkeys(str_cols + [group_col])
+        for c in dict.fromkeys(str_cols + gcols)
         for p in ("codec", "payload", "lens_payload", "valid")]
 
     def _chunk_col(batch, c, i):
@@ -2067,7 +2071,7 @@ def encoded_group_by_str(enc_dir: str, group_col: str,
             zero_copy_only=False) for c in pred_cols}
         zmax = {c: batch.column(f"{c}__vmax").to_numpy(
             zero_copy_only=False) for c in pred_cols}
-        grp_parts: list = []
+        grp_parts: dict = {g: [] for g in gcols}
         val_parts = {c: [] for c in agg_cols}
         n_all, n_run = 0, 0
         for i in range(len(batch)):
@@ -2088,32 +2092,37 @@ def encoded_group_by_str(enc_dir: str, group_col: str,
             n_run += not is_all
             runs = (np.zeros(1, np.int64),
                     np.full(1, n, np.int64)) if is_all else sel
-            spec, lp, tp = _chunk_str_col(batch, group_col, i)
-            grp_parts.append(gather_str_runs(spec, lp, tp, n, *runs))
+            for g in gcols:
+                spec, lp, tp = _chunk_str_col(batch, g, i)
+                grp_parts[g].append(gather_str_runs(spec, lp, tp, n,
+                                                    *runs))
             for c in agg_cols:
                 codec, payload, dt = _chunk_col(batch, c, i)
                 v = (codec_decode(codec, payload, n, dt) if is_all
                      else gather_runs(codec, payload, n, dt, *runs))
                 val_parts[c].append(v.astype(np.int64))
-        if grp_parts:
-            grp = pa.concat_arrays(grp_parts)
-            fold = pd.DataFrame({"grp": grp.to_pandas()})
+        if grp_parts[gcols[0]]:
+            fold = pd.DataFrame(
+                {nm: pa.concat_arrays(grp_parts[g]).to_pandas()
+                 for nm, g in zip(gnames, gcols)})
             for c in agg_cols:
                 fold[c] = np.concatenate(val_parts[c])
-            agg = fold.groupby("grp", sort=False).agg(
-                n=("grp", "size"),
+            agg = fold.groupby(gnames, sort=False).agg(
+                n=(gnames[0], "size"),
                 **{f"sum_{c}": (c, "sum") for c in agg_cols}) \
                 .reset_index()
         else:
-            agg = pd.DataFrame({"grp": pd.Series([], dtype=object),
+            agg = pd.DataFrame({**{nm: pd.Series([], dtype=object)
+                                   for nm in gnames},
                                 "n": pd.Series([], dtype="int64"),
                                 **{nm: pd.Series([], dtype="int64")
                                    for nm in sum_names}})
         k = len(agg)
-        out = {"kind": pa.array(np.r_[np.zeros(k, np.int64), [1]]),
-               "grp": pa.array(list(agg["grp"]) + [""],
-                               type=pa.large_utf8()),
-               "n": pa.array(np.r_[agg["n"].to_numpy(np.int64), [0]])}
+        out = {"kind": pa.array(np.r_[np.zeros(k, np.int64), [1]])}
+        for nm in gnames:
+            out[nm] = pa.array(list(agg[nm]) + [""],
+                               type=pa.large_utf8())
+        out["n"] = pa.array(np.r_[agg["n"].to_numpy(np.int64), [0]])
         for nm in sum_names:
             out[nm] = pa.array(np.r_[agg[nm].to_numpy(np.int64), [0]])
         for nm, val in zip(ctr_names, (len(batch), n_all, n_run)):
@@ -2128,9 +2137,10 @@ def encoded_group_by_str(enc_dir: str, group_col: str,
         [Sum(nm, alias_name=nm) for nm in sum_names] + \
         [Sum(nm, alias_name=nm) for nm in ctr_names]
     df = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["kind", "grp"]).aggregate(*aggs).to_pandas()
+        .groupby(["kind"] + gnames).aggregate(*aggs).to_pandas()
     if df.empty:
-        empty = pd.DataFrame({group_col: pd.Series([], dtype=object),
+        empty = pd.DataFrame({**{g: pd.Series([], dtype=object)
+                                 for g in gcols},
                               "n": pd.Series([], dtype="int64"),
                               **{nm: pd.Series([], dtype="int64")
                                  for nm in sum_names}})
@@ -2146,9 +2156,10 @@ def encoded_group_by_str(enc_dir: str, group_col: str,
                 "run_chunks": int(ctr["c_run"].sum())}
     df = df[(df["kind"] == 0) & (df["n"] > 0)] \
         .drop(columns=["kind"] + ctr_names) \
-        .rename(columns={"grp": group_col}) \
-        .sort_values(group_col).reset_index(drop=True)
-    df[group_col] = df[group_col].astype(str)
+        .rename(columns=dict(zip(gnames, gcols))) \
+        .sort_values(gcols).reset_index(drop=True)
+    for g in gcols:
+        df[g] = df[g].astype(str)
     for c in ["n"] + sum_names:
         df[c] = df[c].astype("int64")
     return df, counters
