@@ -2548,3 +2548,43 @@ def test_encoded_group_by_str_composite(ray_session, tmp_path):
           .agg(n=("v", "size"), sum_v=("v", "sum")).reset_index())
     assert list(gdf["n"]) == list(eg["n"])
     assert list(gdf["sum_v"]) == list(eg["sum_v"])
+
+
+def test_encoded_group_by_str_mixed_keys(ray_session, tmp_path):
+    """Composite grouping with MIXED string and integer key columns:
+    exact tuples/counts/sums vs pandas, with and without a predicate."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_group_by_str)
+
+    rng = np.random.default_rng(113)
+    n = 20000
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 5, n)).astype(np.int64),
+        "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        "lang": rng.choice(["en", "de", "fr"], n),
+    })
+    out_dir = str(tmp_path / "gmix")
+    encode_table_columns(ray.data.from_pandas(df), ["k", "v", "lang"],
+                         batch_size=1024).write_parquet(out_dir)
+
+    gdf, _ = encoded_group_by_str(out_dir, ["lang", "k"], ["v"])
+    eg = (df.groupby(["lang", "k"])
+          .agg(n=("v", "size"), sum_v=("v", "sum")).reset_index()
+          .sort_values(["lang", "k"]).reset_index(drop=True))
+    assert list(gdf["lang"]) == list(eg["lang"])
+    assert list(gdf["k"]) == list(eg["k"])
+    assert list(gdf["n"]) == list(eg["n"])
+    assert list(gdf["sum_v"]) == list(eg["sum_v"])
+
+    expr = ("and", ("range", "k", 1, 3),
+            ("not", ("eq_str", "lang", "fr")))
+    m = df["k"].between(1, 3) & (df["lang"] != "fr")
+    gdf, _ = encoded_group_by_str(out_dir, ["lang", "k"], ["v"],
+                                  expr=expr)
+    eg = (df[m].groupby(["lang", "k"])
+          .agg(n=("v", "size"), sum_v=("v", "sum")).reset_index())
+    assert list(gdf["n"]) == list(eg["n"])
+    assert list(gdf["sum_v"]) == list(eg["sum_v"])

@@ -2022,7 +2022,10 @@ def encoded_group_by_str(enc_dir: str, group_col,
     <predicate tree>] GROUP BY group_col(s)`` where the GROUP
     column(s) are STRINGS — the string sibling of
     :func:`encoded_filtered_group_agg`.  ``group_col`` may be one
-    column name or a LIST (composite grouping, e.g. (lang, source)).
+    column name or a LIST (composite grouping, e.g. (lang, source)),
+    and list entries may MIX string and integer columns (a footer
+    schema probe classifies them; integer keys gather through
+    gather_runs and ride the exchange as int64).
     The predicate (integer and/or string leaves) evaluates to a
     selection run-list per chunk; each group column late-materializes
     ONLY the selected rows (:func:`tokrle.codecs.core.gather_str_runs`
@@ -2039,19 +2042,32 @@ def encoded_group_by_str(enc_dir: str, group_col,
     from tokrle.codecs.core import (decode as codec_decode,
                                     gather_runs, gather_str_runs)
 
+    import glob
+    import os
+
+    import pyarrow.parquet as _pq
+
     gcols = [group_col] if isinstance(group_col, str) else list(group_col)
     gnames = [f"g{j}" for j in range(len(gcols))]
+    # footer-schema probe: group columns may mix strings and integers
+    files = sorted(glob.glob(os.path.join(enc_dir, "**", "*.parquet"),
+                             recursive=True))
+    fields = set(_pq.ParquetFile(files[0]).schema_arrow.names) \
+        if files else set()
+    g_str = {g for g in gcols if f"{g}__lens_payload" in fields}
+    g_int = [g for g in gcols if g not in g_str]
     pred_cols = _expr_pred_cols(expr) if expr is not None else []
     str_cols = _expr_str_cols(expr) if expr is not None else []
     n_total = _n_chunks(enc_dir)
     need = ["n_rows"] + [f"{c}__{p}" for c in pred_cols
                          for p in ("vmin", "vmax")] + [
         f"{c}__{p}"
-        for c in dict.fromkeys(pred_cols + list(agg_cols))
+        for c in dict.fromkeys(pred_cols + list(agg_cols) + g_int)
         for p in ("codec", "payload", "dtype", "valid")] + [
         f"{c}__{p}"
-        for c in dict.fromkeys(str_cols + gcols)
+        for c in dict.fromkeys(str_cols + sorted(g_str))
         for p in ("codec", "payload", "lens_payload", "valid")]
+    need = list(dict.fromkeys(need))
 
     def _chunk_col(batch, c, i):
         if len(batch.column(f"{c}__valid")[i].as_py() or b""):
@@ -2093,9 +2109,16 @@ def encoded_group_by_str(enc_dir: str, group_col,
             runs = (np.zeros(1, np.int64),
                     np.full(1, n, np.int64)) if is_all else sel
             for g in gcols:
-                spec, lp, tp = _chunk_str_col(batch, g, i)
-                grp_parts[g].append(gather_str_runs(spec, lp, tp, n,
-                                                    *runs))
+                if g in g_str:
+                    spec, lp, tp = _chunk_str_col(batch, g, i)
+                    grp_parts[g].append(
+                        gather_str_runs(spec, lp, tp, n, *runs))
+                else:
+                    codec, payload, dt = _chunk_col(batch, g, i)
+                    grp_parts[g].append(
+                        (codec_decode(codec, payload, n, dt) if is_all
+                         else gather_runs(codec, payload, n, dt,
+                                          *runs)).astype(np.int64))
             for c in agg_cols:
                 codec, payload, dt = _chunk_col(batch, c, i)
                 v = (codec_decode(codec, payload, n, dt) if is_all
@@ -2103,7 +2126,8 @@ def encoded_group_by_str(enc_dir: str, group_col,
                 val_parts[c].append(v.astype(np.int64))
         if grp_parts[gcols[0]]:
             fold = pd.DataFrame(
-                {nm: pa.concat_arrays(grp_parts[g]).to_pandas()
+                {nm: (pa.concat_arrays(grp_parts[g]).to_pandas()
+                      if g in g_str else np.concatenate(grp_parts[g]))
                  for nm, g in zip(gnames, gcols)})
             for c in agg_cols:
                 fold[c] = np.concatenate(val_parts[c])
@@ -2112,16 +2136,22 @@ def encoded_group_by_str(enc_dir: str, group_col,
                 **{f"sum_{c}": (c, "sum") for c in agg_cols}) \
                 .reset_index()
         else:
-            agg = pd.DataFrame({**{nm: pd.Series([], dtype=object)
-                                   for nm in gnames},
+            agg = pd.DataFrame({**{nm: pd.Series(
+                                       [], dtype=(object if g in g_str
+                                                  else "int64"))
+                                   for nm, g in zip(gnames, gcols)},
                                 "n": pd.Series([], dtype="int64"),
                                 **{nm: pd.Series([], dtype="int64")
                                    for nm in sum_names}})
         k = len(agg)
         out = {"kind": pa.array(np.r_[np.zeros(k, np.int64), [1]])}
-        for nm in gnames:
-            out[nm] = pa.array(list(agg[nm]) + [""],
-                               type=pa.large_utf8())
+        for nm, g in zip(gnames, gcols):
+            if g in g_str:
+                out[nm] = pa.array(list(agg[nm]) + [""],
+                                   type=pa.large_utf8())
+            else:
+                out[nm] = pa.array(np.r_[
+                    agg[nm].to_numpy(np.int64), [0]])
         out["n"] = pa.array(np.r_[agg["n"].to_numpy(np.int64), [0]])
         for nm in sum_names:
             out[nm] = pa.array(np.r_[agg[nm].to_numpy(np.int64), [0]])
@@ -2159,7 +2189,8 @@ def encoded_group_by_str(enc_dir: str, group_col,
         .rename(columns=dict(zip(gnames, gcols))) \
         .sort_values(gcols).reset_index(drop=True)
     for g in gcols:
-        df[g] = df[g].astype(str)
+        df[g] = df[g].astype(str) if g in g_str \
+            else df[g].astype("int64")
     for c in ["n"] + sum_names:
         df[c] = df[c].astype("int64")
     return df, counters
