@@ -876,6 +876,9 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'source', cast(count(DISTINCT source) AS bigint)
         FROM documents
+        UNION ALL
+        SELECT 'lang_where_src1', cast(count(DISTINCT lang) AS bigint)
+        FROM documents WHERE source LIKE 'src1%'
         ORDER BY col
     """
 

@@ -2588,3 +2588,41 @@ def test_encoded_group_by_str_mixed_keys(ray_session, tmp_path):
           .agg(n=("v", "size"), sum_v=("v", "sum")).reset_index())
     assert list(gdf["n"]) == list(eg["n"])
     assert list(gdf["sum_v"]) == list(eg["sum_v"])
+
+
+def test_encoded_str_distinct_filtered(ray_session, tmp_path):
+    """COUNT(DISTINCT string) under a predicate tree: selected sdict
+    chunks gather only codes and dedup those; header-only answers
+    remain for ALL-match chunks; fully-pruned predicates return 0."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_str_distinct)
+
+    rng = np.random.default_rng(127)
+    n = 20000
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 50, n)).astype(np.int64),
+        "lang": rng.choice(["en", "de", "fr", "es", "zh"], n),
+        "src": rng.choice(["src0", "src1", "other"], n),
+    })
+    out_dir = str(tmp_path / "sdist_expr")
+    encode_table_columns(ray.data.from_pandas(df),
+                         ["k", "lang", "src"],
+                         batch_size=1024).write_parquet(out_dir)
+
+    expr = ("and", ("range", "k", 10, 12),
+            ("not", ("eq_str", "src", "other")))
+    m = df["k"].between(10, 12) & (df["src"] != "other")
+    d, _ = encoded_str_distinct(out_dir, "lang", expr=expr)
+    assert d["n_distinct"].iloc[0] == df.loc[m, "lang"].nunique()
+
+    # range covering everything: every chunk is ALL -> header-only
+    d, ctr = encoded_str_distinct(out_dir, "lang",
+                                  expr=("range", "k", 0, 49))
+    assert d["n_distinct"].iloc[0] == df["lang"].nunique()
+    assert ctr["chunks_header_only"] == ctr["chunks_total"]
+
+    d, _ = encoded_str_distinct(out_dir, "lang", expr=("eq", "k", 999))
+    assert d["n_distinct"].iloc[0] == 0

@@ -2847,6 +2847,12 @@ def encoded_str_distinct_stats(sf_dir: str) -> pd.DataFrame:
             f"{col}: dictionary headers never answered: {counters}"
         rows.append({"col": col,
                      "n_distinct": int(df["n_distinct"].iloc[0])})
+    # filtered variant: distinct langs among src1-prefixed sources —
+    # selected sdict chunks gather codes only and dedup those
+    df, _ = encoded_str_distinct(enc_dir, "lang",
+                                 expr=("prefix_str", "source", "src1"))
+    rows.append({"col": "lang_where_src1",
+                 "n_distinct": int(df["n_distinct"].iloc[0])})
     out = pd.DataFrame(rows)
     out["n_distinct"] = out["n_distinct"].astype("int64")
     return out.sort_values("col").reset_index(drop=True)

@@ -1841,15 +1841,21 @@ def encoded_filtered_group_agg(enc_dir: str, group_col: str, expr: tuple,
     return df, counters
 
 
-def encoded_str_distinct(enc_dir: str, col: str):
+def encoded_str_distinct(enc_dir: str, col: str,
+                         expr: tuple | None = None):
     """Exact DISTINCT over a STRING column of a table-encode directory
     — the string sibling of :func:`encoded_distinct_count`.  ``sdict``
-    chunks answer from the dictionary HEADER alone (the distinct set
-    rides ahead of the code stream and contains exactly the present
-    values — the code stream never decodes); plain ``str`` chunks
-    decode and dedup locally.  The exchange carries per-chunk distinct
-    value sets (cardinality-bounded), never rows.  Null slots are
-    excluded (SQL ``COUNT(DISTINCT col)`` ignores NULLs).  Returns
+    chunks the predicate matches WHOLLY (or with no predicate) answer
+    from the dictionary HEADER alone (the distinct set rides ahead of
+    the code stream and contains exactly the present values — the code
+    stream never decodes); predicate-selected sdict chunks gather only
+    the selected CODES and dedup those (codes -> values via one
+    dictionary take); plain ``str`` chunks decode and dedup locally.
+    The exchange carries per-chunk distinct value sets
+    (cardinality-bounded), never rows.  Null slots are excluded (SQL
+    ``COUNT(DISTINCT col)`` ignores NULLs); chunks that are BOTH
+    nullable and under a predicate raise (ambiguous NULL/selection
+    interaction is not supported).  Returns
     ``(DataFrame(n_distinct), counters)``."""
     import pandas as pd
     import pyarrow.compute as pc
@@ -1859,14 +1865,34 @@ def encoded_str_distinct(enc_dir: str, col: str):
     from tokrle.codecs.core import (_mask_to_runs, _sdict_distinct_array,
                                     gather_str_runs, sdict_unpack)
 
-    need = ["n_rows"] + [f"{col}__{p}"
-                         for p in ("codec", "payload", "lens_payload",
-                                   "valid")]
+    pred_cols = _expr_pred_cols(expr) if expr is not None else []
+    str_cols = _expr_str_cols(expr) if expr is not None else []
+    need = ["n_rows"] + [f"{c}__{p}" for c in pred_cols
+                         for p in ("vmin", "vmax")] + [
+        f"{c}__{p}" for c in pred_cols
+        for p in ("codec", "payload", "dtype", "valid")] + [
+        f"{c}__{p}"
+        for c in dict.fromkeys(str_cols + [col])
+        for p in ("codec", "payload", "lens_payload", "valid")]
+    need = list(dict.fromkeys(need))
     n_total = _n_chunks(enc_dir)
+
+    def _chunk_col(batch, c, i):
+        if len(batch.column(f"{c}__valid")[i].as_py() or b""):
+            raise ValueError(
+                f"column {c!r}: nullable chunks not supported by the "
+                "compressed-domain string distinct's predicates")
+        return (batch.column(f"{c}__codec")[i].as_py(),
+                memoryview(batch.column(f"{c}__payload")[i].as_buffer()),
+                np.dtype(batch.column(f"{c}__dtype")[i].as_py()))
 
     def partial(batch: pa.Table) -> pa.Table:
         nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
         codecs = batch.column(f"{col}__codec").to_pylist()
+        zmin = {c: batch.column(f"{c}__vmin").to_numpy(
+            zero_copy_only=False) for c in pred_cols}
+        zmax = {c: batch.column(f"{c}__vmax").to_numpy(
+            zero_copy_only=False) for c in pred_cols}
         out_vals: list = []
         header_only = 0
         for i, spec in enumerate(codecs):
@@ -1881,7 +1907,21 @@ def encoded_str_distinct(enc_dir: str, col: str):
                 batch.column(f"{col}__lens_payload")[i].as_buffer())
             tp = memoryview(
                 batch.column(f"{col}__payload")[i].as_buffer())
-            if spec.startswith("sdict:") and not vb:
+            if expr is None:
+                sel = _ALL
+            else:
+                if vb:
+                    raise ValueError(
+                        f"column {col!r}: nullable chunks under a "
+                        "predicate not supported by string distinct")
+                sel = _expr_eval(
+                    expr, i, n, zmin, zmax,
+                    lambda c2, j: _chunk_col(batch, c2, j),
+                    lambda c2, j: _chunk_str_col(batch, c2, j))
+                if not isinstance(sel, str) and not len(sel[0]):
+                    continue
+            is_all = isinstance(sel, str)
+            if spec.startswith("sdict:") and not vb and is_all:
                 # header-only: the dictionary IS the present-value set
                 # (dictionary_encode emits exactly the values that
                 # occur) — the code stream never decodes
@@ -1889,13 +1929,17 @@ def encoded_str_distinct(enc_dir: str, col: str):
                 out_vals.append(_sdict_distinct_array(dlens, dbytes))
                 header_only += 1
                 continue
-            if vb:     # null slots excluded: COUNT(DISTINCT) skips NULL
-                valid = np.unpackbits(
-                    np.frombuffer(vb, dtype=np.uint8), count=n,
-                    bitorder="little").astype(bool)
-                runs = _mask_to_runs(valid)
+            if is_all:
+                if vb:  # nulls excluded: COUNT(DISTINCT) skips NULL
+                    valid = np.unpackbits(
+                        np.frombuffer(vb, dtype=np.uint8), count=n,
+                        bitorder="little").astype(bool)
+                    runs = _mask_to_runs(valid)
+                else:
+                    runs = (np.zeros(1, np.int64),
+                            np.full(1, n, np.int64))
             else:
-                runs = (np.zeros(1, np.int64), np.full(1, n, np.int64))
+                runs = sel
             arr = gather_str_runs(spec, lp, tp, n, *runs)
             out_vals.append(pc.unique(arr))
         u = pc.unique(pa.concat_arrays(out_vals)) if out_vals else \
@@ -1912,11 +1956,16 @@ def encoded_str_distinct(enc_dir: str, col: str):
                          "kind": pa.array(kind),
                          "hdr": pa.array(hdr)})
 
-    ds = ray.data.read_parquet(enc_dir, columns=need)
+    flt = _expr_zone_filter(expr) if expr is not None else None
+    ds = ray.data.read_parquet(enc_dir, columns=need, filter=flt)
     flat = ds.map_batches(partial, batch_format="pyarrow")
     agg = flat.groupby(["kind", "v"]).aggregate(
         Count(alias_name="_c"),
         Sum("hdr", alias_name="hdr")).to_pandas()
+    if agg.empty:   # zone filter pruned every chunk
+        return (pd.DataFrame({"n_distinct": [0]}),
+                {"chunks_total": n_total, "chunks_header_only": 0,
+                 "chunks_decoded": 0})
     real = agg[agg["kind"] == 0]
     counters = {"chunks_total": n_total,
                 "chunks_header_only": int(agg["hdr"].sum()),
