@@ -2626,3 +2626,38 @@ def test_encoded_str_distinct_filtered(ray_session, tmp_path):
 
     d, _ = encoded_str_distinct(out_dir, "lang", expr=("eq", "k", 999))
     assert d["n_distinct"].iloc[0] == 0
+
+
+def test_encoded_boolean_agg_minmax_empty_chunk(ray_session, tmp_path):
+    """Regression: an n_rows==0 chunk encodes with placeholder zone
+    extrema (0, 0); MIN/MAX must skip it rather than absorb the bogus
+    0 (values here are all >= 105 / all <= -7)."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_agg)
+
+    df = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                       "v": np.arange(105, 205, dtype=np.int64)})
+    empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                          "v": pd.Series([], dtype="int64")})
+    ds = ray.data.from_pandas(df).union(ray.data.from_pandas(empty))
+    out_dir = str(tmp_path / "mm_empty")
+    encode_table_columns(ds, ["k", "v"],
+                         batch_size=64).write_parquet(out_dir)
+    got, _ = encoded_boolean_agg(out_dir, ("range", "k", 0, 100),
+                                 ["v"], with_minmax=True)
+    assert got.loc[0, "n_match"] == 100
+    assert got.loc[0, "min_v"] == 105, got
+    assert got.loc[0, "max_v"] == 204
+
+    df2 = df.assign(v=-df["v"])     # all negative: max side
+    ds2 = ray.data.from_pandas(df2).union(ray.data.from_pandas(empty))
+    out2 = str(tmp_path / "mm_empty_neg")
+    encode_table_columns(ds2, ["k", "v"],
+                         batch_size=64).write_parquet(out2)
+    got, _ = encoded_boolean_agg(out2, ("range", "k", 0, 100),
+                                 ["v"], with_minmax=True)
+    assert got.loc[0, "max_v"] == -105, got
+    assert got.loc[0, "min_v"] == -204

@@ -2590,12 +2590,20 @@ def gather_str_runs(spec: str, lens_payload: bytes, text_payload: bytes,
         raise TypeError(
             f"gather_str_runs needs a string chunk, got {spec!r}")
     _, lcodec, tcodec = spec.split(":", 2)
-    idx = _runs_to_indices(starts, lengths)
-    if n == 0 or not len(idx):
+    if n == 0 or not len(starts):
         return pa.array([], type=pa.large_utf8())
     lens = decode(lcodec, lens_payload, n, np.int64)
     data = decode(tcodec, text_payload, int(lens.sum()),
                   np.int8).view(np.uint8)
+    if len(starts) == 1 and starts[0] == 0 and lengths[0] == n:
+        # full-chunk selection (the ALL path): the decoded buffers ARE
+        # the answer — skip the per-byte gather entirely
+        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        return pa.Array.from_buffers(
+            pa.large_utf8(), n,
+            [None, pa.py_buffer(offs.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(data).tobytes())])
+    idx = _runs_to_indices(starts, lengths)
     offs = np.concatenate(([0], np.cumsum(lens)))
     sel_lens = lens[idx]
     byte_starts = offs[:-1][idx]

@@ -171,10 +171,16 @@ def encode_table_columns(ds, columns: list[str], *,
                         int(lens.max()) <= 256:
                     # short values only: long-text columns are never
                     # low-cardinality and the distinct probe would
-                    # hash every byte for nothing
-                    de = col.dictionary_encode()
-                    if isinstance(de, pa.ChunkedArray):
-                        de = de.combine_chunks()
+                    # hash every byte for nothing.  A slice pre-probe
+                    # gates the full pass: if the first rows already
+                    # exceed the cardinality cap, the whole chunk will
+                    # too (slice distinct <= full distinct)
+                    import pyarrow.compute as pc
+                    probe = col.slice(0, min(len(batch), 2048))
+                    if pc.count_distinct(probe).as_py() <= 256:
+                        de = col.dictionary_encode()
+                        if isinstance(de, pa.ChunkedArray):
+                            de = de.combine_chunks()
                 n_u = len(de.dictionary) if de is not None else 0
                 if 0 < n_u <= 256 and len(batch) >= 4 * n_u:
                     dlens, dbytes = _string_buffers(de.dictionary)
@@ -1605,6 +1611,10 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str],
         maxs = {c: -imax - 1 for c in agg_cols}
         for i in range(len(batch)):
             n = int(nrows[i])
+            if n == 0:
+                # an empty chunk's zone map is the (0, 0) placeholder —
+                # folding it into MIN/MAX would inject a bogus 0
+                continue
             sel = _expr_eval(expr, i, n, zmin, zmax,
                              lambda col, j: _chunk_col(batch, col, j),
                              lambda col, j: _chunk_str_col(batch, col, j))
@@ -1628,11 +1638,15 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str],
             n_match += int(sel[1].sum())
             for c in agg_cols:
                 codec, payload, dt = _chunk_col(batch, c, i)
-                sums[c] += agg_sum_runs(codec, payload, n, dt, *sel)
                 if with_minmax:
+                    # min/max need the gathered values anyway — reuse
+                    # them for the sum instead of a second decode
                     v = gather_runs(codec, payload, n, dt, *sel)
+                    sums[c] += int(v.sum(dtype=np.int64))
                     mins[c] = min(mins[c], int(v.min()))
                     maxs[c] = max(maxs[c], int(v.max()))
+                else:
+                    sums[c] += agg_sum_runs(codec, payload, n, dt, *sel)
         out = {"n_match": pa.array([n_match], type=pa.int64()),
                "chunks": pa.array([len(batch)], type=pa.int64()),
                "all_hit": pa.array([all_hit], type=pa.int64()),
@@ -1841,6 +1855,24 @@ def encoded_filtered_group_agg(enc_dir: str, group_col: str, expr: tuple,
     return df, counters
 
 
+def _footer_fields(enc_dir: str) -> tuple[set, str | None]:
+    """``(field names, first file path)`` of a table-encode directory's
+    footer schema (first file only — the layout is uniform by
+    construction).  Used to classify columns (a ``__lens_payload``
+    field marks a string/list column) without reading any data; the
+    path supports follow-up single-row probes (dtypes)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(glob.glob(os.path.join(enc_dir, "**", "*.parquet"),
+                             recursive=True))
+    if not files:
+        return set(), None
+    return set(_pq.ParquetFile(files[0]).schema_arrow.names), files[0]
+
+
 def encoded_str_distinct(enc_dir: str, col: str,
                          expr: tuple | None = None):
     """Exact DISTINCT over a STRING column of a table-encode directory
@@ -1894,7 +1926,7 @@ def encoded_str_distinct(enc_dir: str, col: str,
         zmax = {c: batch.column(f"{c}__vmax").to_numpy(
             zero_copy_only=False) for c in pred_cols}
         out_vals: list = []
-        header_only = 0
+        header_only, decoded_chunks = 0, 0
         for i, spec in enumerate(codecs):
             n = int(nrows[i])
             if n == 0:
@@ -1940,28 +1972,33 @@ def encoded_str_distinct(enc_dir: str, col: str,
                             np.full(1, n, np.int64))
             else:
                 runs = sel
+            decoded_chunks += 1
             arr = gather_str_runs(spec, lp, tp, n, *runs)
             out_vals.append(pc.unique(arr))
         u = pc.unique(pa.concat_arrays(out_vals)) if out_vals else \
             pa.array([], type=pa.large_utf8())
         hdr = np.zeros(max(len(u), 1), np.int64)
         hdr[0] = header_only
-        # the counter rides the value exchange (first slot; a sentinel
-        # row carries it when the batch yielded no values)
+        dec = np.zeros(max(len(u), 1), np.int64)
+        dec[0] = decoded_chunks
+        # the counters ride the value exchange (first slot; a sentinel
+        # row carries them when the batch yielded no values)
         vals = u if len(u) else pa.array([""], type=pa.large_utf8())
         kind = np.zeros(max(len(u), 1), np.int64)
         if not len(u):
             kind[0] = 1
         return pa.table({"v": vals,
                          "kind": pa.array(kind),
-                         "hdr": pa.array(hdr)})
+                         "hdr": pa.array(hdr),
+                         "dec": pa.array(dec)})
 
     flt = _expr_zone_filter(expr) if expr is not None else None
     ds = ray.data.read_parquet(enc_dir, columns=need, filter=flt)
     flat = ds.map_batches(partial, batch_format="pyarrow")
     agg = flat.groupby(["kind", "v"]).aggregate(
         Count(alias_name="_c"),
-        Sum("hdr", alias_name="hdr")).to_pandas()
+        Sum("hdr", alias_name="hdr"),
+        Sum("dec", alias_name="dec")).to_pandas()
     if agg.empty:   # zone filter pruned every chunk
         return (pd.DataFrame({"n_distinct": [0]}),
                 {"chunks_total": n_total, "chunks_header_only": 0,
@@ -1969,7 +2006,7 @@ def encoded_str_distinct(enc_dir: str, col: str,
     real = agg[agg["kind"] == 0]
     counters = {"chunks_total": n_total,
                 "chunks_header_only": int(agg["hdr"].sum()),
-                "chunks_decoded": n_total - int(agg["hdr"].sum())}
+                "chunks_decoded": int(agg["dec"].sum())}
     return (pd.DataFrame({"n_distinct": [int(len(real))]}),
             counters)
 
@@ -2091,18 +2128,10 @@ def encoded_group_by_str(enc_dir: str, group_col,
     from tokrle.codecs.core import (decode as codec_decode,
                                     gather_runs, gather_str_runs)
 
-    import glob
-    import os
-
-    import pyarrow.parquet as _pq
-
     gcols = [group_col] if isinstance(group_col, str) else list(group_col)
     gnames = [f"g{j}" for j in range(len(gcols))]
     # footer-schema probe: group columns may mix strings and integers
-    files = sorted(glob.glob(os.path.join(enc_dir, "**", "*.parquet"),
-                             recursive=True))
-    fields = set(_pq.ParquetFile(files[0]).schema_arrow.names) \
-        if files else set()
+    fields, _ = _footer_fields(enc_dir)
     g_str = {g for g in gcols if f"{g}__lens_payload" in fields}
     g_int = [g for g in gcols if g not in g_str]
     pred_cols = _expr_pred_cols(expr) if expr is not None else []
@@ -2263,10 +2292,6 @@ def encoded_scan_where(enc_dir: str, expr: tuple, out_cols: list[str]):
     :func:`tokrle.codecs.core.gather_str_runs` — one lengths decode +
     one vectorized byte gather of only the selected rows); nullable
     chunks raise."""
-    import glob
-    import os
-
-    import pyarrow.parquet as _pq
     import ray.data
 
     from tokrle.codecs.core import decode as codec_decode
@@ -2277,17 +2302,15 @@ def encoded_scan_where(enc_dir: str, expr: tuple, out_cols: list[str]):
     # footer-schema probe (no data read): a projection column with a
     # __lens_payload field is a string/list column and needs that
     # stream; the str-vs-list dispatch happens on the codec spec
-    files = sorted(glob.glob(os.path.join(enc_dir, "**", "*.parquet"),
-                             recursive=True))
-    fields = set(_pq.ParquetFile(files[0]).schema_arrow.names) \
-        if files else set()
+    fields, first_file = _footer_fields(enc_dir)
     out_str = [c for c in out_cols if f"{c}__lens_payload" in fields]
     # dtype probe (first footer row group only): pins the output schema
     # so a fully-zone-pruned scan still yields a typed empty dataset,
     # and rejects unsupported projections before any task runs
     out_dtypes = {}
-    if files:
-        first = _pq.ParquetFile(files[0]).read_row_group(
+    if first_file is not None:
+        import pyarrow.parquet as _pq
+        first = _pq.ParquetFile(first_file).read_row_group(
             0, columns=[f"{c}__dtype" for c in out_cols])
         for c in out_cols:
             d = first.column(f"{c}__dtype")[0].as_py()
@@ -2399,10 +2422,6 @@ def encoded_lookup_join(enc_dir: str, key_col: str, dim, dim_key: str,
     string (string projections late-materialize via
     :func:`tokrle.codecs.core.gather_str_runs`); nullable chunks
     raise."""
-    import glob
-    import os
-
-    import pyarrow.parquet as _pq
     import ray.data
 
     from tokrle.codecs.core import decode as codec_decode
@@ -2429,10 +2448,7 @@ def encoded_lookup_join(enc_dir: str, key_col: str, dim, dim_key: str,
     fact_cols = list(dict.fromkeys([key_col] + list(out_cols)))
     # footer-schema probe (no data read): fact columns with a
     # __lens_payload field are string projections
-    files = sorted(glob.glob(os.path.join(enc_dir, "**", "*.parquet"),
-                             recursive=True))
-    fields = set(_pq.ParquetFile(files[0]).schema_arrow.names) \
-        if files else set()
+    fields, _ = _footer_fields(enc_dir)
     out_str = [c for c in fact_cols if f"{c}__lens_payload" in fields]
     if key_col in out_str:
         raise TypeError(f"join key {key_col!r} must be an integer "
