@@ -1253,3 +1253,85 @@ def test_match_in_rle_coalesces_and_dict_full_cover():
     payload = encode("dict", y)
     s, l = match_in("dict", payload, len(y), y.dtype, [5, 7, 9, 11])
     assert s.tolist() == [0] and l.tolist() == [len(y)]
+
+
+# ---------------------------------------------------------------------------
+# String kernel family: match_eq_str / match_in_str / match_prefix_str /
+# gather_str_runs, on BOTH chunk forms (plain str: and dictionary sdict:),
+# property-tested against plain-Python oracles.
+# ---------------------------------------------------------------------------
+
+def _encode_str_chunk(vals, form):
+    """Encode a list of strings the way table_encode does, returning
+    (spec, lens_payload, text_payload)."""
+    from tokrle.codecs.core import encode as cenc
+    from tokrle.codecs.core import sdict_pack
+    from tokrle.select import auto_encode
+
+    data = "".join(vals).encode("utf-8")
+    lens = np.array([len(v.encode("utf-8")) for v in vals],
+                    dtype=np.int64)
+    lcodec, lpayload, _ = auto_encode(lens)
+    if form == "str":
+        tpayload = cenc("fsst", np.frombuffer(data, dtype=np.uint8)
+                        .view(np.int8))
+        return f"str:{lcodec}:fsst", lpayload, tpayload
+    uniq = list(dict.fromkeys(vals))
+    codes = np.array([uniq.index(v) for v in vals], dtype=np.int64)
+    ub = [u.encode("utf-8") for u in uniq]
+    dlens = np.array([len(b) for b in ub], dtype=np.int64)
+    dbytes = (np.frombuffer(b"".join(ub), dtype=np.uint8)
+              if dlens.sum() else np.empty(0, np.uint8))
+    ccodec, cpayload, _ = auto_encode(codes)
+    dlc, dlp, _ = auto_encode(dlens)
+    dbp = cenc("fsst", dbytes.view(np.int8))
+    return (f"sdict:{ccodec}:{dlc}:fsst", lpayload,
+            sdict_pack(cpayload, dlp, dbp, len(uniq)))
+
+
+_WORDS = st.text(
+    alphabet=st.characters(codec="utf-8", max_codepoint=0x2FFF),
+    max_size=12)
+
+
+@given(vals=st.lists(_WORDS, min_size=1, max_size=60),
+       probe=_WORDS,
+       form=st.sampled_from(["str", "sdict"]),
+       data=st.data())
+@settings(max_examples=120, deadline=None)
+def test_string_match_kernels_property(vals, probe, form, data):
+    from tokrle.codecs.core import (_runs_to_indices, gather_str_runs,
+                                    match_eq_str, match_in_str,
+                                    match_prefix_str)
+
+    n = len(vals)
+    # probe both an arbitrary value and one guaranteed present
+    target = data.draw(st.sampled_from([probe, vals[0]]))
+    spec, lp, tp = _encode_str_chunk(vals, form)
+
+    starts, lengths = match_eq_str(spec, lp, tp, n, target)
+    got = set(_runs_to_indices(starts, lengths).tolist())
+    assert got == {i for i, v in enumerate(vals) if v == target}
+
+    in_set = data.draw(st.lists(st.sampled_from(vals + [probe, ""]),
+                                max_size=5))
+    starts, lengths = match_in_str(spec, lp, tp, n, in_set)
+    got = set(_runs_to_indices(starts, lengths).tolist())
+    assert got == {i for i, v in enumerate(vals) if v in set(in_set)}
+
+    prefix = data.draw(st.sampled_from(
+        [probe, vals[0][:1], vals[0], ""]))
+    starts, lengths = match_prefix_str(spec, lp, tp, n, prefix)
+    got = set(_runs_to_indices(starts, lengths).tolist())
+    assert got == {i for i, v in enumerate(vals)
+                   if v.startswith(prefix)}
+
+    # gather at the eq-match positions reproduces exactly the target
+    starts, lengths = match_eq_str(spec, lp, tp, n, target)
+    arr = gather_str_runs(spec, lp, tp, n, starts, lengths)
+    assert arr.to_pylist() == [v for v in vals if v == target]
+    # full-chunk gather is the identity
+    full = gather_str_runs(spec, lp, tp, n,
+                           np.zeros(1, np.int64),
+                           np.full(1, n, np.int64))
+    assert full.to_pylist() == vals
