@@ -2661,3 +2661,21 @@ def test_encoded_boolean_agg_minmax_empty_chunk(ray_session, tmp_path):
                                  ["v"], with_minmax=True)
     assert got.loc[0, "max_v"] == -105, got
     assert got.loc[0, "min_v"] == -204
+
+
+def test_encoded_group_by_str_no_aggs(ray_session, tmp_path):
+    """Agg-less string grouping = exact string histogram."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_group_by_str)
+
+    df = pd.DataFrame({"lang": ["en", "de", "en", "fr"] * 500})
+    out_dir = str(tmp_path / "ghist")
+    encode_table_columns(ray.data.from_pandas(df), ["lang"],
+                         batch_size=256).write_parquet(out_dir)
+    g, _ = encoded_group_by_str(out_dir, "lang", [])
+    eg = df.groupby("lang").size()
+    assert list(g["lang"]) == list(eg.index)
+    assert list(g["n"]) == list(eg)
