@@ -858,6 +858,14 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE source NOT LIKE 'src1%'
           AND doc_id BETWEEN 0 AND 10000000
+        UNION ALL
+        SELECT 'suffix_1', cast(count(*) AS bigint),
+               cast(coalesce(sum(n_chars), 0) AS bigint)
+        FROM documents WHERE source LIKE '%1'
+        UNION ALL
+        SELECT 'contains_rc1', cast(count(*) AS bigint),
+               cast(coalesce(sum(n_chars), 0) AS bigint)
+        FROM documents WHERE source LIKE '%rc1%' AND lang = 'en'
         ORDER BY "case"
     """
 

@@ -2679,3 +2679,63 @@ def test_encoded_group_by_str_no_aggs(ray_session, tmp_path):
     eg = df.groupby("lang").size()
     assert list(g["lang"]) == list(eg.index)
     assert list(g["n"]) == list(eg)
+
+
+def test_suffix_and_contains_leaves(ray_session, tmp_path):
+    """suffix_str (LIKE '%s') and contains_str (LIKE '%s%') leaves on
+    BOTH chunk forms, exact vs pandas, including a needle that only
+    occurs straddling a row boundary (must not match) and composition
+    under NOT."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_agg)
+
+    rng = np.random.default_rng(131)
+    n = 20000
+    vals = ["alpha", "beta", "src0", "src1", "src10", "xsrcx",
+            "ends_src", "", "mid_src_tail"]
+    base = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 50, n)).astype(np.int64),
+        "v": rng.integers(-1000, 1000, n).astype(np.int64),
+        "s": rng.choice(vals, n),
+    })
+    for form in ("sdict", "plain"):
+        df = base if form == "sdict" else base.assign(
+            s=base["s"] + "_" + (np.arange(n) % 3000).astype(str))
+        out_dir = str(tmp_path / f"sufcon_{form}")
+        encode_table_columns(ray.data.from_pandas(df), ["k", "v", "s"],
+                             batch_size=1024).write_parquet(out_dir)
+        suf = "src" if form == "sdict" else "_5"
+        got, _ = encoded_boolean_agg(out_dir, ("suffix_str", "s", suf),
+                                     ["v"])
+        m = df["s"].str.endswith(suf)
+        assert got.loc[0, "n_match"] == int(m.sum()), form
+        assert got.loc[0, "sum_v"] == int(df.loc[m, "v"].sum())
+
+        got, _ = encoded_boolean_agg(
+            out_dir, ("contains_str", "s", "src"), ["v"])
+        m = df["s"].str.contains("src", regex=False)
+        assert got.loc[0, "n_match"] == int(m.sum()), form
+
+        expr = ("and", ("range", "k", 10, 40),
+                ("not", ("contains_str", "s", "src")))
+        m = df["k"].between(10, 40) & \
+            ~df["s"].str.contains("src", regex=False)
+        got, _ = encoded_boolean_agg(out_dir, expr, ["v"])
+        assert got.loc[0, "n_match"] == int(m.sum()), form
+
+    # needle occurring only ACROSS row boundaries must not match
+    df3 = pd.DataFrame({
+        "k": np.zeros(2000, np.int64),
+        "v": np.ones(2000, np.int64),
+        "s": (pd.Series(["ab", "cd"] * 1000)
+              + (np.arange(2000) % 1500).astype(str))})
+    enc3 = str(tmp_path / "straddle")
+    encode_table_columns(ray.data.from_pandas(df3), ["k", "v", "s"],
+                         batch_size=512).write_parquet(enc3)
+    got, _ = encoded_boolean_agg(enc3, ("contains_str", "s", "0cd"),
+                                 ["v"])
+    assert got.loc[0, "n_match"] == int(
+        df3["s"].str.contains("0cd", regex=False).sum())

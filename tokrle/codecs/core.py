@@ -2563,6 +2563,110 @@ def match_prefix_str(spec: str, lens_payload: bytes, text_payload: bytes,
     return _mask_to_runs(mask)
 
 
+def match_suffix_str(spec: str, lens_payload: bytes, text_payload: bytes,
+                     n: int, suffix: str) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical run-list of the positions where a STRING chunk ENDS
+    WITH ``suffix`` (SQL ``LIKE '%s'``) — the mirror of
+    :func:`match_prefix_str`: the lengths stream prefilters (no row of
+    at least ``len(suffix)`` bytes -> empty without text decode),
+    survivors byte-compare only the LAST ``len(suffix)`` bytes of the
+    long-enough candidate rows.  ``sdict:`` chunks suffix-test the
+    distinct set and run :func:`match_in` on the matching codes.
+    Non-null chunks only."""
+    sbytes = suffix.encode("utf-8")
+    slen = len(sbytes)
+    if n == 0:
+        return _EMPTY_RUNS
+    if slen == 0:
+        return (np.array([0], dtype=np.int64),
+                np.array([n], dtype=np.int64))   # '' suffixes every row
+    if spec.startswith("sdict:"):
+        ccodec, codes_p, dlens, dbytes = sdict_unpack(spec, text_payload)
+        offs = np.concatenate(([0], np.cumsum(dlens)))
+        codes = sorted(
+            j for j in range(len(dlens))
+            if dlens[j] >= slen
+            and bytes(dbytes[offs[j + 1] - slen:offs[j + 1]]) == sbytes)
+        if not codes:
+            return _EMPTY_RUNS
+        return match_in(ccodec, codes_p, n, np.int64, codes)
+    if not spec.startswith("str:"):
+        raise TypeError(
+            f"match_suffix_str needs a string chunk, got {spec!r}")
+    _, lcodec, tcodec = spec.split(":", 2)
+    if count_range(lcodec, lens_payload, n, np.int64, slen,
+                   np.iinfo(np.int64).max) == 0:
+        return _EMPTY_RUNS
+    lens = decode(lcodec, lens_payload, n, np.int64)
+    cand = lens >= slen
+    data = decode(tcodec, text_payload, int(lens.sum()),
+                  np.int8).view(np.uint8)
+    ends = np.cumsum(lens)
+    cand_idx = np.flatnonzero(cand)
+    idx = (ends[cand_idx] - slen)[:, None] + np.arange(slen)
+    eq = (data[idx] == np.frombuffer(sbytes, dtype=np.uint8)) \
+        .all(axis=1)
+    mask = np.zeros(n, dtype=bool)
+    mask[cand_idx[eq]] = True
+    return _mask_to_runs(mask)
+
+
+def match_contains_str(spec: str, lens_payload: bytes,
+                       text_payload: bytes, n: int,
+                       needle: str) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical run-list of the positions where a STRING chunk
+    CONTAINS ``needle`` (SQL ``LIKE '%s%'``).  Plain chunks decode the
+    flat text ONCE and find every occurrence with C-speed
+    ``bytes.find`` over the whole buffer (iterations == occurrence
+    count, not row count), mapping each hit to its row via one
+    ``searchsorted`` against the row offsets and keeping only hits
+    that do not straddle a row boundary.  ``sdict:`` chunks substring-
+    test the (small) distinct set and run :func:`match_in` on the
+    matching codes.  Non-null chunks only."""
+    nbytes_ = needle.encode("utf-8")
+    nlen = len(nbytes_)
+    if n == 0:
+        return _EMPTY_RUNS
+    if nlen == 0:
+        return (np.array([0], dtype=np.int64),
+                np.array([n], dtype=np.int64))   # every row contains ''
+    if spec.startswith("sdict:"):
+        ccodec, codes_p, dlens, dbytes = sdict_unpack(spec, text_payload)
+        offs = np.concatenate(([0], np.cumsum(dlens)))
+        buf = bytes(dbytes)
+        codes = sorted(
+            j for j in range(len(dlens))
+            if buf[offs[j]:offs[j + 1]].find(nbytes_) >= 0)
+        if not codes:
+            return _EMPTY_RUNS
+        return match_in(ccodec, codes_p, n, np.int64, codes)
+    if not spec.startswith("str:"):
+        raise TypeError(
+            f"match_contains_str needs a string chunk, got {spec!r}")
+    _, lcodec, tcodec = spec.split(":", 2)
+    if count_range(lcodec, lens_payload, n, np.int64, nlen,
+                   np.iinfo(np.int64).max) == 0:
+        return _EMPTY_RUNS
+    lens = decode(lcodec, lens_payload, n, np.int64)
+    data = decode(tcodec, text_payload, int(lens.sum()),
+                  np.int8).view(np.uint8)
+    buf = data.tobytes()
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    hits = []
+    p = buf.find(nbytes_)
+    while p >= 0:
+        hits.append(p)
+        p = buf.find(nbytes_, p + 1)
+    if not hits:
+        return _EMPTY_RUNS
+    ph = np.asarray(hits, dtype=np.int64)
+    rows = np.searchsorted(offs, ph, side="right") - 1
+    inside = ph + nlen <= offs[rows + 1]
+    mask = np.zeros(n, dtype=bool)
+    mask[rows[inside]] = True
+    return _mask_to_runs(mask)
+
+
 def gather_str_runs(spec: str, lens_payload: bytes, text_payload: bytes,
                     n: int, starts: np.ndarray, lengths: np.ndarray):
     """Late-materialize a STRING chunk at the positions of a canonical

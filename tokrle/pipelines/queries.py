@@ -2803,6 +2803,13 @@ def encoded_prefix_stats(sf_dir: str) -> pd.DataFrame:
         ("not_prefix",
          ("and", ("not", ("prefix_str", "source", "src1")),
           ("range", "doc_id", 0, 10_000_000))),
+        # suffix: LIKE '%1' (src1, src11); contains: LIKE '%rc1%'
+        # (src1, src10..src19) — both evaluate on the sdict distinct
+        # set, codes only
+        ("suffix_1", ("suffix_str", "source", "1")),
+        ("contains_rc1",
+         ("and", ("contains_str", "source", "rc1"),
+          ("eq_str", "lang", "en"))),
     ]
     rows = []
     for name, expr in cases:

@@ -1391,7 +1391,7 @@ def _expr_leaf_bounds(e):
 
 #: leaf kinds that test a STRING column (lengths-stream prefilter
 #: instead of zone maps; see match_eq_str / match_prefix_str)
-_STR_LEAVES = ("eq_str", "prefix_str", "in_str")
+_STR_LEAVES = ("eq_str", "prefix_str", "in_str", "suffix_str", "contains_str")
 
 
 def _expr_pred_cols(expr) -> list[str]:
@@ -1456,6 +1456,8 @@ def _expr_zone_filter(e):
                 return pc.field("n_rows") < 0   # empty set: always false
             # conservative [min, max] window of the set
             return (smin <= vals[-1]) & (smax >= vals[0])
+        if e[0] in ("suffix_str", "contains_str"):
+            return None     # no suffix/substring metadata to test
         p = e[2]                                # prefix_str
         if not p:
             return None                         # '' prefixes everything
@@ -1478,10 +1480,12 @@ def _expr_eval(e, i: int, n: int, zmin: dict, zmax: dict, chunk_col,
     ``str_chunk`` accessor ((spec, lens_payload, text_payload) per
     (col, i)); they prune via the lengths-stream prefilter inside
     :func:`tokrle.codecs.core.match_eq_str` instead of zone maps."""
-    from tokrle.codecs.core import (match_eq, match_eq_str, match_in,
+    from tokrle.codecs.core import (match_contains_str, match_eq,
+                                    match_eq_str, match_in,
                                     match_in_str, match_prefix_str,
-                                    match_range, runs_complement,
-                                    runs_intersect, runs_union)
+                                    match_range, match_suffix_str,
+                                    runs_complement, runs_intersect,
+                                    runs_union)
 
     kind = e[0]
     if kind == "and":
@@ -1516,6 +1520,10 @@ def _expr_eval(e, i: int, n: int, zmin: dict, zmax: dict, chunk_col,
             return match_eq_str(spec, lp, tp, n, e[2])
         if kind == "in_str":
             return match_in_str(spec, lp, tp, n, e[2])
+        if kind == "suffix_str":
+            return match_suffix_str(spec, lp, tp, n, e[2])
+        if kind == "contains_str":
+            return match_contains_str(spec, lp, tp, n, e[2])
         return match_prefix_str(spec, lp, tp, n, e[2])
     col, lo, hi = _expr_leaf_bounds(e)
     cmin, cmax = int(zmin[col][i]), int(zmax[col][i])
