@@ -1301,8 +1301,9 @@ _WORDS = st.text(
 @settings(max_examples=120, deadline=None)
 def test_string_match_kernels_property(vals, probe, form, data):
     from tokrle.codecs.core import (_runs_to_indices, gather_str_runs,
-                                    match_eq_str, match_in_str,
-                                    match_prefix_str)
+                                    match_contains_str, match_eq_str,
+                                    match_in_str, match_prefix_str,
+                                    match_suffix_str)
 
     n = len(vals)
     # probe both an arbitrary value and one guaranteed present
@@ -1325,6 +1326,19 @@ def test_string_match_kernels_property(vals, probe, form, data):
     got = set(_runs_to_indices(starts, lengths).tolist())
     assert got == {i for i, v in enumerate(vals)
                    if v.startswith(prefix)}
+
+    suffix = data.draw(st.sampled_from(
+        [probe, vals[0][-1:], vals[0], ""]))
+    starts, lengths = match_suffix_str(spec, lp, tp, n, suffix)
+    got = set(_runs_to_indices(starts, lengths).tolist())
+    assert got == {i for i, v in enumerate(vals)
+                   if v.endswith(suffix)}
+
+    needle = data.draw(st.sampled_from(
+        [probe, vals[0][1:3], vals[0], ""]))
+    starts, lengths = match_contains_str(spec, lp, tp, n, needle)
+    got = set(_runs_to_indices(starts, lengths).tolist())
+    assert got == {i for i, v in enumerate(vals) if needle in v}
 
     # gather at the eq-match positions reproduces exactly the target
     starts, lengths = match_eq_str(spec, lp, tp, n, target)
