@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_where_str_stats": Q.encoded_where_str_stats,
         "encoded_prefix_stats": Q.encoded_prefix_stats,
         "encoded_minmax_stats": Q.encoded_minmax_stats,
+        "encoded_ts_range_stats": Q.encoded_ts_range_stats,
         "encoded_scan_str_stats": Q.encoded_scan_str_stats,
         "encoded_str_distinct_stats": Q.encoded_str_distinct_stats,
         "encoded_str_minmax_stats": Q.encoded_str_minmax_stats,
@@ -817,6 +818,23 @@ def oracle_sql() -> dict[str, str]:
                cast(coalesce(sum(l_orderkey), 0) AS bigint)
         FROM lineitem
         WHERE l_linestatus = 'F' OR NOT l_returnflag = 'N'
+        ORDER BY "case"
+    """
+
+    sql["encoded_ts_range_stats"] = """
+        SELECT 'year_1995' AS "case",
+               cast(count(*) AS bigint)                     AS n_match,
+               cast(coalesce(sum(l_orderkey), 0) AS bigint) AS sum_l_orderkey
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                             AND TIMESTAMP '1995-12-31'
+        UNION ALL
+        SELECT 'q1_and_suppkey', cast(count(*) AS bigint),
+               cast(coalesce(sum(l_orderkey), 0) AS bigint)
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                             AND TIMESTAMP '1995-03-31'
+          AND l_suppkey BETWEEN 0 AND 5
         ORDER BY "case"
     """
 

@@ -2720,6 +2720,52 @@ def encoded_where_str_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("case").reset_index(drop=True)
 
 
+def encoded_ts_range_stats(sf_dir: str) -> pd.DataFrame:
+    """TIMESTAMP range predicates in the compressed domain: datetime
+    columns profile as exact int64 microsecond counts, so their zone
+    maps prune at the Parquet read (the layout here is clustered by
+    ship date) and range leaves evaluate on the integer codec streams
+    — no datetime decode anywhere."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_agg)
+
+    cols = ["l_orderkey", "l_suppkey", "l_shipdate"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "ts_range")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_shipdate")
+    encode_table_columns(ds, cols, batch_size=256).write_parquet(enc_dir)
+
+    def us(t: str) -> int:
+        return int(pd.Timestamp(t).value // 1000)
+
+    cases = [
+        ("year_1995",
+         ("range", "l_shipdate", us("1995-01-01"), us("1995-12-31"))),
+        ("q1_and_suppkey",
+         ("and",
+          ("range", "l_shipdate", us("1995-01-01"), us("1995-03-31")),
+          ("range", "l_suppkey", 0, 5))),
+    ]
+    rows = []
+    for name, expr in cases:
+        df, counters = encoded_boolean_agg(enc_dir, expr, ["l_orderkey"])
+        if counters["chunks_total"] > 16:
+            assert counters["chunks_skipped"] > 0, \
+                f"{name}: date zone maps never pruned: {counters}"
+        rows.append({"case": name,
+                     "n_match": int(df["n_match"].iloc[0]),
+                     "sum_l_orderkey": int(df["sum_l_orderkey"].iloc[0])})
+    out = pd.DataFrame(rows)
+    out["n_match"] = out["n_match"].astype("int64")
+    out["sum_l_orderkey"] = out["sum_l_orderkey"].astype("int64")
+    return out.sort_values("case").reset_index(drop=True)
+
+
 def encoded_minmax_stats(sf_dir: str) -> pd.DataFrame:
     """Exact MIN/MAX under boolean predicate trees in the compressed
     domain (``encoded_boolean_agg(with_minmax=True)``): chunks the
