@@ -304,6 +304,20 @@ def runs_complement(starts: np.ndarray, lengths: np.ndarray,
     return gap_s[keep], (gap_e - gap_s)[keep]
 
 
+def valid_to_runs(vbits: bytes, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """LSB-packed validity bitmap (the table-encode ``{col}__valid``
+    field, b'' when the chunk has no nulls) -> canonical run-list of
+    the VALID positions.  Payload-free: ``is_null`` / ``not_null``
+    predicate leaves and the three-valued-logic wraps around value
+    leaves are answered from this bitmap alone, never the codec
+    stream."""
+    if not vbits:
+        return _full_run(n) if n else _EMPTY_RUNS
+    mask = np.unpackbits(np.frombuffer(vbits, dtype=np.uint8),
+                         count=n, bitorder="little").astype(bool)
+    return _mask_to_runs(mask)
+
+
 def _runs_to_indices(starts: np.ndarray,
                      lengths: np.ndarray) -> np.ndarray:
     """Canonical (starts, lengths) run-list -> flat position vector,

@@ -1393,13 +1393,25 @@ def _expr_leaf_bounds(e):
 #: instead of zone maps; see match_eq_str / match_prefix_str)
 _STR_LEAVES = ("eq_str", "prefix_str", "in_str", "suffix_str", "contains_str")
 
+#: leaf kinds that test the VALIDITY BITMAP alone (payload-free; any
+#: column type).  ``("is_null", col)`` / ``("not_null", col)``.
+_NULL_LEAVES = ("is_null", "not_null")
+
 
 def _expr_pred_cols(expr) -> list[str]:
     """Distinct INTEGER predicate columns of a tree (zone-mapped)."""
     return list(dict.fromkeys(
         c for c, _, _ in (_expr_leaf_bounds(lf) for lf in
                           _expr_leaves(expr)
-                          if lf[0] not in _STR_LEAVES)))
+                          if lf[0] not in _STR_LEAVES
+                          and lf[0] not in _NULL_LEAVES)))
+
+
+def _expr_null_cols(expr) -> list[str]:
+    """Distinct columns of ``is_null`` / ``not_null`` leaves — these
+    need only ``{col}__valid`` (the codec payload is never read)."""
+    return list(dict.fromkeys(lf[1] for lf in _expr_leaves(expr)
+                              if lf[0] in _NULL_LEAVES))
 
 
 def _expr_str_cols(expr) -> list[str]:
@@ -1440,6 +1452,11 @@ def _expr_zone_filter(e):
         return a | b if a is not None and b is not None else None
     if e[0] == "not":
         return None
+    if e[0] in _NULL_LEAVES:
+        if e[0] == "is_null":
+            # only chunks that SHIP a validity bitmap can hold nulls
+            return pc.binary_length(pc.field(f"{e[1]}__valid")) > 0
+        return None     # not_null matches rows of nearly every chunk
     if e[0] in _STR_LEAVES:
         # string zone maps (__smin/__smax, chunk min/max values):
         # conservative overlap tests per leaf kind.  UTF-8 byte order
@@ -1471,82 +1488,182 @@ def _expr_zone_filter(e):
         (pc.field(f"{col}__vmax") >= lo)
 
 
+def _rp_and(a, b):
+    """AND of two ``_ALL``-or-run-list selections (``_ALL`` is the
+    identity)."""
+    from tokrle.codecs.core import runs_intersect
+    if isinstance(a, str):
+        return b
+    if isinstance(b, str):
+        return a
+    return runs_intersect(*a, *b)
+
+
+def _rp_or(a, b):
+    """OR of two ``_ALL``-or-run-list selections (``_ALL`` absorbs)."""
+    from tokrle.codecs.core import runs_union
+    if isinstance(a, str) or isinstance(b, str):
+        return _ALL
+    return runs_union(*a, *b)
+
+
+def _rp_not(a, n: int):
+    """NOT of an ``_ALL``-or-run-list selection within ``[0, n)``."""
+    from tokrle.codecs.core import runs_complement
+    if isinstance(a, str):
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    return runs_complement(*a, n)
+
+
+def _rp_empty(a) -> bool:
+    return not isinstance(a, str) and not len(a[0])
+
+
 def _expr_eval(e, i: int, n: int, zmin: dict, zmax: dict, chunk_col,
-               str_chunk=None):
+               str_chunk=None, valid_fn=None):
     """Evaluate a predicate tree against chunk ``i``: returns the
-    ``_ALL`` sentinel or a canonical selection run-list.  Leaves
-    short-circuit on zone maps; ``and`` skips its right branch on an
-    empty left, ``or`` on an ALL left.  ``eq_str`` leaves need the
-    ``str_chunk`` accessor ((spec, lens_payload, text_payload) per
-    (col, i)); they prune via the lengths-stream prefilter inside
-    :func:`tokrle.codecs.core.match_eq_str` instead of zone maps."""
+    ``_ALL`` sentinel or a canonical selection run-list of the rows
+    where the tree is SQL-TRUE.  Leaves short-circuit on zone maps;
+    ``and`` skips its right branch on an empty left, ``or`` on an ALL
+    left.  String leaves need the ``str_chunk`` accessor
+    ((spec, lens_payload, text_payload) per (col, i)); they prune via
+    the lengths-stream prefilter inside
+    :func:`tokrle.codecs.core.match_eq_str` instead of zone maps.
+
+    Without ``valid_fn`` the chunk is assumed null-free (non-null-aware
+    callers enforce that by raising in their accessors, which keeps
+    two-valued evaluation sound).  With ``valid_fn``
+    ((col, i) -> packed ``{col}__valid`` bytes, b'' when null-free) the
+    tree evaluates under SQL THREE-VALUED LOGIC via
+    :func:`_expr_eval3`: a WHERE clause keeps the root's TRUE set, so
+    NULL comparisons never match and ``not`` never resurrects null
+    rows — exactly ANSI/DuckDB semantics."""
+    t, _ = _expr_eval3(e, i, n, zmin, zmax, chunk_col, str_chunk,
+                       valid_fn)
+    return t
+
+
+def _expr_eval3(e, i: int, n: int, zmin: dict, zmax: dict, chunk_col,
+                str_chunk=None, valid_fn=None):
+    """Kleene (three-valued) predicate evaluation on the run
+    representation: returns ``(TRUE, POSSIBLE)`` where TRUE is the
+    run-list (or ``_ALL``) of rows where the tree is definitely true
+    and POSSIBLE adds the rows where it is UNKNOWN (a NULL operand).
+    ``POSSIBLE is None`` means POSSIBLE == TRUE — no nullable input
+    reached this node, and the algebra degenerates to the two-valued
+    single-run-list evaluation with zero extra work (the overwhelmingly
+    common case).
+
+    The connectives are pure run algebra (the reference's run-merge
+    inner loop, ref pyrle/src/rle.pyx, as Kleene logic):
+    ``and -> (T1 ∩ T2, P1 ∩ P2)``,
+    ``or -> (T1 ∪ T2, P1 ∪ P2)``, ``not -> (¬P, ¬T)``.
+    Value/string leaves on a nullable chunk match the null-filled
+    payload, then ``T = match ∩ valid`` and ``P = T ∪ nulls``
+    (a comparison against NULL is unknown).  ``is_null`` / ``not_null``
+    leaves read the validity bitmap alone — payload-free, and
+    two-valued: a null TEST is never unknown."""
     from tokrle.codecs.core import (match_contains_str, match_eq,
                                     match_eq_str, match_in,
                                     match_in_str, match_prefix_str,
                                     match_range, match_suffix_str,
-                                    runs_complement, runs_intersect,
-                                    runs_union)
+                                    runs_complement, valid_to_runs)
 
     kind = e[0]
     if kind == "and":
-        a = _expr_eval(e[1], i, n, zmin, zmax, chunk_col, str_chunk)
-        if not isinstance(a, str) and not len(a[0]):
-            return a
-        b = _expr_eval(e[2], i, n, zmin, zmax, chunk_col, str_chunk)
-        if isinstance(a, str):
-            return b
-        if isinstance(b, str):
-            return a
-        return runs_intersect(*a, *b)
+        ta, pa_ = _expr_eval3(e[1], i, n, zmin, zmax, chunk_col,
+                              str_chunk, valid_fn)
+        if _rp_empty(ta) and (pa_ is None or _rp_empty(pa_)):
+            return ta, None     # definitely-false left: skip the right
+        tb, pb = _expr_eval3(e[2], i, n, zmin, zmax, chunk_col,
+                             str_chunk, valid_fn)
+        t = _rp_and(ta, tb)
+        if pa_ is None and pb is None:
+            return t, None
+        return t, _rp_and(pa_ if pa_ is not None else ta,
+                          pb if pb is not None else tb)
     if kind == "or":
-        a = _expr_eval(e[1], i, n, zmin, zmax, chunk_col, str_chunk)
-        if isinstance(a, str):
-            return _ALL
-        b = _expr_eval(e[2], i, n, zmin, zmax, chunk_col, str_chunk)
-        if isinstance(b, str):
-            return _ALL
-        return runs_union(*a, *b)
+        ta, pa_ = _expr_eval3(e[1], i, n, zmin, zmax, chunk_col,
+                              str_chunk, valid_fn)
+        if isinstance(ta, str):
+            return _ALL, None   # definitely-true left: skip the right
+        tb, pb = _expr_eval3(e[2], i, n, zmin, zmax, chunk_col,
+                             str_chunk, valid_fn)
+        t = _rp_or(ta, tb)
+        if pa_ is None and pb is None:
+            return t, None
+        return t, _rp_or(pa_ if pa_ is not None else ta,
+                         pb if pb is not None else tb)
     if kind == "not":
-        a = _expr_eval(e[1], i, n, zmin, zmax, chunk_col, str_chunk)
-        if isinstance(a, str):
-            return (np.empty(0, np.int64), np.empty(0, np.int64))
-        return runs_complement(*a, n)
+        ta, pa_ = _expr_eval3(e[1], i, n, zmin, zmax, chunk_col,
+                              str_chunk, valid_fn)
+        if pa_ is None:
+            return _rp_not(ta, n), None
+        return _rp_not(pa_, n), _rp_not(ta, n)
+    col = e[1]
+    if kind in _NULL_LEAVES:
+        if valid_fn is None:
+            raise ValueError(f"{kind} leaf reached an evaluator with "
+                             "no validity accessor")
+        vb = valid_fn(col, i)
+        if kind == "not_null":
+            return (_ALL if not vb else valid_to_runs(vb, n)), None
+        if not vb:
+            return (np.empty(0, np.int64), np.empty(0, np.int64)), None
+        return runs_complement(*valid_to_runs(vb, n), n), None
+    # value / string leaf: match the (null-filled) payload streams,
+    # then wrap with the chunk's validity if it carries nulls
     if kind in _STR_LEAVES:
         if str_chunk is None:
             raise ValueError(f"{kind} leaf reached an evaluator with "
                              "no string-chunk accessor")
-        spec, lp, tp = str_chunk(e[1], i)
+        spec, lp, tp = str_chunk(col, i)
         if kind == "eq_str":
-            return match_eq_str(spec, lp, tp, n, e[2])
-        if kind == "in_str":
-            return match_in_str(spec, lp, tp, n, e[2])
-        if kind == "suffix_str":
-            return match_suffix_str(spec, lp, tp, n, e[2])
-        if kind == "contains_str":
-            return match_contains_str(spec, lp, tp, n, e[2])
-        return match_prefix_str(spec, lp, tp, n, e[2])
-    col, lo, hi = _expr_leaf_bounds(e)
-    cmin, cmax = int(zmin[col][i]), int(zmax[col][i])
-    if hi < cmin or lo > cmax:
-        return (np.empty(0, np.int64), np.empty(0, np.int64))
-    if kind == "in":
-        # bound coverage does NOT imply set membership: the ALL
-        # shortcut needs the set to contain EVERY value the chunk can
-        # hold — only worth checking on narrow zone windows
-        tgt = sorted({int(v) for v in e[2]})
-        if cmax - cmin < 1024 and len(tgt) > cmax - cmin:
-            t = np.array(tgt, dtype=np.int64)
-            window = t[(t >= cmin) & (t <= cmax)]
-            if len(window) == cmax - cmin + 1:
-                return _ALL    # the set covers the whole zone window
-        codec, payload, dt = chunk_col(col, i)
-        return match_in(codec, payload, n, dt, tgt)
-    if lo <= cmin and cmax <= hi:
-        return _ALL             # zone map proves the chunk matches
-    codec, payload, dt = chunk_col(col, i)
-    if kind == "eq":
-        return match_eq(codec, payload, n, dt, lo)
-    return match_range(codec, payload, n, dt, lo, hi)
+            m = match_eq_str(spec, lp, tp, n, e[2])
+        elif kind == "in_str":
+            m = match_in_str(spec, lp, tp, n, e[2])
+        elif kind == "suffix_str":
+            m = match_suffix_str(spec, lp, tp, n, e[2])
+        elif kind == "contains_str":
+            m = match_contains_str(spec, lp, tp, n, e[2])
+        else:
+            m = match_prefix_str(spec, lp, tp, n, e[2])
+    else:
+        _, lo, hi = _expr_leaf_bounds(e)
+        cmin, cmax = int(zmin[col][i]), int(zmax[col][i])
+        # the zone map covers the null-FILLED values — a superset of
+        # the real ones, so both shortcuts below stay sound on nullable
+        # chunks (the validity wrap still intersects away null slots)
+        if hi < cmin or lo > cmax:
+            m = (np.empty(0, np.int64), np.empty(0, np.int64))
+        elif kind == "in":
+            # bound coverage does NOT imply set membership: the ALL
+            # shortcut needs the set to contain EVERY value the chunk
+            # can hold — only worth checking on narrow zone windows
+            tgt = sorted({int(v) for v in e[2]})
+            m = None
+            if cmax - cmin < 1024 and len(tgt) > cmax - cmin:
+                t = np.array(tgt, dtype=np.int64)
+                window = t[(t >= cmin) & (t <= cmax)]
+                if len(window) == cmax - cmin + 1:
+                    m = _ALL   # the set covers the whole zone window
+            if m is None:
+                codec, payload, dt = chunk_col(col, i)
+                m = match_in(codec, payload, n, dt, tgt)
+        elif lo <= cmin and cmax <= hi:
+            m = _ALL            # zone map proves the chunk matches
+        else:
+            codec, payload, dt = chunk_col(col, i)
+            if kind == "eq":
+                m = match_eq(codec, payload, n, dt, lo)
+            else:
+                m = match_range(codec, payload, n, dt, lo, hi)
+    vb = valid_fn(col, i) if valid_fn is not None else b""
+    if not vb:
+        return m, None
+    vr = valid_to_runs(vb, n)
+    t = _rp_and(m, vr)          # null slots (filler-valued) never match
+    return t, _rp_or(t, runs_complement(*vr, n))
 
 
 def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str],
