@@ -46,6 +46,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token checksums must equal the Parquet original's
         "csv_source_stats": Q.csv_source_stats,
         "jsonl_source_stats": Q.jsonl_source_stats,
+        # round 5 session 6: SQL three-valued logic over nullable
+        # columns as Kleene (TRUE, POSSIBLE) run-list pairs, with
+        # payload-free is_null leaves + null-skipping aggregates
+        "encoded_null3vl_stats": Q.encoded_null3vl_stats,
         # round 5: predicate pushdown into the encoded layout — COUNT
         # WHERE col=value answered from zone maps + compressed-domain
         # count_eq (rle run sums / dict code compare), no decode
@@ -818,6 +822,51 @@ def oracle_sql() -> dict[str, str]:
                cast(coalesce(sum(l_orderkey), 0) AS bigint)
         FROM lineitem
         WHERE l_linestatus = 'F' OR NOT l_returnflag = 'N'
+        ORDER BY "case"
+    """
+
+    sql["encoded_null3vl_stats"] = """
+        WITH t AS (
+            SELECT l_orderkey, l_linenumber,
+                   nullif(l_suppkey, 5)    AS sk_n,
+                   nullif(l_linenumber, 2) AS ln_n,
+                   CASE WHEN l_linenumber = 3 THEN NULL
+                        ELSE l_orderkey END AS ok_n
+            FROM lineitem)
+        SELECT 'allnull_agg' AS "case",
+               cast(count(*) AS bigint)                  AS n_match,
+               cast(coalesce(sum(ok_n), 0)  AS bigint)   AS sum_ok_n,
+               cast(count(ok_n) AS bigint)               AS n_ok_n,
+               cast(coalesce(min(ok_n), -1) AS bigint)   AS min_ok_n,
+               cast(coalesce(max(ok_n), -1) AS bigint)   AS max_ok_n,
+               cast(coalesce(sum(l_orderkey), 0) AS bigint)
+                                                         AS sum_l_orderkey
+        FROM t WHERE l_linenumber = 3 AND sk_n IS NULL
+        UNION ALL
+        SELECT 'is_null_sk', cast(count(*) AS bigint),
+               cast(coalesce(sum(ok_n), 0)  AS bigint),
+               cast(count(ok_n) AS bigint),
+               cast(coalesce(min(ok_n), -1) AS bigint),
+               cast(coalesce(max(ok_n), -1) AS bigint),
+               cast(coalesce(sum(l_orderkey), 0) AS bigint)
+        FROM t WHERE sk_n IS NULL
+        UNION ALL
+        SELECT 'not_range', cast(count(*) AS bigint),
+               cast(coalesce(sum(ok_n), 0)  AS bigint),
+               cast(count(ok_n) AS bigint),
+               cast(coalesce(min(ok_n), -1) AS bigint),
+               cast(coalesce(max(ok_n), -1) AS bigint),
+               cast(coalesce(sum(l_orderkey), 0) AS bigint)
+        FROM t WHERE NOT (sk_n BETWEEN 10 AND 60)
+        UNION ALL
+        SELECT 'null_tree', cast(count(*) AS bigint),
+               cast(coalesce(sum(ok_n), 0)  AS bigint),
+               cast(count(ok_n) AS bigint),
+               cast(coalesce(min(ok_n), -1) AS bigint),
+               cast(coalesce(max(ok_n), -1) AS bigint),
+               cast(coalesce(sum(l_orderkey), 0) AS bigint)
+        FROM t WHERE (sk_n = 7 OR ln_n IS NULL)
+                 AND NOT (ln_n BETWEEN 4 AND 6)
         ORDER BY "case"
     """
 

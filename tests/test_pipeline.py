@@ -1651,6 +1651,73 @@ def test_encoded_boolean_agg_matches_pandas(ray_session, tmp_path):
             assert c_or["chunks_skipped"] > 0, c_or
 
 
+def test_encoded_boolean_agg_nullable(ray_session, tmp_path):
+    """NULLABLE columns through the whole boolean-aggregate path: SQL
+    three-valued predicate semantics (DuckDB is the referee), payload-
+    free is_null leaves with bitmap-length zone pruning on a clustered
+    layout, and null-skipping SUM/MIN/MAX over a nullable aggregate
+    column — including the all-null-selection case where MIN/MAX must
+    come back NULL (None) even though rows matched."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_agg)
+
+    rng = np.random.default_rng(11)
+    n = 20000
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 40, n)),
+        "r": rng.integers(0, 9, n),
+        "v": rng.integers(-1000, 1000, n),
+    })
+    # plant nulls deterministically: k == 7 -> kn NULL; r == 3 -> vn NULL
+    df["kn"] = df["k"].where(df["k"] != 7).astype("Int64")
+    df["vn"] = df["v"].where(df["r"] != 3).astype("Int64")
+
+    out_dir = str(tmp_path / "nullable")
+    encode_table_columns(ray.data.from_pandas(df),
+                         ["k", "r", "v", "kn", "vn"],
+                         batch_size=1024).write_parquet(out_dir)
+
+    con = duckdb.connect()
+    con.register("t", df)
+    cases = [
+        ("is_null", ("is_null", "kn")),
+        ("not_null", ("not_null", "kn")),
+        ("not_of_range", ("not", ("range", "kn", 10, 30))),
+        ("tree", ("and", ("or", ("eq", "kn", 5), ("is_null", "kn")),
+                  ("not", ("range", "r", 4, 6)))),
+        ("allnull_sel", ("and", ("eq", "r", 3), ("eq", "k", 7))),
+    ]
+    where = {
+        "is_null": "kn IS NULL",
+        "not_null": "kn IS NOT NULL",
+        "not_of_range": "NOT (kn BETWEEN 10 AND 30)",
+        "tree": "(kn = 5 OR kn IS NULL) AND NOT (r BETWEEN 4 AND 6)",
+        "allnull_sel": "r = 3 AND k = 7",
+    }
+    for name, expr in cases:
+        got, counters = encoded_boolean_agg(out_dir, expr, ["vn"],
+                                            with_minmax=True)
+        exp = con.execute(
+            f"SELECT count(*), coalesce(sum(vn), 0), count(vn), "
+            f"min(vn), max(vn) FROM t WHERE {where[name]}").fetchone()
+        assert got.loc[0, "n_match"] == exp[0], name
+        assert got.loc[0, "sum_vn"] == int(exp[1]), name
+        assert counters["nvalid_vn"] == exp[2], name
+        for col, idx in (("min_vn", 3), ("max_vn", 4)):
+            if exp[idx] is None:
+                assert pd.isna(got.loc[0, col]), (name, col)
+            else:
+                assert got.loc[0, col] == exp[idx], (name, col)
+    # clustered layout: an IS NULL scan prunes chunks without nulls
+    _, c = encoded_boolean_agg(out_dir, ("is_null", "kn"), ["v"])
+    assert c["chunks_skipped"] > 0, c
+    con.close()
+
+
 def test_encoded_filtered_group_agg_matches_pandas(ray_session, tmp_path):
     """GROUP BY under a boolean predicate tree in the compressed
     domain: exact vs pandas on clustered and shuffled layouts.  On the

@@ -2497,6 +2497,97 @@ def encoded_boolean_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("case").reset_index(drop=True)
 
 
+def encoded_null3vl_stats(sf_dir: str) -> pd.DataFrame:
+    """SQL THREE-VALUED LOGIC in the compressed domain: predicate
+    trees over NULLABLE columns evaluate as Kleene (TRUE, POSSIBLE)
+    run-list pairs (:func:`tokrle.pipelines.table_encode._expr_eval3`)
+    — NULL comparisons never match, ``NOT`` never resurrects null rows,
+    and ``is_null`` leaves answer payload-free from the validity
+    bitmap (pruning at the Parquet scan via the bitmap LENGTH, so a
+    suppkey-clustered layout skips every chunk that holds no NULLIF'd
+    row).  Aggregates skip null values exactly like SQL: SUM stays
+    exact because the encoder's null filler is 0, MIN/MAX gather only
+    valid selected positions and return NULL (emitted as the -1
+    sentinel both sides) over an all-null selection.  Nulls are
+    planted deterministically with NULLIF so DuckDB reproduces the
+    table from the base parquet alone."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_agg)
+
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "null3vl")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey")
+        ln = batch.column("l_linenumber")
+        ok = batch.column("l_orderkey")
+        return pa.table({
+            "l_orderkey": ok,
+            "l_linenumber": ln,
+            # NULLIF(l_suppkey, 5) / NULLIF(l_linenumber, 2)
+            "sk_n": pc.if_else(pc.equal(sk, 5),
+                               pa.scalar(None, type=sk.type), sk),
+            "ln_n": pc.if_else(pc.equal(ln, 2),
+                               pa.scalar(None, type=ln.type), ln),
+            # CASE WHEN l_linenumber = 3 THEN NULL ELSE l_orderkey END
+            "ok_n": pc.if_else(pc.equal(ln, 3),
+                               pa.scalar(None, type=ok.type), ok),
+        })
+
+    cols = ["l_orderkey", "l_linenumber", "sk_n", "ln_n", "ok_n"]
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_suppkey"]) \
+        .sort("l_suppkey") \
+        .map_batches(derive, batch_format="pyarrow")
+    encode_table_columns(ds, cols, batch_size=256).write_parquet(enc_dir)
+
+    cases = [
+        ("allnull_agg", ("and", ("eq", "l_linenumber", 3),
+                         ("is_null", "sk_n"))),
+        ("is_null_sk", ("is_null", "sk_n")),
+        ("not_range", ("not", ("range", "sk_n", 10, 60))),
+        ("null_tree", ("and",
+                       ("or", ("eq", "sk_n", 7), ("is_null", "ln_n")),
+                       ("not", ("range", "ln_n", 4, 6)))),
+    ]
+    rows = []
+    for name, expr in cases:
+        df, counters = encoded_boolean_agg(
+            enc_dir, expr, ["ok_n", "l_orderkey"], with_minmax=True)
+        if name == "is_null_sk" and counters["chunks_total"] > 16:
+            # the clustered layout must prune null-free chunks from an
+            # IS NULL scan via binary_length(__valid) > 0
+            assert counters["chunks_skipped"] > 0, \
+                f"is_null never pruned: {counters}"
+        if name == "allnull_agg":
+            assert counters["nvalid_ok_n"] == 0, \
+                f"allnull selection saw valid ok_n: {counters}"
+        g = df.iloc[0]
+        rows.append({
+            "case": name,
+            "n_match": int(g["n_match"]),
+            "sum_ok_n": int(g["sum_ok_n"]),
+            "n_ok_n": int(counters["nvalid_ok_n"]),
+            "min_ok_n": -1 if pd.isna(g["min_ok_n"])
+            else int(g["min_ok_n"]),
+            "max_ok_n": -1 if pd.isna(g["max_ok_n"])
+            else int(g["max_ok_n"]),
+            "sum_l_orderkey": int(g["sum_l_orderkey"]),
+        })
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        if c != "case":
+            out[c] = out[c].astype("int64")
+    return out.sort_values("case").reset_index(drop=True)
+
+
 def encoded_group_where_stats(sf_dir: str) -> pd.DataFrame:
     """GROUP BY under a boolean predicate tree, entirely in the
     compressed domain (:func:`encoded_filtered_group_agg`): the

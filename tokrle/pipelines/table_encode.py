@@ -1691,15 +1691,29 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str],
     map (zero decode), run-list chunks late-materialize only the
     selected positions (:func:`gather_runs`).  ``min_<c>``/``max_<c>``
     are ``None`` when nothing matches (SQL ``min()`` over an empty set
-    is NULL)."""
+    is NULL).
+
+    NULLABLE columns are fully supported on both sides of the
+    aggregate.  Predicate columns evaluate under SQL three-valued
+    logic (:func:`_expr_eval3` — NULL comparisons never match, ``not``
+    never resurrects them, and ``is_null``/``not_null`` leaves answer
+    payload-free from the validity bitmap).  Aggregate columns skip
+    null slots exactly like SQL: SUM stays exact because the encoder's
+    null filler is 0, MIN/MAX gather only valid selected positions,
+    and both return NULL when NO selected row holds a valid value
+    (``n_valid_<c>`` carries that count; SUM over an all-null
+    selection is emitted as 0 — pair it with ``coalesce`` in an
+    oracle)."""
     import pandas as pd
     import ray.data
     from ray.data.aggregate import Max, Min, Sum
 
-    from tokrle.codecs.core import agg_sum, agg_sum_runs, gather_runs
+    from tokrle.codecs.core import (agg_sum, agg_sum_runs, gather_runs,
+                                    runs_intersect, valid_to_runs)
 
     pred_cols = _expr_pred_cols(expr)
     str_cols = _expr_str_cols(expr)
+    null_cols = _expr_null_cols(expr)
     n_total = _n_chunks(enc_dir)
     need = ["n_rows"] + [f"{c}__{p}" for c in pred_cols
                          for p in ("vmin", "vmax")] + [
@@ -1708,19 +1722,20 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str],
         for p in ("codec", "payload", "dtype", "valid")] + [
         f"{c}__{p}" for c in str_cols
         for p in ("codec", "payload", "lens_payload", "valid")]
+    need += [f"{c}__valid" for c in null_cols
+             if f"{c}__valid" not in need]
     if with_minmax:
         need += [f"{c}__{p}" for c in agg_cols
                  for p in ("vmin", "vmax")
                  if f"{c}__{p}" not in need]
 
     def _chunk_col(batch, c, i):
-        if len(batch.column(f"{c}__valid")[i].as_py() or b""):
-            raise ValueError(
-                f"column {c!r}: nullable chunks not supported by the "
-                "compressed-domain boolean aggregate")
         return (batch.column(f"{c}__codec")[i].as_py(),
                 memoryview(batch.column(f"{c}__payload")[i].as_buffer()),
                 np.dtype(batch.column(f"{c}__dtype")[i].as_py()))
+
+    def _valid(batch, c, i) -> bytes:
+        return batch.column(f"{c}__valid")[i].as_py() or b""
 
     def partial(batch: pa.Table) -> pa.Table:
         nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
@@ -1731,6 +1746,7 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str],
 
         n_match, all_hit, run_chunks = 0, 0, 0
         sums = {c: 0 for c in agg_cols}
+        nvalid = {c: 0 for c in agg_cols}
         imax = np.iinfo(np.int64).max
         mins = {c: imax for c in agg_cols}
         maxs = {c: -imax - 1 for c in agg_cols}
@@ -1742,20 +1758,36 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str],
                 continue
             sel = _expr_eval(expr, i, n, zmin, zmax,
                              lambda col, j: _chunk_col(batch, col, j),
-                             lambda col, j: _chunk_str_col(batch, col, j))
+                             lambda col, j: _chunk_str_col(batch, col, j),
+                             lambda col, j: _valid(batch, col, j))
             if isinstance(sel, str):
                 all_hit += 1
                 n_match += n
                 for c in agg_cols:
                     codec, payload, dt = _chunk_col(batch, c, i)
+                    vb = _valid(batch, c, i)
+                    # the encoder fills null slots with 0, so the
+                    # whole-payload sum equals SQL's null-skipping SUM
                     sums[c] += agg_sum(codec, payload, n, dt)
-                    if with_minmax:
-                        # whole chunk selected: its zone map IS the
-                        # exact extrema — nothing decodes
-                        mins[c] = min(mins[c], int(
-                            batch.column(f"{c}__vmin")[i].as_py()))
-                        maxs[c] = max(maxs[c], int(
-                            batch.column(f"{c}__vmax")[i].as_py()))
+                    if not vb:
+                        nvalid[c] += n
+                        if with_minmax:
+                            # whole chunk selected: its zone map IS
+                            # the exact extrema — nothing decodes
+                            mins[c] = min(mins[c], int(
+                                batch.column(f"{c}__vmin")[i].as_py()))
+                            maxs[c] = max(maxs[c], int(
+                                batch.column(f"{c}__vmax")[i].as_py()))
+                        continue
+                    vr = valid_to_runs(vb, n)
+                    nv = int(vr[1].sum())
+                    nvalid[c] += nv
+                    if with_minmax and nv:
+                        # nullable chunk: the zone map covers the 0
+                        # filler — gather only the valid positions
+                        v = gather_runs(codec, payload, n, dt, *vr)
+                        mins[c] = min(mins[c], int(v.min()))
+                        maxs[c] = max(maxs[c], int(v.max()))
                 continue
             if not len(sel[0]):
                 continue
@@ -1763,21 +1795,31 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str],
             n_match += int(sel[1].sum())
             for c in agg_cols:
                 codec, payload, dt = _chunk_col(batch, c, i)
+                vb = _valid(batch, c, i)
+                # restrict to VALID selected positions on nullable
+                # chunks — null slots neither count nor aggregate
+                sv = sel if not vb else \
+                    runs_intersect(*sel, *valid_to_runs(vb, n))
+                nv = int(sv[1].sum())
+                nvalid[c] += nv
+                if not nv:
+                    continue
                 if with_minmax:
                     # min/max need the gathered values anyway — reuse
                     # them for the sum instead of a second decode
-                    v = gather_runs(codec, payload, n, dt, *sel)
+                    v = gather_runs(codec, payload, n, dt, *sv)
                     sums[c] += int(v.sum(dtype=np.int64))
                     mins[c] = min(mins[c], int(v.min()))
                     maxs[c] = max(maxs[c], int(v.max()))
                 else:
-                    sums[c] += agg_sum_runs(codec, payload, n, dt, *sel)
+                    sums[c] += agg_sum_runs(codec, payload, n, dt, *sv)
         out = {"n_match": pa.array([n_match], type=pa.int64()),
                "chunks": pa.array([len(batch)], type=pa.int64()),
                "all_hit": pa.array([all_hit], type=pa.int64()),
                "run_chunks": pa.array([run_chunks], type=pa.int64())}
         for c in agg_cols:
             out[f"sum_{c}"] = pa.array([sums[c]], type=pa.int64())
+            out[f"nvalid_{c}"] = pa.array([nvalid[c]], type=pa.int64())
             if with_minmax:
                 # sentinel extrema (no matches in this batch) fold
                 # away in the cross-batch Min/Max
@@ -1791,7 +1833,8 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str],
             Sum("chunks", alias_name="chunks"),
             Sum("all_hit", alias_name="all_hit"),
             Sum("run_chunks", alias_name="run_chunks")] + \
-        [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in agg_cols]
+        [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in agg_cols] + \
+        [Sum(f"nvalid_{c}", alias_name=f"nvalid_{c}") for c in agg_cols]
     if with_minmax:
         aggs += [Min(f"min_{c}", alias_name=f"min_{c}")
                  for c in agg_cols] + \
@@ -1806,12 +1849,17 @@ def encoded_boolean_agg(enc_dir: str, expr: tuple, agg_cols: list[str],
     matched = int(row["n_match"] or 0)
     data = {"n_match": [matched]}
     for c in agg_cols:
+        nv = int(row[f"nvalid_{c}"] or 0)
         data[f"sum_{c}"] = [int(row[f"sum_{c}"] or 0)]
+        # valid-value count per aggregate column (== SQL COUNT(col));
+        # rides in counters so the DataFrame schema stays stable for
+        # null-free callers
+        counters[f"nvalid_{c}"] = nv
         if with_minmax:
-            data[f"min_{c}"] = [int(row[f"min_{c}"])
-                                if matched else None]
-            data[f"max_{c}"] = [int(row[f"max_{c}"])
-                                if matched else None]
+            # SQL MIN/MAX over zero VALID values is NULL, even when
+            # null-valued rows were selected
+            data[f"min_{c}"] = [int(row[f"min_{c}"]) if nv else None]
+            data[f"max_{c}"] = [int(row[f"max_{c}"]) if nv else None]
     return pd.DataFrame(data), counters
 
 
