@@ -90,6 +90,126 @@ def _encode_file_task(batch: dict, *, batch_size: int,
                   "source": pa.array([], type=pa.string())}))
 
 
+def _encode_corpus_single_job(groups, done, manifest, out_dir, run, *,
+                              batch_size: int,
+                              local_group: bool) -> dict:
+    """Shuffle-free encode path: every pending group's files run in ONE
+    Dataset job of fused read->encode->write tasks
+    (:func:`_encode_write_file_task`); only per-file metrics rows return to
+    the driver, which then publishes one manifest row per completed group.
+
+    Per-group ``seconds`` in the manifest is the SUM of that group's
+    per-file task times (compute seconds, not wall — groups now execute
+    concurrently)."""
+    import functools
+
+    import ray.data
+
+    pending: list[tuple[str, list[str]]] = []
+    for grp in groups:
+        gid = _group_id(grp)
+        if gid in done:
+            run["units_skipped"] += 1
+            continue
+        # a previous CRASHED attempt may have left partial files (its
+        # manifest row was never published); clear them or stale-grouping
+        # leftovers would sit next to the re-run's outputs
+        unit_out = os.path.join(out_dir, f"group={gid}")
+        if os.path.isdir(unit_out):
+            import shutil
+
+            shutil.rmtree(unit_out)
+        pending.append((gid, grp))
+    if not pending:
+        return run
+    t0 = time.perf_counter()
+    items = [{"path": p, "group": gid} for gid, grp in pending for p in grp]
+    paths = ray.data.from_items(items, override_num_blocks=len(items))
+    metrics_ds = paths.map_batches(
+        functools.partial(_encode_write_file_task, out_dir=out_dir,
+                          batch_size=batch_size, local_group=local_group),
+        batch_size=1, batch_format="numpy")
+    per_group: dict[str, dict] = {
+        gid: {"n_files": len(grp), "first_file": grp[0], "n_tokens": 0,
+              "raw_bytes": 0, "encoded_bytes": 0, "seconds": 0.0}
+        for gid, grp in pending}
+    # stream the metrics rows and publish each group's manifest row the
+    # moment its LAST file reports — resume granularity stays per-group
+    # even though all groups share one job (a crash mid-job keeps every
+    # already-published group)
+    remaining = {gid: len(grp) for gid, grp in pending}
+    for row in metrics_ds.iter_rows():
+        gid = row["group"]
+        m = per_group[gid]
+        for k in ("n_tokens", "raw_bytes", "encoded_bytes", "seconds"):
+            m[k] += row[k]
+        remaining[gid] -= 1
+        if remaining[gid] == 0:
+            manifest.mark_done(gid, m)
+            for k in ("n_tokens", "raw_bytes", "encoded_bytes"):
+                run[k] += m[k]
+    run["seconds"] = time.perf_counter() - t0
+    return run
+
+
+def _encode_write_file_task(batch: dict, *, out_dir: str, batch_size: int,
+                            local_group: bool = False) -> "pa.Table":
+    """Fully-fused resume-unit task: read one input file locally, encode it
+    chunk by chunk, WRITE the encoded table straight into its group's
+    directory, and return a single ~100-byte metrics row.
+
+    This is the single-job execution shape for :func:`encode_corpus`: ALL
+    pending groups run inside ONE Dataset job at full cluster width (one
+    pipeline spin-up total, stragglers amortize across every file), instead
+    of one sequential Dataset job per 256 MB resume group — which on a
+    256-node cluster would leave almost the whole cluster idle per group.
+    Nothing but the metrics row crosses the object store.
+
+    Crash-idempotent: the output file name is a pure function of the input
+    path, written via tmp + ``os.replace``; a retried or re-run task
+    atomically overwrites its own previous partial output.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tokrle.pipelines.encode import _encode_batch
+    from tokrle.state.manifest import _unit_id
+
+    rows: dict[str, list] = {"group": [], "path": [], "n_tokens": [],
+                             "raw_bytes": [], "encoded_bytes": [],
+                             "seconds": []}
+    for path, gid in zip(batch["path"], batch["group"]):
+        t0 = time.perf_counter()
+        table = pq.read_table(path, columns=["doc_id", "tokens", "n_tok",
+                                             "source"])
+        parts = [_encode_batch(table.slice(start, batch_size),
+                               local_group=local_group)
+                 for start in range(0, len(table), batch_size)]
+        n_tok = raw_b = enc_b = 0
+        if parts:
+            enc = pa.concat_tables(parts)
+            if enc.num_rows:
+                import pyarrow.compute as pc
+
+                n_tok = pc.sum(enc.column("n_tokens")).as_py() or 0
+                raw_b = pc.sum(enc.column("raw_bytes")).as_py() or 0
+                enc_b = pc.sum(enc.column("encoded_bytes")).as_py() or 0
+                gdir = os.path.join(out_dir, f"group={gid}")
+                os.makedirs(gdir, exist_ok=True)
+                final = os.path.join(gdir,
+                                     f"part-{_unit_id(path)}.parquet")
+                tmp = final + ".tmp"
+                pq.write_table(enc, tmp)
+                os.replace(tmp, final)
+        rows["group"].append(gid)
+        rows["path"].append(path)
+        rows["n_tokens"].append(n_tok)
+        rows["raw_bytes"].append(raw_b)
+        rows["encoded_bytes"].append(enc_b)
+        rows["seconds"].append(time.perf_counter() - t0)
+    return pa.table(rows)
+
+
 def recompress(in_encoded: str, out_dir: str, *,
                batch_size: int = DEFAULT_BATCH_SIZE,
                by_source: bool = False, concurrency=None) -> dict:
@@ -187,31 +307,24 @@ def encode_corpus(in_dir: str, out_dir: str, *,
     done = manifest.completed_units()
     run = {"units_total": len(groups), "units_skipped": 0,
            "n_tokens": 0, "raw_bytes": 0, "encoded_bytes": 0, "seconds": 0.0}
+    if file_tasks and by_source in (False, "", "local"):
+        return _encode_corpus_single_job(
+            groups, done, manifest, out_dir, run,
+            batch_size=batch_size, local_group=by_source == "local")
     for grp in groups:
         gid = _group_id(grp)
         if gid in done:
             run["units_skipped"] += 1
             continue
         t0 = time.perf_counter()
-        if file_tasks and by_source in (False, "", "local"):
-            import functools
-
-            paths = ray.data.from_items(
-                [{"path": p} for p in grp],
-                override_num_blocks=len(grp))
-            enc = paths.map_batches(
-                functools.partial(_encode_file_task, batch_size=batch_size,
-                                  local_group=by_source == "local"),
-                batch_size=1, batch_format="numpy")
-        else:
-            # one block per input file: avoids the SplitBlocks stage, so
-            # blocks stay file-sized and far fewer objects cross the store;
-            # the encode stage slices blocks into batch_size chunks anyway
-            ds = ray.data.read_parquet(
-                grp, columns=["doc_id", "tokens", "n_tok", "source"],
-                override_num_blocks=len(grp))
-            enc = encode_tokens(ds, batch_size=batch_size,
-                                concurrency=concurrency, by_source=by_source)
+        # one block per input file: avoids the SplitBlocks stage, so
+        # blocks stay file-sized and far fewer objects cross the store;
+        # the encode stage slices blocks into batch_size chunks anyway
+        ds = ray.data.read_parquet(
+            grp, columns=["doc_id", "tokens", "n_tok", "source"],
+            override_num_blocks=len(grp))
+        enc = encode_tokens(ds, batch_size=batch_size,
+                            concurrency=concurrency, by_source=by_source)
         unit_out = os.path.join(out_dir, f"group={gid}")
         # a previous CRASHED attempt may have left partial files (its
         # manifest row was never published); clear them or the re-run would
