@@ -91,11 +91,12 @@ def _encode_file_task(batch: dict, *, batch_size: int,
 
 
 def _encode_corpus_single_job(groups, done, manifest, out_dir, run, *,
-                              batch_size: int,
-                              local_group: bool) -> dict:
+                              batch_size: int, local_group: bool,
+                              task_fn=None) -> dict:
     """Shuffle-free encode path: every pending group's files run in ONE
     Dataset job of fused read->encode->write tasks
-    (:func:`_encode_write_file_task`); only per-file metrics rows return to
+    (:func:`_encode_write_file_task`, or ``task_fn`` — e.g.
+    :func:`_recompress_file_task`); only per-file metrics rows return to
     the driver, which then publishes one manifest row per completed group.
 
     Per-group ``seconds`` in the manifest is the SUM of that group's
@@ -126,7 +127,8 @@ def _encode_corpus_single_job(groups, done, manifest, out_dir, run, *,
     items = [{"path": p, "group": gid} for gid, grp in pending for p in grp]
     paths = ray.data.from_items(items, override_num_blocks=len(items))
     metrics_ds = paths.map_batches(
-        functools.partial(_encode_write_file_task, out_dir=out_dir,
+        functools.partial(task_fn or _encode_write_file_task,
+                          out_dir=out_dir,
                           batch_size=batch_size, local_group=local_group),
         batch_size=1, batch_format="numpy")
     per_group: dict[str, dict] = {
@@ -173,7 +175,6 @@ def _encode_write_file_task(batch: dict, *, out_dir: str, batch_size: int,
     import pyarrow.parquet as pq
 
     from tokrle.pipelines.encode import _encode_batch
-    from tokrle.state.manifest import _unit_id
 
     rows: dict[str, list] = {"group": [], "path": [], "n_tokens": [],
                              "raw_bytes": [], "encoded_bytes": [],
@@ -185,22 +186,94 @@ def _encode_write_file_task(batch: dict, *, out_dir: str, batch_size: int,
         parts = [_encode_batch(table.slice(start, batch_size),
                                local_group=local_group)
                  for start in range(0, len(table), batch_size)]
-        n_tok = raw_b = enc_b = 0
-        if parts:
-            enc = pa.concat_tables(parts)
-            if enc.num_rows:
-                import pyarrow.compute as pc
+        n_tok, raw_b, enc_b = _write_encoded_parts(parts, out_dir, gid,
+                                                   path)
+        rows["group"].append(gid)
+        rows["path"].append(path)
+        rows["n_tokens"].append(n_tok)
+        rows["raw_bytes"].append(raw_b)
+        rows["encoded_bytes"].append(enc_b)
+        rows["seconds"].append(time.perf_counter() - t0)
+    return pa.table(rows)
 
-                n_tok = pc.sum(enc.column("n_tokens")).as_py() or 0
-                raw_b = pc.sum(enc.column("raw_bytes")).as_py() or 0
-                enc_b = pc.sum(enc.column("encoded_bytes")).as_py() or 0
-                gdir = os.path.join(out_dir, f"group={gid}")
-                os.makedirs(gdir, exist_ok=True)
-                final = os.path.join(gdir,
-                                     f"part-{_unit_id(path)}.parquet")
-                tmp = final + ".tmp"
-                pq.write_table(enc, tmp)
-                os.replace(tmp, final)
+
+def _write_encoded_parts(parts: list, out_dir: str, gid: str,
+                         src_path: str) -> tuple[int, int, int]:
+    """Concat per-batch encoded tables and publish them as this input
+    file's output part (tmp + atomic rename, deterministic name).
+    Returns (n_tokens, raw_bytes, encoded_bytes); writes nothing when the
+    input decoded to zero rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tokrle.state.manifest import _unit_id
+
+    if not parts:
+        return 0, 0, 0
+    enc = pa.concat_tables(parts)
+    if not enc.num_rows:
+        return 0, 0, 0
+    import pyarrow.compute as pc
+
+    n_tok = pc.sum(enc.column("n_tokens")).as_py() or 0
+    raw_b = pc.sum(enc.column("raw_bytes")).as_py() or 0
+    enc_b = pc.sum(enc.column("encoded_bytes")).as_py() or 0
+    gdir = os.path.join(out_dir, f"group={gid}")
+    os.makedirs(gdir, exist_ok=True)
+    final = os.path.join(gdir, f"part-{_unit_id(src_path)}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(enc, tmp)
+    os.replace(tmp, final)
+    return n_tok, raw_b, enc_b
+
+
+def _recompress_file_task(batch: dict, *, out_dir: str, batch_size: int,
+                          local_group: bool = False) -> "pa.Table":
+    """Fused recompress resume-unit task: read one ENCODED parquet file
+    locally, stream-decode it a few chunks at a time, re-encode at the new
+    chunking/codec settings, and write the result into its group's
+    directory — the decoded token stream never leaves the task, let alone
+    the object store.  Single-job shape and crash idempotence exactly as
+    :func:`_encode_write_file_task`.
+
+    Decoded rows are buffered and re-sliced to uniform ``batch_size``
+    chunks across the whole file (one tail chunk per file), matching what
+    the Dataset map_batches path produced per block."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tokrle.pipelines.encode import _encode_batch
+    from tokrle.stages.encoder import decode_chunks
+
+    decode_rows = 4  # chunks per decode slice: bounds transient memory
+    rows: dict[str, list] = {"group": [], "path": [], "n_tokens": [],
+                             "raw_bytes": [], "encoded_bytes": [],
+                             "seconds": []}
+    for path, gid in zip(batch["path"], batch["group"]):
+        t0 = time.perf_counter()
+        enc_in = pq.read_table(
+            path, columns=["codec", "payload", "n_tokens", "row_offsets",
+                           "doc_id", "doc_source"])
+        parts: list = []
+        buf: list = []
+        buf_rows = 0
+        for s in range(0, enc_in.num_rows, decode_rows):
+            tok = decode_chunks(enc_in.slice(s, decode_rows))
+            if tok.num_rows:
+                buf.append(tok)
+                buf_rows += tok.num_rows
+            while buf_rows >= batch_size:
+                t = pa.concat_tables(buf) if len(buf) > 1 else buf[0]
+                parts.append(_encode_batch(t.slice(0, batch_size),
+                                           local_group=local_group))
+                rem = t.slice(batch_size)
+                buf = [rem] if rem.num_rows else []
+                buf_rows = rem.num_rows
+        if buf_rows:
+            t = pa.concat_tables(buf) if len(buf) > 1 else buf[0]
+            parts.append(_encode_batch(t, local_group=local_group))
+        n_tok, raw_b, enc_b = _write_encoded_parts(parts, out_dir, gid,
+                                                   path)
         rows["group"].append(gid)
         rows["path"].append(path)
         rows["n_tokens"].append(n_tok)
@@ -236,6 +309,14 @@ def recompress(in_encoded: str, out_dir: str, *,
     done = manifest.completed_units()
     run = {"units_total": len(groups), "units_skipped": 0,
            "n_tokens": 0, "raw_bytes": 0, "encoded_bytes": 0, "seconds": 0.0}
+    if by_source in (False, "", "local"):
+        # shuffle-free settings: single-job fused decode->encode->write
+        # tasks, same shape (and same resume/crash semantics) as
+        # encode_corpus's fast path
+        return _encode_corpus_single_job(
+            groups, done, manifest, out_dir, run, batch_size=batch_size,
+            local_group=by_source == "local",
+            task_fn=_recompress_file_task)
     for grp in groups:
         gid = _group_id(grp)
         if gid in done:
