@@ -242,10 +242,6 @@ def _recompress_file_task(batch: dict, *, out_dir: str, batch_size: int,
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from tokrle.pipelines.encode import _encode_batch
-    from tokrle.stages.encoder import decode_chunks
-
-    decode_rows = 4  # chunks per decode slice: bounds transient memory
     rows: dict[str, list] = {"group": [], "path": [], "n_tokens": [],
                              "raw_bytes": [], "encoded_bytes": [],
                              "seconds": []}
@@ -254,11 +250,41 @@ def _recompress_file_task(batch: dict, *, out_dir: str, batch_size: int,
         enc_in = pq.read_table(
             path, columns=["codec", "payload", "n_tokens", "row_offsets",
                            "doc_id", "doc_source"])
-        parts: list = []
-        buf: list = []
-        buf_rows = 0
+        parts = _decode_reencode_stream([enc_in], batch_size=batch_size,
+                                        local_group=local_group)
+        n_tok, raw_b, enc_b = _write_encoded_parts(parts, out_dir, gid,
+                                                   path)
+        rows["group"].append(gid)
+        rows["path"].append(path)
+        rows["n_tokens"].append(n_tok)
+        rows["raw_bytes"].append(raw_b)
+        rows["encoded_bytes"].append(enc_b)
+        rows["seconds"].append(time.perf_counter() - t0)
+    return pa.table(rows)
+
+
+def _decode_reencode_stream(enc_tables, *, batch_size: int,
+                            local_group: bool, filter_fn=None) -> list:
+    """Stream chunk rows from ``enc_tables`` (an iterable of encoded
+    pyarrow Tables) through decode -> optional ``filter_fn`` (token-table
+    -> token-table) -> uniform ``batch_size`` re-batch -> encode,
+    returning the encoded part tables.  Transient memory is bounded by a
+    few chunks plus one re-batch buffer regardless of the total stream
+    size."""
+    import pyarrow as pa
+
+    from tokrle.pipelines.encode import _encode_batch
+    from tokrle.stages.encoder import decode_chunks
+
+    decode_rows = 4
+    parts: list = []
+    buf: list = []
+    buf_rows = 0
+    for enc_in in enc_tables:
         for s in range(0, enc_in.num_rows, decode_rows):
             tok = decode_chunks(enc_in.slice(s, decode_rows))
+            if filter_fn is not None:
+                tok = filter_fn(tok)
             if tok.num_rows:
                 buf.append(tok)
                 buf_rows += tok.num_rows
@@ -269,18 +295,10 @@ def _recompress_file_task(batch: dict, *, out_dir: str, batch_size: int,
                 rem = t.slice(batch_size)
                 buf = [rem] if rem.num_rows else []
                 buf_rows = rem.num_rows
-        if buf_rows:
-            t = pa.concat_tables(buf) if len(buf) > 1 else buf[0]
-            parts.append(_encode_batch(t, local_group=local_group))
-        n_tok, raw_b, enc_b = _write_encoded_parts(parts, out_dir, gid,
-                                                   path)
-        rows["group"].append(gid)
-        rows["path"].append(path)
-        rows["n_tokens"].append(n_tok)
-        rows["raw_bytes"].append(raw_b)
-        rows["encoded_bytes"].append(enc_b)
-        rows["seconds"].append(time.perf_counter() - t0)
-    return pa.table(rows)
+    if buf_rows:
+        t = pa.concat_tables(buf) if len(buf) > 1 else buf[0]
+        parts.append(_encode_batch(t, local_group=local_group))
+    return parts
 
 
 def recompress(in_encoded: str, out_dir: str, *,
@@ -569,29 +587,17 @@ def upsert_corpus(enc_dir: str, delta_ds, *,
     group_dirs = sorted({os.path.dirname(p) for p in hits["path"]}) \
         if len(hits) else []
 
-    for gdir in group_dirs:
-        gfiles = sorted(glob.glob(os.path.join(gdir, "*.parquet")))
-        toks = decode_tokens(ray.data.read_parquet(
-            gfiles, override_num_blocks=len(gfiles)))
-
-        def drop(batch: pa.Table) -> pa.Table:
-            w = ray.get(ref)
-            return batch.filter(pc.invert(pc.is_in(
-                batch.column("doc_id"), value_set=w)))
-
-        kept = encode_tokens(toks.map_batches(drop, batch_format="pyarrow"),
-                             batch_size=batch_size, by_source=by_source)
+    def _swap_group(gdir: str, n_files: int) -> None:
+        """Crash-safe swap: rename the old group ASIDE (never delete it
+        before the replacement is in place).  Every interruption point
+        leaves a recoverable state — see recover_groups()/live_groups():
+          after rename(gdir -> .old):  base missing, .old = old data
+          after rename(tmp -> gdir):   base = new data, .old = garbage
+        """
         tmp = gdir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        kept.write_parquet(tmp)
-        # a fully-replaced group encodes to zero rows; write_parquet may
-        # then emit no files — keep the (empty) dir so the swap still works
+        # a fully-replaced group encodes to zero rows and writes no
+        # files — keep the (empty) dir so the swap still works
         os.makedirs(tmp, exist_ok=True)
-        # crash-safe swap: rename the old group ASIDE (never delete it
-        # before the replacement is in place).  Every interruption point
-        # leaves a recoverable state — see recover_groups()/live_groups():
-        #   after rename(gdir -> .old):  base missing, .old = old data
-        #   after rename(tmp -> gdir):   base = new data, .old = garbage
         old = gdir + ".old"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(gdir, old)
@@ -599,9 +605,53 @@ def upsert_corpus(enc_dir: str, delta_ds, *,
         shutil.rmtree(old)
         run["groups_rewritten"] += 1
         gid = os.path.basename(gdir).split("=", 1)[-1]
-        manifest.mark_done(gid, {"n_files": len(gfiles),
+        manifest.mark_done(gid, {"n_files": n_files,
                                  "upsert_rewrite": True,
                                  "seconds": time.perf_counter() - t0})
+
+    if group_dirs and by_source in (False, "", "local"):
+        # ALL affected groups rewrite in ONE Dataset job of fused
+        # decode->drop->re-encode->write tasks (one per member file);
+        # each group's atomic swap publishes the moment its last file
+        # reports — same single-job shape as encode_corpus/compact
+        import functools
+
+        group_files = {g: sorted(glob.glob(os.path.join(g, "*.parquet")))
+                       for g in group_dirs}
+        for g in group_dirs:
+            shutil.rmtree(g + ".tmp", ignore_errors=True)
+        items = [{"gdir": g, "path": p}
+                 for g, fs in group_files.items() for p in fs]
+        metrics_ds = ray.data.from_items(
+            items, override_num_blocks=len(items)).map_batches(
+            functools.partial(_upsert_rewrite_file_task,
+                              batch_size=batch_size,
+                              local_group=by_source == "local",
+                              ids_ref=ref),
+            batch_size=1, batch_format="numpy")
+        remaining = {g: len(fs) for g, fs in group_files.items()}
+        for row in metrics_ds.iter_rows():
+            remaining[row["gdir"]] -= 1
+            if remaining[row["gdir"]] == 0:
+                _swap_group(row["gdir"], len(group_files[row["gdir"]]))
+    else:
+        for gdir in group_dirs:
+            gfiles = sorted(glob.glob(os.path.join(gdir, "*.parquet")))
+            toks = decode_tokens(ray.data.read_parquet(
+                gfiles, override_num_blocks=len(gfiles)))
+
+            def drop(batch: pa.Table) -> pa.Table:
+                w = ray.get(ref)
+                return batch.filter(pc.invert(pc.is_in(
+                    batch.column("doc_id"), value_set=w)))
+
+            kept = encode_tokens(
+                toks.map_batches(drop, batch_format="pyarrow"),
+                batch_size=batch_size, by_source=by_source)
+            tmp = gdir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            kept.write_parquet(tmp)
+            _swap_group(gdir, len(gfiles))
 
     h = hashlib.blake2b(digest_size=10)
     for i in ids:
@@ -629,6 +679,48 @@ def upsert_corpus(enc_dir: str, delta_ds, *,
         _publish_groups(enc_dir, sorted(names))
     run["seconds"] = dt
     return run
+
+
+def _upsert_rewrite_file_task(batch: dict, *, batch_size: int,
+                              local_group: bool, ids_ref) -> "pa.Table":
+    """Fused upsert-rewrite task: stream-decode one member file of an
+    affected group, DROP the replaced doc_ids (the wanted-id set arrives
+    once per node via the ``ids_ref`` object-store broadcast), re-encode,
+    and write into the group's invisible ``.tmp`` dir.  The driver
+    performs the group's crash-safe swap when its last file reports."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from tokrle.state.manifest import _unit_id
+
+    wanted = ray.get(ids_ref)
+
+    def drop(tok: "pa.Table") -> "pa.Table":
+        return tok.filter(pc.invert(pc.is_in(tok.column("doc_id"),
+                                             value_set=wanted)))
+
+    rows: dict[str, list] = {"gdir": [], "path": [], "seconds": []}
+    for gdir, path in zip(batch["gdir"], batch["path"]):
+        t0 = time.perf_counter()
+        enc_in = pq.read_table(
+            path, columns=["codec", "payload", "n_tokens", "row_offsets",
+                           "doc_id", "doc_source"])
+        parts = _decode_reencode_stream([enc_in], batch_size=batch_size,
+                                        local_group=local_group,
+                                        filter_fn=drop)
+        if parts:
+            enc = pa.concat_tables(parts)
+            if enc.num_rows:
+                tmp_dir = gdir + ".tmp"
+                os.makedirs(tmp_dir, exist_ok=True)
+                pq.write_table(enc, os.path.join(
+                    tmp_dir, f"part-{_unit_id(path)}.parquet"))
+        rows["gdir"].append(gdir)
+        rows["path"].append(path)
+        rows["seconds"].append(time.perf_counter() - t0)
+    return pa.table(rows)
 
 
 def _groups_pointer(enc_dir: str) -> str:
@@ -732,6 +824,46 @@ def read_corpus(enc_dir: str, columns: list[str] | None = None):
     return ray.data.read_parquet(corpus_files(enc_dir), columns=columns)
 
 
+def _compact_bin_task(batch: dict, *, enc_dir: str, batch_size: int,
+                      local_group: bool = False) -> "pa.Table":
+    """Fused compaction task: stream-decode ALL of one bin's member files,
+    re-batch to uniform ``batch_size`` chunks across the whole bin (so
+    compression recovers — the point of compaction), encode, and write one
+    consolidated file into the bin's invisible ``.tmp`` dir.  The driver
+    publishes the atomic view swap when this task's metrics row arrives;
+    all bins run in ONE Dataset job at full cluster width."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows: dict[str, list] = {"bin": [], "n_tokens": [],
+                             "encoded_bytes": [], "seconds": []}
+    for name, files_s in zip(batch["bin"], batch["files"]):
+        t0 = time.perf_counter()
+        files = [f for f in files_s.split("\x00") if f]
+        parts = _decode_reencode_stream(
+            (pq.read_table(f, columns=["codec", "payload", "n_tokens",
+                                       "row_offsets", "doc_id",
+                                       "doc_source"]) for f in files),
+            batch_size=batch_size, local_group=local_group)
+        tmp_dir = os.path.join(enc_dir, name) + ".tmp"
+        os.makedirs(tmp_dir, exist_ok=True)
+        n_tok = enc_b = 0
+        if parts:
+            enc = pa.concat_tables(parts)
+            if enc.num_rows:
+                import pyarrow.compute as pc
+
+                n_tok = pc.sum(enc.column("n_tokens")).as_py() or 0
+                enc_b = pc.sum(enc.column("encoded_bytes")).as_py() or 0
+                pq.write_table(enc, os.path.join(tmp_dir,
+                                                 "part-000.parquet"))
+        rows["bin"].append(name)
+        rows["n_tokens"].append(n_tok)
+        rows["encoded_bytes"].append(enc_b)
+        rows["seconds"].append(time.perf_counter() - t0)
+    return pa.table(rows)
+
+
 def compact_corpus(enc_dir: str, *, target_bytes: int = GROUP_TARGET_BYTES,
                    batch_size: int = DEFAULT_BATCH_SIZE,
                    by_source: bool = False) -> dict:
@@ -786,6 +918,30 @@ def compact_corpus(enc_dir: str, *, target_bytes: int = GROUP_TARGET_BYTES,
         bins.append(cur)
     bins = [b for b in bins if len(b) >= 2]
     live = set(groups)
+    local_group = by_source in ("local",)
+    single_job = by_source in (False, "", "local") and bins
+
+    def _finish_bin(new_name: str, members: list[str],
+                    n_files: int) -> None:
+        """Atomic per-bin publish: rename the finished .tmp, swap the
+        live-group pointer, then GC the member dirs."""
+        nonlocal live
+        new_dir = os.path.join(enc_dir, new_name)
+        os.makedirs(new_dir + ".tmp", exist_ok=True)  # empty bin case
+        os.rename(new_dir + ".tmp", new_dir)
+        live = (live - set(members)) | {new_dir}
+        _publish_groups(enc_dir, [os.path.basename(g) for g in live])
+        for g in members:
+            shutil.rmtree(g, ignore_errors=True)
+        manifest.mark_done(new_name.split("=", 1)[1],
+                           {"n_files": n_files, "compacted": True,
+                            "members": ",".join(os.path.basename(g)
+                                                for g in members),
+                            "seconds": time.perf_counter() - t0})
+        run["bins"] += 1
+        run["bytes_compacted"] += sum(sizes[g] for g in members)
+
+    plan: dict[str, tuple[list[str], list[str]]] = {}
     for members in bins:
         h = hashlib.blake2b(digest_size=10)
         for g in members:
@@ -798,28 +954,37 @@ def compact_corpus(enc_dir: str, *, target_bytes: int = GROUP_TARGET_BYTES,
         # write-to-tmp + atomic rename: the pointer is pinned (above), so
         # the renamed dir stays invisible until the publish below — and a
         # crash mid-write leaves only a .tmp that recover_groups GCs
-        new_tmp = new_dir + ".tmp"
-        shutil.rmtree(new_tmp, ignore_errors=True)
+        shutil.rmtree(new_dir + ".tmp", ignore_errors=True)
         shutil.rmtree(new_dir, ignore_errors=True)
-        if files:
-            toks = decode_tokens(ray.data.read_parquet(
-                files, override_num_blocks=len(files)))
-            encode_tokens(toks, batch_size=batch_size,
-                          by_source=by_source).write_parquet(new_tmp)
-        os.makedirs(new_tmp, exist_ok=True)
-        os.rename(new_tmp, new_dir)
-        # atomic view swap, THEN garbage-collect the members
-        live = (live - set(members)) | {new_dir}
-        _publish_groups(enc_dir, [os.path.basename(g) for g in live])
-        for g in members:
-            shutil.rmtree(g, ignore_errors=True)
-        manifest.mark_done(new_name.split("=", 1)[1],
-                           {"n_files": len(files), "compacted": True,
-                            "members": ",".join(os.path.basename(g)
-                                                for g in members),
-                            "seconds": time.perf_counter() - t0})
-        run["bins"] += 1
-        run["bytes_compacted"] += sum(sizes[g] for g in members)
+        plan[new_name] = (members, files)
+
+    if single_job:
+        # ALL bins in ONE Dataset job (one fused decode->re-batch->encode
+        # ->write task per bin — compaction's full-batch re-chunking is
+        # preserved because each task streams its WHOLE bin), with each
+        # bin's atomic view swap published the moment its task reports
+        import functools
+
+        items = [{"bin": name, "files": "\x00".join(files)}
+                 for name, (members, files) in plan.items()]
+        metrics_ds = ray.data.from_items(
+            items, override_num_blocks=len(items)).map_batches(
+            functools.partial(_compact_bin_task, enc_dir=enc_dir,
+                              batch_size=batch_size,
+                              local_group=local_group),
+            batch_size=1, batch_format="numpy")
+        for row in metrics_ds.iter_rows():
+            members, files = plan[row["bin"]]
+            _finish_bin(row["bin"], members, len(files))
+    else:
+        for new_name, (members, files) in plan.items():
+            new_tmp = os.path.join(enc_dir, new_name) + ".tmp"
+            if files:
+                toks = decode_tokens(ray.data.read_parquet(
+                    files, override_num_blocks=len(files)))
+                encode_tokens(toks, batch_size=batch_size,
+                              by_source=by_source).write_parquet(new_tmp)
+            _finish_bin(new_name, members, len(files))
     run["groups_after"] = len(live)
     run["seconds"] = time.perf_counter() - t0
     return run
