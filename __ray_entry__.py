@@ -57,6 +57,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_range_count_stats": Q.encoded_range_count_stats,
         "encoded_distinct_stats": Q.encoded_distinct_stats,
         "encoded_histogram_stats": Q.encoded_histogram_stats,
+        # round 5 session 7: exact quantile_disc + exact Σv/Σv² from the
+        # per-chunk histograms — order statistics without decode
+        "encoded_quantile_stats": Q.encoded_quantile_stats,
         "encoded_string_predicate_stats": Q.encoded_string_predicate_stats,
         "encoded_token_histogram_stats": Q.encoded_token_histogram_stats,
         "encoded_filtered_agg_stats": Q.encoded_filtered_agg_stats,
@@ -692,6 +695,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'l_linenumber', l_linenumber, count(*)
             FROM lineitem GROUP BY l_linenumber
         ) ORDER BY col, value
+    """
+
+    # exact quantile_disc + exact power sums from the encoded layout:
+    # per-column aggregates cross-joined with the requested quantile
+    # fractions so every (col, q) row carries the column's Σv / Σv² / n
+    sql["encoded_quantile_stats"] = """
+        SELECT col, q_num, q_den,
+               cast(CASE WHEN q_num = 1 AND q_den = 4 THEN q25
+                         WHEN q_num = 1 AND q_den = 2 THEN q50
+                         ELSE q75 END AS bigint) AS quantile,
+               cast(sum_v AS bigint) AS sum_v,
+               cast(sum_v2 AS bigint) AS sum_v2,
+               cast(n_rows AS bigint) AS n_rows
+        FROM (
+            SELECT 'l_suppkey' AS col,
+                   quantile_disc(l_suppkey, 0.25) AS q25,
+                   quantile_disc(l_suppkey, 0.50) AS q50,
+                   quantile_disc(l_suppkey, 0.75) AS q75,
+                   sum(l_suppkey) AS sum_v,
+                   sum(l_suppkey * l_suppkey) AS sum_v2,
+                   count(*) AS n_rows
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linenumber',
+                   quantile_disc(l_linenumber, 0.25),
+                   quantile_disc(l_linenumber, 0.50),
+                   quantile_disc(l_linenumber, 0.75),
+                   sum(l_linenumber),
+                   sum(l_linenumber * l_linenumber), count(*)
+            FROM lineitem
+        )
+        CROSS JOIN (VALUES (1, 4), (1, 2), (3, 4)) AS q(q_num, q_den)
+        ORDER BY col, q_num, q_den
     """
 
     sql["encoded_string_predicate_stats"] = """

@@ -1392,6 +1392,65 @@ def test_encoded_histogram_matches_pandas(ray_session, tmp_path):
         assert int(hist["n"].sum()) == len(df), col
 
 
+def test_encoded_quantiles_match_duckdb(ray_session, tmp_path):
+    """quantile_disc + exact power sums from the encoded layout must
+    match DuckDB bit-exactly across codec mixes, including rank
+    boundaries where q*n is an exact integer (the ceil-div edge)."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_quantiles)
+
+    rng = np.random.default_rng(59)
+    # n = 12_000 makes q*n integral for q in {1/4, 1/2, 3/4}: the exact
+    # rank-boundary case where a float-rounded rank would pick the
+    # wrong neighbour on tied-free columns
+    n = 12_000
+    df = pd.DataFrame({
+        "label": rng.choice(np.array([3, 900017, -12, 10**6, 77],
+                                     dtype=np.int64), n),
+        "key": np.sort(rng.integers(0, 25, n)).astype("int64"),
+        "wide": rng.integers(-10**6, 10**6, n).astype("int64"),
+    })
+    out_dir = str(tmp_path / "quant")
+    encode_table_columns(ray.data.from_pandas(df),
+                         ["label", "key", "wide"],
+                         batch_size=1024).write_parquet(out_dir)
+
+    con = duckdb.connect()
+    con.register("t", df)
+    for col in ("label", "key", "wide"):
+        got, counters = encoded_quantiles(out_dir, col)
+        want = con.sql(f"""
+            select quantile_disc({col}, 0.25) q25,
+                   quantile_disc({col}, 0.50) q50,
+                   quantile_disc({col}, 0.75) q75,
+                   sum({col}) sv, sum({col}*{col}) sv2
+            from t""").fetchone()
+        assert got["quantile"].tolist() == list(want[:3]), col
+        assert int(got["sum_v"].iloc[0]) == int(want[3]), col
+        assert int(got["sum_v2"].iloc[0]) == int(want[4]), col
+        assert int(got["n_rows"].iloc[0]) == n, col
+
+
+def test_encoded_quantiles_overflow_guard(ray_session, tmp_path):
+    """Σv² beyond int64 must raise, not wrap: the fold itself is exact
+    (Python ints), so the guard is the presentation boundary."""
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_quantiles)
+
+    big = np.full(1000, 2**40, dtype=np.int64)  # Σv² = 1000 * 2^80
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(big)}))
+    out_dir = str(tmp_path / "quant_ovf")
+    encode_table_columns(ds, ["x"], batch_size=256).write_parquet(out_dir)
+    with pytest.raises(OverflowError, match="sum_v2"):
+        encoded_quantiles(out_dir, "x")
+
+
 def test_encoded_histogram_rejects_nullable(ray_session, tmp_path):
     import ray.data
 

@@ -2233,6 +2233,43 @@ def encoded_histogram_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["col", "value"]).reset_index(drop=True)
 
 
+def encoded_quantile_stats(sf_dir: str) -> pd.DataFrame:
+    """Exact order statistics AND exact second moments from the encoded
+    layout, no decode: the per-chunk (value, count) histograms are a
+    sufficient statistic, so quantile_disc(q) for q in {1/4, 1/2, 3/4},
+    Σv and Σv² all fold from one cardinality-bounded exchange while the
+    row values never leave their chunks.  Ranks use exact integer
+    ceil-division (SQL quantile_disc semantics: 0-based rank
+    ceil(q*n)-1) and moments fold in Python integers, so the result is
+    bit-exact against DuckDB on any input the int64 range check
+    admits."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_quantiles)
+
+    cols = ["l_suppkey", "l_linenumber"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "quantiles")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
+
+    frames = []
+    for col in cols:
+        df, counters = encoded_quantiles(enc_dir, col)
+        assert (df["n_rows"] > 0).all(), counters
+        df.insert(0, "col", col)
+        frames.append(df)
+    out = pd.concat(frames, ignore_index=True)
+    for c in ("q_num", "q_den", "quantile", "sum_v", "sum_v2", "n_rows"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["col", "q_num", "q_den"]) \
+        .reset_index(drop=True)
+
+
 def encoded_token_histogram_stats(sf_dir: str) -> pd.DataFrame:
     """Top-20 token frequencies computed FROM THE ENCODED CORPUS without
     decoding: the headline token path (tokenize -> chunk -> codec

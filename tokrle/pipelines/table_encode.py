@@ -960,6 +960,59 @@ def encoded_histogram(enc_dir: str, col: str):
     return hist.sort_values("value").reset_index(drop=True), counters
 
 
+def encoded_quantiles(enc_dir: str, col: str,
+                      qs: tuple = ((1, 4), (1, 2), (3, 4))):
+    """Exact discrete quantiles AND exact power sums (Σv, Σv²) of ``col``
+    from a table-encode directory WITHOUT decoding: the per-chunk
+    (value, count) histograms of :func:`encoded_histogram` are a
+    sufficient statistic for any order statistic and any moment, so the
+    exchange carries only cardinality-bounded pairs and the driver folds
+    the global histogram — values themselves never move.
+
+    Quantile semantics match SQL ``quantile_disc(col, q)``: the element
+    at 0-based rank ``ceil(q*n) - 1`` of the sorted multiset.  Each
+    ``q`` is an exact integer fraction ``(num, den)`` so the rank is
+    computed in integer arithmetic (no float rounding at rank
+    boundaries).  Power sums fold in Python integers (arbitrary
+    precision) and are range-checked into int64 — Σv² of a large-value
+    column that would overflow raises rather than wrapping.
+
+    Same cardinality guidance and null contract as
+    :func:`encoded_histogram`.  Returns ``(DataFrame(q_num, q_den,
+    quantile, sum_v, sum_v2, n_rows), counters)`` with one row per
+    requested quantile."""
+    import pandas as pd
+
+    hist, counters = encoded_histogram(enc_dir, col)
+    values = hist["value"].to_numpy()
+    counts = hist["n"].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    # exact integer moments over the histogram (Python ints: no 2^53
+    # float ceiling, no silent int64 wrap mid-fold)
+    sum_v = sum(int(v) * int(c) for v, c in zip(values, counts))
+    sum_v2 = sum(int(v) * int(v) * int(c) for v, c in zip(values, counts))
+    for name, s in (("sum_v", sum_v), ("sum_v2", sum_v2)):
+        if not (-(1 << 63) <= s < (1 << 63)):
+            raise OverflowError(
+                f"column {col!r}: {name}={s} exceeds int64; aggregate "
+                "in a wider representation before presenting")
+    rows = []
+    for q_num, q_den in qs:
+        if n == 0:
+            quant = None
+        else:
+            # 0-based rank ceil(q*n) - 1, exact integer ceil-div
+            k = (q_num * n + q_den - 1) // q_den - 1
+            k = max(k, 0)
+            # first histogram row whose cumulative count covers rank k
+            quant = int(values[int(np.searchsorted(cum, k + 1))])
+        rows.append({"q_num": q_num, "q_den": q_den, "quantile": quant,
+                     "sum_v": sum_v, "sum_v2": sum_v2, "n_rows": n})
+    counters["n_rows"] = n
+    return pd.DataFrame(rows), counters
+
+
 def encoded_group_agg(enc_dir: str, group_col: str, agg_cols: list[str],
                       *, with_minmax: bool = False):
     """GROUP BY ``group_col`` with COUNT/SUM (and optionally MIN/MAX, see
