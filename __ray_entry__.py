@@ -714,7 +714,7 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(l_suppkey, 0.50) AS q50,
                    quantile_disc(l_suppkey, 0.75) AS q75,
                    sum(l_suppkey) AS sum_v,
-                   sum(l_suppkey * l_suppkey) AS sum_v2,
+                   sum(cast(l_suppkey AS bigint) * l_suppkey) AS sum_v2,
                    count(*) AS n_rows
             FROM lineitem
             UNION ALL
@@ -723,7 +723,8 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(l_linenumber, 0.50),
                    quantile_disc(l_linenumber, 0.75),
                    sum(l_linenumber),
-                   sum(l_linenumber * l_linenumber), count(*)
+                   sum(cast(l_linenumber AS bigint) * l_linenumber),
+                   count(*)
             FROM lineitem
         )
         CROSS JOIN (VALUES (1, 4), (1, 2), (3, 4)) AS q(q_num, q_den)

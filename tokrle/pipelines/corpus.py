@@ -64,35 +64,25 @@ def _group_id(paths: list[str]) -> str:
     return h.hexdigest()
 
 
-def _encode_file_task(batch: dict, *, batch_size: int,
-                      local_group: bool = False) -> "pa.Table":
-    """One task = one input file: read the parquet locally inside the task,
-    encode it chunk by chunk, emit the encoded rows.  The raw token bytes
-    never enter the object store (and with the fused Write, neither does
-    anything else: read -> encode -> write happens inside one task) — the
-    object store / page-fault path is the scarce resource at scale."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from tokrle.pipelines.encode import _encode_batch
-
-    out = []
-    for path in batch["path"]:
-        table = pq.read_table(path, columns=["doc_id", "tokens", "n_tok",
-                                             "source"])
-        for start in range(0, len(table), batch_size):
-            out.append(_encode_batch(table.slice(start, batch_size),
-                                     local_group=local_group))
-    return pa.concat_tables(out) if out else _encode_batch(
-        pa.table({"doc_id": pa.array([], type=pa.string()),
-                  "tokens": pa.array([], type=pa.list_(pa.int32())),
-                  "n_tok": pa.array([], type=pa.int32()),
-                  "source": pa.array([], type=pa.string())}))
+def _drain_unit_metrics(metrics_ds, unit_key: str, n_per_unit: dict,
+                        on_unit_done, on_row=None) -> None:
+    """Stream per-file metrics rows from a fused single-job Dataset and
+    invoke ``on_unit_done(unit)`` the moment the unit's LAST row arrives —
+    the shared countdown behind the encode / upsert / compact single-job
+    paths, so crash-publish ordering is defined in exactly one place."""
+    remaining = dict(n_per_unit)
+    for row in metrics_ds.iter_rows():
+        u = row[unit_key]
+        if on_row is not None:
+            on_row(u, row)
+        remaining[u] -= 1
+        if remaining[u] == 0:
+            on_unit_done(u)
 
 
 def _encode_corpus_single_job(groups, done, manifest, out_dir, run, *,
                               batch_size: int, local_group: bool,
-                              task_fn=None) -> dict:
+                              task_fn=None, concurrency=None) -> dict:
     """Shuffle-free encode path: every pending group's files run in ONE
     Dataset job of fused read->encode->write tasks
     (:func:`_encode_write_file_task`, or ``task_fn`` — e.g.
@@ -130,26 +120,30 @@ def _encode_corpus_single_job(groups, done, manifest, out_dir, run, *,
         functools.partial(task_fn or _encode_write_file_task,
                           out_dir=out_dir,
                           batch_size=batch_size, local_group=local_group),
-        batch_size=1, batch_format="numpy")
+        batch_size=1, batch_format="numpy",
+        **({"concurrency": concurrency} if concurrency else {}))
     per_group: dict[str, dict] = {
         gid: {"n_files": len(grp), "first_file": grp[0], "n_tokens": 0,
               "raw_bytes": 0, "encoded_bytes": 0, "seconds": 0.0}
         for gid, grp in pending}
+
+    def accumulate(gid: str, row) -> None:
+        m = per_group[gid]
+        for k in ("n_tokens", "raw_bytes", "encoded_bytes", "seconds"):
+            m[k] += row[k]
+
+    def publish(gid: str) -> None:
+        manifest.mark_done(gid, per_group[gid])
+        for k in ("n_tokens", "raw_bytes", "encoded_bytes"):
+            run[k] += per_group[gid][k]
+
     # stream the metrics rows and publish each group's manifest row the
     # moment its LAST file reports — resume granularity stays per-group
     # even though all groups share one job (a crash mid-job keeps every
     # already-published group)
-    remaining = {gid: len(grp) for gid, grp in pending}
-    for row in metrics_ds.iter_rows():
-        gid = row["group"]
-        m = per_group[gid]
-        for k in ("n_tokens", "raw_bytes", "encoded_bytes", "seconds"):
-            m[k] += row[k]
-        remaining[gid] -= 1
-        if remaining[gid] == 0:
-            manifest.mark_done(gid, m)
-            for k in ("n_tokens", "raw_bytes", "encoded_bytes"):
-                run[k] += m[k]
+    _drain_unit_metrics(metrics_ds, "group",
+                        {gid: len(grp) for gid, grp in pending},
+                        publish, on_row=accumulate)
     run["seconds"] = time.perf_counter() - t0
     return run
 
@@ -334,7 +328,7 @@ def recompress(in_encoded: str, out_dir: str, *,
         return _encode_corpus_single_job(
             groups, done, manifest, out_dir, run, batch_size=batch_size,
             local_group=by_source == "local",
-            task_fn=_recompress_file_task)
+            task_fn=_recompress_file_task, concurrency=concurrency)
     for grp in groups:
         gid = _group_id(grp)
         if gid in done:
@@ -385,8 +379,8 @@ def encode_corpus(in_dir: str, out_dir: str, *,
     the fixed files-per-group behavior.
 
     ``file_tasks``: read each input file inside its encode task
-    (see _encode_file_task), so read -> encode -> write fuses into single
-    tasks and NO raw token bytes cross the object store.  Default (None):
+    (see _encode_write_file_task), so read -> encode -> write fuses into
+    single tasks and NO raw token bytes cross the object store.  Default (None):
     on for the shuffle-free paths (plain / by_source="local"), off for
     the sort shuffle (which needs the Dataset exchange anyway).  Measured
     faster at every parallelism level since the chunked bit-packing change
@@ -409,7 +403,8 @@ def encode_corpus(in_dir: str, out_dir: str, *,
     if file_tasks and by_source in (False, "", "local"):
         return _encode_corpus_single_job(
             groups, done, manifest, out_dir, run,
-            batch_size=batch_size, local_group=by_source == "local")
+            batch_size=batch_size, local_group=by_source == "local",
+            concurrency=concurrency)
     for grp in groups:
         gid = _group_id(grp)
         if gid in done:
@@ -629,11 +624,10 @@ def upsert_corpus(enc_dir: str, delta_ds, *,
                               local_group=by_source == "local",
                               ids_ref=ref),
             batch_size=1, batch_format="numpy")
-        remaining = {g: len(fs) for g, fs in group_files.items()}
-        for row in metrics_ds.iter_rows():
-            remaining[row["gdir"]] -= 1
-            if remaining[row["gdir"]] == 0:
-                _swap_group(row["gdir"], len(group_files[row["gdir"]]))
+        _drain_unit_metrics(
+            metrics_ds, "gdir",
+            {g: len(fs) for g, fs in group_files.items()},
+            lambda g: _swap_group(g, len(group_files[g])))
     else:
         for gdir in group_dirs:
             gfiles = sorted(glob.glob(os.path.join(gdir, "*.parquet")))
@@ -973,9 +967,12 @@ def compact_corpus(enc_dir: str, *, target_bytes: int = GROUP_TARGET_BYTES,
                               batch_size=batch_size,
                               local_group=local_group),
             batch_size=1, batch_format="numpy")
-        for row in metrics_ds.iter_rows():
-            members, files = plan[row["bin"]]
-            _finish_bin(row["bin"], members, len(files))
+        def finish(name: str) -> None:
+            members, files = plan[name]
+            _finish_bin(name, members, len(files))
+
+        _drain_unit_metrics(metrics_ds, "bin",
+                            {name: 1 for name in plan}, finish)
     else:
         for new_name, (members, files) in plan.items():
             new_tmp = os.path.join(enc_dir, new_name) + ".tmp"
