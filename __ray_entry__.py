@@ -60,6 +60,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 session 7: exact quantile_disc + exact Σv/Σv² from the
         # per-chunk histograms — order statistics without decode
         "encoded_quantile_stats": Q.encoded_quantile_stats,
+        # round 5 session 7: GROUP BY + quantile_disc composed — pure
+        # chunks never decode the group column
+        "encoded_group_quantile_stats": Q.encoded_group_quantile_stats,
         "encoded_string_predicate_stats": Q.encoded_string_predicate_stats,
         "encoded_token_histogram_stats": Q.encoded_token_histogram_stats,
         "encoded_filtered_agg_stats": Q.encoded_filtered_agg_stats,
@@ -729,6 +732,34 @@ def oracle_sql() -> dict[str, str]:
         )
         CROSS JOIN (VALUES (1, 4), (1, 2), (3, 4)) AS q(q_num, q_den)
         ORDER BY col, q_num, q_den
+    """
+
+    # per-group quantile_disc pushed into the chunk histograms; both
+    # grouping directions, unpivoted against the quantile fractions
+    sql["encoded_group_quantile_stats"] = """
+        SELECT group_col, agg_col, grp, q_num, q_den,
+               cast(CASE WHEN q_num = 1 AND q_den = 4 THEN q25
+                         WHEN q_num = 1 AND q_den = 2 THEN q50
+                         ELSE q75 END AS bigint) AS quantile,
+               cast(n_rows AS bigint) AS n_rows
+        FROM (
+            SELECT 'l_suppkey' AS group_col, 'l_linenumber' AS agg_col,
+                   cast(l_suppkey AS bigint) AS grp,
+                   quantile_disc(l_linenumber, 0.25) AS q25,
+                   quantile_disc(l_linenumber, 0.50) AS q50,
+                   quantile_disc(l_linenumber, 0.75) AS q75,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_suppkey
+            UNION ALL
+            SELECT 'l_linenumber', 'l_suppkey',
+                   cast(l_linenumber AS bigint),
+                   quantile_disc(l_suppkey, 0.25),
+                   quantile_disc(l_suppkey, 0.50),
+                   quantile_disc(l_suppkey, 0.75), count(*)
+            FROM lineitem GROUP BY l_linenumber
+        )
+        CROSS JOIN (VALUES (1, 4), (1, 2), (3, 4)) AS q(q_num, q_den)
+        ORDER BY group_col, grp, q_num, q_den
     """
 
     sql["encoded_string_predicate_stats"] = """

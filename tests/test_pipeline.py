@@ -1435,6 +1435,56 @@ def test_encoded_quantiles_match_duckdb(ray_session, tmp_path):
         assert int(got["n_rows"].iloc[0]) == n, col
 
 
+def test_encoded_group_quantiles_match_duckdb(ray_session, tmp_path):
+    """Per-group quantile_disc from the encoded layout must match DuckDB
+    for both chunk classes: a clustered group key (pure chunks, group
+    from the zone map) and an unclustered one (mixed chunks, lexsort
+    fold), across codec mixes."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_group_quantiles)
+
+    rng = np.random.default_rng(61)
+    n = 10_000
+    df = pd.DataFrame({
+        # sorted low-cardinality key: clustered -> pure chunks
+        "key": np.sort(rng.integers(0, 12, n)).astype("int64"),
+        # unclustered grouping column -> mixed chunks
+        "cat": rng.integers(0, 5, n).astype("int64"),
+        "val": rng.integers(-10**6, 10**6, n).astype("int64"),
+    })
+    out_dir = str(tmp_path / "gquant")
+    encode_table_columns(ray.data.from_pandas(df), ["key", "cat", "val"],
+                         batch_size=512).write_parquet(out_dir)
+
+    con = duckdb.connect()
+    con.register("t", df)
+    for group_col, agg_col in (("key", "val"), ("cat", "val"),
+                               ("key", "cat")):
+        got, counters = encoded_group_quantiles(out_dir, group_col,
+                                                agg_col)
+        want = con.sql(f"""
+            select {group_col} grp,
+                   quantile_disc({agg_col}, 0.25) q25,
+                   quantile_disc({agg_col}, 0.50) q50,
+                   quantile_disc({agg_col}, 0.75) q75,
+                   count(*) n
+            from t group by {group_col} order by grp""").df()
+        for (_, w) in want.iterrows():
+            sub = got[got[group_col] == w["grp"]]
+            by_q = {(int(r["q_num"]), int(r["q_den"])): int(r["quantile"])
+                    for _, r in sub.iterrows()}
+            assert by_q == {(1, 4): int(w["q25"]), (1, 2): int(w["q50"]),
+                            (3, 4): int(w["q75"])}, \
+                (group_col, agg_col, int(w["grp"]))
+            assert (sub["n_rows"] == int(w["n"])).all()
+        if group_col == "key":
+            assert counters["pure_chunks"] > 0, counters
+
+
 def test_encoded_quantiles_overflow_guard(ray_session, tmp_path):
     """Σv² beyond int64 must raise, not wrap: the fold itself is exact
     (Python ints), so the guard is the presentation boundary."""

@@ -2270,6 +2270,48 @@ def encoded_quantile_stats(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def encoded_group_quantile_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-group exact medians/quartiles from the encoded layout: GROUP
+    BY + quantile_disc pushed into the chunk histograms.  Two
+    configurations pin both chunk classes — grouping on the clustered
+    key (pure chunks: group from the zone map, agg histogram from the
+    codec stream, zero group-column decode) and grouping on an
+    unclustered column (mixed chunks: one lexsort fold per chunk).  The
+    exchange carries (group, value, count) triples, never rows."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_group_quantiles)
+
+    cols = ["l_suppkey", "l_linenumber"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "gquant")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
+
+    frames = []
+    for group_col, agg_col in (("l_suppkey", "l_linenumber"),
+                               ("l_linenumber", "l_suppkey")):
+        df, counters = encoded_group_quantiles(enc_dir, group_col,
+                                               agg_col)
+        if group_col == "l_suppkey" and counters["groups"] > 8:
+            assert counters["pure_chunks"] > 0, \
+                f"clustered grouping never hit the pure-chunk path: " \
+                f"{counters}"
+        df = df.rename(columns={group_col: "grp"})
+        df.insert(0, "agg_col", agg_col)
+        df.insert(0, "group_col", group_col)
+        frames.append(df)
+    out = pd.concat(frames, ignore_index=True)
+    for c in ("grp", "q_num", "q_den", "quantile", "n_rows"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["group_col", "grp", "q_num", "q_den"]) \
+        .reset_index(drop=True)
+
+
 def encoded_token_histogram_stats(sf_dir: str) -> pd.DataFrame:
     """Top-20 token frequencies computed FROM THE ENCODED CORPUS without
     decoding: the headline token path (tokenize -> chunk -> codec

@@ -1150,6 +1150,133 @@ def encoded_group_agg(enc_dir: str, group_col: str, agg_cols: list[str],
     return df, counters
 
 
+def encoded_group_quantiles(enc_dir: str, group_col: str, agg_col: str,
+                            qs: tuple = ((1, 4), (1, 2), (3, 4))):
+    """Exact per-group discrete quantiles of ``agg_col`` GROUP BY
+    ``group_col`` from the encoded layout — the GROUP BY split of
+    :func:`encoded_group_agg` composed with the histogram sufficient
+    statistic of :func:`encoded_quantiles`:
+
+    - PURE chunks (group zone map ``vmin == vmax``): the group id comes
+      from the zone map (group column never decodes) and the agg
+      column's (value, count) histogram from
+      :func:`tokrle.codecs.core.value_counts` (dict/rle closed forms);
+    - MIXED chunks decode both and fold one histogram per (group, value)
+      pair with a single lexsort + run-length count per chunk.
+
+    The exchange carries (group, value, partial_count) triples — bounded
+    by group cardinality x per-chunk value cardinality, never rows — and
+    the driver folds per-group ranks with the same exact integer
+    ceil-division as :func:`encoded_quantiles` (SQL ``quantile_disc``
+    semantics).  Integer columns only, nullable chunks raise.  Returns
+    ``(DataFrame(group_col, q_num, q_den, quantile, n_rows), counters)``
+    with one row per (group, q)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from tokrle.codecs.core import decode as codec_decode
+    from tokrle.codecs.core import value_counts
+
+    pure = pc.field(f"{group_col}__vmin") == pc.field(f"{group_col}__vmax")
+    base_cols = ["n_rows", f"{group_col}__vmin"] + [
+        f"{agg_col}__{p}" for p in ("codec", "payload", "dtype", "valid")]
+
+    def _chunk_col(batch, c, i, n):
+        if len(batch.column(f"{c}__valid")[i].as_py() or b""):
+            raise ValueError(
+                f"column {c!r}: nullable chunks not supported by the "
+                "compressed-domain grouped quantile")
+        return (batch.column(f"{c}__codec")[i].as_py(),
+                memoryview(batch.column(f"{c}__payload")[i].as_buffer()),
+                n, np.dtype(batch.column(f"{c}__dtype")[i].as_py()))
+
+    def pure_partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        groups = batch.column(f"{group_col}__vmin").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        gs, vs, cs = [], [], []
+        for i in range(len(batch)):
+            v, c = value_counts(*_chunk_col(batch, agg_col, i,
+                                            int(nrows[i])))
+            gs.append(np.full(len(v), groups[i], np.int64))
+            vs.append(v.astype(np.int64))
+            cs.append(c)
+        return pa.table({
+            "grp": pa.array(np.concatenate(gs) if gs
+                            else np.empty(0, np.int64)),
+            "v": pa.array(np.concatenate(vs) if vs
+                          else np.empty(0, np.int64)),
+            "c": pa.array(np.concatenate(cs).astype(np.int64) if cs
+                          else np.empty(0, np.int64)),
+            "pure_chunks": pa.array(
+                np.ones(sum(len(g) for g in gs), np.int64) if gs
+                else np.empty(0, np.int64))})
+
+    def mixed_partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        gs, vs, cs = [], [], []
+        for i in range(len(batch)):
+            n = int(nrows[i])
+            g = codec_decode(*_chunk_col(batch, group_col, i, n)) \
+                .astype(np.int64)
+            v = codec_decode(*_chunk_col(batch, agg_col, i, n)) \
+                .astype(np.int64)
+            order = np.lexsort((v, g))
+            g, v = g[order], v[order]
+            starts = np.flatnonzero(np.concatenate(
+                ([True], (g[1:] != g[:-1]) | (v[1:] != v[:-1]))))
+            gs.append(g[starts])
+            vs.append(v[starts])
+            cs.append(np.diff(np.concatenate((starts, [n]))))
+        empty = np.empty(0, np.int64)
+        return pa.table({
+            "grp": pa.array(np.concatenate(gs) if gs else empty),
+            "v": pa.array(np.concatenate(vs) if vs else empty),
+            "c": pa.array(np.concatenate(cs).astype(np.int64)
+                          if cs else empty),
+            "pure_chunks": pa.array(
+                np.zeros(sum(len(g) for g in gs), np.int64)
+                if gs else empty)})
+
+    pure_ds = ray.data.read_parquet(enc_dir, columns=base_cols,
+                                    filter=pure) \
+        .map_batches(pure_partial, batch_format="pyarrow")
+    mixed_ds = ray.data.read_parquet(
+        enc_dir,
+        columns=list(dict.fromkeys(base_cols + [
+            f"{group_col}__{p}" for p in ("codec", "payload", "dtype",
+                                          "valid")])),
+        filter=~pure).map_batches(mixed_partial, batch_format="pyarrow")
+
+    # the triples are cardinality-bounded partials: fold them on the
+    # driver (same shape as the repo's other driver folds) — one pandas
+    # groupby over (group, value), then per-group rank selection
+    part = pure_ds.union(mixed_ds).to_pandas()
+    pure_chunks = int(part["pure_chunks"].sum()) if len(part) else 0
+    hist = part.groupby(["grp", "v"], sort=True)["c"].sum().reset_index()
+    rows = []
+    for grp, sub in hist.groupby("grp", sort=True):
+        values = sub["v"].to_numpy()
+        cum = np.cumsum(sub["c"].to_numpy())
+        n = int(cum[-1])
+        for q_num, q_den in qs:
+            k = max((q_num * n + q_den - 1) // q_den - 1, 0)
+            rows.append({group_col: int(grp), "q_num": q_num,
+                         "q_den": q_den,
+                         "quantile": int(values[int(
+                             np.searchsorted(cum, k + 1))]),
+                         "n_rows": n})
+    counters = {"pure_chunks": pure_chunks,
+                "groups": int(hist["grp"].nunique()),
+                "hist_rows": int(len(hist))}
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values([group_col, "q_num", "q_den"]) \
+        .reset_index(drop=True), counters
+
+
 def encoded_filtered_agg(enc_dir: str, key_col: str, value: int,
                          agg_cols: list[str]):
     """``SELECT count(*), sum(agg_cols...) WHERE key_col == value`` over
