@@ -63,6 +63,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 session 7: GROUP BY + quantile_disc composed — pure
         # chunks never decode the group column
         "encoded_group_quantile_stats": Q.encoded_group_quantile_stats,
+        # round 5 session 7: quantile_disc under AND/OR/NOT predicate
+        # trees — order statistics join the selection run-list algebra
+        "encoded_where_quantile_stats": Q.encoded_where_quantile_stats,
         "encoded_string_predicate_stats": Q.encoded_string_predicate_stats,
         "encoded_token_histogram_stats": Q.encoded_token_histogram_stats,
         "encoded_filtered_agg_stats": Q.encoded_filtered_agg_stats,
@@ -732,6 +735,39 @@ def oracle_sql() -> dict[str, str]:
         )
         CROSS JOIN (VALUES (1, 4), (1, 2), (3, 4)) AS q(q_num, q_den)
         ORDER BY col, q_num, q_den
+    """
+
+    # quantile_disc under boolean predicate trees: per-case aggregates
+    # (the empty case's SQL NULL rides as the -1 sentinel, the repo's
+    # NULL convention) unpivoted against the quantile fractions
+    sql["encoded_where_quantile_stats"] = """
+        SELECT "case", q_num, q_den,
+               cast(coalesce(
+                   CASE WHEN q_num = 1 AND q_den = 4 THEN q25
+                        WHEN q_num = 1 AND q_den = 2 THEN q50
+                        ELSE q75 END, -1) AS bigint) AS quantile,
+               cast(n_rows AS bigint) AS n_rows
+        FROM (
+            SELECT 'range_not' AS "case",
+                   quantile_disc(l_partkey, 0.25) AS q25,
+                   quantile_disc(l_partkey, 0.50) AS q50,
+                   quantile_disc(l_partkey, 0.75) AS q75,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_suppkey BETWEEN 5 AND 40 AND NOT (l_linenumber = 3)
+            UNION ALL
+            SELECT 'or_eqs', quantile_disc(l_partkey, 0.25),
+                   quantile_disc(l_partkey, 0.50),
+                   quantile_disc(l_partkey, 0.75), count(*)
+            FROM lineitem WHERE l_linenumber = 1 OR l_linenumber = 6
+            UNION ALL
+            SELECT 'empty', quantile_disc(l_partkey, 0.25),
+                   quantile_disc(l_partkey, 0.50),
+                   quantile_disc(l_partkey, 0.75), count(*)
+            FROM lineitem WHERE l_suppkey BETWEEN -50 AND -10
+        )
+        CROSS JOIN (VALUES (1, 4), (1, 2), (3, 4)) AS q(q_num, q_den)
+        ORDER BY "case", q_num, q_den
     """
 
     # per-group quantile_disc pushed into the chunk histograms; both

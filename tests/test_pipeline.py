@@ -1485,6 +1485,62 @@ def test_encoded_group_quantiles_match_duckdb(ray_session, tmp_path):
             assert counters["pure_chunks"] > 0, counters
 
 
+def test_encoded_boolean_quantiles_match_duckdb(ray_session, tmp_path):
+    """Quantiles under predicate trees must match DuckDB's FILTER-ed
+    quantile_disc, including a NOT branch, a 3VL nullable predicate
+    column (NULL never matches), and an empty selection (None)."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_quantiles)
+
+    rng = np.random.default_rng(67)
+    n = 8_000
+    df = pd.DataFrame({
+        "key": np.sort(rng.integers(0, 40, n)).astype("int64"),
+        "flag": rng.integers(0, 4, n).astype("int64"),
+        "val": rng.integers(-10**5, 10**5, n).astype("int64"),
+    })
+    # nullable predicate column: every flag==0 slot becomes NULL
+    nullable = pa.table({
+        "key": pa.array(df["key"]),
+        "flag": pa.array(df["flag"].to_numpy(),
+                         mask=(df["flag"] == 0).to_numpy()),
+        "val": pa.array(df["val"]),
+    })
+    out_dir = str(tmp_path / "bquant")
+    encode_table_columns(ray.data.from_arrow(nullable),
+                         ["key", "flag", "val"],
+                         batch_size=512).write_parquet(out_dir)
+
+    con = duckdb.connect()
+    con.register("t", nullable)
+    for expr, where in (
+            (("and", ("range", "key", 5, 20), ("not", ("eq", "flag", 2))),
+             "key between 5 and 20 and not (flag = 2)"),
+            (("or", ("eq", "flag", 1), ("eq", "flag", 3)),
+             "flag = 1 or flag = 3"),
+            (("range", "key", 500, 900), "key between 500 and 900")):
+        got, counters = encoded_boolean_quantiles(out_dir, expr, "val")
+        want = con.sql(f"""
+            select quantile_disc(val, 0.25) q25,
+                   quantile_disc(val, 0.50) q50,
+                   quantile_disc(val, 0.75) q75, count(*) n
+            from t where {where}""").fetchone()
+        by_q = {(int(r["q_num"]), int(r["q_den"])): r["quantile"]
+                for _, r in got.iterrows()}
+        assert by_q == {(1, 4): want[0], (1, 2): want[1],
+                        (3, 4): want[2]}, (where, counters)
+        assert (got["n_rows"] == int(want[3])).all()
+
+    # a nullable AGG column must raise (matching the histogram contract)
+    with pytest.raises(Exception, match="nullable"):
+        encoded_boolean_quantiles(out_dir, ("range", "key", 0, 50),
+                                  "flag")
+
+
 def test_encoded_quantiles_overflow_guard(ray_session, tmp_path):
     """Σv² beyond int64 must raise, not wrap: the fold itself is exact
     (Python ints), so the guard is the presentation boundary."""

@@ -2312,6 +2312,55 @@ def encoded_group_quantile_stats(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def encoded_where_quantile_stats(sf_dir: str) -> pd.DataFrame:
+    """Order statistics under predicate trees: quantile_disc of a column
+    over only the rows WHERE an AND/OR/NOT tree holds, evaluated on
+    selection run-lists with zone-map pruning — ALL-match chunks answer
+    from the codec-stream histogram (zero decode), run chunks
+    late-materialize only the selected positions.  Three predicates pin
+    range+NOT, OR-of-equalities, and an empty selection (SQL NULL
+    quantiles)."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_quantiles)
+
+    cols = ["l_suppkey", "l_linenumber", "l_partkey"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "wquant")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
+
+    cases = [
+        ("range_not", ("and", ("range", "l_suppkey", 5, 40),
+                       ("not", ("eq", "l_linenumber", 3)))),
+        ("or_eqs", ("or", ("eq", "l_linenumber", 1),
+                    ("eq", "l_linenumber", 6))),
+        ("empty", ("range", "l_suppkey", -50, -10)),
+    ]
+    frames = []
+    for name, expr in cases:
+        df, counters = encoded_boolean_quantiles(enc_dir, expr,
+                                                 "l_partkey")
+        if name == "empty":
+            assert counters["chunks_scanned"] == 0, \
+                f"disjoint range should prune every chunk: {counters}"
+            assert df["quantile"].isna().all()
+        df.insert(0, "case", name)
+        frames.append(df)
+    out = pd.concat(frames, ignore_index=True)
+    # SQL NULL quantile (empty selection) rides as the -1 sentinel on
+    # both sides, the repo's NULL convention (see encoded_minmax_stats)
+    out["quantile"] = out["quantile"].fillna(-1)
+    for c in ("q_num", "q_den", "quantile", "n_rows"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["case", "q_num", "q_den"]) \
+        .reset_index(drop=True)
+
+
 def encoded_token_histogram_stats(sf_dir: str) -> pd.DataFrame:
     """Top-20 token frequencies computed FROM THE ENCODED CORPUS without
     decoding: the headline token path (tokenize -> chunk -> codec

@@ -960,6 +960,16 @@ def encoded_histogram(enc_dir: str, col: str):
     return hist.sort_values("value").reset_index(drop=True), counters
 
 
+def _hist_rank(values: np.ndarray, cum: np.ndarray, n: int,
+               q_num: int, q_den: int) -> int:
+    """Discrete quantile from a sorted histogram: SQL ``quantile_disc``
+    picks the element at 0-based rank ``ceil(q*n) - 1`` of the sorted
+    multiset; the rank is exact integer ceil-division and the lookup is
+    the first histogram row whose cumulative count covers it."""
+    k = max((q_num * n + q_den - 1) // q_den - 1, 0)
+    return int(values[int(np.searchsorted(cum, k + 1))])
+
+
 def encoded_quantiles(enc_dir: str, col: str,
                       qs: tuple = ((1, 4), (1, 2), (3, 4))):
     """Exact discrete quantiles AND exact power sums (Σv, Σv²) of ``col``
@@ -999,14 +1009,8 @@ def encoded_quantiles(enc_dir: str, col: str,
                 "in a wider representation before presenting")
     rows = []
     for q_num, q_den in qs:
-        if n == 0:
-            quant = None
-        else:
-            # 0-based rank ceil(q*n) - 1, exact integer ceil-div
-            k = (q_num * n + q_den - 1) // q_den - 1
-            k = max(k, 0)
-            # first histogram row whose cumulative count covers rank k
-            quant = int(values[int(np.searchsorted(cum, k + 1))])
+        quant = None if n == 0 else _hist_rank(values, cum, n,
+                                               q_num, q_den)
         rows.append({"q_num": q_num, "q_den": q_den, "quantile": quant,
                      "sum_v": sum_v, "sum_v2": sum_v2, "n_rows": n})
     counters["n_rows"] = n
@@ -1261,11 +1265,10 @@ def encoded_group_quantiles(enc_dir: str, group_col: str, agg_col: str,
         cum = np.cumsum(sub["c"].to_numpy())
         n = int(cum[-1])
         for q_num, q_den in qs:
-            k = max((q_num * n + q_den - 1) // q_den - 1, 0)
             rows.append({group_col: int(grp), "q_num": q_num,
                          "q_den": q_den,
-                         "quantile": int(values[int(
-                             np.searchsorted(cum, k + 1))]),
+                         "quantile": _hist_rank(values, cum, n,
+                                                q_num, q_den),
                          "n_rows": n})
     counters = {"pure_chunks": pure_chunks,
                 "groups": int(hist["grp"].nunique()),
@@ -1275,6 +1278,135 @@ def encoded_group_quantiles(enc_dir: str, group_col: str, agg_col: str,
         out[c] = out[c].astype("int64")
     return out.sort_values([group_col, "q_num", "q_den"]) \
         .reset_index(drop=True), counters
+
+
+def encoded_boolean_quantiles(enc_dir: str, expr: tuple, agg_col: str,
+                              qs: tuple = ((1, 4), (1, 2), (3, 4))):
+    """Exact discrete quantiles of ``agg_col`` over the rows WHERE a
+    boolean predicate TREE holds — order statistics joining the
+    predicate algebra: the tree evaluates per chunk to the ``_ALL``
+    sentinel or a selection run-list exactly as in
+    :func:`encoded_boolean_agg` (zone-map leaf short-circuits, and/or
+    pruning, conservative scan filter), and the selected rows feed the
+    histogram sufficient statistic of :func:`encoded_quantiles`:
+
+    - ALL-match chunks take their histogram from
+      :func:`tokrle.codecs.core.value_counts` (dict/rle closed forms —
+      zero decode);
+    - run-list chunks late-materialize ONLY the selected positions
+      (:func:`gather_runs`) and fold their counts.
+
+    The exchange carries (value, partial_count) pairs bounded by chunk
+    cardinality — never rows — plus three counter rows; the driver
+    folds ranks with the shared exact integer ceil-division.  Integer
+    non-null columns only (the predicate side may be nullable — 3VL
+    applies — but a nullable AGG column raises, matching the histogram
+    contract).  Returns ``(DataFrame(q_num, q_den, quantile, n_rows),
+    counters)``; ``quantile`` is None when nothing matches (SQL NULL)."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.codecs.core import gather_runs, value_counts
+
+    pred_cols = _expr_pred_cols(expr)
+    str_cols = _expr_str_cols(expr)
+    null_cols = _expr_null_cols(expr)
+    n_total = _n_chunks(enc_dir)
+    need = ["n_rows"] + [f"{c}__{p}" for c in pred_cols
+                         for p in ("vmin", "vmax")] + [
+        f"{c}__{p}"
+        for c in dict.fromkeys(pred_cols + [agg_col])
+        for p in ("codec", "payload", "dtype", "valid")] + [
+        f"{c}__{p}" for c in str_cols
+        for p in ("codec", "payload", "lens_payload", "valid")]
+    need += [f"{c}__valid" for c in null_cols
+             if f"{c}__valid" not in need]
+
+    def _chunk_col(batch, c, i):
+        return (batch.column(f"{c}__codec")[i].as_py(),
+                memoryview(batch.column(f"{c}__payload")[i].as_buffer()),
+                np.dtype(batch.column(f"{c}__dtype")[i].as_py()))
+
+    def _valid(batch, c, i) -> bytes:
+        return batch.column(f"{c}__valid")[i].as_py() or b""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        zmin = {c: batch.column(f"{c}__vmin").to_numpy(
+            zero_copy_only=False) for c in pred_cols}
+        zmax = {c: batch.column(f"{c}__vmax").to_numpy(
+            zero_copy_only=False) for c in pred_cols}
+        vs, cs = [], []
+        all_hit = run_chunks = 0
+        for i in range(len(batch)):
+            n = int(nrows[i])
+            if n == 0:
+                continue
+            if _valid(batch, agg_col, i):
+                raise ValueError(
+                    f"column {agg_col!r}: nullable chunks not supported "
+                    "by the compressed-domain quantile (encode fills "
+                    "nulls with 0)")
+            sel = _expr_eval(expr, i, n, zmin, zmax,
+                             lambda col, j: _chunk_col(batch, col, j),
+                             lambda col, j: _chunk_str_col(batch, col, j),
+                             lambda col, j: _valid(batch, col, j))
+            codec, payload, dt = _chunk_col(batch, agg_col, i)
+            if isinstance(sel, str):
+                all_hit += 1
+                v, c = value_counts(codec, payload, n, dt)
+                vs.append(v.astype(np.int64))
+                cs.append(c.astype(np.int64))
+                continue
+            if not len(sel[0]):
+                continue
+            run_chunks += 1
+            picked = gather_runs(codec, payload, n, dt, *sel)
+            u, c = np.unique(picked, return_counts=True)
+            vs.append(u.astype(np.int64))
+            cs.append(c.astype(np.int64))
+        empty = np.empty(0, np.int64)
+        v_all = np.concatenate(vs) if vs else empty
+        c_all = np.concatenate(cs) if cs else empty
+        # three counter rows ride the same exchange under kind=1 so one
+        # streaming pass carries data and instrumentation
+        return pa.table({
+            "kind": pa.array(np.concatenate(
+                (np.zeros(len(v_all), np.int64), np.arange(1, 4))),
+                type=pa.int64()),
+            "v": pa.array(np.concatenate(
+                (v_all, [len(batch), all_hit, run_chunks])),
+                type=pa.int64()),
+            "c": pa.array(np.concatenate((c_all, [1, 1, 1])),
+                          type=pa.int64())})
+
+    flt = _expr_zone_filter(expr)
+    part = ray.data.read_parquet(enc_dir, columns=need, filter=flt) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    if part.empty:
+        # the scan filter pruned EVERY chunk: no batch ever ran, so not
+        # even counter rows exist — the selection is provably empty
+        part = pd.DataFrame({"kind": pd.Series(dtype="int64"),
+                             "v": pd.Series(dtype="int64"),
+                             "c": pd.Series(dtype="int64")})
+    meters = part[part["kind"] > 0].groupby("kind")["v"].sum()
+    hist = part[part["kind"] == 0].groupby("v", sort=True)["c"].sum()
+    values = hist.index.to_numpy()
+    cum = np.cumsum(hist.to_numpy())
+    n = int(cum[-1]) if len(cum) else 0
+    rows = [{"q_num": q_num, "q_den": q_den,
+             "quantile": None if n == 0 else _hist_rank(values, cum, n,
+                                                        q_num, q_den),
+             "n_rows": n}
+            for q_num, q_den in qs]
+    scanned = int(meters.get(1, 0))
+    counters = {"chunks_total": n_total,
+                "chunks_scanned": scanned,
+                "chunks_skipped": n_total - scanned,
+                "all_hit_chunks": int(meters.get(2, 0)),
+                "run_chunks": int(meters.get(3, 0)),
+                "hist_rows": int(len(hist))}
+    return pd.DataFrame(rows), counters
 
 
 def encoded_filtered_agg(enc_dir: str, key_col: str, value: int,
