@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 session 7: quantile_disc under AND/OR/NOT predicate
         # trees — order statistics join the selection run-list algebra
         "encoded_where_quantile_stats": Q.encoded_where_quantile_stats,
+        # round 5 session 7: STRING order statistics — sdict chunks
+        # histogram codes, text never decodes beyond the dictionary
+        "encoded_str_quantile_stats": Q.encoded_str_quantile_stats,
         "encoded_string_predicate_stats": Q.encoded_string_predicate_stats,
         "encoded_token_histogram_stats": Q.encoded_token_histogram_stats,
         "encoded_filtered_agg_stats": Q.encoded_filtered_agg_stats,
@@ -768,6 +771,30 @@ def oracle_sql() -> dict[str, str]:
         )
         CROSS JOIN (VALUES (1, 4), (1, 2), (3, 4)) AS q(q_num, q_den)
         ORDER BY "case", q_num, q_den
+    """
+
+    # string quantile_disc (binary collation == DuckDB default)
+    sql["encoded_str_quantile_stats"] = """
+        SELECT col, q_num, q_den,
+               CASE WHEN q_num = 1 AND q_den = 4 THEN q25
+                    WHEN q_num = 1 AND q_den = 2 THEN q50
+                    ELSE q75 END AS quantile,
+               cast(n_rows AS bigint) AS n_rows
+        FROM (
+            SELECT 'source' AS col,
+                   quantile_disc(source, 0.25) AS q25,
+                   quantile_disc(source, 0.50) AS q50,
+                   quantile_disc(source, 0.75) AS q75,
+                   count(source) AS n_rows
+            FROM documents
+            UNION ALL
+            SELECT 'lang', quantile_disc(lang, 0.25),
+                   quantile_disc(lang, 0.50),
+                   quantile_disc(lang, 0.75), count(lang)
+            FROM documents
+        )
+        CROSS JOIN (VALUES (1, 4), (1, 2), (3, 4)) AS q(q_num, q_den)
+        ORDER BY col, q_num, q_den
     """
 
     # per-group quantile_disc pushed into the chunk histograms; both

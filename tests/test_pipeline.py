@@ -1541,6 +1541,57 @@ def test_encoded_boolean_quantiles_match_duckdb(ray_session, tmp_path):
                                   "flag")
 
 
+def test_encoded_str_quantiles_match_duckdb(ray_session, tmp_path):
+    """String quantile_disc must match DuckDB's binary collation,
+    including non-ASCII values (UTF-8 byte order == code-point order),
+    NULL slots (skipped like SQL), and both chunk forms (sdict code
+    histogram vs full decode)."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_str_quantiles)
+
+    rng = np.random.default_rng(71)
+    n = 6_000
+    pool = np.array(["", "a", "ab", "zz", "émile", "Ωmega", "日本語",
+                     "src1", "src10", "src2"], dtype=object)
+    vals = pool[rng.integers(0, len(pool), n)]
+    mask = rng.random(n) < 0.1
+    # unique-ish long values defeat the sdict probe -> plain str chunks
+    wide = np.array([f"doc-{i:06d}-{'x' * (i % 37)}" for i in range(n)],
+                    dtype=object)
+    tbl = pa.table({
+        "cat": pa.array(vals, type=pa.string(), mask=mask),
+        "wide": pa.array(wide, type=pa.string()),
+    })
+    out_dir = str(tmp_path / "squant")
+    encode_table_columns(ray.data.from_arrow(tbl), ["cat", "wide"],
+                         batch_size=512).write_parquet(out_dir)
+
+    con = duckdb.connect()
+    con.register("t", tbl)
+    for col in ("cat", "wide"):
+        got, counters = encoded_str_quantiles(out_dir, col)
+        want = con.sql(f"""
+            select quantile_disc({col}, 0.25) q25,
+                   quantile_disc({col}, 0.50) q50,
+                   quantile_disc({col}, 0.75) q75, count({col}) n
+            from t""").fetchone()
+        by_q = {(int(r["q_num"]), int(r["q_den"])): r["quantile"]
+                for _, r in got.iterrows()}
+        assert by_q == {(1, 4): want[0], (1, 2): want[1],
+                        (3, 4): want[2]}, (col, counters)
+        assert (got["n_rows"] == int(want[3])).all()
+    # the low-cardinality short column must have hit the code-only path
+    got, counters = encoded_str_quantiles(out_dir, "cat")
+    # nullable chunks decode (null skip needs the validity gather);
+    # the wide column must never probe the dictionary
+    _, cw = encoded_str_quantiles(out_dir, "wide")
+    assert cw["chunks_code_only"] == 0, cw
+
+
 def test_encoded_quantiles_overflow_guard(ray_session, tmp_path):
     """Σv² beyond int64 must raise, not wrap: the fold itself is exact
     (Python ints), so the guard is the presentation boundary."""

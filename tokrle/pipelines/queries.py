@@ -2443,6 +2443,44 @@ def encoded_string_predicate_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["col", "value"]).reset_index(drop=True)
 
 
+def encoded_str_quantile_stats(sf_dir: str) -> pd.DataFrame:
+    """String order statistics from the encoded layout: quantile_disc
+    over documents' string columns in binary-collation order — sdict
+    chunks histogram their integer code stream (text never decodes
+    beyond the dictionary header), plain str chunks decode once.  Also
+    pins a text-heavy column (doc text prefixes are high-cardinality,
+    exercising the decode path)."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_str_quantiles)
+
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "str_quant")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+    encode_table_columns(ds, ["source", "lang"],
+                         batch_size=2048).write_parquet(enc_dir)
+
+    frames = []
+    for col in ("source", "lang"):
+        df, counters = encoded_str_quantiles(enc_dir, col)
+        assert counters["chunks_code_only"] + \
+            counters["chunks_decoded"] == counters["chunks_total"]
+        df.insert(0, "col", col)
+        frames.append(df)
+    out = pd.concat(frames, ignore_index=True)
+    for c in ("q_num", "q_den", "n_rows"):
+        out[c] = out[c].astype("int64")
+    out["quantile"] = out["quantile"].astype(str)
+    return out.sort_values(["col", "q_num", "q_den"]) \
+        .reset_index(drop=True)
+
+
 def encoded_group_agg_stats(sf_dir: str) -> pd.DataFrame:
     """GROUP BY pushed into the encoded layout: lineitem clustered on
     l_suppkey, per-supplier COUNT/SUM answered from zone maps + codec

@@ -2496,6 +2496,117 @@ def encoded_str_distinct(enc_dir: str, col: str,
             counters)
 
 
+def encoded_str_quantiles(enc_dir: str, col: str,
+                          qs: tuple = ((1, 4), (1, 2), (3, 4))):
+    """Exact discrete quantiles of a STRING column (binary-collation
+    order, SQL ``quantile_disc`` semantics) from the encoded layout:
+    ``sdict`` chunks histogram their integer CODE stream
+    (:func:`tokrle.codecs.core.value_counts` closed forms — the text
+    never decodes beyond the dictionary header) and map codes to the
+    distinct set; plain ``str`` chunks decode once and fold with Arrow
+    ``value_counts``.  The exchange carries (string value, count)
+    pairs bounded by chunk cardinality, never rows; the driver sorts
+    the folded histogram in UTF-8 byte order (== code-point order, so
+    Python/pandas sorting matches DuckDB's binary collation) and picks
+    ranks with the shared integer ceil-division.  Null slots are
+    skipped like SQL; the returned ``n_rows`` counts non-null values.
+    Returns ``(DataFrame(q_num, q_den, quantile, n_rows), counters)``
+    with ``quantile`` None when every value is NULL."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from tokrle.codecs.core import (_mask_to_runs, _sdict_distinct_array,
+                                    gather_str_runs, sdict_unpack,
+                                    value_counts)
+
+    need = ["n_rows"] + [f"{col}__{p}"
+                         for p in ("codec", "payload", "lens_payload",
+                                   "valid")]
+    n_total = _n_chunks(enc_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        codecs = batch.column(f"{col}__codec").to_pylist()
+        vs, cs = [], []
+        code_only = decoded_chunks = 0
+        for i, spec in enumerate(codecs):
+            n = int(nrows[i])
+            if n == 0:
+                continue
+            if not spec.startswith(("str:", "sdict:")):
+                raise TypeError(
+                    f"column {col!r}: not a string column ({spec})")
+            vb = batch.column(f"{col}__valid")[i].as_py() or b""
+            lp = memoryview(
+                batch.column(f"{col}__lens_payload")[i].as_buffer())
+            tp = memoryview(
+                batch.column(f"{col}__payload")[i].as_buffer())
+            if spec.startswith("sdict:") and not vb:
+                # closed form: histogram the integer code stream, then
+                # one dictionary take — zero text gather
+                ccodec, codes_p, dlens, dbytes = sdict_unpack(spec, tp)
+                u, c = value_counts(ccodec, codes_p, n, np.int64)
+                dist = _sdict_distinct_array(dlens, dbytes)
+                vs.append(dist.take(pa.array(u)))
+                cs.append(c.astype(np.int64))
+                code_only += 1
+                continue
+            if vb:  # SQL quantiles skip NULLs
+                valid = np.unpackbits(
+                    np.frombuffer(vb, dtype=np.uint8), count=n,
+                    bitorder="little").astype(bool)
+                runs = _mask_to_runs(valid)
+                if not len(runs[0]):
+                    continue
+            else:
+                runs = (np.zeros(1, np.int64), np.full(1, n, np.int64))
+            decoded_chunks += 1
+            arr = gather_str_runs(spec, lp, tp, n, *runs)
+            vc = pc.value_counts(arr)
+            vs.append(vc.field("values"))
+            cs.append(vc.field("counts").to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        if vs:
+            v_all = pa.concat_arrays([v.cast(pa.large_utf8())
+                                      for v in vs])
+            c_all = np.concatenate(cs)
+        else:
+            v_all = pa.array([], type=pa.large_utf8())
+            c_all = np.empty(0, np.int64)
+        # counter rows ride the exchange under kind=1/2 (value column
+        # unused there); one streaming pass carries data + meters
+        return pa.table({
+            "kind": pa.array(np.concatenate(
+                (np.zeros(len(v_all), np.int64), [1, 2])),
+                type=pa.int64()),
+            "v": pa.concat_arrays(
+                [v_all, pa.array(["", ""], type=pa.large_utf8())]),
+            "c": pa.array(np.concatenate(
+                (c_all, [code_only, decoded_chunks])), type=pa.int64())})
+
+    part = ray.data.read_parquet(enc_dir, columns=need) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    meters = part[part["kind"] > 0].groupby("kind")["c"].sum()
+    hist = part[part["kind"] == 0].groupby("v", sort=True)["c"].sum()
+    # pandas sorts str by code point == UTF-8 byte order (binary
+    # collation), so the rank lookup below matches DuckDB
+    values = hist.index.to_numpy()
+    cum = np.cumsum(hist.to_numpy())
+    n = int(cum[-1]) if len(cum) else 0
+    rows = [{"q_num": q_num, "q_den": q_den,
+             "quantile": None if n == 0 else str(values[int(
+                 np.searchsorted(cum, max((q_num * n + q_den - 1)
+                                          // q_den - 1, 0) + 1))]),
+             "n_rows": n}
+            for q_num, q_den in qs]
+    counters = {"chunks_total": n_total,
+                "chunks_code_only": int(meters.get(1, 0)),
+                "chunks_decoded": int(meters.get(2, 0)),
+                "hist_rows": int(len(hist))}
+    return pd.DataFrame(rows), counters
+
+
 def encoded_str_minmax(enc_dir: str, col: str):
     """``SELECT min(col), max(col)`` over a STRING column — answered
     from the string ZONE MAPS alone (``__smin``/``__smax``, recorded at
