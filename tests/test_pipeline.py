@@ -1541,6 +1541,60 @@ def test_encoded_boolean_quantiles_match_duckdb(ray_session, tmp_path):
                                   "flag")
 
 
+def test_encoded_quantiles_uint64_full_range(ray_session, tmp_path):
+    """Grouped and filtered quantiles over a FULL-RANGE uint64 column
+    (hash/signature values straddling 2^63) must not wrap: the fold
+    rides the order-preserving xor-2^63 image and the driver unbiases,
+    matching DuckDB's UBIGINT quantile_disc exactly."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_quantiles,
+                                               encoded_group_quantiles)
+
+    rng = np.random.default_rng(73)
+    n = 4_000
+    h = rng.integers(0, 1 << 63, n, dtype=np.uint64)
+    h[::2] |= np.uint64(1) << np.uint64(63)  # half the values >= 2^63
+    tbl = pa.table({
+        "key": pa.array(np.sort(rng.integers(0, 8, n)).astype("int64")),
+        "h": pa.array(h),
+    })
+    out_dir = str(tmp_path / "u64quant")
+    encode_table_columns(ray.data.from_arrow(tbl), ["key", "h"],
+                         batch_size=512).write_parquet(out_dir)
+
+    con = duckdb.connect()
+    con.register("t", tbl)
+
+    got, _ = encoded_boolean_quantiles(out_dir,
+                                       ("range", "key", 2, 5), "h")
+    want = con.sql("""
+        select quantile_disc(h, 0.25), quantile_disc(h, 0.50),
+               quantile_disc(h, 0.75), count(*)
+        from t where key between 2 and 5""").fetchone()
+    # NOTE: iterrows() would upcast the mixed-dtype row through float64
+    # and corrupt >2^53 values — read columns directly
+    by_q = {(int(a), int(b)): int(q) for a, b, q in
+            zip(got["q_num"], got["q_den"], got["quantile"])}
+    assert by_q == {(1, 4): int(want[0]), (1, 2): int(want[1]),
+                    (3, 4): int(want[2])}
+    assert max(by_q.values()) >= (1 << 63)  # actually exercised the top
+
+    gotg, _ = encoded_group_quantiles(out_dir, "key", "h")
+    # fetchall, not .df(): duckdb's pandas conversion routes the mixed
+    # result through float64 and corrupts >2^53 UBIGINT values
+    wantg = con.sql("""
+        select key, quantile_disc(h, 0.50) q50 from t
+        group by key order by key""").fetchall()
+    med = gotg[(gotg["q_num"] == 1) & (gotg["q_den"] == 2)] \
+        .sort_values("key")
+    assert [int(v) for v in med["quantile"]] == \
+        [int(q50) for _, q50 in wantg]
+
+
 def test_encoded_str_quantiles_match_duckdb(ray_session, tmp_path):
     """String quantile_disc must match DuckDB's binary collation,
     including non-ASCII values (UTF-8 byte order == code-point order),
@@ -1564,16 +1618,21 @@ def test_encoded_str_quantiles_match_duckdb(ray_session, tmp_path):
                     dtype=object)
     tbl = pa.table({
         "cat": pa.array(vals, type=pa.string(), mask=mask),
+        # null-free twin: eligible for the sdict code-only closed form
+        "catn": pa.array(vals, type=pa.string()),
         "wide": pa.array(wide, type=pa.string()),
     })
     out_dir = str(tmp_path / "squant")
-    encode_table_columns(ray.data.from_arrow(tbl), ["cat", "wide"],
+    encode_table_columns(ray.data.from_arrow(tbl),
+                         ["cat", "catn", "wide"],
                          batch_size=512).write_parquet(out_dir)
 
     con = duckdb.connect()
     con.register("t", tbl)
-    for col in ("cat", "wide"):
+    seen = {}
+    for col in ("cat", "wide", "catn"):
         got, counters = encoded_str_quantiles(out_dir, col)
+        seen[col] = counters
         want = con.sql(f"""
             select quantile_disc({col}, 0.25) q25,
                    quantile_disc({col}, 0.50) q50,
@@ -1584,12 +1643,13 @@ def test_encoded_str_quantiles_match_duckdb(ray_session, tmp_path):
         assert by_q == {(1, 4): want[0], (1, 2): want[1],
                         (3, 4): want[2]}, (col, counters)
         assert (got["n_rows"] == int(want[3])).all()
-    # the low-cardinality short column must have hit the code-only path
-    got, counters = encoded_str_quantiles(out_dir, "cat")
-    # nullable chunks decode (null skip needs the validity gather);
-    # the wide column must never probe the dictionary
-    _, cw = encoded_str_quantiles(out_dir, "wide")
-    assert cw["chunks_code_only"] == 0, cw
+    # null-free low-cardinality column: the sdict CODE-ONLY closed form
+    # must actually run (text never decodes beyond the dictionary)
+    assert seen["catn"]["chunks_code_only"] > 0, seen["catn"]
+    # high-cardinality long values must never probe the dictionary, and
+    # nullable chunks must take the decode path (null skip gathers)
+    assert seen["wide"]["chunks_code_only"] == 0, seen["wide"]
+    assert seen["cat"]["chunks_decoded"] > 0, seen["cat"]
 
 
 def test_encoded_quantiles_overflow_guard(ray_session, tmp_path):

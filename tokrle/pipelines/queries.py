@@ -2453,8 +2453,6 @@ def encoded_str_quantile_stats(sf_dir: str) -> pd.DataFrame:
     import os
     import shutil
 
-    import pyarrow.compute as pc
-
     from tokrle.pipelines.table_encode import (encode_table_columns,
                                                encoded_str_quantiles)
 
@@ -2469,8 +2467,12 @@ def encoded_str_quantile_stats(sf_dir: str) -> pd.DataFrame:
     frames = []
     for col in ("source", "lang"):
         df, counters = encoded_str_quantiles(enc_dir, col)
+        # empty / all-null chunks count under NEITHER class, so the
+        # split is bounded by, not equal to, the chunk total
         assert counters["chunks_code_only"] + \
-            counters["chunks_decoded"] == counters["chunks_total"]
+            counters["chunks_decoded"] <= counters["chunks_total"]
+        assert counters["chunks_code_only"] + \
+            counters["chunks_decoded"] > 0
         df.insert(0, "col", col)
         frames.append(df)
     out = pd.concat(frames, ignore_index=True)

@@ -960,14 +960,54 @@ def encoded_histogram(enc_dir: str, col: str):
     return hist.sort_values("value").reset_index(drop=True), counters
 
 
+def _hist_rank_idx(cum: np.ndarray, n: int, q_num: int,
+                   q_den: int) -> int:
+    """Histogram index of the SQL ``quantile_disc`` element: the 0-based
+    rank is ``ceil(q*n) - 1`` of the sorted multiset (exact integer
+    ceil-division), and the lookup is the first histogram row whose
+    cumulative count covers it.  Shared by the integer, grouped,
+    filtered and string quantile paths so the rank rule exists once."""
+    k = max((q_num * n + q_den - 1) // q_den - 1, 0)
+    return int(np.searchsorted(cum, k + 1))
+
+
 def _hist_rank(values: np.ndarray, cum: np.ndarray, n: int,
                q_num: int, q_den: int) -> int:
-    """Discrete quantile from a sorted histogram: SQL ``quantile_disc``
-    picks the element at 0-based rank ``ceil(q*n) - 1`` of the sorted
-    multiset; the rank is exact integer ceil-division and the lookup is
-    the first histogram row whose cumulative count covers it."""
-    k = max((q_num * n + q_den - 1) // q_den - 1, 0)
-    return int(values[int(np.searchsorted(cum, k + 1))])
+    """Integer-valued :func:`_hist_rank_idx` lookup."""
+    return int(values[_hist_rank_idx(cum, n, q_num, q_den)])
+
+
+_U64_FLIP = np.uint64(1 << 63)
+
+
+def _hist_bias_u64(v: np.ndarray) -> np.ndarray:
+    """Order-preserving uint64 -> int64 bijection (xor 2^63), so uint64
+    histograms fold and rank in int64 exchanges without wrapping."""
+    return (v.astype(np.uint64) ^ _U64_FLIP).view(np.int64)
+
+
+def _hist_unbias_u64(x: int) -> int:
+    """Inverse of :func:`_hist_bias_u64` for a single driver-side
+    value."""
+    return int(np.int64(x).view(np.uint64) ^ _U64_FLIP)
+
+
+def _col_dtype_probe(enc_dir: str, col: str) -> "np.dtype | None":
+    """The stored numpy dtype of ``col`` from one footer row — a
+    single-row column-pruned read of the first file's ``{col}__dtype``
+    (the layout is dtype-uniform per column by construction)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(glob.glob(os.path.join(enc_dir, "**", "*.parquet"),
+                             recursive=True))
+    for path in files:
+        t = _pq.read_table(path, columns=[f"{col}__dtype"])
+        if t.num_rows:
+            return np.dtype(t.column(0)[0].as_py())
+    return None
 
 
 def encoded_quantiles(enc_dir: str, col: str,
@@ -1008,13 +1048,23 @@ def encoded_quantiles(enc_dir: str, col: str,
                 f"column {col!r}: {name}={s} exceeds int64; aggregate "
                 "in a wider representation before presenting")
     rows = []
+    quants = []
     for q_num, q_den in qs:
-        quant = None if n == 0 else _hist_rank(values, cum, n,
-                                               q_num, q_den)
-        rows.append({"q_num": q_num, "q_den": q_den, "quantile": quant,
+        quants.append(None if n == 0 else _hist_rank(values, cum, n,
+                                                     q_num, q_den))
+        rows.append({"q_num": q_num, "q_den": q_den,
                      "sum_v": sum_v, "sum_v2": sum_v2, "n_rows": n})
     counters["n_rows"] = n
-    return pd.DataFrame(rows), counters
+    df = pd.DataFrame(rows)
+    # explicit dtype: pandas would otherwise round >2^63 uint64 values
+    # through float64 during inference, corrupting the low bits
+    if n == 0:
+        df.insert(2, "quantile", pd.Series(quants, dtype="object"))
+    else:
+        df.insert(2, "quantile", np.array(
+            quants, dtype=np.uint64 if values.dtype == np.uint64
+            else np.int64))
+    return df, counters
 
 
 def encoded_group_agg(enc_dir: str, group_col: str, agg_cols: list[str],
@@ -1195,27 +1245,36 @@ def encoded_group_quantiles(enc_dir: str, group_col: str, agg_col: str,
                 memoryview(batch.column(f"{c}__payload")[i].as_buffer()),
                 n, np.dtype(batch.column(f"{c}__dtype")[i].as_py()))
 
+    def _agg_fold(v: np.ndarray) -> np.ndarray:
+        # uint64 agg values fold in the order-preserving xor-2^63 image
+        # (the driver unbiases); anything else is plain int64
+        return _hist_bias_u64(v) if v.dtype == np.uint64 \
+            else v.astype(np.int64)
+
     def pure_partial(batch: pa.Table) -> pa.Table:
         nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
         groups = batch.column(f"{group_col}__vmin").to_numpy(
             zero_copy_only=False).astype(np.int64)
-        gs, vs, cs = [], [], []
+        gs, vs, cs, flags = [], [], [], []
         for i in range(len(batch)):
             v, c = value_counts(*_chunk_col(batch, agg_col, i,
                                             int(nrows[i])))
             gs.append(np.full(len(v), groups[i], np.int64))
-            vs.append(v.astype(np.int64))
+            vs.append(_agg_fold(v))
             cs.append(c)
+            # per-CHUNK counter: flag only the chunk's first triple
+            f = np.zeros(len(v), np.int64)
+            if len(f):
+                f[0] = 1
+            flags.append(f)
+        empty = np.empty(0, np.int64)
         return pa.table({
-            "grp": pa.array(np.concatenate(gs) if gs
-                            else np.empty(0, np.int64)),
-            "v": pa.array(np.concatenate(vs) if vs
-                          else np.empty(0, np.int64)),
+            "grp": pa.array(np.concatenate(gs) if gs else empty),
+            "v": pa.array(np.concatenate(vs) if vs else empty),
             "c": pa.array(np.concatenate(cs).astype(np.int64) if cs
-                          else np.empty(0, np.int64)),
-            "pure_chunks": pa.array(
-                np.ones(sum(len(g) for g in gs), np.int64) if gs
-                else np.empty(0, np.int64))})
+                          else empty),
+            "pure_chunks": pa.array(np.concatenate(flags) if flags
+                                    else empty)})
 
     def mixed_partial(batch: pa.Table) -> pa.Table:
         nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
@@ -1224,8 +1283,8 @@ def encoded_group_quantiles(enc_dir: str, group_col: str, agg_col: str,
             n = int(nrows[i])
             g = codec_decode(*_chunk_col(batch, group_col, i, n)) \
                 .astype(np.int64)
-            v = codec_decode(*_chunk_col(batch, agg_col, i, n)) \
-                .astype(np.int64)
+            v = _agg_fold(codec_decode(*_chunk_col(batch, agg_col,
+                                                   i, n)))
             order = np.lexsort((v, g))
             g, v = g[order], v[order]
             starts = np.flatnonzero(np.concatenate(
@@ -1257,25 +1316,37 @@ def encoded_group_quantiles(enc_dir: str, group_col: str, agg_col: str,
     # driver (same shape as the repo's other driver folds) — one pandas
     # groupby over (group, value), then per-group rank selection
     part = pure_ds.union(mixed_ds).to_pandas()
+    if part.empty:
+        # every chunk was empty (or the table had zero rows): not even
+        # one triple exists, so there are no groups to report
+        part = pd.DataFrame({"grp": pd.Series(dtype="int64"),
+                             "v": pd.Series(dtype="int64"),
+                             "c": pd.Series(dtype="int64"),
+                             "pure_chunks": pd.Series(dtype="int64")})
+    is_u64 = _col_dtype_probe(enc_dir, agg_col) == np.dtype(np.uint64)
     pure_chunks = int(part["pure_chunks"].sum()) if len(part) else 0
     hist = part.groupby(["grp", "v"], sort=True)["c"].sum().reset_index()
-    rows = []
+    rows, quants = [], []
     for grp, sub in hist.groupby("grp", sort=True):
         values = sub["v"].to_numpy()
         cum = np.cumsum(sub["c"].to_numpy())
         n = int(cum[-1])
         for q_num, q_den in qs:
+            q = _hist_rank(values, cum, n, q_num, q_den)
+            quants.append(_hist_unbias_u64(q) if is_u64 else q)
             rows.append({group_col: int(grp), "q_num": q_num,
-                         "q_den": q_den,
-                         "quantile": _hist_rank(values, cum, n,
-                                                q_num, q_den),
-                         "n_rows": n})
+                         "q_den": q_den, "n_rows": n})
     counters = {"pure_chunks": pure_chunks,
                 "groups": int(hist["grp"].nunique()),
                 "hist_rows": int(len(hist))}
-    out = pd.DataFrame(rows)
+    out = pd.DataFrame(rows, columns=[group_col, "q_num", "q_den",
+                                      "n_rows"])
     for c in out.columns:
         out[c] = out[c].astype("int64")
+    # explicit dtype: pandas would otherwise round >2^63 values through
+    # float64 during inference, corrupting the low bits
+    out.insert(3, "quantile", np.array(
+        quants, dtype=np.uint64 if is_u64 else np.int64))
     return out.sort_values([group_col, "q_num", "q_den"]) \
         .reset_index(drop=True), counters
 
@@ -1342,28 +1413,29 @@ def encoded_boolean_quantiles(enc_dir: str, expr: tuple, agg_col: str,
             n = int(nrows[i])
             if n == 0:
                 continue
+            sel = _expr_eval(expr, i, n, zmin, zmax,
+                             lambda col, j: _chunk_col(batch, col, j),
+                             lambda col, j: _chunk_str_col(batch, col, j),
+                             lambda col, j: _valid(batch, col, j))
+            if not isinstance(sel, str) and not len(sel[0]):
+                continue  # provably empty selection: nullability moot
             if _valid(batch, agg_col, i):
                 raise ValueError(
                     f"column {agg_col!r}: nullable chunks not supported "
                     "by the compressed-domain quantile (encode fills "
                     "nulls with 0)")
-            sel = _expr_eval(expr, i, n, zmin, zmax,
-                             lambda col, j: _chunk_col(batch, col, j),
-                             lambda col, j: _chunk_str_col(batch, col, j),
-                             lambda col, j: _valid(batch, col, j))
             codec, payload, dt = _chunk_col(batch, agg_col, i)
             if isinstance(sel, str):
                 all_hit += 1
                 v, c = value_counts(codec, payload, n, dt)
-                vs.append(v.astype(np.int64))
-                cs.append(c.astype(np.int64))
-                continue
-            if not len(sel[0]):
-                continue
-            run_chunks += 1
-            picked = gather_runs(codec, payload, n, dt, *sel)
-            u, c = np.unique(picked, return_counts=True)
-            vs.append(u.astype(np.int64))
+            else:
+                run_chunks += 1
+                picked = gather_runs(codec, payload, n, dt, *sel)
+                v, c = np.unique(picked, return_counts=True)
+            # uint64 folds in the order-preserving xor-2^63 image (the
+            # driver unbiases); anything else is plain int64
+            vs.append(_hist_bias_u64(v) if v.dtype == np.uint64
+                      else v.astype(np.int64))
             cs.append(c.astype(np.int64))
         empty = np.empty(0, np.int64)
         v_all = np.concatenate(vs) if vs else empty
@@ -1391,14 +1463,19 @@ def encoded_boolean_quantiles(enc_dir: str, expr: tuple, agg_col: str,
                              "c": pd.Series(dtype="int64")})
     meters = part[part["kind"] > 0].groupby("kind")["v"].sum()
     hist = part[part["kind"] == 0].groupby("v", sort=True)["c"].sum()
+    is_u64 = _col_dtype_probe(enc_dir, agg_col) == np.dtype(np.uint64)
     values = hist.index.to_numpy()
     cum = np.cumsum(hist.to_numpy())
     n = int(cum[-1]) if len(cum) else 0
-    rows = [{"q_num": q_num, "q_den": q_den,
-             "quantile": None if n == 0 else _hist_rank(values, cum, n,
-                                                        q_num, q_den),
-             "n_rows": n}
+
+    def _pick(q_num, q_den):
+        q = _hist_rank(values, cum, n, q_num, q_den)
+        return _hist_unbias_u64(q) if is_u64 else q
+
+    rows = [{"q_num": q_num, "q_den": q_den, "n_rows": n}
             for q_num, q_den in qs]
+    quants = [None if n == 0 else _pick(q_num, q_den)
+              for q_num, q_den in qs]
     scanned = int(meters.get(1, 0))
     counters = {"chunks_total": n_total,
                 "chunks_scanned": scanned,
@@ -1406,7 +1483,16 @@ def encoded_boolean_quantiles(enc_dir: str, expr: tuple, agg_col: str,
                 "all_hit_chunks": int(meters.get(2, 0)),
                 "run_chunks": int(meters.get(3, 0)),
                 "hist_rows": int(len(hist))}
-    return pd.DataFrame(rows), counters
+    df = pd.DataFrame(rows)
+    # explicit dtype: pandas would otherwise round >2^63 values through
+    # float64 during inference, corrupting the low bits; empty
+    # selections keep None (SQL NULL) in an object column
+    if n == 0:
+        df.insert(2, "quantile", pd.Series(quants, dtype="object"))
+    else:
+        df.insert(2, "quantile", np.array(
+            quants, dtype=np.uint64 if is_u64 else np.int64))
+    return df, counters
 
 
 def encoded_filtered_agg(enc_dir: str, key_col: str, value: int,
@@ -2587,6 +2673,11 @@ def encoded_str_quantiles(enc_dir: str, col: str,
 
     part = ray.data.read_parquet(enc_dir, columns=need) \
         .map_batches(partial, batch_format="pyarrow").to_pandas()
+    if part.empty:
+        # zero-row table / all-empty chunks: the UDF never ran
+        part = pd.DataFrame({"kind": pd.Series(dtype="int64"),
+                             "v": pd.Series(dtype="object"),
+                             "c": pd.Series(dtype="int64")})
     meters = part[part["kind"] > 0].groupby("kind")["c"].sum()
     hist = part[part["kind"] == 0].groupby("v", sort=True)["c"].sum()
     # pandas sorts str by code point == UTF-8 byte order (binary
@@ -2595,9 +2686,8 @@ def encoded_str_quantiles(enc_dir: str, col: str,
     cum = np.cumsum(hist.to_numpy())
     n = int(cum[-1]) if len(cum) else 0
     rows = [{"q_num": q_num, "q_den": q_den,
-             "quantile": None if n == 0 else str(values[int(
-                 np.searchsorted(cum, max((q_num * n + q_den - 1)
-                                          // q_den - 1, 0) + 1))]),
+             "quantile": None if n == 0 else str(
+                 values[_hist_rank_idx(cum, n, q_num, q_den)]),
              "n_rows": n}
             for q_num, q_den in qs]
     counters = {"chunks_total": n_total,
