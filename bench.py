@@ -666,6 +666,30 @@ def pushdown() -> None:
         return (len(g), tuple(g["g"]),
                 int(g["n"].sum()), int(g["s"].sum()))
 
+    def enc_where_quantile():
+        from tokrle.pipelines.table_encode import encoded_boolean_quantiles
+        df, _ = encoded_boolean_quantiles(
+            enc_dir, ("range", "l_suppkey", 10, 400), "l_partkey")
+        return tuple(int(q) for q in df["quantile"])
+
+    def naive_where_quantile():
+        import pandas as pd
+        parts = []
+        for b in decoded().select_columns(
+                ["l_suppkey", "l_partkey"]).iter_batches(
+                batch_format="pandas", batch_size=65536):
+            m = (b["l_suppkey"] >= 10) & (b["l_suppkey"] <= 400)
+            parts.append(b.loc[m, "l_partkey"]
+                         .value_counts().sort_index())
+        hist = pd.concat(parts).groupby(level=0).sum()
+        values = hist.index.to_numpy()
+        cum = np.cumsum(hist.to_numpy())
+        n = int(cum[-1])
+        return tuple(
+            int(values[int(np.searchsorted(
+                cum, max((q_num * n + q_den - 1) // q_den - 1, 0) + 1))])
+            for q_num, q_den in ((1, 4), (1, 2), (3, 4)))
+
     def best_of(fn, passes=2):
         dt, res = float("inf"), None
         for _ in range(max(1, passes)):
@@ -688,7 +712,9 @@ def pushdown() -> None:
             ("group_where", enc_group_where, naive_group_where),
             ("lookup_join", enc_lookup_join, naive_lookup_join),
             ("where_str", enc_where_str, naive_where_str),
-            ("group_str", enc_group_str, naive_group_str)):
+            ("group_str", enc_group_str, naive_group_str),
+            ("where_quantile", enc_where_quantile,
+             naive_where_quantile)):
         t_enc, r_enc = best_of(enc_fn)
         t_naive, r_naive = best_of(naive_fn)
         assert r_enc == r_naive, (name, r_enc, r_naive)
