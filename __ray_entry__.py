@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 session 7: STRING order statistics — sdict chunks
         # histogram codes, text never decodes beyond the dictionary
         "encoded_str_quantile_stats": Q.encoded_str_quantile_stats,
+        # round 5 session 7: TIMESTAMP order statistics (median ship
+        # date from the chunk histograms, moments disabled)
+        "encoded_ts_quantile_stats": Q.encoded_ts_quantile_stats,
         "encoded_string_predicate_stats": Q.encoded_string_predicate_stats,
         "encoded_token_histogram_stats": Q.encoded_token_histogram_stats,
         "encoded_filtered_agg_stats": Q.encoded_filtered_agg_stats,
@@ -771,6 +774,27 @@ def oracle_sql() -> dict[str, str]:
         )
         CROSS JOIN (VALUES (1, 4), (1, 2), (3, 4)) AS q(q_num, q_den)
         ORDER BY "case", q_num, q_den
+    """
+
+    # timestamp quantile_disc compared in exact epoch microseconds
+    sql["encoded_ts_quantile_stats"] = """
+        SELECT q_num, q_den,
+               cast(CASE WHEN q_num = 1 AND q_den = 4
+                         THEN epoch_us(q25)
+                         WHEN q_num = 1 AND q_den = 2
+                         THEN epoch_us(q50)
+                         ELSE epoch_us(q75) END AS bigint)
+                   AS quantile_us,
+               cast(n_rows AS bigint) AS n_rows
+        FROM (
+            SELECT quantile_disc(l_shipdate, 0.25) AS q25,
+                   quantile_disc(l_shipdate, 0.50) AS q50,
+                   quantile_disc(l_shipdate, 0.75) AS q75,
+                   count(*) AS n_rows
+            FROM lineitem
+        )
+        CROSS JOIN (VALUES (1, 4), (1, 2), (3, 4)) AS q(q_num, q_den)
+        ORDER BY q_num, q_den
     """
 
     # string quantile_disc (binary collation == DuckDB default)

@@ -2361,6 +2361,38 @@ def encoded_where_quantile_stats(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def encoded_ts_quantile_stats(sf_dir: str) -> pd.DataFrame:
+    """TIMESTAMP order statistics from the encoded layout: median /
+    quartile ship dates fold from the chunk histograms exactly like
+    integer columns (datetimes encode as exact int64 microsecond
+    counts), with the power-sum moments disabled — epoch sums overflow
+    int64 by construction while the order statistics stay exact.
+    Presented as microsecond counts; the oracle compares via
+    epoch_us(quantile_disc(...))."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_quantiles)
+
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "ts_quant")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate"]).sort("l_shipdate")
+    encode_table_columns(ds, ["l_shipdate"],
+                         batch_size=2048).write_parquet(enc_dir)
+
+    out, counters = encoded_quantiles(enc_dir, "l_shipdate",
+                                      with_moments=False)
+    assert counters["n_rows"] > 0, counters
+    out = out.rename(columns={"quantile": "quantile_us"})
+    for c in ("q_num", "q_den", "quantile_us", "n_rows"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["q_num", "q_den"]).reset_index(drop=True)
+
+
 def encoded_token_histogram_stats(sf_dir: str) -> pd.DataFrame:
     """Top-20 token frequencies computed FROM THE ENCODED CORPUS without
     decoding: the headline token path (tokenize -> chunk -> codec

@@ -1011,7 +1011,8 @@ def _col_dtype_probe(enc_dir: str, col: str) -> "np.dtype | None":
 
 
 def encoded_quantiles(enc_dir: str, col: str,
-                      qs: tuple = ((1, 4), (1, 2), (3, 4))):
+                      qs: tuple = ((1, 4), (1, 2), (3, 4)),
+                      with_moments: bool = True):
     """Exact discrete quantiles AND exact power sums (Σv, Σv²) of ``col``
     from a table-encode directory WITHOUT decoding: the per-chunk
     (value, count) histograms of :func:`encoded_histogram` are a
@@ -1027,33 +1028,53 @@ def encoded_quantiles(enc_dir: str, col: str,
     precision) and are range-checked into int64 — Σv² of a large-value
     column that would overflow raises rather than wrapping.
 
+    ``with_moments=False`` skips the power sums (and their int64 range
+    check) — the right mode for timestamp-typed columns, whose
+    microsecond epoch sums overflow int64 by construction while their
+    order statistics stay perfectly well-defined.
+
     Same cardinality guidance and null contract as
     :func:`encoded_histogram`.  Returns ``(DataFrame(q_num, q_den,
     quantile, sum_v, sum_v2, n_rows), counters)`` with one row per
-    requested quantile."""
+    requested quantile (no ``sum_v``/``sum_v2`` columns without
+    moments)."""
     import pandas as pd
 
     hist, counters = encoded_histogram(enc_dir, col)
     values = hist["value"].to_numpy()
+    if values.dtype.kind == "M":
+        # datetime histograms rank identically in their int64 epoch
+        # image; present quantiles as exact epoch MICROSECONDS
+        # (DuckDB's internal timestamp unit, = epoch_us(...))
+        unit = np.datetime_data(values.dtype)[0]
+        factor = {"s": 1_000_000, "ms": 1_000, "us": 1}.get(unit)
+        values = values.view(np.int64) // 1_000 if factor is None \
+            else values.view(np.int64) * factor
     counts = hist["n"].to_numpy()
     cum = np.cumsum(counts)
     n = int(cum[-1]) if len(cum) else 0
     # exact integer moments over the histogram (Python ints: no 2^53
     # float ceiling, no silent int64 wrap mid-fold)
-    sum_v = sum(int(v) * int(c) for v, c in zip(values, counts))
-    sum_v2 = sum(int(v) * int(v) * int(c) for v, c in zip(values, counts))
-    for name, s in (("sum_v", sum_v), ("sum_v2", sum_v2)):
-        if not (-(1 << 63) <= s < (1 << 63)):
-            raise OverflowError(
-                f"column {col!r}: {name}={s} exceeds int64; aggregate "
-                "in a wider representation before presenting")
+    sum_v = sum_v2 = 0
+    if with_moments:
+        sum_v = sum(int(v) * int(c) for v, c in zip(values, counts))
+        sum_v2 = sum(int(v) * int(v) * int(c)
+                     for v, c in zip(values, counts))
+        for name, s in (("sum_v", sum_v), ("sum_v2", sum_v2)):
+            if not (-(1 << 63) <= s < (1 << 63)):
+                raise OverflowError(
+                    f"column {col!r}: {name}={s} exceeds int64; "
+                    "aggregate in a wider representation before "
+                    "presenting")
     rows = []
     quants = []
     for q_num, q_den in qs:
         quants.append(None if n == 0 else _hist_rank(values, cum, n,
                                                      q_num, q_den))
         rows.append({"q_num": q_num, "q_den": q_den,
-                     "sum_v": sum_v, "sum_v2": sum_v2, "n_rows": n})
+                     **({"sum_v": sum_v, "sum_v2": sum_v2}
+                        if with_moments else {}),
+                     "n_rows": n})
     counters["n_rows"] = n
     df = pd.DataFrame(rows)
     # explicit dtype: pandas would otherwise round >2^63 uint64 values
