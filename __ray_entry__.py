@@ -72,6 +72,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 session 7: TIMESTAMP order statistics (median ship
         # date from the chunk histograms, moments disabled)
         "encoded_ts_quantile_stats": Q.encoded_ts_quantile_stats,
+        # round 5 session 7: predicate x GROUP BY x quantile — the full
+        # composition; closed-form chunks decode neither column
+        "encoded_group_where_quantile_stats":
+            Q.encoded_group_where_quantile_stats,
         "encoded_string_predicate_stats": Q.encoded_string_predicate_stats,
         "encoded_token_histogram_stats": Q.encoded_token_histogram_stats,
         "encoded_filtered_agg_stats": Q.encoded_filtered_agg_stats,
@@ -774,6 +778,27 @@ def oracle_sql() -> dict[str, str]:
         )
         CROSS JOIN (VALUES (1, 4), (1, 2), (3, 4)) AS q(q_num, q_den)
         ORDER BY "case", q_num, q_den
+    """
+
+    # WHERE + GROUP BY + quantile_disc, unpivoted per fraction
+    sql["encoded_group_where_quantile_stats"] = """
+        SELECT grp, q_num, q_den,
+               cast(CASE WHEN q_num = 1 AND q_den = 4 THEN q25
+                         WHEN q_num = 1 AND q_den = 2 THEN q50
+                         ELSE q75 END AS bigint) AS quantile,
+               cast(n_rows AS bigint) AS n_rows
+        FROM (
+            SELECT cast(l_linenumber AS bigint) AS grp,
+                   quantile_disc(l_partkey, 0.25) AS q25,
+                   quantile_disc(l_partkey, 0.50) AS q50,
+                   quantile_disc(l_partkey, 0.75) AS q75,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_suppkey BETWEEN 2 AND 60 AND NOT (l_linenumber = 4)
+            GROUP BY l_linenumber
+        )
+        CROSS JOIN (VALUES (1, 4), (1, 2), (3, 4)) AS q(q_num, q_den)
+        ORDER BY grp, q_num, q_den
     """
 
     # timestamp quantile_disc compared in exact epoch microseconds

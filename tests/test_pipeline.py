@@ -1595,6 +1595,65 @@ def test_encoded_quantiles_uint64_full_range(ray_session, tmp_path):
         [int(q50) for _, q50 in wantg]
 
 
+def test_encoded_group_where_quantiles_match_duckdb(ray_session,
+                                                    tmp_path):
+    """WHERE + GROUP BY + quantile_disc composed: both chunk classes
+    (closed-form: wholly selected + group-pure; gathered: run-list or
+    group-mixed) must match DuckDB, including a uint64 agg column and
+    an empty selection."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (
+        encode_table_columns, encoded_group_where_quantiles)
+
+    rng = np.random.default_rng(79)
+    n = 9_000
+    h = rng.integers(0, 1 << 63, n, dtype=np.uint64)
+    h[::3] |= np.uint64(1) << np.uint64(63)
+    df = pd.DataFrame({
+        "key": np.sort(rng.integers(0, 10, n)).astype("int64"),
+        "flag": rng.integers(0, 5, n).astype("int64"),
+        "val": rng.integers(-10**6, 10**6, n).astype("int64"),
+    })
+    tbl = pa.table({**{c: pa.array(df[c]) for c in df.columns},
+                    "h": pa.array(h)})
+    out_dir = str(tmp_path / "gwquant")
+    encode_table_columns(ray.data.from_arrow(tbl),
+                         ["key", "flag", "val", "h"],
+                         batch_size=512).write_parquet(out_dir)
+
+    con = duckdb.connect()
+    con.register("t", tbl)
+    for expr, where, agg in (
+            (("range", "key", 2, 7), "key between 2 and 7", "val"),
+            (("and", ("range", "key", 0, 9),
+              ("not", ("eq", "flag", 3))),
+             "key between 0 and 9 and not (flag = 3)", "val"),
+            (("range", "key", 3, 6), "key between 3 and 6", "h"),
+            (("range", "key", 300, 400), "key between 300 and 400",
+             "val")):
+        got, counters = encoded_group_where_quantiles(
+            out_dir, expr, "key", agg)
+        want = con.sql(f"""
+            select key, quantile_disc({agg}, 0.50) q50, count(*) c
+            from t where {where} group by key order by key""").fetchall()
+        med = got[(got["q_num"] == 1) & (got["q_den"] == 2)] \
+            .sort_values("key")
+        assert [int(v) for v in med["quantile"]] == \
+            [int(q50) for _, q50, _ in want], (where, agg)
+        assert [int(v) for v in med["n_rows"]] == \
+            [int(c) for _, _, c in want]
+        if where == "key between 2 and 7":
+            # clustered key, whole-range selection: interior chunks are
+            # wholly selected AND group-pure -> closed form must fire
+            assert counters["closed_form_chunks"] > 0, counters
+        if where == "key between 300 and 400":
+            assert counters["chunks_scanned"] == 0, counters
+            assert len(got) == 0
+
+
 def test_encoded_str_quantiles_match_duckdb(ray_session, tmp_path):
     """String quantile_disc must match DuckDB's binary collation,
     including non-ASCII values (UTF-8 byte order == code-point order),

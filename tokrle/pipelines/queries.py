@@ -2361,6 +2361,40 @@ def encoded_where_quantile_stats(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def encoded_group_where_quantile_stats(sf_dir: str) -> pd.DataFrame:
+    """The full composition — predicate trees x GROUP BY x order
+    statistics: per-group quantile_disc over only the rows WHERE an
+    AND/NOT tree holds, with closed-form chunks (wholly selected +
+    group-pure: neither column decodes) and gathered chunks
+    (late-materialized selected positions) both exercised on the
+    clustered layout."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (
+        encode_table_columns, encoded_group_where_quantiles)
+
+    cols = ["l_suppkey", "l_linenumber", "l_partkey"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "gwquant")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
+
+    expr = ("and", ("range", "l_suppkey", 2, 60),
+            ("not", ("eq", "l_linenumber", 4)))
+    out, counters = encoded_group_where_quantiles(
+        enc_dir, expr, "l_linenumber", "l_partkey")
+    assert counters["closed_form_chunks"] + \
+        counters["gathered_chunks"] <= counters["chunks_scanned"]
+    out = out.rename(columns={"l_linenumber": "grp"})
+    for c in ("grp", "q_num", "q_den", "quantile", "n_rows"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["grp", "q_num", "q_den"]) \
+        .reset_index(drop=True)
+
+
 def encoded_ts_quantile_stats(sf_dir: str) -> pd.DataFrame:
     """TIMESTAMP order statistics from the encoded layout: median /
     quartile ship dates fold from the chunk histograms exactly like

@@ -1516,6 +1516,173 @@ def encoded_boolean_quantiles(enc_dir: str, expr: tuple, agg_col: str,
     return df, counters
 
 
+def encoded_group_where_quantiles(enc_dir: str, expr: tuple,
+                                  group_col: str, agg_col: str,
+                                  qs: tuple = ((1, 4), (1, 2), (3, 4))):
+    """Per-group exact quantiles of ``agg_col`` over only the rows WHERE
+    a boolean predicate TREE holds — the full composition: predicate
+    algebra x GROUP BY x order statistics.  Per chunk:
+
+    - the tree evaluates to ``_ALL`` / a selection run-list / empty
+      exactly as in :func:`encoded_boolean_agg` (zone-map leaf
+      short-circuits, 3VL nullable predicates, conservative scan
+      filter);
+    - ALL-selected chunks that are also GROUP-PURE (group zone map
+      ``vmin == vmax``) take the agg histogram from the codec streams
+      (:func:`value_counts` closed forms) with the group id from the
+      zone map — neither column decodes;
+    - every other surviving chunk late-materializes ONLY the selected
+      positions of both columns (:func:`gather_runs`) and folds one
+      lexsort run-length count.
+
+    The exchange carries (group, value, count) triples plus counter
+    rows; per-group ranks fold with the shared integer ceil-division.
+    Integer group column (zone maps required); integer or uint64 agg
+    column (uint64 folds in the xor-2^63 image); nullable agg chunks
+    with a non-empty selection raise.  Returns
+    ``(DataFrame(group_col, q_num, q_den, quantile, n_rows),
+    counters)``."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.codecs.core import gather_runs, value_counts
+
+    pred_cols = _expr_pred_cols(expr)
+    str_cols = _expr_str_cols(expr)
+    null_cols = _expr_null_cols(expr)
+    n_total = _n_chunks(enc_dir)
+    need = ["n_rows"] + [
+        f"{c}__{p}" for c in dict.fromkeys(pred_cols + [group_col])
+        for p in ("vmin", "vmax")] + [
+        f"{c}__{p}"
+        for c in dict.fromkeys(pred_cols + [group_col, agg_col])
+        for p in ("codec", "payload", "dtype", "valid")] + [
+        f"{c}__{p}" for c in str_cols
+        for p in ("codec", "payload", "lens_payload", "valid")]
+    need += [f"{c}__valid" for c in null_cols
+             if f"{c}__valid" not in need]
+    need = list(dict.fromkeys(need))
+
+    def _chunk_col(batch, c, i):
+        return (batch.column(f"{c}__codec")[i].as_py(),
+                memoryview(batch.column(f"{c}__payload")[i].as_buffer()),
+                np.dtype(batch.column(f"{c}__dtype")[i].as_py()))
+
+    def _valid(batch, c, i) -> bytes:
+        return batch.column(f"{c}__valid")[i].as_py() or b""
+
+    def _fold_dtype(v: np.ndarray) -> np.ndarray:
+        return _hist_bias_u64(v) if v.dtype == np.uint64 \
+            else v.astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        zmin = {c: batch.column(f"{c}__vmin").to_numpy(
+            zero_copy_only=False) for c in pred_cols}
+        zmax = {c: batch.column(f"{c}__vmax").to_numpy(
+            zero_copy_only=False) for c in pred_cols}
+        gvmin = batch.column(f"{group_col}__vmin").to_numpy(
+            zero_copy_only=False)
+        gvmax = batch.column(f"{group_col}__vmax").to_numpy(
+            zero_copy_only=False)
+        gs, vs, cs = [], [], []
+        closed = gathered = 0
+        for i in range(len(batch)):
+            n = int(nrows[i])
+            if n == 0:
+                continue
+            sel = _expr_eval(expr, i, n, zmin, zmax,
+                             lambda col, j: _chunk_col(batch, col, j),
+                             lambda col, j: _chunk_str_col(batch, col, j),
+                             lambda col, j: _valid(batch, col, j))
+            is_all = isinstance(sel, str)
+            if not is_all and not len(sel[0]):
+                continue
+            for c in (group_col, agg_col):
+                if _valid(batch, c, i):
+                    raise ValueError(
+                        f"column {c!r}: nullable chunks not supported "
+                        "by the compressed-domain grouped quantile")
+            if is_all and gvmin[i] == gvmax[i]:
+                # group-pure + wholly selected: both columns stay
+                # encoded — histogram from the codec stream, group
+                # from the zone map
+                closed += 1
+                codec, payload, dt = _chunk_col(batch, agg_col, i)
+                v, c = value_counts(codec, payload, n, dt)
+                gs.append(np.full(len(v), int(gvmin[i]), np.int64))
+                vs.append(_fold_dtype(v))
+                cs.append(c.astype(np.int64))
+                continue
+            gathered += 1
+            runs = (np.zeros(1, np.int64), np.full(1, n, np.int64)) \
+                if is_all else sel
+            gc, gp, gdt = _chunk_col(batch, group_col, i)
+            ac, ap, adt = _chunk_col(batch, agg_col, i)
+            g = gather_runs(gc, gp, n, gdt, *runs).astype(np.int64)
+            v = _fold_dtype(gather_runs(ac, ap, n, adt, *runs))
+            order = np.lexsort((v, g))
+            g, v = g[order], v[order]
+            starts = np.flatnonzero(np.concatenate(
+                ([True], (g[1:] != g[:-1]) | (v[1:] != v[:-1]))))
+            gs.append(g[starts])
+            vs.append(v[starts])
+            cs.append(np.diff(np.concatenate((starts, [len(g)]))))
+        empty = np.empty(0, np.int64)
+        g_all = np.concatenate(gs) if gs else empty
+        return pa.table({
+            "kind": pa.array(np.concatenate(
+                (np.zeros(len(g_all), np.int64), [1, 2, 3])),
+                type=pa.int64()),
+            "grp": pa.array(np.concatenate(
+                (g_all, [0, 0, 0])), type=pa.int64()),
+            "v": pa.array(np.concatenate(
+                (np.concatenate(vs) if vs else empty,
+                 [len(batch), closed, gathered])), type=pa.int64()),
+            "c": pa.array(np.concatenate(
+                (np.concatenate(cs).astype(np.int64) if cs else empty,
+                 [1, 1, 1])), type=pa.int64())})
+
+    flt = _expr_zone_filter(expr)
+    part = ray.data.read_parquet(enc_dir, columns=need, filter=flt) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    if part.empty:
+        part = pd.DataFrame({"kind": pd.Series(dtype="int64"),
+                             "grp": pd.Series(dtype="int64"),
+                             "v": pd.Series(dtype="int64"),
+                             "c": pd.Series(dtype="int64")})
+    meters = part[part["kind"] > 0].groupby("kind")["v"].sum()
+    hist = part[part["kind"] == 0].groupby(
+        ["grp", "v"], sort=True)["c"].sum().reset_index()
+    is_u64 = _col_dtype_probe(enc_dir, agg_col) == np.dtype(np.uint64)
+    rows, quants = [], []
+    for grp, sub in hist.groupby("grp", sort=True):
+        values = sub["v"].to_numpy()
+        cum = np.cumsum(sub["c"].to_numpy())
+        n = int(cum[-1])
+        for q_num, q_den in qs:
+            q = _hist_rank(values, cum, n, q_num, q_den)
+            quants.append(_hist_unbias_u64(q) if is_u64 else q)
+            rows.append({group_col: int(grp), "q_num": q_num,
+                         "q_den": q_den, "n_rows": n})
+    scanned = int(meters.get(1, 0))
+    counters = {"chunks_total": n_total,
+                "chunks_scanned": scanned,
+                "chunks_skipped": n_total - scanned,
+                "closed_form_chunks": int(meters.get(2, 0)),
+                "gathered_chunks": int(meters.get(3, 0)),
+                "groups": int(hist["grp"].nunique()),
+                "hist_rows": int(len(hist))}
+    out = pd.DataFrame(rows, columns=[group_col, "q_num", "q_den",
+                                      "n_rows"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    out.insert(3, "quantile", np.array(
+        quants, dtype=np.uint64 if is_u64 else np.int64))
+    return out.sort_values([group_col, "q_num", "q_den"]) \
+        .reset_index(drop=True), counters
+
+
 def encoded_filtered_agg(enc_dir: str, key_col: str, value: int,
                          agg_cols: list[str]):
     """``SELECT count(*), sum(agg_cols...) WHERE key_col == value`` over
