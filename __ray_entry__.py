@@ -780,15 +780,17 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY "case", q_num, q_den
     """
 
-    # WHERE + GROUP BY + quantile_disc, unpivoted per fraction
+    # WHERE + GROUP BY + quantile_disc, both grouping configurations
+    # (gather path and closed-form path), unpivoted per fraction
     sql["encoded_group_where_quantile_stats"] = """
-        SELECT grp, q_num, q_den,
+        SELECT group_col, grp, q_num, q_den,
                cast(CASE WHEN q_num = 1 AND q_den = 4 THEN q25
                          WHEN q_num = 1 AND q_den = 2 THEN q50
                          ELSE q75 END AS bigint) AS quantile,
                cast(n_rows AS bigint) AS n_rows
         FROM (
-            SELECT cast(l_linenumber AS bigint) AS grp,
+            SELECT 'l_linenumber' AS group_col,
+                   cast(l_linenumber AS bigint) AS grp,
                    quantile_disc(l_partkey, 0.25) AS q25,
                    quantile_disc(l_partkey, 0.50) AS q50,
                    quantile_disc(l_partkey, 0.75) AS q75,
@@ -796,9 +798,17 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_suppkey BETWEEN 2 AND 60 AND NOT (l_linenumber = 4)
             GROUP BY l_linenumber
+            UNION ALL
+            SELECT 'l_suppkey', cast(l_suppkey AS bigint),
+                   quantile_disc(l_partkey, 0.25),
+                   quantile_disc(l_partkey, 0.50),
+                   quantile_disc(l_partkey, 0.75), count(*)
+            FROM lineitem
+            WHERE l_suppkey BETWEEN 2 AND 60
+            GROUP BY l_suppkey
         )
         CROSS JOIN (VALUES (1, 4), (1, 2), (3, 4)) AS q(q_num, q_den)
-        ORDER BY grp, q_num, q_den
+        ORDER BY group_col, grp, q_num, q_den
     """
 
     # timestamp quantile_disc compared in exact epoch microseconds

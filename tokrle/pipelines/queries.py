@@ -2382,16 +2382,29 @@ def encoded_group_where_quantile_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
     encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
 
-    expr = ("and", ("range", "l_suppkey", 2, 60),
-            ("not", ("eq", "l_linenumber", 4)))
-    out, counters = encoded_group_where_quantiles(
-        enc_dir, expr, "l_linenumber", "l_partkey")
-    assert counters["closed_form_chunks"] + \
-        counters["gathered_chunks"] <= counters["chunks_scanned"]
-    out = out.rename(columns={"l_linenumber": "grp"})
+    frames = []
+    for group_col, expr, check in (
+            # unclustered grouping + NOT branch: run-list selections,
+            # every surviving chunk takes the gather path
+            ("l_linenumber",
+             ("and", ("range", "l_suppkey", 2, 60),
+              ("not", ("eq", "l_linenumber", 4))), "gathered_chunks"),
+            # clustered grouping + pure range: interior chunks are
+            # wholly selected AND group-pure — the zero-decode closed
+            # form must actually fire
+            ("l_suppkey",
+             ("range", "l_suppkey", 2, 60), "closed_form_chunks")):
+        df, counters = encoded_group_where_quantiles(
+            enc_dir, expr, group_col, "l_partkey")
+        if counters["chunks_total"] > 16:
+            assert counters[check] > 0, (group_col, counters)
+        df = df.rename(columns={group_col: "grp"})
+        df.insert(0, "group_col", group_col)
+        frames.append(df)
+    out = pd.concat(frames, ignore_index=True)
     for c in ("grp", "q_num", "q_den", "quantile", "n_rows"):
         out[c] = out[c].astype("int64")
-    return out.sort_values(["grp", "q_num", "q_den"]) \
+    return out.sort_values(["group_col", "grp", "q_num", "q_den"]) \
         .reset_index(drop=True)
 
 

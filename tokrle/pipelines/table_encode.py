@@ -992,6 +992,52 @@ def _hist_unbias_u64(x: int) -> int:
     return int(np.int64(x).view(np.uint64) ^ _U64_FLIP)
 
 
+def _agg_fold_u64(v: np.ndarray) -> np.ndarray:
+    """uint64 agg values fold in the order-preserving xor-2^63 image
+    (the driver unbiases); anything else is plain int64."""
+    return _hist_bias_u64(v) if v.dtype == np.uint64 \
+        else v.astype(np.int64)
+
+
+def _group_value_run_fold(g: np.ndarray, v: np.ndarray):
+    """One lexsort run-length fold of parallel (group, value) arrays to
+    per-(group, value) triples ``(groups, values, counts)``."""
+    order = np.lexsort((v, g))
+    g, v = g[order], v[order]
+    starts = np.flatnonzero(np.concatenate(
+        ([True], (g[1:] != g[:-1]) | (v[1:] != v[:-1]))))
+    return g[starts], v[starts], np.diff(np.concatenate((starts,
+                                                         [len(g)])))
+
+
+def _group_quantile_frame(hist, qs: tuple, group_col: str,
+                          is_u64: bool):
+    """Driver fold shared by the grouped quantile paths: per-group rank
+    selection over the folded (grp, v, c) histogram + dtype-safe
+    assembly (explicit quantile dtype — pandas inference would round
+    >2^63 values through float64)."""
+    import pandas as pd
+
+    rows, quants = [], []
+    for grp, sub in hist.groupby("grp", sort=True):
+        values = sub["v"].to_numpy()
+        cum = np.cumsum(sub["c"].to_numpy())
+        n = int(cum[-1])
+        for q_num, q_den in qs:
+            q = _hist_rank(values, cum, n, q_num, q_den)
+            quants.append(_hist_unbias_u64(q) if is_u64 else q)
+            rows.append({group_col: int(grp), "q_num": q_num,
+                         "q_den": q_den, "n_rows": n})
+    out = pd.DataFrame(rows, columns=[group_col, "q_num", "q_den",
+                                      "n_rows"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    out.insert(3, "quantile", np.array(
+        quants, dtype=np.uint64 if is_u64 else np.int64))
+    return out.sort_values([group_col, "q_num", "q_den"]) \
+        .reset_index(drop=True)
+
+
 def _col_dtype_probe(enc_dir: str, col: str) -> "np.dtype | None":
     """The stored numpy dtype of ``col`` from one footer row — a
     single-row column-pruned read of the first file's ``{col}__dtype``
@@ -1266,12 +1312,6 @@ def encoded_group_quantiles(enc_dir: str, group_col: str, agg_col: str,
                 memoryview(batch.column(f"{c}__payload")[i].as_buffer()),
                 n, np.dtype(batch.column(f"{c}__dtype")[i].as_py()))
 
-    def _agg_fold(v: np.ndarray) -> np.ndarray:
-        # uint64 agg values fold in the order-preserving xor-2^63 image
-        # (the driver unbiases); anything else is plain int64
-        return _hist_bias_u64(v) if v.dtype == np.uint64 \
-            else v.astype(np.int64)
-
     def pure_partial(batch: pa.Table) -> pa.Table:
         nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
         groups = batch.column(f"{group_col}__vmin").to_numpy(
@@ -1281,7 +1321,7 @@ def encoded_group_quantiles(enc_dir: str, group_col: str, agg_col: str,
             v, c = value_counts(*_chunk_col(batch, agg_col, i,
                                             int(nrows[i])))
             gs.append(np.full(len(v), groups[i], np.int64))
-            vs.append(_agg_fold(v))
+            vs.append(_agg_fold_u64(v))
             cs.append(c)
             # per-CHUNK counter: flag only the chunk's first triple
             f = np.zeros(len(v), np.int64)
@@ -1302,17 +1342,14 @@ def encoded_group_quantiles(enc_dir: str, group_col: str, agg_col: str,
         gs, vs, cs = [], [], []
         for i in range(len(batch)):
             n = int(nrows[i])
-            g = codec_decode(*_chunk_col(batch, group_col, i, n)) \
-                .astype(np.int64)
-            v = _agg_fold(codec_decode(*_chunk_col(batch, agg_col,
-                                                   i, n)))
-            order = np.lexsort((v, g))
-            g, v = g[order], v[order]
-            starts = np.flatnonzero(np.concatenate(
-                ([True], (g[1:] != g[:-1]) | (v[1:] != v[:-1]))))
-            gs.append(g[starts])
-            vs.append(v[starts])
-            cs.append(np.diff(np.concatenate((starts, [n]))))
+            g, v, c = _group_value_run_fold(
+                codec_decode(*_chunk_col(batch, group_col, i, n))
+                .astype(np.int64),
+                _agg_fold_u64(codec_decode(*_chunk_col(batch, agg_col,
+                                                       i, n))))
+            gs.append(g)
+            vs.append(v)
+            cs.append(c)
         empty = np.empty(0, np.int64)
         return pa.table({
             "grp": pa.array(np.concatenate(gs) if gs else empty),
@@ -1347,29 +1384,10 @@ def encoded_group_quantiles(enc_dir: str, group_col: str, agg_col: str,
     is_u64 = _col_dtype_probe(enc_dir, agg_col) == np.dtype(np.uint64)
     pure_chunks = int(part["pure_chunks"].sum()) if len(part) else 0
     hist = part.groupby(["grp", "v"], sort=True)["c"].sum().reset_index()
-    rows, quants = [], []
-    for grp, sub in hist.groupby("grp", sort=True):
-        values = sub["v"].to_numpy()
-        cum = np.cumsum(sub["c"].to_numpy())
-        n = int(cum[-1])
-        for q_num, q_den in qs:
-            q = _hist_rank(values, cum, n, q_num, q_den)
-            quants.append(_hist_unbias_u64(q) if is_u64 else q)
-            rows.append({group_col: int(grp), "q_num": q_num,
-                         "q_den": q_den, "n_rows": n})
     counters = {"pure_chunks": pure_chunks,
                 "groups": int(hist["grp"].nunique()),
                 "hist_rows": int(len(hist))}
-    out = pd.DataFrame(rows, columns=[group_col, "q_num", "q_den",
-                                      "n_rows"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    # explicit dtype: pandas would otherwise round >2^63 values through
-    # float64 during inference, corrupting the low bits
-    out.insert(3, "quantile", np.array(
-        quants, dtype=np.uint64 if is_u64 else np.int64))
-    return out.sort_values([group_col, "q_num", "q_den"]) \
-        .reset_index(drop=True), counters
+    return _group_quantile_frame(hist, qs, group_col, is_u64), counters
 
 
 def encoded_boolean_quantiles(enc_dir: str, expr: tuple, agg_col: str,
@@ -1545,6 +1563,7 @@ def encoded_group_where_quantiles(enc_dir: str, expr: tuple,
     import pandas as pd
     import ray.data
 
+    from tokrle.codecs.core import decode as codec_decode
     from tokrle.codecs.core import gather_runs, value_counts
 
     pred_cols = _expr_pred_cols(expr)
@@ -1570,10 +1589,6 @@ def encoded_group_where_quantiles(enc_dir: str, expr: tuple,
 
     def _valid(batch, c, i) -> bytes:
         return batch.column(f"{c}__valid")[i].as_py() or b""
-
-    def _fold_dtype(v: np.ndarray) -> np.ndarray:
-        return _hist_bias_u64(v) if v.dtype == np.uint64 \
-            else v.astype(np.int64)
 
     def partial(batch: pa.Table) -> pa.Table:
         nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
@@ -1603,31 +1618,41 @@ def encoded_group_where_quantiles(enc_dir: str, expr: tuple,
                     raise ValueError(
                         f"column {c!r}: nullable chunks not supported "
                         "by the compressed-domain grouped quantile")
-            if is_all and gvmin[i] == gvmax[i]:
-                # group-pure + wholly selected: both columns stay
-                # encoded — histogram from the codec stream, group
-                # from the zone map
-                closed += 1
-                codec, payload, dt = _chunk_col(batch, agg_col, i)
-                v, c = value_counts(codec, payload, n, dt)
+            group_pure = gvmin[i] == gvmax[i]
+            ac, ap, adt = _chunk_col(batch, agg_col, i)
+            if group_pure:
+                # the zone map names the single group — the group
+                # column NEVER decodes on pure chunks, whatever the
+                # selection shape
+                if is_all:
+                    closed += 1
+                    v, c = value_counts(ac, ap, n, adt)
+                    v = _agg_fold_u64(v)
+                    c = c.astype(np.int64)
+                else:
+                    gathered += 1
+                    v, c = np.unique(
+                        _agg_fold_u64(gather_runs(ac, ap, n, adt,
+                                                  *sel)),
+                        return_counts=True)
                 gs.append(np.full(len(v), int(gvmin[i]), np.int64))
-                vs.append(_fold_dtype(v))
+                vs.append(v)
                 cs.append(c.astype(np.int64))
                 continue
             gathered += 1
-            runs = (np.zeros(1, np.int64), np.full(1, n, np.int64)) \
-                if is_all else sel
             gc, gp, gdt = _chunk_col(batch, group_col, i)
-            ac, ap, adt = _chunk_col(batch, agg_col, i)
-            g = gather_runs(gc, gp, n, gdt, *runs).astype(np.int64)
-            v = _fold_dtype(gather_runs(ac, ap, n, adt, *runs))
-            order = np.lexsort((v, g))
-            g, v = g[order], v[order]
-            starts = np.flatnonzero(np.concatenate(
-                ([True], (g[1:] != g[:-1]) | (v[1:] != v[:-1]))))
-            gs.append(g[starts])
-            vs.append(v[starts])
-            cs.append(np.diff(np.concatenate((starts, [len(g)]))))
+            if is_all:
+                # wholly selected, group-mixed: straight decode beats a
+                # synthetic full-range gather
+                g = codec_decode(gc, gp, n, gdt).astype(np.int64)
+                v = _agg_fold_u64(codec_decode(ac, ap, n, adt))
+            else:
+                g = gather_runs(gc, gp, n, gdt, *sel).astype(np.int64)
+                v = _agg_fold_u64(gather_runs(ac, ap, n, adt, *sel))
+            g, v, c = _group_value_run_fold(g, v)
+            gs.append(g)
+            vs.append(v)
+            cs.append(c)
         empty = np.empty(0, np.int64)
         g_all = np.concatenate(gs) if gs else empty
         return pa.table({
@@ -1655,16 +1680,6 @@ def encoded_group_where_quantiles(enc_dir: str, expr: tuple,
     hist = part[part["kind"] == 0].groupby(
         ["grp", "v"], sort=True)["c"].sum().reset_index()
     is_u64 = _col_dtype_probe(enc_dir, agg_col) == np.dtype(np.uint64)
-    rows, quants = [], []
-    for grp, sub in hist.groupby("grp", sort=True):
-        values = sub["v"].to_numpy()
-        cum = np.cumsum(sub["c"].to_numpy())
-        n = int(cum[-1])
-        for q_num, q_den in qs:
-            q = _hist_rank(values, cum, n, q_num, q_den)
-            quants.append(_hist_unbias_u64(q) if is_u64 else q)
-            rows.append({group_col: int(grp), "q_num": q_num,
-                         "q_den": q_den, "n_rows": n})
     scanned = int(meters.get(1, 0))
     counters = {"chunks_total": n_total,
                 "chunks_scanned": scanned,
@@ -1673,14 +1688,7 @@ def encoded_group_where_quantiles(enc_dir: str, expr: tuple,
                 "gathered_chunks": int(meters.get(3, 0)),
                 "groups": int(hist["grp"].nunique()),
                 "hist_rows": int(len(hist))}
-    out = pd.DataFrame(rows, columns=[group_col, "q_num", "q_den",
-                                      "n_rows"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    out.insert(3, "quantile", np.array(
-        quants, dtype=np.uint64 if is_u64 else np.int64))
-    return out.sort_values([group_col, "q_num", "q_den"]) \
-        .reset_index(drop=True), counters
+    return _group_quantile_frame(hist, qs, group_col, is_u64), counters
 
 
 def encoded_filtered_agg(enc_dir: str, key_col: str, value: int,
