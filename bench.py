@@ -1030,6 +1030,80 @@ def scaling() -> None:
     }))
 
 
+def lifecycle() -> None:
+    """--lifecycle: timed end-to-end corpus lifecycle at $GRAFT_SF_DIR
+    scale — encode_corpus (fused single-job), a ~1%-of-docs upsert
+    (fused per-file rewrite of only the affected groups), and
+    compact_corpus (fused per-bin consolidation).  Reports wall seconds
+    and tokens/s per phase; all three phases run the single-job Dataset
+    shapes that ship one ~100-byte metrics row per task."""
+    ray_up(NUM_CPUS)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from tokrle.pipelines.corpus import (compact_corpus, corpus_files,
+                                         encode_corpus, upsert_corpus)
+
+    in_dir = prepare_corpus(SF_DIR)
+    enc_dir = os.path.join(WORK, "lifecycle_enc")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    run = encode_corpus(in_dir, enc_dir, group_files=4)
+    t_encode = time.perf_counter() - t0
+    n_tokens = run["n_tokens"]
+
+    # delta: replace ~1% of docs + add the same count of new docs
+    first = pq.read_table(sorted(
+        __import__("glob").glob(os.path.join(in_dir, "*.parquet")))[0],
+        columns=["doc_id", "tokens", "n_tok", "source"])
+    k = max(1, first.num_rows // 8)
+    repl = first.slice(0, k)
+    new_ids = pa.array([f"new-{i}" for i in range(k)])
+    delta = pa.concat_tables([
+        repl,
+        pa.table({"doc_id": new_ids,
+                  "tokens": repl.column("tokens"),
+                  "n_tok": repl.column("n_tok"),
+                  "source": repl.column("source")})])
+    delta_tokens = int(pa.compute.sum(delta.column("n_tok")).as_py())
+    t0 = time.perf_counter()
+    up = upsert_corpus(enc_dir, ray.data.from_arrow(delta))
+    t_upsert = time.perf_counter() - t0
+
+    # bin target ~ a quarter of the corpus: compaction consolidates
+    # 8 resume groups into ~4 bins whose fused tasks run in parallel
+    # (one giant bin would serialize the phase into a single stream)
+    enc_bytes = sum(os.path.getsize(f) for f in corpus_files(enc_dir))
+    t0 = time.perf_counter()
+    cp = compact_corpus(enc_dir, target_bytes=max(1, enc_bytes // 4))
+    t_compact = time.perf_counter() - t0
+
+    out = {"metric": "corpus lifecycle wall (encode / 1pct upsert / "
+                     "full compact)",
+           "unit": "sec", "sf": SF_DIR, "num_cpus": NUM_CPUS,
+           "n_tokens": int(n_tokens),
+           "queries": {
+               "encode_sec": round(t_encode, 3),
+               "encode_tokens_per_sec": int(n_tokens / t_encode),
+               "upsert_sec": round(t_upsert, 3),
+               "upsert_docs": int(delta.num_rows),
+               "upsert_delta_tokens": delta_tokens,
+               "upsert_groups_rewritten": int(up["groups_rewritten"]),
+               "compact_sec": round(t_compact, 3),
+               "compact_bins": int(cp["bins"]),
+               "compact_groups_after": int(cp["groups_after"]),
+               "files_after": len(corpus_files(enc_dir))},
+           "value": round(t_encode + t_upsert + t_compact, 3)}
+    out.update(_host_health())
+    print(json.dumps(out))
+    import ray
+
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling-cpu" in sys.argv:
         scaling_cpu()
@@ -1045,5 +1119,7 @@ if __name__ == "__main__":
         pushdown()
     elif "--volume" in sys.argv:
         volume()
+    elif "--lifecycle" in sys.argv:
+        lifecycle()
     else:
         main()
