@@ -76,6 +76,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composition; closed-form chunks decode neither column
         "encoded_group_where_quantile_stats":
             Q.encoded_group_where_quantile_stats,
+        # round 5 session 7: filtered integer DISTINCT (the integer
+        # sibling of the filtered string distinct)
+        "encoded_where_distinct_stats": Q.encoded_where_distinct_stats,
         "encoded_string_predicate_stats": Q.encoded_string_predicate_stats,
         "encoded_token_histogram_stats": Q.encoded_token_histogram_stats,
         "encoded_filtered_agg_stats": Q.encoded_filtered_agg_stats,
@@ -778,6 +781,23 @@ def oracle_sql() -> dict[str, str]:
         )
         CROSS JOIN (VALUES (1, 4), (1, 2), (3, 4)) AS q(q_num, q_den)
         ORDER BY "case", q_num, q_den
+    """
+
+    # COUNT(DISTINCT) under predicate trees
+    sql["encoded_where_distinct_stats"] = """
+        SELECT "case", cast(n_distinct AS bigint) AS n_distinct
+        FROM (
+            SELECT 'clustered_range' AS "case",
+                   count(DISTINCT l_partkey) AS n_distinct
+            FROM lineitem WHERE l_suppkey BETWEEN 3 AND 50
+            UNION ALL
+            SELECT 'and_not', count(DISTINCT l_partkey)
+            FROM lineitem
+            WHERE l_suppkey BETWEEN 1 AND 70 AND NOT (l_linenumber = 2)
+            UNION ALL
+            SELECT 'empty', count(DISTINCT l_partkey)
+            FROM lineitem WHERE l_suppkey BETWEEN -40 AND -10
+        ) ORDER BY "case"
     """
 
     # WHERE + GROUP BY + quantile_disc, both grouping configurations

@@ -1350,6 +1350,47 @@ def test_encoded_distinct_count_closed_form(ray_session, tmp_path):
     assert int(got["n_distinct"].iloc[0]) == df["wide"].nunique()
 
 
+def test_encoded_distinct_count_filtered(ray_session, tmp_path):
+    """COUNT(DISTINCT) under predicate trees: closed-form on wholly
+    matching chunks, gather on run-list chunks, zero scan on a
+    disjoint range — all equal to pandas on the selected subset."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_distinct_count)
+
+    rng = np.random.default_rng(83)
+    n = 12_000
+    df = pd.DataFrame({
+        "key": np.sort(rng.integers(0, 50, n)).astype("int64"),
+        "label": rng.choice(np.array([7, -3, 10**9, 42],
+                                     dtype=np.int64), n),
+    })
+    out_dir = str(tmp_path / "wdistinct")
+    encode_table_columns(ray.data.from_pandas(df), ["key", "label"],
+                         batch_size=512).write_parquet(out_dir)
+
+    for expr, mask in (
+            (("range", "key", 5, 30),
+             (df["key"] >= 5) & (df["key"] <= 30)),
+            (("not", ("eq", "key", 10)), df["key"] != 10),
+            (("range", "key", 500, 900), df["key"] > 10**9)):
+        got, counters = encoded_distinct_count(out_dir, "label",
+                                               expr=expr)
+        want = df.loc[mask, "label"].nunique()
+        assert int(got["n_distinct"].iloc[0]) == want, (expr, counters)
+    # the clustered whole-range case must keep the closed form
+    _, c = encoded_distinct_count(out_dir, "label",
+                                  expr=("range", "key", 0, 49))
+    assert c["chunks_closed_form"] > 0 and c["chunks_gathered"] == 0, c
+    # disjoint range: nothing scans
+    _, c = encoded_distinct_count(out_dir, "label",
+                                  expr=("range", "key", 500, 900))
+    assert c["chunks_closed_form"] + c["chunks_decoded"] + \
+        c["chunks_gathered"] == 0, c
+
+
 def test_encoded_distinct_count_rejects_nullable(ray_session, tmp_path):
     import ray.data
 

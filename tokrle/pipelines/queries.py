@@ -2361,6 +2361,50 @@ def encoded_where_quantile_stats(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def encoded_where_distinct_stats(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT col) under boolean predicate trees — the integer
+    sibling of the filtered string distinct: zone-excluded chunks never
+    leave storage, wholly-matching chunks keep the dict/rle closed-form
+    distinct, run-list chunks gather only selected positions.  Three
+    predicates pin pruning + closed form (clustered range), the gather
+    path (NOT branch), and an empty selection."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_distinct_count)
+
+    cols = ["l_suppkey", "l_linenumber", "l_partkey"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "wdistinct")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
+
+    cases = [
+        ("clustered_range", ("range", "l_suppkey", 3, 50)),
+        ("and_not", ("and", ("range", "l_suppkey", 1, 70),
+                     ("not", ("eq", "l_linenumber", 2)))),
+        ("empty", ("range", "l_suppkey", -40, -10)),
+    ]
+    rows = []
+    for name, expr in cases:
+        df, counters = encoded_distinct_count(enc_dir, "l_partkey",
+                                              expr=expr)
+        if name == "empty":
+            assert counters["chunks_closed_form"] + \
+                counters["chunks_decoded"] + \
+                counters["chunks_gathered"] == 0, counters
+        if name == "and_not" and counters["chunks_total"] > 8:
+            assert counters["chunks_gathered"] > 0, counters
+        rows.append({"case": name,
+                     "n_distinct": int(df["n_distinct"].iloc[0])})
+    out = pd.DataFrame(rows)
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out.sort_values("case").reset_index(drop=True)
+
+
 def encoded_group_where_quantile_stats(sf_dir: str) -> pd.DataFrame:
     """The full composition — predicate trees x GROUP BY x order
     statistics: per-group quantile_disc over only the rows WHERE an

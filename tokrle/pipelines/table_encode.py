@@ -717,7 +717,8 @@ def encoded_range_count(enc_dir: str, col: str, lo: int, hi: int):
     return pd.DataFrame({"n_match": [ni + nb]}), counters
 
 
-def encoded_distinct_count(enc_dir: str, col: str):
+def encoded_distinct_count(enc_dir: str, col: str,
+                           expr: tuple | None = None):
     """Exact COUNT(DISTINCT col) over a table-encode directory without
     decoding: each chunk's distinct set comes from the codec's own
     streams via :func:`tokrle.codecs.core.distinct_values` (dict chunks
@@ -727,57 +728,128 @@ def encoded_distinct_count(enc_dir: str, col: str):
     counts the survivors — the exchange carries at most
     (#batches x chunk cardinality) values, never rows.
 
+    ``expr`` (optional boolean predicate TREE, the integer sibling of
+    :func:`encoded_str_distinct`'s filter): chunks the tree excludes
+    via zone maps never leave storage, wholly-matching chunks keep the
+    closed-form distinct, and run-list chunks late-materialize only
+    the selected positions (:func:`gather_runs`) before the local
+    unique.
+
     Intended for low/moderate-cardinality columns (keys, labels, enum
     codes); for high-cardinality columns the distinct set itself is the
     data — use the HLL sketch (`functions.sketch`) there.  Same
     contracts as :func:`encoded_value_count` (integer zone-mapped not
-    required; nullable chunks raise).  Returns ``(DataFrame(n_distinct),
-    counters)`` where counters report how many chunks answered from a
-    closed form (dict/rle) vs decode."""
+    required without ``expr``; nullable chunks raise).  Returns
+    ``(DataFrame(n_distinct), counters)`` where counters report how
+    many chunks answered from a closed form (dict/rle or ALL-match)
+    vs decode/gather."""
     import pandas as pd
     import ray.data
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
 
-    from tokrle.codecs.core import distinct_values
+    from tokrle.codecs.core import distinct_values, gather_runs
 
-    need = ["n_rows"] + [f"{col}__{p}"
-                         for p in ("codec", "payload", "dtype", "valid")]
+    pred_cols = _expr_pred_cols(expr) if expr is not None else []
+    str_cols = _expr_str_cols(expr) if expr is not None else []
+    null_cols = _expr_null_cols(expr) if expr is not None else []
+    need = ["n_rows"] + [f"{c}__{p}" for c in pred_cols
+                         for p in ("vmin", "vmax")] + [
+        f"{c}__{p}" for c in dict.fromkeys(pred_cols + [col])
+        for p in ("codec", "payload", "dtype", "valid")] + [
+        f"{c}__{p}" for c in str_cols
+        for p in ("codec", "payload", "lens_payload", "valid")]
+    need += [f"{c}__valid" for c in null_cols
+             if f"{c}__valid" not in need]
+    need = list(dict.fromkeys(need))
+    n_total = _n_chunks(enc_dir)
+
+    def _chunk_col3(batch, c, i):
+        return (batch.column(f"{c}__codec")[i].as_py(),
+                memoryview(batch.column(f"{c}__payload")[i].as_buffer()),
+                np.dtype(batch.column(f"{c}__dtype")[i].as_py()))
+
+    def _valid(batch, c, i) -> bytes:
+        return batch.column(f"{c}__valid")[i].as_py() or b""
 
     def partial(batch: pa.Table) -> pa.Table:
         nrows = batch.column("n_rows").to_numpy(zero_copy_only=False)
-        payloads = batch.column(f"{col}__payload")
         codecs = batch.column(f"{col}__codec").to_pylist()
-        dtypes = batch.column(f"{col}__dtype").to_pylist()
-        valids = batch.column(f"{col}__valid")
+        zmin = {c: batch.column(f"{c}__vmin").to_numpy(
+            zero_copy_only=False) for c in pred_cols}
+        zmax = {c: batch.column(f"{c}__vmax").to_numpy(
+            zero_copy_only=False) for c in pred_cols}
         parts = []
+        closed = decoded = gathered = 0
         for i, codec in enumerate(codecs):
-            if len(valids[i].as_py() or b""):
+            n = int(nrows[i])
+            if n == 0:
+                continue
+            if expr is None:
+                sel = "all"
+            else:
+                sel = _expr_eval(
+                    expr, i, n, zmin, zmax,
+                    lambda c2, j: _chunk_col3(batch, c2, j),
+                    lambda c2, j: _chunk_str_col(batch, c2, j),
+                    lambda c2, j: _valid(batch, c2, j))
+                if not isinstance(sel, str) and not len(sel[0]):
+                    continue
+            if _valid(batch, col, i):
                 raise ValueError(
                     f"column {col!r}: nullable chunks not supported by "
                     "the compressed-domain distinct (encode fills nulls "
                     "with 0)")
-            parts.append(distinct_values(
-                codec, memoryview(payloads[i].as_buffer()),
-                int(nrows[i]), np.dtype(dtypes[i])))
+            payload = memoryview(
+                batch.column(f"{col}__payload")[i].as_buffer())
+            dt = np.dtype(batch.column(f"{col}__dtype")[i].as_py())
+            if isinstance(sel, str):
+                # whole chunk: distinct_values closed forms apply —
+                # keep the historical dict/rle-vs-decode split
+                if codec in ("dict", "rle"):
+                    closed += 1
+                else:
+                    decoded += 1
+                parts.append(distinct_values(codec, payload, n, dt))
+            else:
+                gathered += 1
+                parts.append(np.unique(
+                    gather_runs(codec, payload, n, dt, *sel)))
         if parts:
             u = np.unique(np.concatenate(parts))
         else:
             u = np.empty(0, dtype=np.int64)
-        return pa.table({"v": pa.array(u)})
+        hdr = np.zeros(max(len(u), 1), np.int64)
+        hdr[0] = closed
+        dec = np.zeros(max(len(u), 1), np.int64)
+        dec[0] = decoded
+        gat = np.zeros(max(len(u), 1), np.int64)
+        gat[0] = gathered
+        kind = np.zeros(max(len(u), 1), np.int64)
+        vals = u if len(u) else np.zeros(1, np.int64)
+        if not len(u):
+            kind[0] = 1  # sentinel row carries only the counters
+        return pa.table({"v": pa.array(vals), "kind": pa.array(kind),
+                         "hdr": pa.array(hdr), "dec": pa.array(dec),
+                         "gat": pa.array(gat)})
 
-    ds = ray.data.read_parquet(enc_dir, columns=need)
-    flat = ds.map_batches(partial, batch_format="pyarrow")
-    n_distinct = flat.groupby("v").aggregate(
-        Count(alias_name="_c")).count()
-
-    codec_meta = ray.data.read_parquet(
-        enc_dir, columns=[f"{col}__codec"]).to_pandas()
-    kinds = codec_meta[f"{col}__codec"].value_counts().to_dict()
-    closed = sum(v for k, v in kinds.items() if k in ("dict", "rle"))
-    counters = {"chunks_total": int(len(codec_meta)),
-                "chunks_closed_form": int(closed),
-                "chunks_decoded": int(len(codec_meta) - closed)}
-    return pd.DataFrame({"n_distinct": [int(n_distinct)]}), counters
+    flt = _expr_zone_filter(expr) if expr is not None else None
+    ds = ray.data.read_parquet(enc_dir, columns=need, filter=flt)
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["kind", "v"]).aggregate(
+        Count(alias_name="_c"),
+        Sum("hdr", alias_name="hdr"),
+        Sum("dec", alias_name="dec"),
+        Sum("gat", alias_name="gat")).to_pandas()
+    if agg.empty:   # zone filter pruned every chunk
+        return (pd.DataFrame({"n_distinct": [0]}),
+                {"chunks_total": n_total, "chunks_closed_form": 0,
+                 "chunks_decoded": 0, "chunks_gathered": 0})
+    real = agg[agg["kind"] == 0]
+    counters = {"chunks_total": n_total,
+                "chunks_closed_form": int(agg["hdr"].sum()),
+                "chunks_decoded": int(agg["dec"].sum()),
+                "chunks_gathered": int(agg["gat"].sum())}
+    return pd.DataFrame({"n_distinct": [int(len(real))]}), counters
 
 
 def encoded_string_value_count(enc_dir: str, col: str, value: str):
