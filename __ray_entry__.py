@@ -79,6 +79,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 session 7: filtered integer DISTINCT (the integer
         # sibling of the filtered string distinct)
         "encoded_where_distinct_stats": Q.encoded_where_distinct_stats,
+        # round 5 session 7: filtered histogram + filtered top-k
+        # (GROUP BY value / ORDER BY DESC LIMIT k under predicate trees)
+        "encoded_where_histogram_stats": Q.encoded_where_histogram_stats,
+        "encoded_where_topk_stats": Q.encoded_where_topk_stats,
         "encoded_string_predicate_stats": Q.encoded_string_predicate_stats,
         "encoded_token_histogram_stats": Q.encoded_token_histogram_stats,
         "encoded_filtered_agg_stats": Q.encoded_filtered_agg_stats,
@@ -781,6 +785,26 @@ def oracle_sql() -> dict[str, str]:
         )
         CROSS JOIN (VALUES (1, 4), (1, 2), (3, 4)) AS q(q_num, q_den)
         ORDER BY "case", q_num, q_den
+    """
+
+    # value histogram under a predicate tree
+    sql["encoded_where_histogram_stats"] = """
+        SELECT cast(l_linenumber AS bigint) AS value,
+               cast(count(*) AS bigint) AS n
+        FROM lineitem
+        WHERE l_suppkey BETWEEN 4 AND 55 AND NOT (l_linenumber = 6)
+        GROUP BY l_linenumber ORDER BY value
+    """
+
+    # filtered top-k as an exactly tie-trimmed value multiset
+    sql["encoded_where_topk_stats"] = """
+        WITH t AS (SELECT l_partkey AS value FROM lineitem
+                   WHERE l_suppkey BETWEEN 2 AND 45
+                     AND NOT (l_linenumber = 1)
+                   ORDER BY value DESC LIMIT 25)
+        SELECT cast(value AS bigint) AS value,
+               cast(count(*) AS bigint) AS n
+        FROM t GROUP BY value ORDER BY value DESC
     """
 
     # COUNT(DISTINCT) under predicate trees

@@ -1695,6 +1695,63 @@ def test_encoded_group_where_quantiles_match_duckdb(ray_session,
             assert len(got) == 0
 
 
+def test_encoded_boolean_histogram_topk_match_duckdb(ray_session,
+                                                     tmp_path):
+    """Filtered histogram and filtered top-k: exact counts under
+    predicate trees incl. heavy ties at the k boundary, an empty
+    selection, and a full-range uint64 column."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_histogram,
+                                               encoded_boolean_topk)
+
+    rng = np.random.default_rng(89)
+    n = 8_000
+    h = rng.integers(0, 1 << 63, n, dtype=np.uint64)
+    h[::2] |= np.uint64(1) << np.uint64(63)
+    tbl = pa.table({
+        "key": pa.array(np.sort(rng.integers(0, 30, n)).astype("int64")),
+        # heavy ties: only 6 distinct values
+        "val": pa.array(rng.integers(0, 6, n).astype("int64")),
+        "h": pa.array(h),
+    })
+    out_dir = str(tmp_path / "bht")
+    encode_table_columns(ray.data.from_arrow(tbl), ["key", "val", "h"],
+                         batch_size=512).write_parquet(out_dir)
+
+    con = duckdb.connect()
+    con.register("t", tbl)
+    expr, where = (("and", ("range", "key", 3, 20),
+                    ("not", ("eq", "val", 2))),
+                   "key between 3 and 20 and not (val = 2)")
+
+    hist, _ = encoded_boolean_histogram(out_dir, expr, "val")
+    want = con.sql(f"""select val, count(*) n from t where {where}
+                      group by val order by val""").fetchall()
+    assert [(int(v), int(c)) for v, c in
+            zip(hist["value"], hist["n"])] == \
+        [(int(v), int(c)) for v, c in want]
+
+    for col, k in (("val", 100), ("h", 17)):
+        top, counters = encoded_boolean_topk(out_dir, expr, col, k)
+        wt = con.sql(f"""
+            with s as (select {col} v from t where {where}
+                       order by v desc limit {k})
+            select v, count(*) n from s group by v
+            order by v desc""").fetchall()
+        assert [(int(v), int(c)) for v, c in
+                zip(top["value"], top["n"])] == \
+            [(int(v), int(c)) for v, c in wt], (col, k, counters)
+
+    # empty selection: no rows, nothing scanned
+    top, counters = encoded_boolean_topk(
+        out_dir, ("range", "key", 500, 900), "val", 5)
+    assert len(top) == 0 and counters["chunks_scanned"] == 0
+
+
 def test_encoded_str_quantiles_match_duckdb(ray_session, tmp_path):
     """String quantile_disc must match DuckDB's binary collation,
     including non-ASCII values (UTF-8 byte order == code-point order),

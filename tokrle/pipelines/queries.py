@@ -2405,6 +2405,66 @@ def encoded_where_distinct_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("case").reset_index(drop=True)
 
 
+def encoded_where_histogram_stats(sf_dir: str) -> pd.DataFrame:
+    """Exact value histogram under a predicate tree: GROUP BY value
+    COUNT(*) WHERE range AND NOT eq — ALL-match chunks histogram from
+    the codec streams with zero decode, run chunks late-materialize
+    selected positions only."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_histogram)
+
+    cols = ["l_suppkey", "l_linenumber"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "whist")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
+
+    expr = ("and", ("range", "l_suppkey", 4, 55),
+            ("not", ("eq", "l_linenumber", 6)))
+    out, counters = encoded_boolean_histogram(enc_dir, expr,
+                                              "l_linenumber")
+    assert counters["hist_rows"] == len(out)
+    for c in ("value", "n"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("value").reset_index(drop=True)
+
+
+def encoded_where_topk_stats(sf_dir: str) -> pd.DataFrame:
+    """ORDER BY col DESC LIMIT k under a predicate tree, as an exactly
+    tie-trimmed value multiset — the filtered top-k (the zone-map
+    exclusion threshold is unsound under a predicate, so it derives
+    from the filtered histogram; predicate zone pruning still fires)."""
+    import os
+    import shutil
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_boolean_topk)
+
+    cols = ["l_suppkey", "l_linenumber", "l_partkey"]
+    enc_dir = os.path.join("/tmp/tokrle_q",
+                           sf_dir.strip("/").replace("/", "_"),
+                           "wtopk")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    ds = _read(sf_dir, "lineitem", columns=cols).sort("l_suppkey")
+    encode_table_columns(ds, cols, batch_size=2048).write_parquet(enc_dir)
+
+    expr = ("and", ("range", "l_suppkey", 2, 45),
+            ("not", ("eq", "l_linenumber", 1)))
+    out, counters = encoded_boolean_topk(enc_dir, expr, "l_partkey", 25)
+    assert int(out["n"].sum()) <= 25
+    if counters["chunks_total"] > 8:
+        assert counters["chunks_skipped"] > 0, counters
+    for c in ("value", "n"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("value", ascending=False) \
+        .reset_index(drop=True)
+
+
 def encoded_group_where_quantile_stats(sf_dir: str) -> pd.DataFrame:
     """The full composition — predicate trees x GROUP BY x order
     statistics: per-group quantile_disc over only the rows WHERE an

@@ -1462,15 +1462,12 @@ def encoded_group_quantiles(enc_dir: str, group_col: str, agg_col: str,
     return _group_quantile_frame(hist, qs, group_col, is_u64), counters
 
 
-def encoded_boolean_quantiles(enc_dir: str, expr: tuple, agg_col: str,
-                              qs: tuple = ((1, 4), (1, 2), (3, 4))):
-    """Exact discrete quantiles of ``agg_col`` over the rows WHERE a
-    boolean predicate TREE holds — order statistics joining the
-    predicate algebra: the tree evaluates per chunk to the ``_ALL``
-    sentinel or a selection run-list exactly as in
-    :func:`encoded_boolean_agg` (zone-map leaf short-circuits, and/or
-    pruning, conservative scan filter), and the selected rows feed the
-    histogram sufficient statistic of :func:`encoded_quantiles`:
+def _boolean_value_hist(enc_dir: str, expr: tuple, agg_col: str):
+    """Shared core of the filtered histogram family: evaluate the
+    predicate TREE per chunk (zone-map leaf short-circuits, 3VL on
+    nullable predicate columns, conservative scan filter — exactly as
+    in :func:`encoded_boolean_agg`) and fold the (value, count)
+    histogram of ``agg_col`` over ONLY the selected rows:
 
     - ALL-match chunks take their histogram from
       :func:`tokrle.codecs.core.value_counts` (dict/rle closed forms —
@@ -1479,12 +1476,11 @@ def encoded_boolean_quantiles(enc_dir: str, expr: tuple, agg_col: str,
       (:func:`gather_runs`) and fold their counts.
 
     The exchange carries (value, partial_count) pairs bounded by chunk
-    cardinality — never rows — plus three counter rows; the driver
-    folds ranks with the shared exact integer ceil-division.  Integer
-    non-null columns only (the predicate side may be nullable — 3VL
-    applies — but a nullable AGG column raises, matching the histogram
-    contract).  Returns ``(DataFrame(q_num, q_den, quantile, n_rows),
-    counters)``; ``quantile`` is None when nothing matches (SQL NULL)."""
+    cardinality — never rows — plus three counter rows.  uint64 agg
+    columns fold in the order-preserving xor-2^63 image.  Returns
+    ``(hist, counters, is_u64)`` where ``hist`` is a pandas Series
+    (index = folded value, possibly biased; values = exact counts)
+    sorted by value."""
     import pandas as pd
     import ray.data
 
@@ -1575,6 +1571,29 @@ def encoded_boolean_quantiles(enc_dir: str, expr: tuple, agg_col: str,
     meters = part[part["kind"] > 0].groupby("kind")["v"].sum()
     hist = part[part["kind"] == 0].groupby("v", sort=True)["c"].sum()
     is_u64 = _col_dtype_probe(enc_dir, agg_col) == np.dtype(np.uint64)
+    scanned = int(meters.get(1, 0))
+    counters = {"chunks_total": n_total,
+                "chunks_scanned": scanned,
+                "chunks_skipped": n_total - scanned,
+                "all_hit_chunks": int(meters.get(2, 0)),
+                "run_chunks": int(meters.get(3, 0)),
+                "hist_rows": int(len(hist))}
+    return hist, counters, is_u64
+
+
+def encoded_boolean_quantiles(enc_dir: str, expr: tuple, agg_col: str,
+                              qs: tuple = ((1, 4), (1, 2), (3, 4))):
+    """Exact discrete quantiles of ``agg_col`` over the rows WHERE a
+    boolean predicate TREE holds — order statistics joining the
+    predicate algebra over the :func:`_boolean_value_hist` sufficient
+    statistic; the driver folds ranks with the shared exact integer
+    ceil-division.  Integer non-null agg columns only (the predicate
+    side may be nullable — 3VL applies).  Returns
+    ``(DataFrame(q_num, q_den, quantile, n_rows), counters)``;
+    ``quantile`` is None when nothing matches (SQL NULL)."""
+    import pandas as pd
+
+    hist, counters, is_u64 = _boolean_value_hist(enc_dir, expr, agg_col)
     values = hist.index.to_numpy()
     cum = np.cumsum(hist.to_numpy())
     n = int(cum[-1]) if len(cum) else 0
@@ -1587,13 +1606,6 @@ def encoded_boolean_quantiles(enc_dir: str, expr: tuple, agg_col: str,
             for q_num, q_den in qs]
     quants = [None if n == 0 else _pick(q_num, q_den)
               for q_num, q_den in qs]
-    scanned = int(meters.get(1, 0))
-    counters = {"chunks_total": n_total,
-                "chunks_scanned": scanned,
-                "chunks_skipped": n_total - scanned,
-                "all_hit_chunks": int(meters.get(2, 0)),
-                "run_chunks": int(meters.get(3, 0)),
-                "hist_rows": int(len(hist))}
     df = pd.DataFrame(rows)
     # explicit dtype: pandas would otherwise round >2^63 values through
     # float64 during inference, corrupting the low bits; empty
@@ -1604,6 +1616,57 @@ def encoded_boolean_quantiles(enc_dir: str, expr: tuple, agg_col: str,
         df.insert(2, "quantile", np.array(
             quants, dtype=np.uint64 if is_u64 else np.int64))
     return df, counters
+
+
+def encoded_boolean_histogram(enc_dir: str, expr: tuple, agg_col: str):
+    """Exact GROUP BY value COUNT(*) over only the rows WHERE a boolean
+    predicate TREE holds — :func:`encoded_histogram` joined with the
+    predicate algebra via :func:`_boolean_value_hist` (ALL-match chunks
+    histogram from the codec streams with zero decode, run chunks
+    late-materialize selected positions only).  Same cardinality
+    guidance as the unfiltered histogram.  Returns
+    ``(DataFrame(value, n) sorted by value, counters)``."""
+    import pandas as pd
+
+    hist, counters, is_u64 = _boolean_value_hist(enc_dir, expr, agg_col)
+    values = hist.index.to_numpy()
+    if is_u64:
+        values = (values.view(np.uint64) ^ _U64_FLIP)
+    out = pd.DataFrame({"value": values,
+                        "n": hist.to_numpy().astype(np.int64)})
+    # the biased int64 sort order IS the uint64 order, so re-sorting
+    # after the unbias is unnecessary — values are already ascending
+    return out.reset_index(drop=True), counters
+
+
+def encoded_boolean_topk(enc_dir: str, expr: tuple, col: str, k: int):
+    """``ORDER BY col DESC LIMIT k`` over only the rows WHERE a boolean
+    predicate TREE holds, as a (value, count) multiset with exact tie
+    trimming — the filtered sibling of :func:`encoded_topk_rows`.
+
+    Unlike the unfiltered top-k, the metadata-only exclusion threshold
+    is unsound here (a chunk's zone map cannot bound how many of its
+    rows SURVIVE the predicate), so this derives from the full filtered
+    histogram — the exchange stays bounded by chunk value cardinality
+    and the predicate's zone pruning still skips non-overlapping
+    chunks.  Returns ``(DataFrame(value, n) sorted desc with
+    sum(n) == min(k, selected rows), counters)``."""
+    hist, counters, is_u64 = _boolean_value_hist(enc_dir, expr, col)
+    values = hist.index.to_numpy()[::-1]          # descending
+    counts = hist.to_numpy()[::-1].astype(np.int64)
+    cum = np.cumsum(counts)
+    cut = int(np.searchsorted(cum, k))            # first idx covering k
+    values, counts, cum = (values[:cut + 1], counts[:cut + 1],
+                           cum[:cut + 1])
+    if len(counts) and cum[-1] > k:               # exact tie trim
+        counts[-1] -= int(cum[-1] - k)
+    import pandas as pd
+
+    if is_u64:
+        values = values.view(np.uint64) ^ _U64_FLIP
+    out = pd.DataFrame({"value": values, "n": counts})
+    out = out[out["n"] > 0]
+    return out.reset_index(drop=True), counters
 
 
 def encoded_group_where_quantiles(enc_dir: str, expr: tuple,
