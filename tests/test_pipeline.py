@@ -1391,6 +1391,38 @@ def test_encoded_distinct_count_filtered(ray_session, tmp_path):
         c["chunks_gathered"] == 0, c
 
 
+def test_encoded_distinct_filtered_uint64_mixed_batches(ray_session,
+                                                        tmp_path):
+    """Regression: a batch whose whole selection is empty emits only
+    counter rows; with a full-range uint64 column the value rows of
+    OTHER batches must still concat with them (everything normalizes
+    into the int64 image before the exchange — previously a
+    mixed-schema block crash)."""
+    import pandas as pd
+    import ray.data
+
+    from tokrle.pipelines.table_encode import (encode_table_columns,
+                                               encoded_distinct_count)
+
+    rng = np.random.default_rng(97)
+    n = 4_000
+    h = rng.integers(0, 1 << 63, n, dtype=np.uint64)
+    h[::2] |= np.uint64(1) << np.uint64(63)
+    key = np.sort(rng.integers(0, 50, n)).astype("int64")
+    tbl = pa.table({"key": pa.array(key), "h": pa.array(h)})
+    out_dir = str(tmp_path / "u64dist")
+    encode_table_columns(ray.data.from_arrow(tbl), ["key", "h"],
+                         batch_size=256).write_parquet(out_dir)
+
+    # NOT(range) keeps the scan unprunable: chunks inside the range
+    # survive the scan but select nothing (counter-only batches)
+    expr = ("not", ("range", "key", 10, 40))
+    got, counters = encoded_distinct_count(out_dir, "h", expr=expr)
+    mask = (key < 10) | (key > 40)
+    want = len(np.unique(h[mask]))
+    assert int(got["n_distinct"].iloc[0]) == want, counters
+
+
 def test_encoded_distinct_count_rejects_nullable(ray_session, tmp_path):
     import ray.data
 

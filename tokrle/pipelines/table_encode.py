@@ -745,7 +745,7 @@ def encoded_distinct_count(enc_dir: str, col: str,
     vs decode/gather."""
     import pandas as pd
     import ray.data
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from tokrle.codecs.core import distinct_values, gather_runs
 
@@ -782,11 +782,19 @@ def encoded_distinct_count(enc_dir: str, col: str,
         closed = decoded = gathered = 0
         for i, codec in enumerate(codecs):
             n = int(nrows[i])
-            if n == 0:
-                continue
             if expr is None:
+                # an empty chunk is trivially answered; classify it so
+                # closed+decoded keeps summing to chunks_total
+                if codec in ("dict", "rle"):
+                    closed += 1
+                else:
+                    decoded += 1
+                if n == 0:
+                    continue
                 sel = "all"
             else:
+                if n == 0:
+                    continue
                 sel = _expr_eval(
                     expr, i, n, zmin, zmax,
                     lambda c2, j: _chunk_col3(batch, c2, j),
@@ -794,6 +802,13 @@ def encoded_distinct_count(enc_dir: str, col: str,
                     lambda c2, j: _valid(batch, c2, j))
                 if not isinstance(sel, str) and not len(sel[0]):
                     continue
+                if isinstance(sel, str):
+                    if codec in ("dict", "rle"):
+                        closed += 1
+                    else:
+                        decoded += 1
+                else:
+                    gathered += 1
             if _valid(batch, col, i):
                 raise ValueError(
                     f"column {col!r}: nullable chunks not supported by "
@@ -802,54 +817,46 @@ def encoded_distinct_count(enc_dir: str, col: str,
             payload = memoryview(
                 batch.column(f"{col}__payload")[i].as_buffer())
             dt = np.dtype(batch.column(f"{col}__dtype")[i].as_py())
-            if isinstance(sel, str):
-                # whole chunk: distinct_values closed forms apply —
-                # keep the historical dict/rle-vs-decode split
-                if codec in ("dict", "rle"):
-                    closed += 1
-                else:
-                    decoded += 1
-                parts.append(distinct_values(codec, payload, n, dt))
-            else:
-                gathered += 1
-                parts.append(np.unique(
-                    gather_runs(codec, payload, n, dt, *sel)))
-        if parts:
-            u = np.unique(np.concatenate(parts))
-        else:
-            u = np.empty(0, dtype=np.int64)
-        hdr = np.zeros(max(len(u), 1), np.int64)
-        hdr[0] = closed
-        dec = np.zeros(max(len(u), 1), np.int64)
-        dec[0] = decoded
-        gat = np.zeros(max(len(u), 1), np.int64)
-        gat[0] = gathered
-        kind = np.zeros(max(len(u), 1), np.int64)
-        vals = u if len(u) else np.zeros(1, np.int64)
-        if not len(u):
-            kind[0] = 1  # sentinel row carries only the counters
-        return pa.table({"v": pa.array(vals), "kind": pa.array(kind),
-                         "hdr": pa.array(hdr), "dec": pa.array(dec),
-                         "gat": pa.array(gat)})
+            u = distinct_values(codec, payload, n, dt) \
+                if isinstance(sel, str) else \
+                np.unique(gather_runs(codec, payload, n, dt, *sel))
+            # normalize every dtype into the int64 image before the
+            # exchange (uint64 via the order-preserving bias, datetime
+            # via its epoch counts) — sentinel/counter rows are int64,
+            # so a mixed-schema block concat would otherwise crash
+            if u.dtype == np.uint64:
+                u = _hist_bias_u64(u)
+            elif u.dtype.kind == "M":
+                u = u.view(np.int64)
+            parts.append(u.astype(np.int64))
+        u = np.unique(np.concatenate(parts)) if parts \
+            else np.empty(0, np.int64)
+        # counter ROWS (kind 1/2/3) ride the same exchange — O(1) rows
+        # per batch, no zero-padded columns
+        return pa.table({
+            "kind": pa.array(np.concatenate(
+                (np.zeros(len(u), np.int64), [1, 2, 3]))),
+            "v": pa.array(np.concatenate((u, [0, 0, 0]))),
+            "m": pa.array(np.concatenate(
+                (np.zeros(len(u), np.int64),
+                 [closed, decoded, gathered])))})
 
     flt = _expr_zone_filter(expr) if expr is not None else None
     ds = ray.data.read_parquet(enc_dir, columns=need, filter=flt)
     agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(["kind", "v"]).aggregate(
-        Count(alias_name="_c"),
-        Sum("hdr", alias_name="hdr"),
-        Sum("dec", alias_name="dec"),
-        Sum("gat", alias_name="gat")).to_pandas()
+        Sum("m", alias_name="m")).to_pandas()
     if agg.empty:   # zone filter pruned every chunk
         return (pd.DataFrame({"n_distinct": [0]}),
                 {"chunks_total": n_total, "chunks_closed_form": 0,
                  "chunks_decoded": 0, "chunks_gathered": 0})
-    real = agg[agg["kind"] == 0]
+    meters = agg[agg["kind"] > 0].set_index("kind")["m"]
     counters = {"chunks_total": n_total,
-                "chunks_closed_form": int(agg["hdr"].sum()),
-                "chunks_decoded": int(agg["dec"].sum()),
-                "chunks_gathered": int(agg["gat"].sum())}
-    return pd.DataFrame({"n_distinct": [int(len(real))]}), counters
+                "chunks_closed_form": int(meters.get(1, 0)),
+                "chunks_decoded": int(meters.get(2, 0)),
+                "chunks_gathered": int(meters.get(3, 0))}
+    n_distinct = int((agg["kind"] == 0).sum())
+    return pd.DataFrame({"n_distinct": [n_distinct]}), counters
 
 
 def encoded_string_value_count(enc_dir: str, col: str, value: str):
