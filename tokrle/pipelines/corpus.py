@@ -116,6 +116,10 @@ def _encode_corpus_single_job(groups, done, manifest, out_dir, run, *,
     t0 = time.perf_counter()
     items = [{"path": p, "group": gid} for gid, grp in pending for p in grp]
     paths = ray.data.from_items(items, override_num_blocks=len(items))
+    # task pools take an int cap only — callers may pass the actor-pool
+    # (min, max) tuple form, whose max is the equivalent bound here
+    if isinstance(concurrency, (tuple, list)):
+        concurrency = concurrency[-1]
     metrics_ds = paths.map_batches(
         functools.partial(task_fn or _encode_write_file_task,
                           out_dir=out_dir,
